@@ -1,0 +1,68 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate: run graft.Verify first
+(writes <out>/<name>/ parquet + <out>/oracle_sql.json), then this script
+runs each oracle SQL in DuckDB over the same sf dir and compares.
+
+Usage: python3 scripts/check.py /root/testdata/sf0.01 /tmp/verify_out
+"""
+import sys, json, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failures = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+        except Exception as e:
+            print(f"FAIL {name}: spark result unreadable: {e}")
+            failures += 1
+            continue
+        try:
+            exp = con.execute(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle sql error: {e}")
+            failures += 1
+            continue
+        # driver compare model: sort columns by name, then hash values
+        got = got.reindex(sorted(got.columns), axis=1)
+        exp = exp.reindex(sorted(exp.columns), axis=1)
+        if list(got.columns) != list(exp.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} vs {list(exp.columns)}")
+            failures += 1
+            continue
+        if len(got) != len(exp):
+            print(f"FAIL {name}: rows {len(got)} vs {len(exp)}")
+            failures += 1
+            continue
+        gr = [tuple(norm(v) for v in r) for r in got.itertuples(index=False)]
+        er = [tuple(norm(v) for v in r) for r in exp.itertuples(index=False)]
+        gs, es = sorted(gr, key=str), sorted(er, key=str)
+        bad = [(a, b) for a, b in zip(gs, es) if a != b]
+        if bad:
+            print(f"FAIL {name}: {len(bad)}/{len(gs)} row mismatches; first: ")
+            print(f"   spark: {bad[0][0]}")
+            print(f"  duckdb: {bad[0][1]}")
+            failures += 1
+        else:
+            print(f"OK   {name} ({len(gs)} rows)")
+    print(f"\n{len(oracle) - failures}/{len(oracle)} queries match")
+    sys.exit(1 if failures else 0)
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
