@@ -1,0 +1,196 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Exact._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational generalization of the reference's dataflow (SURVEY.md §2.2 —
+  * the operator categories the reference lacks, expressed over the TPC-H-ish
+  * star schema): filtered scans, broadcast/shuffle/semi/anti joins,
+  * multi-aggregate group-bys, rollup, window functions, set operations,
+  * scalar string/date functions.
+  *
+  * Scale design notes (100 TB / 1000 executors):
+  *  - dimension joins (`region`, `nation`, `supplier`) are explicitly
+  *    `broadcast()` — no shuffle of the fact table for enrichment;
+  *  - fact-fact joins (`orders` ⋈ `lineitem`) shuffle on the join key once;
+  *    AQE handles skew/coalescing at runtime;
+  *  - every aggregation is partial-before-exchange (automatic for the
+  *    builtin aggregates used here);
+  *  - filters are literal predicates on scan columns → pushed to parquet
+  *    (`PushedFilters` in explain), projections prune the scan schema.
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary: the widest aggregate set over the
+    * biggest table, one shuffle, exact-decimal arithmetic. */
+  def pricingSummary(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sumD(col("l_quantity")).as("sum_qty"),
+        sumD(col("l_extendedprice")).as("sum_base_price"),
+        sumExpr(discPrice(col("l_extendedprice"), col("l_discount"))).as("sum_disc_price"),
+        avgD(col("l_quantity")).as("avg_qty"),
+        avgD(col("l_extendedprice")).as("avg_price"),
+        avgD(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q3-style shipping priority: 3-way join, filter on both sides,
+    * top-10 revenue. customer is broadcast (small side), orders⋈lineitem
+    * shuffles on the order key. */
+  def shippingPriority(s: SparkSession, d: String): DataFrame = {
+    val cutoff = lit("1998-06-01").cast("timestamp")
+    val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(s, d).filter(col("o_orderdate") < cutoff)
+    val li = Tables.lineitem(s, d).filter(col("l_shipdate") > cutoff)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sumExpr(discPrice(col("l_extendedprice"), col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style: 6-table join through a region filter; dims broadcast,
+    * facts shuffle once on the order key. */
+  def regionRevenue(s: SparkSession, d: String): DataFrame = {
+    val year = lit("1997-01-01").cast("timestamp")
+    val yearEnd = lit("1998-01-01").cast("timestamp")
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d).filter(col("o_orderdate") >= year && col("o_orderdate") < yearEnd),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.customer(s, d),
+        col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sumExpr(discPrice(col("l_extendedprice"), col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name").asc)
+  }
+
+  /** Dimension enrichment via broadcast joins only — zero fact shuffle
+    * until the final (tiny) aggregate. */
+  def regionCustomerStats(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        countDistinct(col("n_nationkey")).as("n_nations"),
+        count(lit(1)).as("n_customers"),
+        avgD(col("c_acctbal")).as("avg_acctbal"))
+      .orderBy("r_name")
+
+  /** Customers with at least one order — LEFT SEMI (EXISTS). */
+  def customersWithOrders(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+
+  /** Customers with no order since 2001 — LEFT ANTI (NOT EXISTS) against a
+    * filtered build side (filter applied before the join, pushed to scan). */
+  def customersWithoutOrders(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(
+        Tables.orders(s, d).filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+
+  /** Aggregate breadth: distinct counts, min/max, exact avg + stddev. */
+  def aggStatsByFlag(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        avgD(col("l_quantity")).as("avg_qty"),
+        round(stddevD(col("l_quantity")), 6).as("std_qty"))
+      .orderBy("l_returnflag")
+
+  /** ROLLUP over (returnflag, linestatus) — grouping-set aggregation.
+    * Rollup NULLs are labeled 'ALL' (the data itself is null-free). */
+  def rollupRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"), sumD(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n_rows"), col("sum_qty"))
+      .orderBy("returnflag", "linestatus")
+
+  /** Ranking window: top-3 orders per customer by total price. */
+  def top3OrdersPerCustomer(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Analytic window: month-over-month revenue delta via LAG. */
+  def monthlyRevenueLag(s: SparkSession, d: String): DataFrame = {
+    val monthly = Tables.orders(s, d)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(sumD(col("o_totalprice")).as("revenue"))
+    val w = Window.orderBy(col("month"))
+    monthly
+      .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
+      .withColumn("delta", col("revenue") - col("prev_revenue"))
+      .orderBy("month")
+  }
+
+  /** Set operations: nation keys with customers vs with suppliers,
+    * INTERSECT / EXCEPT / UNION, tagged into one result. */
+  def nationSetOps(s: SparkSession, d: String): DataFrame = {
+    val custNations = Tables.customer(s, d).select(col("c_nationkey").as("k")).distinct()
+    val suppNations = Tables.supplier(s, d).select(col("s_nationkey").as("k")).distinct()
+    custNations.intersect(suppNations).withColumn("tag", lit("both"))
+      .unionAll(custNations.except(suppNations).withColumn("tag", lit("cust_only")))
+      .unionAll(suppNations.except(custNations).withColumn("tag", lit("supp_only")))
+      .select(col("tag"), col("k"))
+      .orderBy("tag", "k")
+  }
+
+  /** Scalar string-function battery over part. */
+  def stringFuncsPart(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      upper(col("p_brand")).as("brand_upper"),
+      lower(col("p_type")).as("type_lower"),
+      substring(col("p_name"), 1, 8).as("name_prefix"),
+      length(col("p_name")).cast("long").as("name_len"),
+      regexp_replace(col("p_name"), " ", "_").as("name_snake"),
+      concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"),
+      lpad(col("p_partkey").cast("string"), 8, "0").as("key_padded"),
+      reverse(col("p_brand")).as("brand_rev"),
+      when(col("p_size") >= 25, lit("large")).otherwise(lit("small")).as("size_class"))
+      .orderBy("p_partkey")
+
+  /** Scalar date-function battery over orders. */
+  def dateFuncsOrders(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).cast("long").as("yr"),
+      quarter(col("o_orderdate")).cast("long").as("qtr"),
+      month(col("o_orderdate")).cast("long").as("mon"),
+      dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+      date_trunc("month", col("o_orderdate")).as("month_start"),
+      datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).cast("long").as("days_since_epoch"),
+      (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("deadline"))
+      .orderBy("o_orderkey")
+}

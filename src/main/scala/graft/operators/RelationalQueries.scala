@@ -1,0 +1,142 @@
+package graft.operators
+
+import graft.QueryDef
+
+/** Driver-contract wiring for the relational suite (SURVEY.md §2.2). */
+object RelationalQueries {
+
+  private val discPriceSql =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q1_pricing_summary", Relational.pricingSummary, Some(
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         |  CAST(sum($discPriceSql) AS DOUBLE) AS sum_disc_price,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(l_quantity) AS DOUBLE) AS avg_qty,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(l_extendedprice) AS DOUBLE) AS avg_price,
+         |  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(l_discount) AS DOUBLE) AS avg_disc,
+         |  count(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    QueryDef("q3_shipping_priority", Relational.shippingPriority, Some(
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+         |  CAST(sum($discPriceSql) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-06-01'
+         |  AND l_shipdate > TIMESTAMP '1998-06-01'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)),
+
+    QueryDef("q5_region_revenue", Relational.regionRevenue, Some(
+      s"""SELECT n_name, CAST(sum($discPriceSql) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)),
+
+    QueryDef("join_dim_stats", Relational.regionCustomerStats, Some(
+      """SELECT r_name, count(DISTINCT n_nationkey) AS n_nations,
+        |  count(*) AS n_customers,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(c_acctbal) AS DOUBLE) AS avg_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+
+    QueryDef("semi_join_customers", Relational.customersWithOrders, Some(
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin)),
+
+    QueryDef("anti_join_customers", Relational.customersWithoutOrders, Some(
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2001-01-01')
+        |ORDER BY c_custkey""".stripMargin)),
+
+    QueryDef("agg_stats_by_flag", Relational.aggStatsByFlag, Some(
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  count(DISTINCT l_orderkey) AS n_orders,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(l_quantity) AS DOUBLE) AS avg_qty,
+        |  round(sqrt((CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    - CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) * CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+        |    / (CAST(count(*) AS DOUBLE) - 1.0)), 6) AS std_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    QueryDef("rollup_revenue", Relational.rollupRevenue, Some(
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin)),
+
+    QueryDef("window_top3_orders", Relational.top3OrdersPerCustomer, Some(
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |SELECT o_custkey, rn, o_orderkey, o_totalprice FROM r
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin)),
+
+    QueryDef("window_monthly_lag", Relational.monthlyRevenueLag, Some(
+      """WITH m AS (
+        |  SELECT date_trunc('month', o_orderdate) AS month,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |  FROM orders GROUP BY 1)
+        |SELECT month, revenue,
+        |  lag(revenue) OVER (ORDER BY month) AS prev_revenue,
+        |  revenue - lag(revenue) OVER (ORDER BY month) AS delta
+        |FROM m ORDER BY month""".stripMargin)),
+
+    QueryDef("set_ops_nations", Relational.nationSetOps, Some(
+      """WITH c AS (SELECT DISTINCT c_nationkey AS k FROM customer),
+        |     s AS (SELECT DISTINCT s_nationkey AS k FROM supplier)
+        |SELECT 'both' AS tag, k FROM (SELECT k FROM c INTERSECT SELECT k FROM s)
+        |UNION ALL
+        |SELECT 'cust_only' AS tag, k FROM (SELECT k FROM c EXCEPT SELECT k FROM s)
+        |UNION ALL
+        |SELECT 'supp_only' AS tag, k FROM (SELECT k FROM s EXCEPT SELECT k FROM c)
+        |ORDER BY tag, k""".stripMargin)),
+
+    QueryDef("string_funcs_part", Relational.stringFuncsPart, Some(
+      """SELECT p_partkey,
+        |  upper(p_brand) AS brand_upper,
+        |  lower(p_type) AS type_lower,
+        |  substring(p_name, 1, 8) AS name_prefix,
+        |  CAST(length(p_name) AS BIGINT) AS name_len,
+        |  regexp_replace(p_name, ' ', '_', 'g') AS name_snake,
+        |  concat(p_brand, ':', p_type) AS brand_type,
+        |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_padded,
+        |  reverse(p_brand) AS brand_rev,
+        |  CASE WHEN p_size >= 25 THEN 'large' ELSE 'small' END AS size_class
+        |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    QueryDef("date_funcs_orders", Relational.dateFuncsOrders, Some(
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+        |  CAST(month(o_orderdate) AS BIGINT) AS mon,
+        |  CAST(day(o_orderdate) AS BIGINT) AS dom,
+        |  date_trunc('month', o_orderdate) AS month_start,
+        |  CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS BIGINT) AS days_since_epoch,
+        |  o_orderdate + INTERVAL 30 DAY AS deadline
+        |FROM orders ORDER BY o_orderkey""".stripMargin)),
+  )
+}

@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.Relational
+import org.apache.spark.sql.functions._
+
+/** Relational-suite invariants plus physical-plan assertions: the scale
+  * properties (broadcast dims, pushed filters, partial aggregation) are
+  * part of the contract, not just the row values. */
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("semi ∪ anti partitions customers (with 2001+ orders vs without)") {
+    val all = Tables.customer(spark, sf0001).count()
+    val semi = Tables.customer(spark, sf0001)
+      .join(Tables.orders(spark, sf0001)
+        .filter($"o_orderdate" >= lit("2001-01-01").cast("timestamp")),
+        $"c_custkey" === $"o_custkey", "left_semi").count()
+    val anti = Relational.customersWithoutOrders(spark, sf0001).count()
+    assert(semi + anti == all)
+  }
+
+  test("q5 plan broadcasts dimension tables (no dim shuffle)") {
+    val plan = Relational.regionRevenue(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins in:\n$plan")
+  }
+
+  test("q1 pushes the shipdate filter into the parquet scan") {
+    val plan = Relational.pricingSummary(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"expected pushed filter in:\n$plan")
+  }
+
+  test("q1 scan schema is pruned to the referenced columns") {
+    val plan = Relational.pricingSummary(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    // 11-column table; only 6 columns are referenced
+    assert(!plan.contains("l_orderkey"), "scan should not read l_orderkey")
+    assert(!plan.contains("l_suppkey"), "scan should not read l_suppkey")
+  }
+
+  test("rollup grand-total row equals full row count") {
+    val li = Tables.lineitem(spark, sf0001).count()
+    val total = Relational.rollupRevenue(spark, sf0001)
+      .filter($"returnflag" === "ALL" && $"linestatus" === "ALL")
+      .select("n_rows").as[Long].head()
+    assert(total == li)
+  }
+
+  test("top3 window emits at most 3 rows per customer, ranked") {
+    val bad = Relational.top3OrdersPerCustomer(spark, sf0001)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"), max("rn").as("maxrn"))
+      .filter($"n" > 3 || $"maxrn" > 3)
+      .count()
+    assert(bad == 0)
+  }
+
+  test("set ops partition nation keys disjointly") {
+    val df = Relational.nationSetOps(spark, sf0001)
+    val dupKeys = df.groupBy("k").count().filter($"count" > 1).count()
+    assert(dupKeys == 0, "a nation key appeared under two tags")
+  }
+}
