@@ -16,7 +16,10 @@ object SparkEntry {
   /** All registered query definitions, in module order. */
   val registry: Seq[QueryDef] =
     WordCountQueries.defs ++
-    RelationalQueries.defs
+    RelationalQueries.defs ++
+    DedupQueries.defs ++
+    SimilarityQueries.defs ++
+    TextAnalysisQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's one real query: word-count + Top-20

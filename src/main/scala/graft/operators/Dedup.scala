@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a large-scale training-data pipeline:
+  * exact (hash-groupBy), MinHash+LSH near-dup (word and character
+  * shingles), and SimHash grouping.
+  *
+  * Every hash is derived from md5 so the DuckDB oracle can reproduce the
+  * exact same signatures — results are engine-portable by construction,
+  * not by tolerance.
+  *
+  * Scale design (100 TB): all stages are shuffle-parallel —
+  * shingle explode → per-doc signature aggregation (one shuffle on
+  * doc_id) → band explode → self-join on band key (one shuffle on the
+  * band hash; bands are short strings, so the candidate join is tiny
+  * relative to the corpus) → verification join that touches only
+  * candidate pairs. No driver-side materialization anywhere. Skewed
+  * band keys (boilerplate docs) would inflate one reducer; AQE skew-join
+  * splitting handles that at runtime.
+  */
+object Dedup {
+
+  /** Exact dedup via hash-groupBy: one row per distinct text with the
+    * surviving doc (min doc_id) and the copy count. */
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("text_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper"))
+      .orderBy("text_hash")
+
+  /** doc_id + distinct word-3-gram shingles (docs with ≥3 tokens). */
+  def wordShingles(docs: DataFrame): DataFrame = {
+    val w = regexp_extract_all(lower(col("text")), lit(WordCount.TokenPattern), lit(0))
+    docs.select(col("doc_id"), w.as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        array_distinct(transform(
+          sequence(lit(1), size(col("w")) - 2),
+          i => concat_ws(" ",
+            element_at(col("w"), i),
+            element_at(col("w"), i + 1),
+            element_at(col("w"), i + 2)))).as("sh"))
+  }
+
+  /** doc_id + distinct character-5-gram shingles (docs with ≥5 chars). */
+  def charShingles(docs: DataFrame): DataFrame =
+    docs.filter(length(col("text")) >= 5)
+      .select(col("doc_id"),
+        expr("array_distinct(transform(sequence(1, length(lower(text)) - 4), " +
+          "i -> substring(lower(text), i, 5)))").as("sh"))
+
+  /** MinHash signatures: 8 hashes from two md5 digests per shingle
+    * (64 hex chars → 8 chunks of 8; min is taken lexicographically,
+    * which equals numeric min on fixed-width hex). */
+  private def minhashes(shingled: DataFrame): DataFrame = {
+    val hh = shingled
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .select(col("doc_id"),
+        concat(md5(col("g")), md5(concat(lit("x"), col("g")))).as("hh"))
+    val aggs = (0 until 8).map(j => min(substring(col("hh"), 1 + 8 * j, 8)).as(s"m$j"))
+    hh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: 4 bands × 2 rows — collision probability j² per band,
+    * so pairs with jaccard ≥ ~0.5 collide w.h.p. in ≥1 of 4 bands. */
+  private def bands(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"),
+      explode(array((0 until 4).map(b =>
+        concat(lit(s"$b:"), col(s"m${2 * b}"), col(s"m${2 * b + 1}"))): _*)).as("band"))
+
+  /** Near-duplicate pairs: LSH candidates verified with exact set jaccard
+    * over the shingles, thresholded. `shingled` = (doc_id, sh). */
+  def nearDupPairs(shingled: DataFrame, threshold: Double): DataFrame = {
+    val b = bands(minhashes(shingled))
+    val cand = b.as("x").join(b.as("y"),
+        col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val jac = cand
+      .join(shingled.select(col("doc_id").as("ida"), col("sh").as("sha")), col("doc_a") === col("ida"))
+      .join(shingled.select(col("doc_id").as("idb"), col("sh").as("shb")), col("doc_b") === col("idb"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_distinct(concat(col("sha"), col("shb")))).cast("double")).as("jac"))
+    jac.filter(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** 16-bit SimHash over token occurrences. Bit b is the sign of the sum
+    * of ±1 votes, where the vote is bit (b%4) of hex nibble (b/4) of
+    * md5(token) — engine-portable (ascii/shift/and only). */
+  def simhashDocs(docs: DataFrame): DataFrame = {
+    val tokens = docs.select(col("doc_id"),
+      explode(regexp_extract_all(lower(col("text")), lit(WordCount.TokenPattern), lit(0))).as("word"))
+    val hex = md5(col("word"))
+    def nibble(d: Int): Column = {
+      val a = ascii(substring(hex, d + 1, 1))
+      a - when(a >= 97, lit(87)).otherwise(lit(48))
+    }
+    val withNib = tokens.select(Seq(col("doc_id")) ++ (0 until 4).map(d => nibble(d).as(s"n$d")): _*)
+    val sums = (0 until 16).map { b =>
+      sum(shiftright(col(s"n${b / 4}"), b % 4).bitwiseAND(lit(1)) * 2 - 1).as(s"s$b")
+    }
+    val sig = withNib.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 16).map(b => when(col(s"s$b") > 0, lit(1 << b)).otherwise(lit(0)))
+          .reduce(_ + _).cast("long").as("simhash"))
+    sig.select(col("doc_id"), col("simhash"),
+        count(lit(1)).over(Window.partitionBy(col("simhash"))).as("n_same"))
+      .orderBy("doc_id")
+  }
+}

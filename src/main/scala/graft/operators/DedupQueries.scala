@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+
+/** Driver-contract wiring for the dedup family. The oracle SQL for the
+  * hash-based operators is generated programmatically so the DuckDB side
+  * uses the exact same md5-derived signatures as the Spark side. */
+object DedupQueries {
+
+  /** CTE producing (doc_id, sh) word-3-gram distinct shingles. */
+  private val wordShinglesCte =
+    """t AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z'']+') AS w
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+      |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      |  FROM t WHERE len(w) >= 3)""".stripMargin
+
+  /** CTE producing (doc_id, sh) char-5-gram distinct shingles. */
+  private val charShinglesCte =
+    """s AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, length(lower(text)) - 3),
+      |         i -> substr(lower(text), i, 5))) AS sh
+      |  FROM documents WHERE length(text) >= 5)""".stripMargin
+
+  /** MinHash+LSH+verify pipeline over a shingle CTE named `s`. */
+  private def nearDupSql(shingleCte: String, threshold: Double): String = {
+    val mins = (0 until 8).map(j => s"min(substr(hh, ${1 + 8 * j}, 8)) AS m$j").mkString(",\n        ")
+    val bandList = (0 until 4).map(b => s"'$b:' || m${2 * b} || m${2 * b + 1}").mkString(", ")
+    s"""WITH $shingleCte,
+       |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+       |h AS (SELECT doc_id, md5(g) || md5('x' || g) AS hh FROM e),
+       |m AS (SELECT doc_id,
+       |        $mins
+       |      FROM h GROUP BY doc_id),
+       |b AS (SELECT doc_id, unnest([$bandList]) AS band FROM m),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM b x JOIN b y ON x.band = y.band AND x.doc_id < y.doc_id),
+       |j AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+       |    CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE) AS jac
+       |  FROM cand
+       |  JOIN s sa ON sa.doc_id = doc_a
+       |  JOIN s sb ON sb.doc_id = doc_b)
+       |SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM j
+       |WHERE jac >= $threshold ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** SimHash oracle: 16 sign-sums over md5 nibbles of each token. */
+  private val simhashSql: String = {
+    val nibs = (0 until 4).map(d => s"ascii(substr(md5(word), ${d + 1}, 1)) AS a$d").mkString(",\n        ")
+    val vals = (0 until 4).map(d => s"a$d - CASE WHEN a$d >= 97 THEN 87 ELSE 48 END AS n$d").mkString(",\n        ")
+    val sums = (0 until 16).map(b => s"sum(2 * ((n${b / 4} >> ${b % 4}) & 1) - 1) AS s$b").mkString(",\n        ")
+    val sig = (0 until 16).map(b => s"(CASE WHEN s$b > 0 THEN ${1 << b} ELSE 0 END)").mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS word
+       |  FROM documents),
+       |nib AS (SELECT doc_id,
+       |        $nibs
+       |      FROM tok),
+       |v AS (SELECT doc_id,
+       |        $vals
+       |      FROM nib),
+       |sums AS (SELECT doc_id,
+       |        $sums
+       |      FROM v GROUP BY doc_id),
+       |sig AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM sums)
+       |SELECT doc_id, simhash, count(*) OVER (PARTITION BY simhash) AS n_same
+       |FROM sig ORDER BY doc_id""".stripMargin
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("dedup_exact",
+      (s, d) => Dedup.exactDedup(Tables.documents(s, d)), Some(
+        """SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keeper
+          |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin)),
+
+    QueryDef("near_dup_minhash",
+      (s, d) => Dedup.nearDupPairs(Dedup.wordShingles(Tables.documents(s, d)), 0.7),
+      Some(nearDupSql(wordShinglesCte, 0.7))),
+
+    QueryDef("near_dup_ngram",
+      (s, d) => Dedup.nearDupPairs(Dedup.charShingles(Tables.documents(s, d)), 0.5),
+      Some(nearDupSql(charShinglesCte, 0.5))),
+
+    QueryDef("simhash_docs",
+      (s, d) => Dedup.simhashDocs(Tables.documents(s, d)), Some(simhashSql)),
+  )
+}

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Similarity search over the embeddings table (ArrayType(FloatType), 64
+  * dims): brute-force cosine top-k as the correctness baseline and a
+  * sign-LSH (random-hyperplane) bucketed variant as the scale path.
+  *
+  * Determinism note: dot products / norms are built as left-associated
+  * 64-term double chains (element_at(...).cast(double)), which DuckDB can
+  * reproduce verbatim — bit-identical cosine on both engines. Cosines are
+  * rounded to 6 digits *before* ranking so the ordering is identical too.
+  *
+  * Scale design (100 TB): brute-force is a broadcast of the (small) query
+  * set against a partitioned candidate scan — no shuffle of the corpus;
+  * per-query top-k via window ranking on the rounded score. The sign-LSH
+  * variant turns the cross product into an equi-join on a 6-bit bucket —
+  * shuffle on bucket id — cutting the candidate set ~64×; more planes /
+  * multiprobe trade recall for cost without changing the plan shape.
+  */
+object Similarity {
+
+  val Dim = 64
+  val LshPlanes = 6
+
+  /** Deterministic ±1 hyperplane matrix derived from md5 — reproducible
+    * in SQL-free constant form on both engines (inlined signs). */
+  lazy val lshSigns: Array[Array[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(LshPlanes, Dim) { (j, i) =>
+      val h = md.digest(s"$j:$i".getBytes("UTF-8"))
+      if ((h(0) & 1) == 0) 1 else -1
+    }
+  }
+
+  /** Left-associated Σ a[i]*b[i] in double — order-stable. */
+  def dotCol(a: Column, b: Column): Column =
+    (1 to Dim).map(i =>
+      element_at(a, i).cast("double") * element_at(b, i).cast("double")).reduce(_ + _)
+
+  /** Left-associated Σ a[i]² in double. */
+  def norm2Col(a: Column): Column =
+    (1 to Dim).map { i =>
+      val e = element_at(a, i).cast("double"); e * e
+    }.reduce(_ + _)
+
+  def cosineCol(a: Column, b: Column): Column =
+    dotCol(a, b) / (sqrt(norm2Col(a)) * sqrt(norm2Col(b)))
+
+  /** Signed projection onto hyperplane `j` (left-associated chain). */
+  private def projCol(e: Column, j: Int): Column =
+    (1 to Dim).map { i =>
+      val el = element_at(e, i).cast("double")
+      if (lshSigns(j)(i - 1) > 0) el else -el
+    }.reduce(_ + _)
+
+  /** 6-bit sign-LSH bucket id. */
+  def lshBucketCol(e: Column): Column =
+    (0 until LshPlanes).map(j =>
+      when(projCol(e, j) > 0, lit(1 << j)).otherwise(lit(0))).reduce(_ + _)
+
+  /** Brute-force cosine top-k: queries = vec_id < nQueries, ranked per
+    * query by (rounded cosine DESC, cand_id). */
+  def bruteForceTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val q = emb.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .filter(col("query_id") < nQueries)
+    val c = emb.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+    val scored = c.join(broadcast(q), col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(cosineCol(col("qe"), col("ce")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("cand_id").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("cand_id"), col("cos_sim"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Sign-LSH top-k: candidates restricted to the query's bucket.
+    * Approximate by design; recall/cost tuned via LshPlanes. */
+  def lshTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val sig = emb.select(col("vec_id"), col("embedding"),
+      lshBucketCol(col("embedding")).as("bucket"))
+    val q = sig.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+      col("bucket").as("qbucket")).filter(col("query_id") < nQueries)
+    val scored = sig.join(broadcast(q),
+        col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        round(cosineCol(col("qe"), col("embedding")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("cand_id").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("cand_id"), col("cos_sim"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Per-label embedding stats; the per-vector norm is rounded to 6
+    * digits and summed in DECIMAL so the cross-row aggregation is
+    * order-independent (portable across engines). */
+  def embeddingStats(emb: DataFrame): DataFrame =
+    emb.select(col("label"),
+        round(sqrt(norm2Col(col("embedding"))), 6).as("norm"))
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        (sum(col("norm").cast(DecimalType(18, 6))).cast("double") /
+          count(lit(1)).cast("double")).as("avg_norm"))
+      .orderBy("label")
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+
+/** Driver-contract wiring for similarity search. Oracle SQL mirrors the
+  * Spark plans with generated left-associated 64-term chains — the same
+  * IEEE operation sequence, hence bit-identical cosines. */
+object SimilarityQueries {
+
+  private val Dim = Similarity.Dim
+
+  private def dotSql(a: String, b: String): String =
+    (1 to Dim).map(i => s"CAST($a[$i] AS DOUBLE)*CAST($b[$i] AS DOUBLE)").mkString(" + ")
+
+  private def norm2Sql(a: String): String =
+    (1 to Dim).map(i => s"CAST($a[$i] AS DOUBLE)*CAST($a[$i] AS DOUBLE)").mkString(" + ")
+
+  private def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)}) / (sqrt(${norm2Sql(a)}) * sqrt(${norm2Sql(b)}))"
+
+  private def projSql(e: String, j: Int): String =
+    (1 to Dim).map { i =>
+      val t = s"(${Similarity.lshSigns(j)(i - 1)}.0 * CAST($e[$i] AS DOUBLE))"
+      t
+    }.mkString(" + ")
+
+  private def bucketSql(e: String): String =
+    (0 until Similarity.LshPlanes)
+      .map(j => s"(CASE WHEN (${projSql(e, j)}) > 0 THEN ${1 << j} ELSE 0 END)")
+      .mkString(" + ")
+
+  private val annTopkSql =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+       |c AS (SELECT vec_id AS cand_id, embedding AS ce FROM embeddings),
+       |p AS (SELECT query_id, cand_id, round(${cosSql("qe", "ce")}, 6) AS cos_sim
+       |      FROM c JOIN q ON cand_id != query_id),
+       |r AS (SELECT query_id, cand_id, cos_sim,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rnk
+       |      FROM p)
+       |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, cand_id, cos_sim FROM r
+       |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
+  private val annLshSql =
+    s"""WITH s AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe, bucket AS qbucket FROM s WHERE vec_id < 16),
+       |p AS (SELECT query_id, s.vec_id AS cand_id,
+       |        round(${cosSql("qe", "s.embedding")}, 6) AS cos_sim
+       |      FROM s JOIN q ON s.bucket = qbucket AND s.vec_id != query_id),
+       |r AS (SELECT query_id, cand_id, cos_sim,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rnk
+       |      FROM p)
+       |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, cand_id, cos_sim FROM r
+       |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+
+  private val embStatsSql =
+    s"""SELECT label, count(*) AS n_vectors,
+       |  CAST(sum(CAST(round(sqrt(${norm2Sql("embedding")}), 6) AS DECIMAL(18,6))) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS avg_norm
+       |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("ann_topk",
+      (s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d), 8, 5),
+      Some(annTopkSql)),
+    QueryDef("ann_lsh_topk",
+      (s, d) => Similarity.lshTopK(Tables.embeddings(s, d), 16, 3),
+      Some(annLshSql)),
+    QueryDef("embedding_stats",
+      (s, d) => Similarity.embeddingStats(Tables.embeddings(s, d)),
+      Some(embStatsSql)),
+  )
+}

@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+
+/** Driver-contract wiring for the text-analysis family. */
+object TextAnalysisQueries {
+
+  private val stopList = TextAnalysis.EnStopwords.map(w => s"'$w'").mkString(", ")
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("lang_id",
+      (s, d) => TextAnalysis.langId(Tables.documents(s, d)), Some(
+        s"""WITH t AS (
+           |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z'']+') AS w
+           |  FROM documents),
+           |b AS (
+           |  SELECT doc_id, len(w) AS n_tokens,
+           |         len(list_filter(w, x -> x IN ($stopList))) AS en_hits
+           |  FROM t WHERE len(w) > 0),
+           |r AS (
+           |  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           |         CAST(en_hits AS BIGINT) AS en_hits,
+           |         round(CAST(en_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS en_ratio
+           |  FROM b)
+           |SELECT doc_id, n_tokens, en_hits, en_ratio,
+           |       CASE WHEN en_ratio > 0.03 THEN 'en' ELSE 'other' END AS pred_lang
+           |FROM r ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("text_quality",
+      (s, d) => TextAnalysis.qualityScore(Tables.documents(s, d)), Some(
+        """WITH t AS (
+          |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+          |         regexp_extract_all(lower(text), '[a-z'']+') AS w
+          |  FROM documents),
+          |b AS (
+          |  SELECT doc_id, n_chars,
+          |         CAST(len(w) AS BIGINT) AS n_tokens,
+          |         CAST(len(list_distinct(w)) AS BIGINT) AS n_types,
+          |         CAST(list_aggregate(list_transform(w, x -> length(x)), 'sum') AS BIGINT) AS sum_token_len
+          |  FROM t WHERE len(w) > 0)
+          |SELECT doc_id, n_chars, n_tokens, n_types,
+          |       round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS ttr,
+          |       round(CAST(sum_token_len AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS avg_token_len,
+          |       round((0.5 * (CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE)))
+          |             + (0.5 * (CAST(least(n_tokens, 100) AS DOUBLE) / 100.0)), 6) AS quality
+          |FROM b ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("token_stats",
+      (s, d) => TextAnalysis.tokenStats(Tables.documents(s, d)), Some(
+        """WITH t AS (
+          |  SELECT source,
+          |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS BIGINT) AS ws,
+          |    CAST(len(regexp_extract_all(lower(text),
+          |      '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s'']+')) AS BIGINT) AS bpe
+          |  FROM documents)
+          |SELECT source, count(*) AS n_docs, sum(ws) AS ws_tokens, sum(bpe) AS bpe_tokens,
+          |       round(CAST(sum(bpe) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS avg_bpe_per_doc
+          |FROM t GROUP BY source ORDER BY source""".stripMargin)),
+
+    QueryDef("doc_fingerprint",
+      (s, d) => TextAnalysis.docFingerprint(Tables.documents(s, d)), Some(
+        """WITH p AS (
+          |  SELECT doc_id, i, substr(md5(substr(lower(text), CAST(i AS INTEGER), 5)), 1, 8) AS h
+          |  FROM documents, unnest(range(1, length(text) - 3)) AS u(i)
+          |  WHERE length(text) >= 5),
+          |w AS (
+          |  SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY i
+          |           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+          |  FROM p)
+          |SELECT doc_id, count(DISTINCT wmin) AS n_fp,
+          |       min(wmin) AS fp_min, max(wmin) AS fp_max
+          |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+  )
+}

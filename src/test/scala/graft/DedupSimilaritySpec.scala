@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Dedup + similarity invariants on sf0.001 (planted near-dups). */
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = Tables.documents(spark, sf0001)
+  lazy val emb = Tables.embeddings(spark, sf0001)
+
+  test("exact dedup: one row per distinct text, keepers unique") {
+    val d = Dedup.exactDedup(docs)
+    assert(d.count() == docs.select("text").distinct().count())
+    assert(d.select("keeper").distinct().count() == d.count())
+  }
+
+  test("minhash LSH finds the planted near-dup pairs (jaccard >= 0.7)") {
+    val pairs = Dedup.nearDupPairs(Dedup.wordShingles(docs), 0.7)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.length >= 20, s"expected ≥20 planted pairs, got ${pairs.length}")
+    assert(pairs.forall(_._3 >= 0.7))
+    assert(pairs.forall(p => p._1 < p._2), "pairs must be ordered doc_a < doc_b")
+  }
+
+  test("LSH bucket candidates are a subset of brute-force ranking") {
+    val bf = Similarity.bruteForceTopK(emb, 4, 50)
+      .select("query_id", "cand_id", "cos_sim")
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val lsh = Similarity.lshTopK(emb, 4, 3)
+      .select("query_id", "cand_id", "cos_sim")
+      .as[(Long, Long, Double)].collect()
+    // every LSH-scored cosine must equal the brute-force cosine when present
+    lsh.foreach { case (q, cId, cos) =>
+      bf.get((q, cId)).foreach(b => assert(b == cos, s"cosine mismatch for ($q,$cId)"))
+    }
+  }
+
+  test("simhash: near-identical docs land within hamming distance 4") {
+    val nd = Dedup.nearDupPairs(Dedup.wordShingles(docs), 0.9)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val sig = Dedup.simhashDocs(docs)
+      .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
+    val close = nd.count { case (a, b) =>
+      java.lang.Long.bitCount(sig(a) ^ sig(b)) <= 4
+    }
+    assert(nd.nonEmpty && close == nd.length,
+      s"only $close/${nd.length} 0.9-jaccard pairs within hamming 4")
+  }
+
+  test("fingerprints: identical prefix docs share min fingerprint only when similar") {
+    val fp = TextAnalysis.docFingerprint(docs)
+    assert(fp.count() > 0)
+    // n_fp is bounded by the number of 5-gram positions
+    val bad = fp.join(docs, "doc_id")
+      .where($"n_fp" > greatest(length($"text") - 4, lit(1)))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("embedding stats: norms ≈ 1-ish and per-label counts sum to total") {
+    val st = Similarity.embeddingStats(emb)
+    val n = st.agg(sum("n_vectors")).as[Long].head()
+    assert(n == emb.count())
+  }
+}
