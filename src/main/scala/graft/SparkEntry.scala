@@ -19,7 +19,9 @@ object SparkEntry {
     RelationalQueries.defs ++
     DedupQueries.defs ++
     SimilarityQueries.defs ++
-    TextAnalysisQueries.defs
+    TextAnalysisQueries.defs ++
+    TemporalQueries.defs ++
+    MultimodalQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's one real query: word-count + Top-20

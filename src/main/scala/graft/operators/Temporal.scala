@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.functions.Exact._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal / streaming-shaped operators over the events table, in batch
+  * form so they are DuckDB-oracle-checkable. The same transformations run
+  * under Structured Streaming (see graft.streaming.EventsStream — the
+  * windowed aggregate is literally the same function applied to a
+  * readStream source with a watermark).
+  *
+  * Scale design: tumbling/sliding windows are groupBy on (bucket, type) —
+  * one shuffle with partial aggregation; sessionization is a window
+  * function over (user_id, ts), i.e. one shuffle on user_id with
+  * in-partition sort — the standard gap-session formulation that scales
+  * linearly and never materializes per-user state on the driver.
+  */
+object Temporal {
+
+  /** Tumbling 1-hour windows per event type (window() generator keeps
+    * streaming parity; start timestamp is the group key). */
+  def tumbling(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sumD(col("value")).as("sum_value"),
+        avgD(col("value")).as("avg_value"))
+      .select(col("w.start").as("ws"), col("event_type"),
+        col("n_events"), col("sum_value"), col("avg_value"))
+      .orderBy("ws", "event_type")
+
+  /** Sliding windows: 1 hour long, every 30 minutes (each event lands in
+    * two windows). */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), sumD(col("value")).as("sum_value"))
+      .select(col("w.start").as("ws"), col("n_events"), col("sum_value"))
+      .orderBy("ws")
+
+  /** Gap-based sessionization (30-minute inactivity gap): classic
+    * lag → new-session flag → cumulative-sum session id → per-session agg. */
+  def sessionize(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val flagged = events.select(col("user_id"), col("ts"), col("value"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          unix_millis(col("ts")) - unix_millis(col("prev_ts")) > 30L * 60 * 1000, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    flagged.groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        sumD(col("value")).as("sum_value"))
+      .withColumn("duration_ms",
+        unix_millis(col("session_end")) - unix_millis(col("session_start")))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Funnel: first signup per user, purchases strictly after it. */
+  def funnel(events: DataFrame): DataFrame = {
+    val signups = events.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("first_signup"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    signups.join(purchases,
+        col("user_id") === col("p_user") && col("p_ts") > col("first_signup"), "left")
+      .groupBy(col("user_id"), col("first_signup"))
+      .agg(count(col("p_ts")).as("n_purchases_after"))
+      .withColumn("converted", (col("n_purchases_after") > 0).cast("boolean"))
+      .orderBy("user_id")
+  }
+
+  /** JSON property extraction + bucketed aggregation. */
+  def jsonProps(events: DataFrame): DataFrame =
+    events
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"),
+        col("value"))
+      .withColumn("k_bucket", pmod(col("k"), lit(10L)))
+      .groupBy("k_bucket")
+      .agg(count(lit(1)).as("n"), sumD(col("value")).as("sum_value"))
+      .orderBy("k_bucket")
+
+  /** Daily × event-type pivot (counts; absent combinations = 0). */
+  def dailyTypePivot(events: DataFrame): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    events
+      .select(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .groupBy("day")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+      .orderBy("day")
+  }
+}

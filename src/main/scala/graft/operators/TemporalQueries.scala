@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+
+/** Driver-contract wiring for the temporal suite. */
+object TemporalQueries {
+
+  private val sumValue =
+    "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("window_tumbling",
+      (s, d) => Temporal.tumbling(Tables.events(s, d)), Some(
+        s"""SELECT date_trunc('hour', ts) AS ws, event_type,
+           |  count(*) AS n_events, $sumValue AS sum_value,
+           |  $sumValue / CAST(count(value) AS DOUBLE) AS avg_value
+           |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin)),
+
+    QueryDef("window_sliding",
+      (s, d) => Temporal.sliding(Tables.events(s, d)), Some(
+        s"""WITH b AS (
+           |  SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS b30, value FROM events),
+           |w AS (SELECT unnest([b30, b30 - INTERVAL 30 MINUTE]) AS ws, value FROM b)
+           |SELECT ws, count(*) AS n_events, $sumValue AS sum_value
+           |FROM w GROUP BY ws ORDER BY ws""".stripMargin)),
+
+    QueryDef("sessionize",
+      (s, d) => Temporal.sessionize(Tables.events(s, d)), Some(
+        s"""WITH o AS (
+           |  SELECT user_id, ts, value,
+           |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+           |  FROM events),
+           |f AS (
+           |  SELECT user_id, ts, value,
+           |    CASE WHEN prev_ts IS NULL OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000
+           |         THEN 1 ELSE 0 END AS new_sess
+           |  FROM o),
+           |s AS (
+           |  SELECT user_id, ts, value,
+           |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+           |  FROM f)
+           |SELECT user_id, session_id, count(*) AS n_events,
+           |  min(ts) AS session_start, max(ts) AS session_end,
+           |  $sumValue AS sum_value,
+           |  CAST(epoch_ms(max(ts)) - epoch_ms(min(ts)) AS BIGINT) AS duration_ms
+           |FROM s GROUP BY user_id, session_id
+           |ORDER BY user_id, session_id""".stripMargin)),
+
+    QueryDef("event_funnel",
+      (s, d) => Temporal.funnel(Tables.events(s, d)), Some(
+        """WITH s AS (
+          |  SELECT user_id, min(ts) AS first_signup FROM events
+          |  WHERE event_type = 'signup' GROUP BY user_id),
+          |p AS (SELECT user_id AS p_user, ts AS p_ts FROM events
+          |      WHERE event_type = 'purchase')
+          |SELECT s.user_id, s.first_signup,
+          |  count(p_ts) AS n_purchases_after,
+          |  count(p_ts) > 0 AS converted
+          |FROM s LEFT JOIN p ON p_user = s.user_id AND p_ts > first_signup
+          |GROUP BY s.user_id, s.first_signup ORDER BY s.user_id""".stripMargin)),
+
+    QueryDef("events_json_props",
+      (s, d) => Temporal.jsonProps(Tables.events(s, d)), Some(
+        s"""WITH t AS (
+           |  SELECT CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k, value
+           |  FROM events)
+           |SELECT k % 10 AS k_bucket, count(*) AS n, $sumValue AS sum_value
+           |FROM t GROUP BY 1 ORDER BY k_bucket""".stripMargin)),
+
+    QueryDef("daily_type_pivot",
+      (s, d) => Temporal.dailyTypePivot(Tables.events(s, d)), Some(
+        """SELECT date_trunc('day', ts) AS day,
+          |  count(*) FILTER (WHERE event_type = 'click') AS click,
+          |  count(*) FILTER (WHERE event_type = 'error') AS error,
+          |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+          |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+          |  count(*) FILTER (WHERE event_type = 'view') AS "view"
+          |FROM events GROUP BY 1 ORDER BY day""".stripMargin)),
+  )
+}

@@ -1,0 +1,68 @@
+package graft.sources
+
+import java.io.{BufferedReader, FileOutputStream, InputStream, InputStreamReader}
+import java.nio.charset.{CharsetDecoder, CodingErrorAction, StandardCharsets}
+import java.nio.file.{Files, Path, Paths}
+import java.util.zip.ZipInputStream
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Ingest path reproducing the reference's source semantics (SURVEY.md
+  * O1–O3): ZIP extraction with UTF-8 errors="ignore" transcode (invalid
+  * byte sequences are DROPPED, not replaced — reference
+  * coordinator/coordinator.py:36-50), then line-aligned splits sized via
+  * `spark.sql.files.maxPartitionBytes` (the reference's 32 MB chunker,
+  * coordinator.py:57-89, is Spark's TextInputFormat split policy).
+  *
+  * Driver-side utility by design: the reference's download/extract is
+  * coordinator-side too; at scale the transcode would run once per file
+  * in a distributed binaryFile pass, but the semantics live here.
+  */
+object TextIngest {
+
+  /** 32 MB — the reference's chunk target (coordinator.py:57). */
+  val DefaultSplitBytes: Long = 32L * 1024 * 1024
+
+  private def ignoringDecoder: CharsetDecoder =
+    StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(CodingErrorAction.IGNORE)
+      .onUnmappableCharacter(CodingErrorAction.IGNORE)
+
+  /** Decode bytes as UTF-8 dropping invalid sequences (python
+    * `errors="ignore"` parity; Spark's own text reader would substitute
+    * U+FFFD instead). */
+  def decodeLenient(bytes: Array[Byte]): String =
+    ignoringDecoder.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+
+  /** Extract every non-directory ZIP member to destDir as clean UTF-8
+    * .txt; returns the extracted paths in archive order (the reference
+    * processes files[0] — the FIRST member — coordinator.py:137-138). */
+  def extractZipUtf8(zipIn: InputStream, destDir: String): Seq[String] = {
+    Files.createDirectories(Paths.get(destDir))
+    val zis = new ZipInputStream(zipIn)
+    val out = Seq.newBuilder[String]
+    var entry = zis.getNextEntry
+    while (entry != null) {
+      if (!entry.isDirectory) {
+        val name = Paths.get(entry.getName).getFileName.toString
+        val dest = Paths.get(destDir, name + ".txt")
+        val reader = new BufferedReader(new InputStreamReader(zis, ignoringDecoder))
+        val fos = new FileOutputStream(dest.toFile)
+        val writer = new java.io.OutputStreamWriter(fos, StandardCharsets.UTF_8)
+        val buf = new Array[Char](1 << 16)
+        var n = reader.read(buf)
+        while (n >= 0) { writer.write(buf, 0, n); n = reader.read(buf) }
+        writer.flush(); fos.close()
+        out += dest.toString
+      }
+      entry = zis.getNextEntry
+    }
+    out.result()
+  }
+
+  /** Line dataset with the reference's 32 MB line-aligned split policy. */
+  def readLines(spark: SparkSession, path: String,
+      splitBytes: Long = DefaultSplitBytes): Dataset[String] = {
+    spark.conf.set("spark.sql.files.maxPartitionBytes", splitBytes.toString)
+    spark.read.textFile(path)
+  }
+}

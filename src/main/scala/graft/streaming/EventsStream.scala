@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupStateTimeout, OutputMode, GroupState}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+
+/** Structured Streaming equivalents of the batch temporal operators.
+  *
+  * The transformation functions take a DataFrame and are source-agnostic:
+  * applied to `spark.read` they are the (oracle-checked) batch queries in
+  * graft.operators.Temporal; applied to `spark.readStream` they run
+  * incrementally with watermark-bounded state. This "one transform, two
+  * execution modes" shape is the Spark-native answer to the reference's
+  * batch-only coordinator (it exits when done — SURVEY.md §2.10): the
+  * same operator library serves both.
+  */
+object EventsStream {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Watermarked tumbling-window counts — append-mode safe. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n_events"))
+
+  /** File-source stream over a directory of event parquet. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+
+  /** Memory-sink writer for deterministic local smoke tests. */
+  def toMemorySink(df: DataFrame, name: String): DataStreamWriter[Row] =
+    df.writeStream.outputMode(OutputMode.Append).format("memory").queryName(name)
+
+  /** Per-user running aggregates via mapGroupsWithState — the custom
+    * stateful-operator surface (timeout-driven eviction at scale). */
+  case class UserEvent(user_id: Long, value: Double)
+  case class UserTotal(user_id: Long, n: Long, total: Double)
+
+  def runningUserTotals(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events.select(col("user_id"), col("value")).as[UserEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[UserEvent], state: GroupState[UserTotal]) =>
+          val prev = state.getOption.getOrElse(UserTotal(uid, 0L, 0.0))
+          var n = prev.n
+          var total = prev.total
+          rows.foreach { e => n += 1; total += e.value }
+          val next = UserTotal(uid, n, total)
+          state.update(next)
+          next
+      }.toDF()
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.Temporal
+import graft.streaming.EventsStream
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class TemporalStreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val events = Tables.events(spark, sf0001)
+
+  test("tumbling windows cover every event exactly once") {
+    val n = Temporal.tumbling(events).agg(sum("n_events")).as[Long].head()
+    assert(n == events.count())
+  }
+
+  test("sliding windows (1h every 30m) cover every event exactly twice") {
+    val n = Temporal.sliding(events).agg(sum("n_events")).as[Long].head()
+    assert(n == 2 * events.count())
+  }
+
+  test("sessionize: session count and event mass are consistent") {
+    val s = Temporal.sessionize(events)
+    assert(s.agg(sum("n_events")).as[Long].head() == events.count())
+    // session durations are non-negative and gaps within sessions < 30 min
+    assert(s.filter($"duration_ms" < 0).count() == 0)
+    // every user's sessions are numbered 1..k contiguously
+    val bad = s.groupBy("user_id")
+      .agg(max("session_id").as("mx"), count(lit(1)).as("n"))
+      .filter($"mx" =!= $"n").count()
+    assert(bad == 0)
+  }
+
+  test("funnel: converted users have at least one purchase after signup") {
+    val f = Temporal.funnel(events)
+    assert(f.filter($"converted" && $"n_purchases_after" === 0).count() == 0)
+    assert(f.filter(!$"converted" && $"n_purchases_after" > 0).count() == 0)
+  }
+
+  test("streaming windowed counts equal the batch result on the same data") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val streamDf = mem.toDF().toDF("ts", "event_type")
+    val q = EventsStream.toMemorySink(
+      EventsStream.windowedCounts(streamDf), "wincounts").start()
+    try {
+      val rows = events.select($"ts", $"event_type")
+        .as[(Timestamp, String)].collect().toSeq
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      // append mode only emits closed windows; compare emitted ones to batch
+      val got = spark.table("wincounts")
+        .select($"ws", $"event_type", $"n_events")
+        .as[(Timestamp, String, Long)].collect().toSet
+      val batch = Temporal.tumbling(events)
+        .select($"ws", $"event_type", $"n_events")
+        .as[(Timestamp, String, Long)].collect()
+        .map(r => (r._1, r._2, r._3)).toSet
+      assert(got.subsetOf(batch), "streaming emitted a window batch disagrees with")
+      assert(got.nonEmpty, "watermark should have closed at least one window")
+    } finally q.stop()
+  }
+
+  test("stateful running totals accumulate across two micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val df = mem.toDF().toDF("user_id", "value")
+    val q = EventsStream.runningUserTotals(spark, df)
+      .writeStream.outputMode("update").format("memory").queryName("totals").start()
+    try {
+      mem.addData((1L, 2.0), (1L, 3.0), (2L, 1.0))
+      q.processAllAvailable()
+      mem.addData((1L, 5.0))
+      q.processAllAvailable()
+      val u1 = spark.table("totals").filter($"user_id" === 1 && $"n" === 3)
+        .select("total").as[Double].collect()
+      assert(u1.headOption.contains(10.0), s"expected user 1 total 10.0 after 3 events")
+    } finally q.stop()
+  }
+}
