@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The default 240 MB JIT code cache fills up under this workload's many
+  // large generated methods (whole-stage codegen + 64-term vector chains);
+  // once full, compilation stops and random queries run interpreted with
+  // nondeterministic 10-100x stalls. 1 GB removes the cliff entirely.
+  "-XX:ReservedCodeCacheSize=1g",
 )

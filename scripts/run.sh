@@ -18,4 +18,5 @@ exec java \
   --add-opens=java.base/sun.security.action=ALL-UNNAMED \
   --add-opens=java.base/sun.util.calendar=ALL-UNNAMED \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-  -Xmx8g -cp "$CP" "$@"
+  -XX:ReservedCodeCacheSize=1g \
+  -Xmx${SPARK_DRIVER_MEM:-16g} -cp "$CP" "$@"

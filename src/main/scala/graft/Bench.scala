@@ -9,15 +9,27 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("GRAFT_AQE", "false"))
+      // the shared host occasionally steals CPU in bursts; a starved
+      // broadcast-subquery must wait, not kill the query at the 300s default
+      .config("spark.sql.broadcastTimeout", "36000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel(sys.env.getOrElse("GRAFT_LOG", "WARN"))
+    val errors = scala.collection.mutable.Map[String, String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable => errors(name) = e.getClass.getSimpleName
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // queries that persist intermediates (LSH signature tables) must not
+      // bleed cache/memory pressure into the next query's measurement
+      spark.catalog.clearCache()
+      name -> dt
     }
+    if (errors.nonEmpty)
+      System.err.println(s"[bench] failed queries: $errors")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

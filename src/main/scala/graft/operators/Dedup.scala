@@ -44,12 +44,14 @@ object Dedup {
             element_at(col("w"), i + 2)))).as("sh"))
   }
 
-  /** doc_id + distinct character-5-gram shingles (docs with ≥5 chars). */
+  /** doc_id + distinct character-12-gram shingles (docs with ≥12 chars).
+    * Long grams keep the random-pair jaccard near zero even on a small
+    * vocabulary — short grams (5) made every doc pair collide in LSH. */
   def charShingles(docs: DataFrame): DataFrame =
-    docs.filter(length(col("text")) >= 5)
+    docs.filter(length(col("text")) >= 12)
       .select(col("doc_id"),
-        expr("array_distinct(transform(sequence(1, length(lower(text)) - 4), " +
-          "i -> substring(lower(text), i, 5)))").as("sh"))
+        expr("array_distinct(transform(sequence(1, length(lower(text)) - 11), " +
+          "i -> substring(lower(text), i, 12)))").as("sh"))
 
   /** MinHash signatures: 8 hashes from two md5 digests per shingle
     * (64 hex chars → 8 chunks of 8; min is taken lexicographically,
@@ -71,16 +73,30 @@ object Dedup {
         concat(lit(s"$b:"), col(s"m${2 * b}"), col(s"m${2 * b + 1}"))): _*)).as("band"))
 
   /** Near-duplicate pairs: LSH candidates verified with exact set jaccard
-    * over the shingles, thresholded. `shingled` = (doc_id, sh). */
+    * over the shingles, thresholded. `shingled` = (doc_id, sh).
+    *
+    * The shingle table and band table are persisted: they are consumed
+    * 2–3 times (band self-join sides, verification joins), and
+    * recomputing them means re-running the tokenize/md5 pipeline over the
+    * whole corpus each time. At 100 TB this materialization is the
+    * signature table a production dedup would checkpoint anyway. */
   def nearDupPairs(shingled: DataFrame, threshold: Double): DataFrame = {
-    val b = bands(minhashes(shingled))
+    val sh = shingled.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val b = bands(minhashes(sh)).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = b.as("x").join(b.as("y"),
         col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val jac = cand
-      .join(shingled.select(col("doc_id").as("ida"), col("sh").as("sha")), col("doc_a") === col("ida"))
-      .join(shingled.select(col("doc_id").as("idb"), col("sh").as("shb")), col("doc_b") === col("idb"))
+    // Join direction matters: candidate pairs are tiny (two longs per row)
+    // and MUST be the broadcast side; the shingle table looks small by row
+    // count but each row carries a fat array — broadcasting it (Spark's
+    // row-stat-based default here) ships the whole corpus signature to
+    // every task. Second probe is forced to a shuffle join for the same
+    // reason.
+    val jac = sh.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
+      .join(broadcast(cand), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")).hint("shuffle_hash"),
+        "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("sha"), col("shb"))).cast("double") /
           size(array_distinct(concat(col("sha"), col("shb")))).cast("double")).as("jac"))

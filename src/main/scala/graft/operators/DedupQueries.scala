@@ -20,9 +20,9 @@ object DedupQueries {
   /** CTE producing (doc_id, sh) char-5-gram distinct shingles. */
   private val charShinglesCte =
     """s AS (
-      |  SELECT doc_id, list_distinct(list_transform(range(1, length(lower(text)) - 3),
-      |         i -> substr(lower(text), i, 5))) AS sh
-      |  FROM documents WHERE length(text) >= 5)""".stripMargin
+      |  SELECT doc_id, list_distinct(list_transform(range(1, length(lower(text)) - 10),
+      |         i -> substr(lower(text), i, 12))) AS sh
+      |  FROM documents WHERE length(text) >= 12)""".stripMargin
 
   /** MinHash+LSH+verify pipeline over a shingle CTE named `s`. */
   private def nearDupSql(shingleCte: String, threshold: Double): String = {
@@ -83,8 +83,8 @@ object DedupQueries {
       Some(nearDupSql(wordShinglesCte, 0.7))),
 
     QueryDef("near_dup_ngram",
-      (s, d) => Dedup.nearDupPairs(Dedup.charShingles(Tables.documents(s, d)), 0.5),
-      Some(nearDupSql(charShinglesCte, 0.5))),
+      (s, d) => Dedup.nearDupPairs(Dedup.charShingles(Tables.documents(s, d)), 0.6),
+      Some(nearDupSql(charShinglesCte, 0.6))),
 
     QueryDef("simhash_docs",
       (s, d) => Dedup.simhashDocs(Tables.documents(s, d)), Some(simhashSql)),

@@ -76,12 +76,15 @@ object TextAnalysis {
   /** Winnowing-style fingerprints: md5 of char-5-grams, window-min over
     * 4 consecutive positions, per-doc distinct fingerprint stats. */
   def docFingerprint(docs: DataFrame): DataFrame = {
+    // positions exploded directly (no intermediate gram array): substring
+    // + md5 stay inside whole-stage codegen, and the text column is
+    // projected away within the same stage
     val grams = docs.filter(length(col("text")) >= 5)
-      .select(col("doc_id"),
-        posexplode(expr(
-          "transform(sequence(1, length(lower(text)) - 4), i -> substring(lower(text), i, 5))")))
+      .select(col("doc_id"), lower(col("text")).as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), length(col("t")) - 4)).as("pos"))
       .select(col("doc_id"), col("pos"),
-        substring(md5(col("col")), 1, 8).as("h"))
+        substring(md5(expr("substring(t, pos, 5)")), 1, 8).as("h"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos")).rowsBetween(0, 3)
     grams.select(col("doc_id"), min(col("h")).over(w).as("wmin"))
       .groupBy("doc_id")
