@@ -47,6 +47,9 @@ object Similarity {
       val e = element_at(a, i).cast("double"); e * e
     }.reduce(_ + _)
 
+  /** Composed-builtin cosine — reference form; the ann queries use the
+    * native CosineSimilarity expression, which is bit-identical (same
+    * IEEE operation order) but runs as a generated loop. */
   def cosineCol(a: Column, b: Column): Column =
     dotCol(a, b) / (sqrt(norm2Col(a)) * sqrt(norm2Col(b)))
 
@@ -70,7 +73,8 @@ object Similarity {
     val c = emb.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
     val scored = c.join(broadcast(q), col("cand_id") =!= col("query_id"))
       .select(col("query_id"), col("cand_id"),
-        round(cosineCol(col("qe"), col("ce")), 6).as("cos_sim"))
+        round(graft.functions.GraftFunctions.cosine_sim(
+          emb.sparkSession, col("qe"), col("ce")), 6).as("cos_sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("cand_id").asc)
     scored.withColumn("rnk", row_number().over(w).cast("long"))
@@ -89,7 +93,8 @@ object Similarity {
     val scored = sig.join(broadcast(q),
         col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("cand_id"),
-        round(cosineCol(col("qe"), col("embedding")), 6).as("cos_sim"))
+        round(graft.functions.GraftFunctions.cosine_sim(
+          emb.sparkSession, col("qe"), col("embedding")), 6).as("cos_sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("cand_id").asc)
     scored.withColumn("rnk", row_number().over(w).cast("long"))
