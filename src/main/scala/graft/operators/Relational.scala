@@ -131,6 +131,31 @@ object Relational {
         col("n_rows"), col("sum_qty"))
       .orderBy("returnflag", "linestatus")
 
+  /** CUBE over (returnflag, linestatus) — all grouping-set combinations
+    * (rollup's superset: includes the (ALL, status) slices). */
+  def cubeRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"), sumD(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n_rows"), col("sum_qty"))
+      .orderBy("returnflag", "linestatus")
+
+  /** HLL sketch distinct counts (approx_count_distinct) next to exact —
+    * no SQL oracle (sketches differ across engines); bounded-error
+    * property is asserted in tests and the driver does a rows-only check. */
+  def approxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+      .orderBy("l_returnflag")
+
   /** Ranking window: top-3 orders per customer by total price. */
   def top3OrdersPerCustomer(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))

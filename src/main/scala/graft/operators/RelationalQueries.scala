@@ -87,6 +87,16 @@ object RelationalQueries {
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin)),
 
+    QueryDef("cube_revenue", Relational.cubeRevenue, Some(
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin)),
+
+    QueryDef("agg_approx_distinct", Relational.approxDistinct, None),
+
     QueryDef("window_top3_orders", Relational.top3OrdersPerCustomer, Some(
       """WITH r AS (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

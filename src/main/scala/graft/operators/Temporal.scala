@@ -78,6 +78,26 @@ object Temporal {
       .orderBy("user_id")
   }
 
+  /** As-of join: each purchase matched to the latest signup at-or-before
+    * it for the same user. Expressed as the scalable union-window
+    * formulation — one shuffle on user_id, one in-partition sort, no
+    * pairwise join — rather than a range self-join (O(pairs)). */
+  def asofSignupPurchase(events: DataFrame): DataFrame = {
+    val ev = events
+      .filter(col("event_type").isin("signup", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_type"), col("event_id"),
+        when(col("event_type") === "signup", col("ts")).as("sig_ts"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ev.withColumn("last_signup", max(col("sig_ts")).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts").as("purchase_ts"),
+        col("last_signup"),
+        (unix_millis(col("ts")) - unix_millis(col("last_signup"))).as("ms_since_signup"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** JSON property extraction + bucketed aggregation. */
   def jsonProps(events: DataFrame): DataFrame =
     events

@@ -60,6 +60,22 @@ object TemporalQueries {
           |FROM s LEFT JOIN p ON p_user = s.user_id AND p_ts > first_signup
           |GROUP BY s.user_id, s.first_signup ORDER BY s.user_id""".stripMargin)),
 
+    QueryDef("asof_signup_purchase",
+      (s, d) => Temporal.asofSignupPurchase(Tables.events(s, d)), Some(
+        """WITH ev AS (
+          |  SELECT user_id, ts, event_type, event_id,
+          |    CASE WHEN event_type = 'signup' THEN ts END AS sig_ts
+          |  FROM events WHERE event_type IN ('signup', 'purchase')),
+          |w AS (
+          |  SELECT user_id, ts, event_type, event_id,
+          |    max(sig_ts) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup
+          |  FROM ev)
+          |SELECT user_id, event_id, ts AS purchase_ts, last_signup,
+          |  CAST(epoch_ms(ts) - epoch_ms(last_signup) AS BIGINT) AS ms_since_signup
+          |FROM w WHERE event_type = 'purchase'
+          |ORDER BY user_id, event_id""".stripMargin)),
+
     QueryDef("events_json_props",
       (s, d) => Temporal.jsonProps(Tables.events(s, d)), Some(
         s"""WITH t AS (

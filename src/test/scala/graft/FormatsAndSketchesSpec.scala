@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.{Relational, Temporal}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Source-format breadth (CSV/JSON round-trips — the reference reads only
+  * txt/zip, SURVEY §2.2) and sketch-accuracy bounds. */
+class FormatsAndSketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("CSV round-trip preserves the customer table") {
+    val dir = Files.createTempDirectory("graft-csv").toString + "/c"
+    val cust = Tables.customer(spark, sf0001)
+    cust.write.mode("overwrite").option("header", "true").csv(dir)
+    val back = spark.read.option("header", "true")
+      .schema(cust.schema).csv(dir)
+    assert(back.count() == cust.count())
+    assert(back.exceptAll(cust).count() == 0)
+  }
+
+  test("JSON round-trip preserves word counts (reference O11 shape, JSON-lines)") {
+    val dir = Files.createTempDirectory("graft-json").toString + "/w"
+    val counts = graft.operators.WordCount.tokenCounts(Tables.documents(spark, sf0001))
+    graft.sources.JsonSink.writeJsonLines(counts, dir)
+    val back = spark.read.json(dir)
+    assert(back.count() == counts.count())
+    val diff = back.select($"word", $"cnt".cast("long").as("cnt"))
+      .exceptAll(counts).count()
+    assert(diff == 0)
+  }
+
+  test("approx_count_distinct within 5% of exact") {
+    val r = Relational.approxDistinct(spark, sf0001)
+      .select("exact_parts", "approx_parts").as[(Long, Long)].collect()
+    r.foreach { case (exact, approx) =>
+      assert(math.abs(approx - exact).toDouble / exact < 0.05,
+        s"approx $approx vs exact $exact")
+    }
+  }
+
+  test("as-of join: every matched signup is at-or-before its purchase, and is the latest") {
+    val events = Tables.events(spark, sf0001)
+    val asof = Temporal.asofSignupPurchase(events)
+    assert(asof.filter($"last_signup" > $"purchase_ts").count() == 0)
+    // cross-check one user against a driver-side brute force
+    val u = asof.filter($"last_signup".isNotNull)
+      .select("user_id").as[Long].head()
+    val signups = events.filter($"event_type" === "signup" && $"user_id" === u)
+      .select("ts").as[java.sql.Timestamp].collect().map(_.getTime).sorted
+    val purchases = asof.filter($"user_id" === u)
+      .select($"purchase_ts", $"last_signup")
+      .as[(java.sql.Timestamp, Option[java.sql.Timestamp])].collect()
+    purchases.foreach { case (p, ls) =>
+      val expect = signups.filter(_ <= p.getTime).lastOption
+      assert(ls.map(_.getTime) == expect, s"user $u purchase $p")
+    }
+  }
+
+  test("cube contains rollup plus the (ALL, status) slices") {
+    val cube = Relational.cubeRevenue(spark, sf0001)
+    val rollup = Relational.rollupRevenue(spark, sf0001)
+    assert(cube.count() > rollup.count())
+    assert(rollup.exceptAll(cube).count() == 0, "rollup rows must all appear in cube")
+  }
+}
