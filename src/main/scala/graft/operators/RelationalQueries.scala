@@ -97,6 +97,17 @@ object RelationalQueries {
 
     QueryDef("agg_approx_distinct", Relational.approxDistinct, None),
 
+    // salted two-phase aggregation: identical results to a direct GROUP BY
+    // (sums are associative), so the plain SQL is a valid oracle — what's
+    // being exercised is the skew-resistant physical shape
+    QueryDef("salted_agg_qty",
+      (s, d) => Skew.saltedSum(graft.Tables.lineitem(s, d),
+        "l_returnflag", "l_quantity", "l_orderkey"), Some(
+        """SELECT l_returnflag,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+          |  count(*) AS n_rows
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     QueryDef("window_top3_orders", Relational.top3OrdersPerCustomer, Some(
       """WITH r AS (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.{Skew, WordCount}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based invariants (SURVEY.md §5.2) using seeded ScalaCheck
+  * generators: tokenization concat-invariance under line splits,
+  * partitioning mass preservation, salted-aggregation equivalence,
+  * round-robin split balance (reference O4). */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val wordGen = Gen.nonEmptyListOf(
+    Gen.oneOf("the", "don't", "a", "spark", "MERGE", "abc123def", "émigré"))
+  private val corpusGen = Gen.listOfN(8, wordGen.map(_.mkString(" ")))
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("tokenization is invariant under line-aligned splitting (reference O3)") {
+    for (lines <- samples(corpusGen, 10) if lines.nonEmpty) {
+      val joined = WordCount.tokenCounts(Seq(lines.mkString("\n")).toDF("text"))
+        .orderBy("word").as[(String, Long)].collect().toSeq
+      val split = WordCount.tokenCounts(lines.toDF("text"))
+        .orderBy("word").as[(String, Long)].collect().toSeq
+      assert(joined == split)
+    }
+  }
+
+  test("salted two-phase aggregation equals direct aggregation") {
+    val li = Tables.lineitem(spark, sf0001)
+    val salted = Skew.saltedSum(li, "l_returnflag", "l_quantity", "l_orderkey")
+      .as[(String, Double, Long)].collect().toSeq
+    val direct = li.groupBy($"l_returnflag")
+      .agg(graft.functions.Exact.sumD($"l_quantity").as("sum_value"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+      .as[(String, Double, Long)].collect().toSeq
+    assert(salted == direct)
+  }
+
+  test("round-robin repartition balances rows (reference O4 line-interleave)") {
+    val li = Tables.lineitem(spark, sf0001) // 6000 rows
+    val n = 7
+    val sizes = li.repartition(n)
+      .mapPartitions(it => Iterator(it.size)).collect()
+    assert(sizes.length == n)
+    assert(sizes.max - sizes.min <= 1,
+      s"round-robin should balance within 1 row, got ${sizes.toSeq}")
+  }
+
+  test("hash-partition bucket counts are stable across shuffle widths") {
+    val docs = Tables.documents(spark, sf0001)
+    val base = WordCount.partitionCounts(docs)
+      .as[(String, Long, Long)].collect().toSeq
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "3")
+    val alt = WordCount.partitionCounts(Tables.documents(s2, sf0001))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(base == alt)
+  }
+}
