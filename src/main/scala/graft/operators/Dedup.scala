@@ -53,14 +53,26 @@ object Dedup {
         expr("array_distinct(transform(sequence(1, length(lower(text)) - 11), " +
           "i -> substring(lower(text), i, 12)))").as("sh"))
 
-  /** MinHash signatures: 8 hashes from two md5 digests per shingle
-    * (64 hex chars → 8 chunks of 8; min is taken lexicographically,
-    * which equals numeric min on fixed-width hex). */
-  private def minhashes(shingled: DataFrame): DataFrame = {
-    val hh = shingled
-      .select(col("doc_id"), explode(col("sh")).as("g"))
-      .select(col("doc_id"),
-        concat(md5(col("g")), md5(concat(lit("x"), col("g")))).as("hh"))
+  /** Word-3-gram occurrences as a flat (doc_id, g) stream (multiset —
+    * MinHash's per-doc MIN is identical over multiset and set). */
+  def wordGrams(docs: DataFrame): DataFrame =
+    wordShingles(docs).select(col("doc_id"), explode(col("sh")).as("g"))
+
+  /** Char-12-gram occurrences via exploded positions: substring stays in
+    * whole-stage codegen; no per-doc array is ever built on this path. */
+  def charGrams(docs: DataFrame): DataFrame =
+    docs.filter(length(col("text")) >= 12)
+      .select(col("doc_id"), lower(col("text")).as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), length(col("t")) - 11)).as("pos"))
+      .select(col("doc_id"), expr("substring(t, pos, 12)").as("g"))
+
+  /** MinHash signatures from a flat gram stream: 8 hashes from two md5
+    * digests per gram (64 hex chars → 8 chunks of 8; lexicographic min on
+    * fixed-width hex equals numeric min). */
+  private def minhashes(grams: DataFrame): DataFrame = {
+    val hh = grams.select(col("doc_id"),
+      concat(md5(col("g")), md5(concat(lit("x"), col("g")))).as("hh"))
     val aggs = (0 until 8).map(j => min(substring(col("hh"), 1 + 8 * j, 8)).as(s"m$j"))
     hh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
@@ -72,30 +84,33 @@ object Dedup {
       explode(array((0 until 4).map(b =>
         concat(lit(s"$b:"), col(s"m${2 * b}"), col(s"m${2 * b + 1}"))): _*)).as("band"))
 
-  /** Near-duplicate pairs: LSH candidates verified with exact set jaccard
-    * over the shingles, thresholded. `shingled` = (doc_id, sh).
+  /** Near-duplicate pairs: LSH candidates from a streaming gram explode,
+    * verified with exact set jaccard computed ONLY for candidate docs.
     *
-    * The shingle table and band table are persisted: they are consumed
-    * 2–3 times (band self-join sides, verification joins), and
-    * recomputing them means re-running the tokenize/md5 pipeline over the
-    * whole corpus each time. At 100 TB this materialization is the
-    * signature table a production dedup would checkpoint anyway. */
-  def nearDupPairs(shingled: DataFrame, threshold: Double): DataFrame = {
-    val sh = shingled.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val b = bands(minhashes(sh)).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    * Scale shape: signatures never materialize per-doc arrays (gram
+    * stream → groupBy min); the fat shingle-set arrays are built solely
+    * for docs that appear in some candidate pair — at 100 TB that is the
+    * difference between touching the whole corpus twice and touching the
+    * (tiny) near-dup neighborhood. Band table is persisted for its two
+    * self-join sides; candidate pairs and candidate shingle sets are small
+    * and broadcast explicitly (row-count stats would misjudge the fat
+    * array rows — this engine does not rely on them). */
+  def nearDupPairs(docs: DataFrame, grams: DataFrame,
+      mkSets: DataFrame => DataFrame, threshold: Double): DataFrame = {
+    val b = bands(minhashes(grams))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = b.as("x").join(b.as("y"),
         col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    // Join direction matters: candidate pairs are tiny (two longs per row)
-    // and MUST be the broadcast side; the shingle table looks small by row
-    // count but each row carries a fat array — broadcasting it (Spark's
-    // row-stat-based default here) ships the whole corpus signature to
-    // every task. Second probe is forced to a shuffle join for the same
-    // reason.
-    val jac = sh.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candIds = cand.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val sets = mkSets(docs.join(broadcast(candIds), Seq("doc_id"), "left_semi"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val jac = sets.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
       .join(broadcast(cand), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")).hint("shuffle_hash"),
+      .join(broadcast(sets.select(col("doc_id").as("doc_b"), col("sh").as("shb"))),
         "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("sha"), col("shb"))).cast("double") /

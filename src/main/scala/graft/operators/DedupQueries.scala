@@ -79,11 +79,17 @@ object DedupQueries {
           |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin)),
 
     QueryDef("near_dup_minhash",
-      (s, d) => Dedup.nearDupPairs(Dedup.wordShingles(Tables.documents(s, d)), 0.7),
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.nearDupPairs(docs, Dedup.wordGrams(docs), Dedup.wordShingles, 0.7)
+      },
       Some(nearDupSql(wordShinglesCte, 0.7))),
 
     QueryDef("near_dup_ngram",
-      (s, d) => Dedup.nearDupPairs(Dedup.charShingles(Tables.documents(s, d)), 0.6),
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.nearDupPairs(docs, Dedup.charGrams(docs), Dedup.charShingles, 0.6)
+      },
       Some(nearDupSql(charShinglesCte, 0.6))),
 
     QueryDef("simhash_docs",

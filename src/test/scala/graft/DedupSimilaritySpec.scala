@@ -16,8 +16,11 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(d.select("keeper").distinct().count() == d.count())
   }
 
+  private def wordNearDups(threshold: Double) =
+    Dedup.nearDupPairs(docs, Dedup.wordGrams(docs), Dedup.wordShingles, threshold)
+
   test("minhash LSH finds the planted near-dup pairs (jaccard >= 0.7)") {
-    val pairs = Dedup.nearDupPairs(Dedup.wordShingles(docs), 0.7)
+    val pairs = wordNearDups(0.7)
       .as[(Long, Long, Double)].collect()
     assert(pairs.length >= 20, s"expected ≥20 planted pairs, got ${pairs.length}")
     assert(pairs.forall(_._3 >= 0.7))
@@ -38,7 +41,7 @@ class DedupSimilaritySpec extends SparkSpec {
   }
 
   test("simhash: near-identical docs land within hamming distance 4") {
-    val nd = Dedup.nearDupPairs(Dedup.wordShingles(docs), 0.9)
+    val nd = wordNearDups(0.9)
       .select("doc_a", "doc_b").as[(Long, Long)].collect()
     val sig = Dedup.simhashDocs(docs)
       .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
