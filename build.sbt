@@ -26,7 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: round 1's driver-side bench (8g) died of heartbeat
+  // starvation at sf0.1/local[32] — GC pressure with 32 concurrent tasks'
+  // sort/join buffers is the prime suspect; the host has 128 GiB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   // The default 240 MB JIT code cache fills up under this workload's many
   // large generated methods (whole-stage codegen + 64-term vector chains);
   // once full, compilation stops and random queries run interpreted with

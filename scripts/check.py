@@ -12,11 +12,13 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 def norm(v):
+    # type-tagged so int 6000 vs float 6000.0 (or numpy width mismatches
+    # like int32 vs int64) FAIL here like they fail the driver's hash
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return v
-    return v
+            return ("float", "NaN")
+        return ("float", v)
+    return (type(v).__name__, v)
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()

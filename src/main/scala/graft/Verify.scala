@@ -12,7 +12,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.broadcastTimeout", "36000")
+      .config("spark.sql.broadcastTimeout", "600")
+      .config("spark.executor.heartbeatInterval", "20s")
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeat.maxFailures", "180")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -88,15 +88,28 @@ object GraftFunctions {
   val cosineSimBuilder: Seq[Expression] => Expression =
     exprs => CosineSimilarity(exprs(0), exprs(1))
 
-  /** Idempotent per-session registration (temp function). */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", cosineSimBuilder, "scala_udf")
+  val lshBucketBuilder: Seq[Expression] => Expression = {
+    case Seq(e) => LshBucket(e, 6)
+    case exprs => LshBucket(exprs(0),
+      exprs(1).eval().asInstanceOf[Number].intValue())
+  }
 
-  /** Column API over the registered function. */
+  /** Idempotent per-session registration (temp functions). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("cosine_sim", cosineSimBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("lsh_bucket", lshBucketBuilder, "scala_udf")
+  }
+
+  /** Column API over the registered functions. */
   def cosine_sim(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     call_function("cosine_sim", a, b)
+  }
+
+  def lsh_bucket(spark: SparkSession, e: Column, planes: Int): Column = {
+    register(spark)
+    call_function("lsh_bucket", e, org.apache.spark.sql.functions.lit(planes))
   }
 }
 
@@ -109,5 +122,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       GraftFunctions.cosineSimBuilder))
+    e.injectFunction((
+      new FunctionIdentifier("lsh_bucket"),
+      new ExpressionInfo(classOf[LshBucket].getName, "lsh_bucket"),
+      GraftFunctions.lshBucketBuilder))
   }
 }

@@ -84,6 +84,14 @@ object Dedup {
       explode(array((0 until 4).map(b =>
         concat(lit(s"$b:"), col(s"m${2 * b}"), col(s"m${2 * b + 1}"))): _*)).as("band"))
 
+  /** Default frequent-band cap: a band bucket larger than this is
+    * dropped before the self-join (standard frequent-shingle treatment).
+    * Bounds the candidate join output at B²/2 per band BY CONSTRUCTION —
+    * without it, one viral band (N boilerplate docs) emits N²/2 pairs on
+    * a single reducer at 100 TB. The cap is part of the operator's
+    * semantics and the oracle applies the identical cap. */
+  val MaxBandBucket = 64
+
   /** Near-duplicate pairs: LSH candidates from a streaming gram explode,
     * verified with exact set jaccard computed ONLY for candidate docs.
     *
@@ -91,13 +99,20 @@ object Dedup {
     * stream → groupBy min); the fat shingle-set arrays are built solely
     * for docs that appear in some candidate pair — at 100 TB that is the
     * difference between touching the whole corpus twice and touching the
-    * (tiny) near-dup neighborhood. Band table is persisted for its two
-    * self-join sides; candidate pairs and candidate shingle sets are small
-    * and broadcast explicitly (row-count stats would misjudge the fat
-    * array rows — this engine does not rely on them). */
+    * (tiny) near-dup neighborhood. The band table is persisted
+    * hash-partitioned on `band` (the bucket-size window provides the
+    * shuffle), so the self-join reuses that partitioning with no further
+    * exchange. All downstream joins are plain shuffle joins — candidate
+    * sets are UNBOUNDED in the worst case (billions of pairs in a
+    * boilerplate-heavy corpus), so nothing here is force-broadcast;
+    * runtime stats (AQE) may still choose broadcast when genuinely small. */
   def nearDupPairs(docs: DataFrame, grams: DataFrame,
-      mkSets: DataFrame => DataFrame, threshold: Double): DataFrame = {
+      mkSets: DataFrame => DataFrame, threshold: Double,
+      maxBand: Int = MaxBandBucket): DataFrame = {
+    val wBand = Window.partitionBy(col("band"))
     val b = bands(minhashes(grams))
+      .withColumn("bn", count(lit(1)).over(wBand))
+      .filter(col("bn") <= maxBand).drop("bn")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = b.as("x").join(b.as("y"),
         col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
@@ -106,12 +121,11 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candIds = cand.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
-    val sets = mkSets(docs.join(broadcast(candIds), Seq("doc_id"), "left_semi"))
+    val sets = mkSets(docs.join(candIds, Seq("doc_id"), "left_semi"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val jac = sets.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
-      .join(broadcast(cand), "doc_a")
-      .join(broadcast(sets.select(col("doc_id").as("doc_b"), col("sh").as("shb"))),
-        "doc_b")
+      .join(cand, "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("sha"), col("shb"))).cast("double") /
           size(array_distinct(concat(col("sha"), col("shb")))).cast("double")).as("jac"))

@@ -24,7 +24,9 @@ object DedupQueries {
       |         i -> substr(lower(text), i, 12))) AS sh
       |  FROM documents WHERE length(text) >= 12)""".stripMargin
 
-  /** MinHash+LSH+verify pipeline over a shingle CTE named `s`. */
+  /** MinHash+LSH+verify pipeline over a shingle CTE named `s`. The
+    * frequent-band cap (bucket > MaxBandBucket dropped) is applied here
+    * too — the cap is part of the operator's semantics. */
   private def nearDupSql(shingleCte: String, threshold: Double): String = {
     val mins = (0 until 8).map(j => s"min(substr(hh, ${1 + 8 * j}, 8)) AS m$j").mkString(",\n        ")
     val bandList = (0 until 4).map(b => s"'$b:' || m${2 * b} || m${2 * b + 1}").mkString(", ")
@@ -35,9 +37,13 @@ object DedupQueries {
        |        $mins
        |      FROM h GROUP BY doc_id),
        |b AS (SELECT doc_id, unnest([$bandList]) AS band FROM m),
+       |bf AS (
+       |  SELECT doc_id, band FROM (
+       |    SELECT doc_id, band, count(*) OVER (PARTITION BY band) AS bn FROM b)
+       |  WHERE bn <= ${Dedup.MaxBandBucket}),
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |  FROM b x JOIN b y ON x.band = y.band AND x.doc_id < y.doc_id),
+       |  FROM bf x JOIN bf y ON x.band = y.band AND x.doc_id < y.doc_id),
        |j AS (
        |  SELECT doc_a, doc_b,
        |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /

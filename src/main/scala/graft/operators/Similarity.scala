@@ -28,13 +28,8 @@ object Similarity {
 
   /** Deterministic ±1 hyperplane matrix derived from md5 — reproducible
     * in SQL-free constant form on both engines (inlined signs). */
-  lazy val lshSigns: Array[Array[Int]] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(LshPlanes, Dim) { (j, i) =>
-      val h = md.digest(s"$j:$i".getBytes("UTF-8"))
-      if ((h(0) & 1) == 0) 1 else -1
-    }
-  }
+  lazy val lshSigns: Array[Array[Int]] =
+    graft.functions.LshBucket.signMatrix(LshPlanes, Dim)
 
   /** Left-associated Σ a[i]*b[i] in double — order-stable. */
   def dotCol(a: Column, b: Column): Column =
@@ -53,17 +48,13 @@ object Similarity {
   def cosineCol(a: Column, b: Column): Column =
     dotCol(a, b) / (sqrt(norm2Col(a)) * sqrt(norm2Col(b)))
 
-  /** Signed projection onto hyperplane `j` (left-associated chain). */
-  private def projCol(e: Column, j: Int): Column =
-    (1 to Dim).map { i =>
-      val el = element_at(e, i).cast("double")
-      if (lshSigns(j)(i - 1) > 0) el else -el
-    }.reduce(_ + _)
-
-  /** 6-bit sign-LSH bucket id. */
-  def lshBucketCol(e: Column): Column =
-    (0 until LshPlanes).map(j =>
-      when(projCol(e, j) > 0, lit(1 << j)).otherwise(lit(0))).reduce(_ + _)
+  /** 6-bit sign-LSH bucket id — the native LshBucket expression: a
+    * generated double loop instead of a ~1,200-node when/Add chain (the
+    * chain form measurably dominated the LSH query's wall time via
+    * optimizer walks + giant-method JIT). Same IEEE sum order as the
+    * chain, so oracle parity is unchanged. */
+  def lshBucketCol(spark: org.apache.spark.sql.SparkSession, e: Column): Column =
+    graft.functions.GraftFunctions.lsh_bucket(spark, e, LshPlanes)
 
   /** Brute-force cosine top-k: queries = vec_id < nQueries, ranked per
     * query by (rounded cosine DESC, cand_id). */
@@ -87,7 +78,7 @@ object Similarity {
     * Approximate by design; recall/cost tuned via LshPlanes. */
   def lshTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
     val sig = emb.select(col("vec_id"), col("embedding"),
-      lshBucketCol(col("embedding")).as("bucket"))
+      lshBucketCol(emb.sparkSession, col("embedding")).as("bucket"))
     val q = sig.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
       col("bucket").as("qbucket")).filter(col("query_id") < nQueries)
     val scored = sig.join(broadcast(q),

@@ -79,8 +79,10 @@ object TextAnalysis {
     // positions exploded directly (no intermediate gram array): substring
     // + md5 stay inside whole-stage codegen, and the text column is
     // projected away within the same stage
-    val grams = docs.filter(length(col("text")) >= 5)
-      .select(col("doc_id"), lower(col("text")).as("t"))
+    // filter + positions both index the LOWERED string: for chars whose
+    // lowercase form changes string length the two would otherwise desync
+    val grams = docs.select(col("doc_id"), lower(col("text")).as("t"))
+      .filter(length(col("t")) >= 5)
       .select(col("doc_id"), col("t"),
         explode(sequence(lit(1), length(col("t")) - 4)).as("pos"))
       .select(col("doc_id"), col("pos"),

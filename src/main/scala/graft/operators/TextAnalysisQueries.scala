@@ -53,7 +53,9 @@ object TextAnalysisQueries {
           |    CAST(len(regexp_extract_all(lower(text),
           |      '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s'']+')) AS BIGINT) AS bpe
           |  FROM documents)
-          |SELECT source, count(*) AS n_docs, sum(ws) AS ws_tokens, sum(bpe) AS bpe_tokens,
+          |SELECT source, count(*) AS n_docs,
+          |       CAST(sum(ws) AS BIGINT) AS ws_tokens,
+          |       CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
           |       round(CAST(sum(bpe) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS avg_bpe_per_doc
           |FROM t GROUP BY source ORDER BY source""".stripMargin)),
 
@@ -61,8 +63,8 @@ object TextAnalysisQueries {
       (s, d) => TextAnalysis.docFingerprint(Tables.documents(s, d)), Some(
         """WITH p AS (
           |  SELECT doc_id, i, substr(md5(substr(lower(text), CAST(i AS INTEGER), 5)), 1, 8) AS h
-          |  FROM documents, unnest(range(1, length(text) - 3)) AS u(i)
-          |  WHERE length(text) >= 5),
+          |  FROM documents, unnest(range(1, length(lower(text)) - 3)) AS u(i)
+          |  WHERE length(lower(text)) >= 5),
           |w AS (
           |  SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY i
           |           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin

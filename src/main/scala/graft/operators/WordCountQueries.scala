@@ -27,7 +27,7 @@ object WordCountQueries {
         s"""$tokensCte,
            |wc AS (SELECT word, count(*) AS cnt FROM w GROUP BY word)
            |SELECT substring(md5(word), 1, 1) AS part,
-           |       count(*) AS n_words, sum(cnt) AS total_cnt
+           |       count(*) AS n_words, CAST(sum(cnt) AS BIGINT) AS total_cnt
            |FROM wc GROUP BY 1 ORDER BY part""".stripMargin)),
 
     QueryDef("doc_stats",

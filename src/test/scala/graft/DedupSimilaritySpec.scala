@@ -40,6 +40,21 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("frequent-band cap: a viral band cannot produce quadratic candidates") {
+    // 80 identical docs (> MaxBandBucket=64) share every band → without a
+    // cap the self-join would emit 80*79/2 = 3160 pairs in one bucket; the
+    // cap drops those bands entirely. A 2-doc cluster stays under the cap
+    // and is still found.
+    val viral = (0L until 80L).map(i => (i, "the quick brown fox jumps over the lazy dog"))
+    val small = Seq((100L, "entirely different pair text alpha beta gamma"),
+                    (101L, "entirely different pair text alpha beta gamma"))
+    val d = (viral ++ small).toDF("doc_id", "text")
+    val pairs = Dedup.nearDupPairs(d, Dedup.wordGrams(d), Dedup.wordShingles, 0.7)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairs.toSet == Set((100L, 101L)),
+      s"expected only the small cluster pair, got ${pairs.length} pairs")
+  }
+
   test("simhash: near-identical docs land within hamming distance 4") {
     val nd = wordNearDups(0.9)
       .select("doc_a", "doc_b").as[(Long, Long)].collect()
