@@ -35,4 +35,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // once full, compilation stops and random queries run interpreted with
   // nondeterministic 10-100x stalls. 1 GB removes the cliff entirely.
   "-XX:ReservedCodeCacheSize=1g",
+  // 32-core host: more JIT compiler threads drain the C2 queue faster
+  // when 40 queries' generated methods all arrive at once
+  "-XX:CICompilerCount=12",
 )

@@ -19,4 +19,5 @@ exec java \
   --add-opens=java.base/sun.util.calendar=ALL-UNNAMED \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -XX:ReservedCodeCacheSize=1g \
+  -XX:CICompilerCount=12 \
   -Xmx${SPARK_DRIVER_MEM:-16g} -cp "$CP" "$@"

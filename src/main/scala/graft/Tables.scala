@@ -14,25 +14,50 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Unsplittable-source spreader. Parquet's split unit is the ROW
+    * GROUP: a table written as one row group scans as ONE task no matter
+    * what maxPartitionBytes says (all the testdata tables are single-row-
+    * group files — jstack during stalls showed 31 of 32 executor threads
+    * parked while one ground through a codegen'd explode/agg). When the
+    * scan has pathologically few partitions vs the session's parallelism,
+    * redistribute once right after the scan, hash-partitioned on the
+    * table's downstream key so the exchange can double as the shuffle a
+    * window/groupBy on that key would need anyway (hash repartition also
+    * avoids round-robin's sort-before-repartition pass). At real scale —
+    * many row groups / many files — the condition is false and this is a
+    * no-op, so nothing extra shuffles on a 100 TB scan. */
+  private def spread(df: DataFrame, key: String): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < p)
+      df.repartition(p, org.apache.spark.sql.functions.col(key))
+    else df
+  }
+
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame    =
+    spread(table(s, d, "orders"), "o_orderkey")
+  def lineitem(s: SparkSession, d: String): DataFrame  =
+    spread(table(s, d, "lineitem"), "l_orderkey")
   /** events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark 4 only
     * reads under spark.sql.legacy.parquet.nanosAsLong=true (set in all
     * session builders) — it then surfaces as LongType nanos; convert to a
     * proper µs timestamp (the data is µs-aligned, so this is exact). */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = table(s, d, "events")
-    raw.schema("ts").dataType match {
+    val typed = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case _ => raw
     }
+    // user_id: sessionize/window queries cluster on it next
+    spread(typed, "user_id")
   }
-  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+  def documents(s: SparkSession, d: String): DataFrame =
+    spread(table(s, d, "documents"), "doc_id")
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    spread(table(s, d, "embeddings"), "vec_id")
 }

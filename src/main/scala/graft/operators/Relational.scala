@@ -143,16 +143,25 @@ object Relational {
         col("n_rows"), col("sum_qty"))
       .orderBy("returnflag", "linestatus")
 
-  /** HLL sketch distinct counts (approx_count_distinct) next to exact —
-    * no SQL oracle (sketches differ across engines); bounded-error
-    * property is asserted in tests and the driver does a rows-only check. */
-  def approxDistinct(s: SparkSession, d: String): DataFrame =
+  /** Exact multi-column distinct counts — oracle-gated. Split from the
+    * HLL query so the exact half is hash-compared, not collateral
+    * rows-only. */
+  def exactDistinct(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
         countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+      .orderBy("l_returnflag")
+
+  /** HLL sketch distinct counts (approx_count_distinct) — no SQL oracle
+    * (sketch estimates differ across engines); the ≤5% error bound is
+    * asserted in tests and the driver does a rows-only check. */
+  def approxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        countDistinct(col("l_orderkey")).as("exact_orders"),
         approx_count_distinct(col("l_orderkey")).as("approx_orders"))
       .orderBy("l_returnflag")
 

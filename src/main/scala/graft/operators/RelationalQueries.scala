@@ -95,6 +95,11 @@ object RelationalQueries {
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin)),
 
+    QueryDef("agg_exact_distinct", Relational.exactDistinct, Some(
+      """SELECT l_returnflag,
+        |       CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
     QueryDef("agg_approx_distinct", Relational.approxDistinct, None),
 
     // salted two-phase aggregation: identical results to a direct GROUP BY

@@ -64,6 +64,22 @@ object Temporal {
       .orderBy("user_id", "session_id")
   }
 
+  /** Native session_window (30-minute gap): Spark's built-in gap-session
+    * operator, batch form. A session spans [min ts, max ts + gap); the
+    * gap is INCLUSIVE — an event exactly prev_ts + gap still merges
+    * (spec-pinned), matching sessionize's lag/cumsum boundary rule. The same transform runs
+    * under streaming with watermark-bounded state
+    * (EventsStream.sessionWindows), which is the idiomatic 100 TB answer:
+    * session state lives in the state store partitioned by user, evicted
+    * by watermark, never on the driver. */
+  def sessionWindowAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), sumD(col("value")).as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start")
+
   /** Funnel: first signup per user, purchases strictly after it. */
   def funnel(events: DataFrame): DataFrame = {
     val signups = events.filter(col("event_type") === "signup")

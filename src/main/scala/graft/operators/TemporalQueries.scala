@@ -47,6 +47,28 @@ object TemporalQueries {
            |FROM s GROUP BY user_id, session_id
            |ORDER BY user_id, session_id""".stripMargin)),
 
+    QueryDef("session_window_agg",
+      (s, d) => Temporal.sessionWindowAgg(Tables.events(s, d)), Some(
+        s"""WITH o AS (
+           |  SELECT user_id, ts, value,
+           |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+           |  FROM events),
+           |f AS (
+           |  SELECT user_id, ts, value,
+           |    CASE WHEN prev_ts IS NULL OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000
+           |         THEN 1 ELSE 0 END AS new_sess
+           |  FROM o),
+           |s AS (
+           |  SELECT user_id, ts, value,
+           |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           |  FROM f)
+           |SELECT user_id, min(ts) AS session_start,
+           |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+           |  count(*) AS n_events, $sumValue AS sum_value
+           |FROM s GROUP BY user_id, session_id
+           |ORDER BY user_id, session_start""".stripMargin)),
+
     QueryDef("event_funnel",
       (s, d) => Temporal.funnel(Tables.events(s, d)), Some(
         """WITH s AS (

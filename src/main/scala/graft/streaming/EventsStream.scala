@@ -34,6 +34,18 @@ object EventsStream {
       .agg(count(lit(1)).as("n_events"))
       .select(col("w.start").as("ws"), col("event_type"), col("n_events"))
 
+  /** Watermarked native session_window (30-minute gap) — gap-sessions
+    * with per-user state in the state store, bounded by the watermark.
+    * Append-mode emits each session once it can no longer grow. Mirrors
+    * batch Temporal.sessionWindowAgg. */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+
   /** File-source stream over a directory of event parquet. */
   def readEvents(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventSchema).parquet(dir)

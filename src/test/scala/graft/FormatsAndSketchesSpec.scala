@@ -32,6 +32,7 @@ class FormatsAndSketchesSpec extends SparkSpec {
 
   test("approx_count_distinct within 5% of exact") {
     val r = Relational.approxDistinct(spark, sf0001)
+      .join(Relational.exactDistinct(spark, sf0001), "l_returnflag")
       .select("exact_parts", "approx_parts").as[(Long, Long)].collect()
     r.foreach { case (exact, approx) =>
       assert(math.abs(approx - exact).toDouble / exact < 0.05,

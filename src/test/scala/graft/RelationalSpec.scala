@@ -35,9 +35,13 @@ class RelationalSpec extends SparkSpec {
   test("q1 scan schema is pruned to the referenced columns") {
     val plan = Relational.pricingSummary(spark, sf0001)
       .queryExecution.executedPlan.toString
-    // 11-column table; only 6 columns are referenced
-    assert(!plan.contains("l_orderkey"), "scan should not read l_orderkey")
+    // 11-column table; q1 references 6. l_orderkey IS read: it is the
+    // unsplittable-source spread key (Tables.spread) — that exchange
+    // carries it by construction. Columns used by neither the query nor
+    // the spread must still be pruned out of the scan.
     assert(!plan.contains("l_suppkey"), "scan should not read l_suppkey")
+    assert(!plan.contains("l_partkey"), "scan should not read l_partkey")
+    assert(!plan.contains("l_tax"), "scan should not read l_tax")
   }
 
   test("rollup grand-total row equals full row count") {

@@ -63,6 +63,42 @@ class TemporalStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session_window: exact-gap boundary merges, one past it splits") {
+    // documents the operator's boundary rule (and pins the oracle's
+    // > 1800000 ms new-session condition): an event exactly 30 min after
+    // the previous one still MERGES (inclusive gap); 30 min + 1 ms splits
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val t1 = new Timestamp(t0.getTime + 30 * 60 * 1000)
+    val d = Seq((1L, t0, 1.0), (1L, t1, 1.0)).toDF("user_id", "ts", "value")
+    assert(Temporal.sessionWindowAgg(d).count() == 1)
+    val split = Seq((1L, t0, 1.0), (1L, new Timestamp(t1.getTime + 1), 1.0))
+      .toDF("user_id", "ts", "value")
+    assert(Temporal.sessionWindowAgg(split).count() == 2)
+  }
+
+  test("streaming session_window emits the batch sessions once closed") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val streamDf = mem.toDF().toDF("user_id", "ts")
+    val q = EventsStream.toMemorySink(
+      EventsStream.sessionWindows(streamDf), "sesswin").start()
+    try {
+      val rows = events.select($"user_id", $"ts")
+        .as[(Long, Timestamp)].collect().toSeq
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("sesswin")
+        .select($"user_id", $"session_start", $"session_end", $"n_events")
+        .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+      val batch = Temporal.sessionWindowAgg(events.withColumn("value", lit(0.0)))
+        .select($"user_id", $"session_start", $"session_end", $"n_events")
+        .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+      // append mode only emits sessions the watermark has closed
+      assert(got.subsetOf(batch), "a streamed session disagrees with batch")
+      assert(got.nonEmpty, "watermark should have closed at least one session")
+    } finally q.stop()
+  }
+
   test("stateful running totals accumulate across two micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Double)]
