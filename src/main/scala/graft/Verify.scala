@@ -12,6 +12,14 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // AQE ON here: correctness runs in the configuration a cluster
+      // would ship (skew-join splitting is the 100 TB skew story). The
+      // round-1 "AQE stall" was not AQE: withFinalPlanUpdate was waiting
+      // on single-task stages of one-row-group scans running interpreted
+      // (see Tables.spread) — fixed, AQE runs clean. The timed Bench
+      // keeps AQE off because per-stage re-planning roughly doubles
+      // wall time at toy scale, which would misstate steady-state perf.
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("GRAFT_AQE", "true"))
       .config("spark.sql.broadcastTimeout", "600")
       .config("spark.executor.heartbeatInterval", "20s")
       .config("spark.network.timeout", "600s")

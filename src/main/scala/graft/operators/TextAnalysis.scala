@@ -74,26 +74,33 @@ object TextAnalysis {
       .orderBy("source")
 
   /** Winnowing-style fingerprints: md5 of char-5-grams, window-min over
-    * 4 consecutive positions, per-doc distinct fingerprint stats. */
-  def docFingerprint(docs: DataFrame): DataFrame = {
-    // positions exploded directly (no intermediate gram array): substring
-    // + md5 stay inside whole-stage codegen, and the text column is
-    // projected away within the same stage
-    // filter + positions both index the LOWERED string: for chars whose
-    // lowercase form changes string length the two would otherwise desync
-    val grams = docs.select(col("doc_id"), lower(col("text")).as("t"))
+    * 4 consecutive positions, per-doc distinct fingerprint stats.
+    *
+    * Shuffle-free formulation: gram hashes and their sliding minima are
+    * per-row ARRAY transforms, so the whole computation is one map stage
+    * — nothing is exploded through an exchange. The previous
+    * explode + Window.partitionBy(doc_id) form shuffled ~|text| rows per
+    * doc (~10x the corpus bytes) just to compute an in-row sliding min.
+    * Tradeoff: the per-row arrays hold |text| 8-char hashes, fine for
+    * KB–MB documents; for pathological multi-GB single documents the
+    * exploded form would be the fallback.
+    *
+    * filter + positions both index the LOWERED string: for chars whose
+    * lowercase form changes string length the two would otherwise desync. */
+  def docFingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), lower(col("text")).as("t"))
       .filter(length(col("t")) >= 5)
-      .select(col("doc_id"), col("t"),
-        explode(sequence(lit(1), length(col("t")) - 4)).as("pos"))
-      .select(col("doc_id"), col("pos"),
-        substring(md5(expr("substring(t, pos, 5)")), 1, 8).as("h"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos")).rowsBetween(0, 3)
-    grams.select(col("doc_id"), min(col("h")).over(w).as("wmin"))
-      .groupBy("doc_id")
-      .agg(
-        countDistinct(col("wmin")).as("n_fp"),
-        min(col("wmin")).as("fp_min"),
-        max(col("wmin")).as("fp_max"))
+      .select(col("doc_id"), expr(
+        "transform(sequence(1, length(t) - 4), i -> substring(md5(substring(t, i, 5)), 1, 8))")
+        .as("hs"))
+      // trailing windows shrink like ROWS BETWEEN CURRENT AND 3 FOLLOWING:
+      // slice() truncates at the array end
+      .select(col("doc_id"), expr(
+        "transform(sequence(1, size(hs)), i -> array_min(slice(hs, i, 4)))").as("wm"))
+      .select(
+        col("doc_id"),
+        size(array_distinct(col("wm"))).cast("long").as("n_fp"),
+        array_min(col("wm")).as("fp_min"),
+        array_max(col("wm")).as("fp_max"))
       .orderBy("doc_id")
-  }
 }

@@ -33,6 +33,25 @@ object TextIngest {
   def decodeLenient(bytes: Array[Byte]): String =
     ignoringDecoder.decode(java.nio.ByteBuffer.wrap(bytes)).toString
 
+  /** Download a URL to destDir with memoization — completes the
+    * reference's fetch step (coordinator/coordinator.py:17-55: download
+    * once, reuse the cached copy). Uses java.net.http so file:// and
+    * http(s):// both work; unit-tested against file:// (this build
+    * environment is zero-egress, so no live-HTTP test is possible). */
+  def fetchCached(url: String, destDir: String): Path = {
+    Files.createDirectories(Paths.get(destDir))
+    val name = Paths.get(new java.net.URI(url).getPath).getFileName.toString
+    val dest = Paths.get(destDir, name)
+    if (!Files.exists(dest)) {
+      val tmp = Paths.get(destDir, name + ".part")
+      val in = new java.net.URI(url).toURL.openStream()
+      try Files.copy(in, tmp, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      finally in.close()
+      Files.move(tmp, dest, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    dest
+  }
+
   /** Extract every non-directory ZIP member to destDir as clean UTF-8
     * .txt; returns the extracted paths in archive order (the reference
     * processes files[0] — the FIRST member — coordinator.py:137-138). */

@@ -11,6 +11,18 @@ import java.util.zip.{ZipEntry, ZipOutputStream}
 class SourcesSpec extends SparkSpec {
   import spark.implicits._
 
+  test("fetchCached downloads a file:// URL and memoizes the copy") {
+    val src = Files.createTempFile("graft-src", ".txt")
+    Files.writeString(src, "hello ingest")
+    val dest = Files.createTempDirectory("graft-fetch").toString
+    val p1 = TextIngest.fetchCached(src.toUri.toString, dest)
+    assert(Files.readString(p1) == "hello ingest")
+    // mutate the source: the cached copy must be reused, not re-fetched
+    Files.writeString(src, "changed")
+    val p2 = TextIngest.fetchCached(src.toUri.toString, dest)
+    assert(p1 == p2 && Files.readString(p2) == "hello ingest")
+  }
+
   private def makeZip(entries: (String, Array[Byte])*): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val zos = new ZipOutputStream(bos)
