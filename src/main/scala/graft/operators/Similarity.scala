@@ -94,6 +94,25 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
+  /** Embedding-cosine near-duplicates: same-LSH-bucket pairs with
+    * rounded cosine >= threshold — completes the dedup taxonomy (exact,
+    * MinHash+LSH, char-n-gram, SimHash, embedding-cosine). Scale shape:
+    * the 6-bit bucket equi-join replaces the quadratic all-pairs cross
+    * product (~64x candidate reduction); recall tunes via LshPlanes.
+    * Approximate by design, like any LSH near-dup pass. */
+  def embeddingNearDup(emb: DataFrame, threshold: Double): DataFrame = {
+    val spark = emb.sparkSession
+    val sig = emb.select(col("vec_id"), col("embedding"),
+      lshBucketCol(spark, col("embedding")).as("bucket"))
+    sig.as("x").join(sig.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        round(graft.functions.GraftFunctions.cosine_sim(spark,
+          col("x.embedding"), col("y.embedding")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** Per-label embedding stats; the per-vector norm is rounded to 6
     * digits and summed in DECIMAL so the cross-row aggregation is
     * order-independent (portable across engines). */

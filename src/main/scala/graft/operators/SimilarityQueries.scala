@@ -52,6 +52,14 @@ object SimilarityQueries {
        |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, cand_id, cos_sim FROM r
        |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
 
+  private val nearDupEmbSql =
+    s"""WITH s AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings)
+       |SELECT vec_a, vec_b, cos_sim FROM (
+       |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+       |         round(${cosSql("x.embedding", "y.embedding")}, 6) AS cos_sim
+       |  FROM s x JOIN s y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+       |WHERE cos_sim >= 0.35 ORDER BY vec_a, vec_b""".stripMargin
+
   private val embStatsSql =
     s"""SELECT label, count(*) AS n_vectors,
        |  CAST(sum(CAST(round(sqrt(${norm2Sql("embedding")}), 6) AS DECIMAL(18,6))) AS DOUBLE)
@@ -65,6 +73,9 @@ object SimilarityQueries {
     QueryDef("ann_lsh_topk",
       (s, d) => Similarity.lshTopK(Tables.embeddings(s, d), 16, 3),
       Some(annLshSql)),
+    QueryDef("near_dup_embedding",
+      (s, d) => Similarity.embeddingNearDup(Tables.embeddings(s, d), 0.35),
+      Some(nearDupEmbSql)),
     QueryDef("embedding_stats",
       (s, d) => Similarity.embeddingStats(Tables.embeddings(s, d)),
       Some(embStatsSql)),

@@ -77,6 +77,18 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("embedding near-dup: pairs ordered, above threshold, bucket-consistent") {
+    val nd = Similarity.embeddingNearDup(emb, 0.35)
+      .as[(Long, Long, Double)].collect()
+    assert(nd.nonEmpty, "expected some near-dup embedding pairs at 0.35")
+    assert(nd.forall(p => p._1 < p._2 && p._3 >= 0.35))
+    // every reported pair must share an LSH bucket (candidate-set law)
+    val buckets = emb.select($"vec_id",
+      Similarity.lshBucketCol(spark, $"embedding").as("b"))
+      .as[(Long, Int)].collect().toMap
+    assert(nd.forall(p => buckets(p._1) == buckets(p._2)))
+  }
+
   test("embedding stats: norms ≈ 1-ish and per-label counts sum to total") {
     val st = Similarity.embeddingStats(emb)
     val n = st.agg(sum("n_vectors")).as[Long].head()
