@@ -65,6 +65,32 @@ object Multimodal {
         octet_length(col("payload")).cast("long").as("n_bytes"))
       .orderBy("doc_id")
 
+  /** Frame size (chars) and sampling stride for frameSample. */
+  val FrameChars = 128
+  val SampleEvery = 2
+
+  /** Frame sampling: the payload is treated as fixed-size frames and
+    * every SampleEvery-th frame is selected and summarized (offset +
+    * md5 signature). This is the byte-range arithmetic a real video
+    * sampler performs before handing ranges to a decoder; frames are in
+    * CHARACTER units of the source text so the md5 signatures are
+    * oracle-checkable (DuckDB 1.0 has no md5 over BLOB). Pure builtins,
+    * one map stage — no shuffle until the final presentation sort. */
+  def frameSample(docs: DataFrame): DataFrame =
+    docs.filter(length(col("text")) >= FrameChars)
+      .select(col("doc_id"),
+        explode(expr(
+          s"sequence(0, (length(text) - $FrameChars) div $FrameChars, $SampleEvery)"))
+          .as("frame_idx"),
+        col("text"))
+      .select(
+        col("doc_id"),
+        col("frame_idx").cast("long").as("frame_idx"),
+        (col("frame_idx") * FrameChars + 1).cast("long").as("offset"),
+        md5(expr(s"substring(text, frame_idx * $FrameChars + 1, $FrameChars)"))
+          .as("frame_sig"))
+      .orderBy("doc_id", "frame_idx")
+
   /** Full stub pipeline as a DataFrame (rows-only driver check). */
   def mediaFeatures(spark: SparkSession, docs: DataFrame): DataFrame =
     stubDecode(spark, mediaFromDocs(docs)).toDF().orderBy("doc_id")

@@ -12,6 +12,18 @@ object MultimodalQueries {
           |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
           |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
           |FROM documents ORDER BY doc_id""".stripMargin)),
+    QueryDef("media_frame_sample",
+      (s, d) => Multimodal.frameSample(Tables.documents(s, d)), Some(
+        s"""WITH f AS (
+           |  SELECT doc_id, text,
+           |         unnest(range(0, ((length(text) - ${Multimodal.FrameChars})
+           |                // ${Multimodal.FrameChars}) + 1, ${Multimodal.SampleEvery})) AS frame_idx
+           |  FROM documents WHERE length(text) >= ${Multimodal.FrameChars})
+           |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           |  CAST(frame_idx * ${Multimodal.FrameChars} + 1 AS BIGINT) AS offset,
+           |  md5(substr(text, CAST(frame_idx * ${Multimodal.FrameChars} + 1 AS INTEGER),
+           |      ${Multimodal.FrameChars})) AS frame_sig
+           |FROM f ORDER BY doc_id, frame_idx""".stripMargin)),
     QueryDef("media_features",
       (s, d) => Multimodal.mediaFeatures(s, Tables.documents(s, d)), None),
   )
