@@ -165,6 +165,49 @@ object Relational {
         approx_count_distinct(col("l_orderkey")).as("approx_orders"))
       .orderBy("l_returnflag")
 
+  /** Exact interpolated percentiles per group (percentile ≡ SQL-standard
+    * quantile_cont; linear interpolation). Exact, not a sketch — the
+    * sketch counterpart is approxDistinct's HLL family. */
+  def percentilesByFlag(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.5D)"), 6).as("p50_qty"),
+        round(expr("percentile(l_quantity, 0.9D)"), 6).as("p90_qty"),
+        round(expr("percentile(l_extendedprice, 0.99D)"), 6).as("p99_price"))
+      .orderBy("l_returnflag")
+
+  /** GROUPING SETS ((returnflag), (linestatus)) with grouping_id — the
+    * grouping-set surface beyond rollup/cube (which are its sugar). */
+  def groupingSetsRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_rows"),
+        sumD(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("gid"), col("n_rows"), col("sum_qty"))
+      .orderBy("returnflag", "linestatus")
+
+  /** Analytic-function battery over one keyed window: dense_rank,
+    * percent_rank, cume_dist, ntile(4). One shuffle on the key. */
+  def orderAnalytics(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("drnk", dense_rank().over(w).cast("long"))
+      .withColumn("prnk", round(percent_rank().over(w), 6))
+      .withColumn("cdist", round(cume_dist().over(w), 6))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .orderBy("o_custkey", "drnk", "o_orderkey")
+  }
+
   /** Ranking window: top-3 orders per customer by total price. */
   def top3OrdersPerCustomer(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))

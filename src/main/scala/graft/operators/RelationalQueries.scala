@@ -102,6 +102,32 @@ object RelationalQueries {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
     QueryDef("agg_approx_distinct", Relational.approxDistinct, None),
 
+    QueryDef("agg_percentiles", Relational.percentilesByFlag, Some(
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+        |  round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+        |  round(quantile_cont(l_extendedprice, 0.99), 6) AS p99_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    QueryDef("grouping_sets_revenue", Relational.groupingSetsRevenue, Some(
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY returnflag, linestatus""".stripMargin)),
+
+    QueryDef("window_analytics", Relational.orderAnalytics, Some(
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |  round(percent_rank() OVER w, 6) AS prnk,
+        |  round(cume_dist() OVER w, 6) AS cdist,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+        |ORDER BY o_custkey, drnk, o_orderkey""".stripMargin)),
+
     // salted two-phase aggregation: identical results to a direct GROUP BY
     // (sums are associative), so the plain SQL is a valid oracle — what's
     // being exercised is the skew-resistant physical shape
