@@ -94,6 +94,53 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
+  /** IVF coarse quantization: assign every vector to its nearest of
+    * `nCentroids` centroids (deterministic "training sample": the first
+    * nCentroids vectors by id — kmeans-free so both engines reproduce the
+    * exact cells). Assignment is a broadcast of the tiny centroid set
+    * against the partitioned corpus — no corpus shuffle — then a
+    * deterministic per-vector argmax (rounded cosine DESC, centroid id
+    * ASC). At production scale the argmax folds into partial aggregation
+    * (max_by) rather than a window; the window form is kept for its
+    * explicit, engine-portable tie-break. */
+  def ivfAssign(emb: DataFrame, nCentroids: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val cents = emb.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+    val scored = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cent_id"),
+        round(graft.functions.GraftFunctions.cosine_sim(
+          spark, col("embedding"), col("ce")), 6).as("ccos"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cent_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+  }
+
+  /** IVF top-k: search restricted to the query's cell (nprobe=1). The
+    * second of the two ANN scale paths (sign-LSH buckets being the
+    * other); cells shuffle on cell id exactly like LSH buckets. */
+  def ivfTopK(emb: DataFrame, nCentroids: Int, nQueries: Int, k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val assigned = ivfAssign(emb, nCentroids)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("cell").as("qcell"))
+    val scored = assigned.join(q,
+        col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        round(graft.functions.GraftFunctions.cosine_sim(
+          spark, col("qe"), col("embedding")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("cand_id").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("cand_id"), col("cos_sim"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** Embedding-cosine near-duplicates: same-LSH-bucket pairs with
     * rounded cosine >= threshold — completes the dedup taxonomy (exact,
     * MinHash+LSH, char-n-gram, SimHash, embedding-cosine). Scale shape:

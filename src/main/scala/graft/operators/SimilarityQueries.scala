@@ -60,6 +60,29 @@ object SimilarityQueries {
        |  FROM s x JOIN s y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
        |WHERE cos_sim >= 0.35 ORDER BY vec_a, vec_b""".stripMargin
 
+  private val annIvfSql =
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS ce FROM embeddings WHERE vec_id < 8),
+       |sc AS (
+       |  SELECT e.vec_id, e.embedding, c.cent_id,
+       |         round(${cosSql("e.embedding", "c.ce")}, 6) AS ccos
+       |  FROM embeddings e CROSS JOIN cents c),
+       |asg AS (
+       |  SELECT vec_id, embedding, cent_id AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |             ORDER BY ccos DESC, cent_id ASC) AS rn FROM sc)
+       |  WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe, cell AS qcell
+       |      FROM asg WHERE vec_id < 16),
+       |p AS (SELECT query_id, a.vec_id AS cand_id,
+       |        round(${cosSql("qe", "a.embedding")}, 6) AS cos_sim
+       |      FROM asg a JOIN q ON a.cell = qcell AND a.vec_id != query_id),
+       |r AS (SELECT query_id, cand_id, cos_sim,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rnk
+       |      FROM p)
+       |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, cand_id, cos_sim FROM r
+       |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+
   private val embStatsSql =
     s"""SELECT label, count(*) AS n_vectors,
        |  CAST(sum(CAST(round(sqrt(${norm2Sql("embedding")}), 6) AS DECIMAL(18,6))) AS DOUBLE)
@@ -73,6 +96,9 @@ object SimilarityQueries {
     QueryDef("ann_lsh_topk",
       (s, d) => Similarity.lshTopK(Tables.embeddings(s, d), 16, 3),
       Some(annLshSql)),
+    QueryDef("ann_ivf_topk",
+      (s, d) => Similarity.ivfTopK(Tables.embeddings(s, d), 8, 16, 3),
+      Some(annIvfSql)),
     QueryDef("near_dup_embedding",
       (s, d) => Similarity.embeddingNearDup(Tables.embeddings(s, d), 0.35),
       Some(nearDupEmbSql)),

@@ -46,6 +46,27 @@ object EventsStream {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"))
 
+  /** Watermarked stream-stream interval join: each purchase matched to
+    * the same user's signups within the preceding 7 days. Both sides
+    * carry watermarks and the join condition bounds event time, so state
+    * on each side is evictable — the only join shape that runs unbounded
+    * streams at scale (an unconstrained stream join would accrete state
+    * forever). Batch form of the same predicate: Temporal.funnel's
+    * θ-join. */
+  def purchasesWithSignups(events: DataFrame): DataFrame = {
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+      .withWatermark("s_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    purchases.join(signups,
+      col("p_user") === col("s_user") &&
+        col("s_ts") <= col("p_ts") &&
+        col("s_ts") >= col("p_ts") - expr("INTERVAL 7 DAYS"))
+      .select(col("p_user").as("user_id"), col("p_ts"), col("s_ts"))
+  }
+
   /** File-source stream over a directory of event parquet. */
   def readEvents(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventSchema).parquet(dir)

@@ -99,6 +99,29 @@ class TemporalStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join equals the batch join on the same data") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val streamDf = mem.toDF().toDF("user_id", "ts", "event_type")
+    val q = EventsStream.toMemorySink(
+      EventsStream.purchasesWithSignups(streamDf), "ssjoin").start()
+    try {
+      val rows = events.select($"user_id", $"ts", $"event_type")
+        .as[(Long, Timestamp, String)].collect().toSeq
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("ssjoin")
+        .as[(Long, Timestamp, Timestamp)].collect().toSet
+      // same transform applied to the batch source (watermarks are no-ops)
+      val batch = EventsStream.purchasesWithSignups(
+        events.select($"user_id", $"ts", $"event_type"))
+        .as[(Long, Timestamp, Timestamp)].collect().toSet
+      // inner stream-stream joins emit on match, so the full result appears
+      assert(got == batch)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stateful running totals accumulate across two micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Double)]
