@@ -31,4 +31,19 @@ class BucketingSpec extends SparkSpec {
       assert(joined.count() == expected)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("date-partitioned write enables partition pruning on read") {
+    import spark.implicits._
+    val events = Tables.events(spark, sf0001)
+      .withColumn("day", to_date(col("ts")))
+    val dir = "/tmp/graft-events-by-day"
+    events.write.mode("overwrite").partitionBy("day").parquet(dir)
+    val firstDay = events.agg(min(col("day"))).as[java.sql.Date].head()
+    val pruned = spark.read.parquet(dir).filter(col("day") === lit(firstDay))
+    val plan = pruned.queryExecution.executedPlan.toString
+    // the day predicate must prune directories, not filter rows post-scan
+    assert(plan.contains("PartitionFilters: [isnotnull(day"),
+      s"expected partition pruning in:\n$plan")
+    assert(pruned.count() == events.filter(col("day") === lit(firstDay)).count())
+  }
 }

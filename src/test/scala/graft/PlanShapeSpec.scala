@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** Plan-shape regressions: the scale-design properties the operators
+  * claim are asserted against the actual plans, so a refactor that
+  * quietly reintroduces a forced broadcast, an exploded shuffle, or a
+  * corpus-wide exchange fails here, not on a cluster. */
+class PlanShapeSpec extends SparkSpec {
+
+  lazy val docs = Tables.documents(spark, sf0001)
+  lazy val emb = Tables.embeddings(spark, sf0001)
+
+  test("near-dup pipeline contains no forced broadcast hints") {
+    // candidate-pair and shingle-set sizes are unbounded at scale; the
+    // operator must leave join strategy to stats, never force broadcast
+    val plan = Dedup.nearDupPairs(docs, Dedup.wordGrams(docs),
+      Dedup.wordShingles, 0.7).queryExecution.analyzed.toString
+    assert(!plan.toLowerCase.contains("hint"),
+      s"near-dup must not force join strategies:\n$plan")
+  }
+
+  test("brute-force ANN broadcasts the query side, never shuffles the corpus") {
+    val plan = Similarity.bruteForceTopK(emb, 4, 5)
+      .queryExecution.executedPlan.toString
+    // no equi-key (all-pairs scoring), so the right shape is a nested-loop
+    // join with the SMALL query side broadcast and the corpus streamed
+    assert(plan.contains("BroadcastNestedLoopJoin BuildRight"),
+      s"expected query-side broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"corpus must not shuffle for the scoring join:\n$plan")
+  }
+
+  test("doc_fingerprint is computed without explode or window operators") {
+    // the winnowing minima are per-row array transforms: one map stage,
+    // no ~10x-corpus explode pushed through an exchange
+    val plan = TextAnalysis.docFingerprint(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"), s"no explode expected:\n$plan")
+    assert(!plan.contains("RunningWindowFunction") && !plan.contains("Window "),
+      s"no window operator expected:\n$plan")
+  }
+
+  test("frequent-band cap bounds the LSH self-join input by construction") {
+    // the band table feeding the self-join must carry the bucket-size
+    // filter (bn <= cap) below the join
+    val plan = Dedup.nearDupPairs(docs, Dedup.wordGrams(docs),
+      Dedup.wordShingles, 0.7).queryExecution.optimizedPlan.toString
+    assert(plan.contains("<= 64"), s"expected band cap filter in:\n$plan")
+  }
+}
