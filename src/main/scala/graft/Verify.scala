@@ -28,11 +28,28 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val sc = spark.sparkContext
+    val timeoutSec = sys.env.getOrElse("GRAFT_QUERY_TIMEOUT", "240").toLong
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      // per-query watchdog (same pattern as Bench): one wedged query must
+      // cost the correctness run one result, not the whole artifact
+      val task = new java.util.concurrent.FutureTask[Unit](() => {
+        sc.setJobGroup(name, name, interruptOnCancel = true)
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        finally sc.clearJobGroup()
+      })
+      val th = new Thread(task, s"verify-$name")
+      th.setDaemon(true)
+      th.start()
+      try task.get(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          sc.cancelJobGroup(name)
+          System.err.println(s"[verify] $name timed out after ${timeoutSec}s")
+        case e: Throwable =>
+          val c = if (e.getCause != null) e.getCause else e
+          System.err.println(s"[verify] $name failed: ${c.getMessage}")
       }
       finally spark.catalog.clearCache()
     }
