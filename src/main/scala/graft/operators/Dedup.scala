@@ -30,42 +30,48 @@ object Dedup {
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper"))
       .orderBy("text_hash")
 
-  /** doc_id + distinct word-3-gram shingles (docs with ≥3 tokens). */
-  def wordShingles(docs: DataFrame): DataFrame = {
-    val w = regexp_extract_all(lower(col("text")), lit(WordCount.TokenPattern), lit(0))
-    docs.select(col("doc_id"), w.as("w"))
-      .filter(size(col("w")) >= 3)
-      .select(col("doc_id"),
-        array_distinct(transform(
-          sequence(lit(1), size(col("w")) - 2),
-          i => concat_ws(" ",
-            element_at(col("w"), i),
-            element_at(col("w"), i + 1),
-            element_at(col("w"), i + 2)))).as("sh"))
-  }
-
-  /** doc_id + distinct character-12-gram shingles (docs with ≥12 chars).
-    * Long grams keep the random-pair jaccard near zero even on a small
-    * vocabulary — short grams (5) made every doc pair collide in LSH. */
-  def charShingles(docs: DataFrame): DataFrame =
-    docs.filter(length(col("text")) >= 12)
-      .select(col("doc_id"),
-        expr("array_distinct(transform(sequence(1, length(lower(text)) - 11), " +
-          "i -> substring(lower(text), i, 12)))").as("sh"))
+  /** Word-token stream with per-doc positions: the token array is
+    * exploded ONCE per document. The array-building alternative
+    * (transform over sequence with element_at(w, i)) is a trap: after
+    * project-collapse Catalyst inlines the `w` alias into every
+    * element_at, re-running the full-text regexp ~3x PER SHINGLE
+    * (measured: the gram stream alone cost 8-10 s at sf0.1 — more than
+    * the rest of the near-dup pipeline combined). */
+  private def wordTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      posexplode(regexp_extract_all(lower(col("text")),
+        lit(WordCount.TokenPattern), lit(0))).as(Seq("pos", "tok")))
 
   /** Word-3-gram occurrences as a flat (doc_id, g) stream (multiset —
-    * MinHash's per-doc MIN is identical over multiset and set). */
-  def wordGrams(docs: DataFrame): DataFrame =
-    wordShingles(docs).select(col("doc_id"), explode(col("sh")).as("g"))
+    * MinHash's per-doc MIN is identical over multiset and set). Grams
+    * come from lead() over the token stream; the window clusters on
+    * doc_id, which the scan is already spread-partitioned by, so this
+    * costs a per-partition sort and NO exchange. */
+  def wordGrams(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    wordTokens(docs)
+      .select(col("doc_id"),
+        concat(col("tok"), lit(" "), lead(col("tok"), 1).over(w),
+          lit(" "), lead(col("tok"), 2).over(w)).as("g"))
+      .filter(col("g").isNotNull)  // concat is null when a lead ran out
+  }
 
-  /** Char-12-gram occurrences via exploded positions: substring stays in
-    * whole-stage codegen; no per-doc array is ever built on this path. */
+  /** Char-12-gram occurrences via exploded positions: one lower() per
+    * doc (carried through the Generate), substring per gram. Long grams
+    * keep the random-pair jaccard near zero even on a small vocabulary —
+    * short grams (5) made every doc pair collide in LSH. */
   def charGrams(docs: DataFrame): DataFrame =
     docs.filter(length(col("text")) >= 12)
       .select(col("doc_id"), lower(col("text")).as("t"))
       .select(col("doc_id"), col("t"),
         explode(sequence(lit(1), length(col("t")) - 11)).as("pos"))
       .select(col("doc_id"), expr("substring(t, pos, 12)").as("g"))
+
+  /** Distinct shingle sets built FROM a gram stream (collect_set) — used
+    * only for candidate docs in the jaccard verification, so the fat
+    * arrays exist solely for the near-dup neighborhood. */
+  def shingleSets(grams: DataFrame): DataFrame =
+    grams.groupBy("doc_id").agg(collect_set(col("g")).as("sh"))
 
   /** MinHash signatures from a flat gram stream: 8 hashes from two md5
     * digests per gram (64 hex chars → 8 chunks of 8; lexicographic min on
@@ -107,7 +113,7 @@ object Dedup {
     * boilerplate-heavy corpus), so nothing here is force-broadcast;
     * runtime stats (AQE) may still choose broadcast when genuinely small. */
   def nearDupPairs(docs: DataFrame, grams: DataFrame,
-      mkSets: DataFrame => DataFrame, threshold: Double,
+      mkGrams: DataFrame => DataFrame, threshold: Double,
       maxBand: Int = MaxBandBucket): DataFrame = {
     val wBand = Window.partitionBy(col("band"))
     val b = bands(minhashes(grams))
@@ -121,7 +127,7 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candIds = cand.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
-    val sets = mkSets(docs.join(candIds, Seq("doc_id"), "left_semi"))
+    val sets = shingleSets(mkGrams(docs.join(candIds, Seq("doc_id"), "left_semi")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val jac = sets.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
       .join(cand, "doc_a")

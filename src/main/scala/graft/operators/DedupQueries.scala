@@ -87,14 +87,14 @@ object DedupQueries {
     QueryDef("near_dup_minhash",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        Dedup.nearDupPairs(docs, Dedup.wordGrams(docs), Dedup.wordShingles, 0.7)
+        Dedup.nearDupPairs(docs, Dedup.wordGrams(docs), Dedup.wordGrams, 0.7)
       },
       Some(nearDupSql(wordShinglesCte, 0.7))),
 
     QueryDef("near_dup_ngram",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        Dedup.nearDupPairs(docs, Dedup.charGrams(docs), Dedup.charShingles, 0.6)
+        Dedup.nearDupPairs(docs, Dedup.charGrams(docs), Dedup.charGrams, 0.6)
       },
       Some(nearDupSql(charShinglesCte, 0.6))),
 

@@ -17,7 +17,7 @@ class DedupSimilaritySpec extends SparkSpec {
   }
 
   private def wordNearDups(threshold: Double) =
-    Dedup.nearDupPairs(docs, Dedup.wordGrams(docs), Dedup.wordShingles, threshold)
+    Dedup.nearDupPairs(docs, Dedup.wordGrams(docs), Dedup.wordGrams, threshold)
 
   test("minhash LSH finds the planted near-dup pairs (jaccard >= 0.7)") {
     val pairs = wordNearDups(0.7)
@@ -49,7 +49,7 @@ class DedupSimilaritySpec extends SparkSpec {
     val small = Seq((100L, "entirely different pair text alpha beta gamma"),
                     (101L, "entirely different pair text alpha beta gamma"))
     val d = (viral ++ small).toDF("doc_id", "text")
-    val pairs = Dedup.nearDupPairs(d, Dedup.wordGrams(d), Dedup.wordShingles, 0.7)
+    val pairs = Dedup.nearDupPairs(d, Dedup.wordGrams(d), Dedup.wordGrams, 0.7)
       .select("doc_a", "doc_b").as[(Long, Long)].collect()
     assert(pairs.toSet == Set((100L, 101L)),
       s"expected only the small cluster pair, got ${pairs.length} pairs")

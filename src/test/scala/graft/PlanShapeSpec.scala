@@ -15,7 +15,7 @@ class PlanShapeSpec extends SparkSpec {
     // candidate-pair and shingle-set sizes are unbounded at scale; the
     // operator must leave join strategy to stats, never force broadcast
     val plan = Dedup.nearDupPairs(docs, Dedup.wordGrams(docs),
-      Dedup.wordShingles, 0.7).queryExecution.analyzed.toString
+      Dedup.wordGrams, 0.7).queryExecution.analyzed.toString
     assert(!plan.toLowerCase.contains("hint"),
       s"near-dup must not force join strategies:\n$plan")
   }
@@ -45,7 +45,7 @@ class PlanShapeSpec extends SparkSpec {
     // the band table feeding the self-join must carry the bucket-size
     // filter (bn <= cap) below the join
     val plan = Dedup.nearDupPairs(docs, Dedup.wordGrams(docs),
-      Dedup.wordShingles, 0.7).queryExecution.optimizedPlan.toString
+      Dedup.wordGrams, 0.7).queryExecution.optimizedPlan.toString
     assert(plan.contains("<= 64"), s"expected band cap filter in:\n$plan")
   }
 }
