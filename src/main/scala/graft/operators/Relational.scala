@@ -231,6 +231,37 @@ object Relational {
       .orderBy("month")
   }
 
+  /** Ordered string aggregation (LISTAGG/STRING_AGG): nation names per
+    * region, sorted then joined — the deterministic formulation
+    * (array_sort before join) that any engine reproduces exactly. */
+  def nationsPerRegion(s: SparkSession, d: String): DataFrame =
+    Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        count(lit(1)).as("n_nations"),
+        array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"))
+      .orderBy("r_name")
+
+  /** SQL-API surface with a correlated scalar subquery (TPC-H Q17
+    * pattern): lineitems below 50% of their part's average quantity.
+    * Catalyst decorrelates this into an aggregate + join — the point is
+    * that the SQL entry point plans identically to the DataFrame one. */
+  def belowAvgQuantity(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+    s.sql(
+      """SELECT l_partkey,
+        |       CAST(count(*) AS BIGINT) AS n_below,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_below
+        |FROM lineitem_v l1
+        |WHERE l_quantity < (SELECT 0.5 * avg(l_quantity)
+        |                    FROM lineitem_v l2
+        |                    WHERE l2.l_partkey = l1.l_partkey)
+        |GROUP BY l_partkey
+        |ORDER BY l_partkey""".stripMargin)
+  }
+
   /** Set operations: nation keys with customers vs with suppliers,
     * INTERSECT / EXCEPT / UNION, tagged into one result. */
   def nationSetOps(s: SparkSession, d: String): DataFrame = {

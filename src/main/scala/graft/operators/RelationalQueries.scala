@@ -102,6 +102,23 @@ object RelationalQueries {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
     QueryDef("agg_approx_distinct", Relational.approxDistinct, None),
 
+    QueryDef("string_agg_regions", Relational.nationsPerRegion, Some(
+      """SELECT r_name, count(*) AS n_nations,
+        |       string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+
+    QueryDef("below_avg_quantity", Relational.belowAvgQuantity, Some(
+      """SELECT l_partkey,
+        |       CAST(count(*) AS BIGINT) AS n_below,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_below
+        |FROM lineitem l1
+        |WHERE l_quantity < (SELECT 0.5 * avg(l_quantity)
+        |                    FROM lineitem l2
+        |                    WHERE l2.l_partkey = l1.l_partkey)
+        |GROUP BY l_partkey
+        |ORDER BY l_partkey""".stripMargin)),
+
     QueryDef("agg_percentiles", Relational.percentilesByFlag, Some(
       """SELECT l_returnflag,
         |  round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,

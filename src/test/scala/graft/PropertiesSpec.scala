@@ -61,4 +61,18 @@ class PropertiesSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().toSeq
     assert(base == alt)
   }
+
+  test("a failed task attempt is retried and the job completes (reference O16)") {
+    // the reference re-queues a chunk when its worker misses the 20 s
+    // deadline (coordinator/coordinator.py timeout loop); Spark's analogue
+    // is task retry under spark.task.maxFailures (local[4, 2] in tests).
+    // Inject one first-attempt failure; the retry must finish the job.
+    val rdd = spark.sparkContext.parallelize(1 to 100, 4).mapPartitions { it =>
+      val ctx = org.apache.spark.TaskContext.get()
+      if (ctx.partitionId() == 2 && ctx.attemptNumber() == 0)
+        throw new RuntimeException("injected first-attempt failure")
+      it
+    }
+    assert(rdd.sum() == 5050.0)
+  }
 }

@@ -6,7 +6,9 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Shared session for all suites (one JVM under Test/fork). */
 object SparkSpec {
   lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
+    // local[4, 2]: maxFailures=2 so the fault-tolerance spec can observe
+    // a task RETRY (plain local[4] fails the job on first task failure)
+    .master("local[4, 2]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
