@@ -124,6 +124,23 @@ object Temporal {
       .agg(count(lit(1)).as("n"), sumD(col("value")).as("sum_value"))
       .orderBy("k_bucket")
 
+  /** Map-typed semi-structured path: props parsed to MapType with
+    * from_json, exploded to key/value rows by the map generator, then
+    * aggregated per key. (get_json_object covers single-key extraction —
+    * jsonProps; this is the generic all-keys surface.) */
+  def propsMapStats(events: DataFrame): DataFrame =
+    events
+      .select(explode(from_json(col("props"),
+          org.apache.spark.sql.types.DataType.fromDDL("map<string,string>")))
+        .as(Seq("key", "value")))
+      .groupBy("key")
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("value")).as("n_values"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .orderBy("key")
+
   /** Daily × event-type pivot (counts; absent combinations = 0). */
   def dailyTypePivot(events: DataFrame): DataFrame = {
     val types = Seq("click", "error", "purchase", "signup", "view")

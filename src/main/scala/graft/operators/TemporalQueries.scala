@@ -106,6 +106,17 @@ object TemporalQueries {
            |SELECT k % 10 AS k_bucket, count(*) AS n, $sumValue AS sum_value
            |FROM t GROUP BY 1 ORDER BY k_bucket""".stripMargin)),
 
+    QueryDef("props_map_stats",
+      (s, d) => Temporal.propsMapStats(Tables.events(s, d)), Some(
+        """WITH kv AS (
+          |  SELECT unnest(json_keys(props)) AS key,
+          |         json_extract_string(props, '$.' || unnest(json_keys(props))) AS value
+          |  FROM events)
+          |SELECT key, count(*) AS n,
+          |  CAST(count(DISTINCT value) AS BIGINT) AS n_values,
+          |  min(value) AS min_value, max(value) AS max_value
+          |FROM kv GROUP BY key ORDER BY key""".stripMargin)),
+
     QueryDef("daily_type_pivot",
       (s, d) => Temporal.dailyTypePivot(Tables.events(s, d)), Some(
         """SELECT date_trunc('day', ts) AS day,
