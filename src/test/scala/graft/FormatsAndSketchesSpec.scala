@@ -19,6 +19,15 @@ class FormatsAndSketchesSpec extends SparkSpec {
     assert(back.exceptAll(cust).count() == 0)
   }
 
+  test("ORC round-trip preserves the orders table") {
+    val dir = Files.createTempDirectory("graft-orc").toString + "/o"
+    val orders = Tables.orders(spark, sf0001)
+    orders.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.count() == orders.count())
+    assert(back.exceptAll(orders).count() == 0)
+  }
+
   test("JSON round-trip preserves word counts (reference O11 shape, JSON-lines)") {
     val dir = Files.createTempDirectory("graft-json").toString + "/w"
     val counts = graft.operators.WordCount.tokenCounts(Tables.documents(spark, sf0001))

@@ -62,6 +62,16 @@ class PropertiesSpec extends SparkSpec {
     assert(base == alt)
   }
 
+  test("null and empty text flow through the text pipelines without errors") {
+    val d = Seq((1L, "the quick brown fox jumps"), (2L, null), (3L, ""), (4L, "ab"))
+      .toDF("doc_id", "text")
+    // null/empty/short docs simply contribute no rows — no NPEs anywhere
+    assert(operators.Dedup.wordGrams(d).count() == 3)   // 5 tokens → 3 grams
+    assert(operators.Dedup.charGrams(d).count() == 14)  // 25 chars → 14 grams
+    assert(operators.TextAnalysis.docFingerprint(d).count() == 1)
+    assert(operators.Dedup.exactDedup(d).count() == 4)  // null hashes to null group
+  }
+
   test("a failed task attempt is retried and the job completes (reference O16)") {
     // the reference re-queues a chunk when its worker misses the 20 s
     // deadline (coordinator/coordinator.py timeout loop); Spark's analogue
