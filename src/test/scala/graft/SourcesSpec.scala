@@ -23,6 +23,21 @@ class SourcesSpec extends SparkSpec {
     assert(p1 == p2 && Files.readString(p2) == "hello ingest")
   }
 
+  test("gzip-compressed text reads transparently with line splits intact") {
+    // 100 TB corpora ship compressed; Spark's text source decompresses
+    // .gz per file (not splittable — one task per file, the spread()
+    // rationale applies to compressed single files too)
+    val dir = Files.createTempDirectory("graft-gz")
+    val gz = dir.resolve("corpus.txt.gz")
+    val out = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(gz))
+    out.write("alpha beta\ngamma\ndelta epsilon zeta\n".getBytes("UTF-8"))
+    out.close()
+    val lines = TextIngest.readLines(spark, dir.toString)
+    assert(lines.count() == 3)
+    assert(WordCount.tokenCounts(lines.toDF("text")).count() == 6)
+  }
+
   private def makeZip(entries: (String, Array[Byte])*): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val zos = new ZipOutputStream(bos)
