@@ -2,9 +2,18 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 
-/** Driver-contract wiring for multimodal plumbing. `media_features` has
-  * no SQL oracle (the stub decoder is imperative) → rows-only check. */
+/** Driver-contract wiring for multimodal plumbing. The stub decoder's
+  * deterministic features are reproduced in SQL (the corpus is pure
+  * ASCII, so byte iteration == char iteration; list_reduce folds the
+  * same (sum*31+byte) & 0xffffff rolling checksum), making even the
+  * mapPartitions path hash-gated. */
 object MultimodalQueries {
+
+  private val checksumSql =
+    """CAST(list_reduce(list_prepend(0,
+      |  list_transform(range(1, length(text) + 1),
+      |    i -> ascii(substr(text, CAST(i AS INTEGER), 1)))),
+      |  (a, b) -> (a * 31 + b) % 16777216) AS BIGINT)""".stripMargin
   val defs: Seq[QueryDef] = Seq(
     QueryDef("media_meta",
       (s, d) => Multimodal.mediaMeta(Tables.documents(s, d)), Some(
@@ -25,6 +34,13 @@ object MultimodalQueries {
            |      ${Multimodal.FrameChars})) AS frame_sig
            |FROM f ORDER BY doc_id, frame_idx""".stripMargin)),
     QueryDef("media_features",
-      (s, d) => Multimodal.mediaFeatures(s, Tables.documents(s, d)), None),
+      (s, d) => Multimodal.mediaFeatures(s, Tables.documents(s, d)), Some(
+        s"""SELECT doc_id,
+           |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+           |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           |  $checksumSql AS checksum,
+           |  CASE WHEN length(text) > 0 THEN ascii(substr(text, 1, 1)) + 1 ELSE 1 END AS fake_width,
+           |  CASE WHEN length(text) > 1 THEN ascii(substr(text, 2, 1)) + 1 ELSE 1 END AS fake_height
+           |FROM documents ORDER BY doc_id""".stripMargin)),
   )
 }

@@ -231,6 +231,22 @@ object Relational {
       .orderBy("month")
   }
 
+  /** TPC-H Q18 pattern: large-volume orders — aggregate, HAVING-filter
+    * on the aggregate, then join back to the order header. The
+    * post-aggregation predicate cannot push below the groupBy; the
+    * order-header join happens only for surviving (rare) keys. */
+  def largeVolumeOrders(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sumD(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 250)
+    Tables.orders(s, d)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("total_qty"))
+      .orderBy("o_orderkey")
+  }
+
   /** Ordered string aggregation (LISTAGG/STRING_AGG): nation names per
     * region, sorted then joined — the deterministic formulation
     * (array_sort before join) that any engine reproduces exactly. */

@@ -102,6 +102,16 @@ object RelationalQueries {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
     QueryDef("agg_approx_distinct", Relational.approxDistinct, None),
 
+    QueryDef("q18_large_orders", Relational.largeVolumeOrders, Some(
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+        |SELECT o_orderkey, o_custkey, o_totalprice, total_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |ORDER BY o_orderkey""".stripMargin)),
+
     QueryDef("string_agg_regions", Relational.nationsPerRegion, Some(
       """SELECT r_name, count(*) AS n_nations,
         |       string_agg(n_name, ',' ORDER BY n_name) AS nations
