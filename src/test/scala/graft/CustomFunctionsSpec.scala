@@ -39,6 +39,48 @@ class CustomFunctionsSpec extends SparkSpec {
     assert(e.getMessage.contains("cosine_sim"))
   }
 
+  test("native lsh_bucket matches the composed sign-projection chain") {
+    import org.apache.spark.sql.Column
+    // rebuild the ±1 chain form the expression replaced, and require
+    // exact bucket equality (same IEEE sum order by construction)
+    def projChain(e: Column, j: Int): Column =
+      (1 to Similarity.Dim).map { i =>
+        val el = element_at(e, i).cast("double")
+        if (Similarity.lshSigns(j)(i - 1) > 0) el else -el
+      }.reduce(_ + _)
+    def chainBucket(e: Column): Column =
+      (0 until Similarity.LshPlanes).map(j =>
+        when(projChain(e, j) > 0, lit(1 << j)).otherwise(lit(0))).reduce(_ + _)
+    val emb = Tables.embeddings(spark, sf0001)
+    val both = emb.select(
+      GraftFunctions.lsh_bucket(spark, $"embedding", Similarity.LshPlanes).as("native"),
+      chainBucket($"embedding").as("chain"))
+    assert(both.filter($"native" =!= $"chain").count() == 0)
+  }
+
+  test("lsh_bucket interpreted eval agrees with codegen") {
+    val e = graft.functions.LshBucket(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array.fill(64)(0.25f),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      6)
+    val interpreted = e.eval(null).asInstanceOf[Int]
+    val viaQuery = Tables.embeddings(spark, sf0001).limit(1)
+      .select(GraftFunctions.lsh_bucket(spark,
+        array_repeat(lit(0.25f), 64), 6).as("b"))
+      .as[Int].head()
+    assert(interpreted == viaQuery)
+  }
+
+  test("lsh_bucket rejects non-float-array inputs at analysis time") {
+    GraftFunctions.register(spark)
+    Tables.documents(spark, sf0001).limit(1).createOrReplaceTempView("doc_lsh")
+    val e = intercept[Exception] {
+      spark.sql("SELECT lsh_bucket(text) FROM doc_lsh").collect()
+    }
+    assert(e.getMessage.contains("lsh_bucket"))
+  }
+
   test("TopKAggregator matches Window+row_number top-3 per customer") {
     val orders = Tables.orders(spark, sf0001)
     val viaAgg = orders
