@@ -46,6 +46,16 @@ object EventsStream {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"))
 
+  /** Streaming exact deduplication: dropDuplicatesWithinWatermark keeps
+    * the first occurrence of each event_id; dedup state is evicted once
+    * the watermark passes — the streaming counterpart of batch
+    * Dedup.exactDedup, and the standard at-least-once → effectively-once
+    * repair for replayed sources at scale. */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Watermarked stream-stream interval join: each purchase matched to
     * the same user's signups within the preceding 7 days. Both sides
     * carry watermarks and the join condition bounds event time, so state

@@ -122,6 +122,24 @@ class TemporalStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops replayed events within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val streamDf = mem.toDF().toDF("event_id", "ts")
+    val q = EventsStream.toMemorySink(
+      EventsStream.dedupEvents(streamDf), "dedupstream").start()
+    try {
+      val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+      mem.addData((1L, t0), (2L, t0), (1L, t0))       // in-batch replay
+      q.processAllAvailable()
+      mem.addData((2L, t0), (3L, t0))                 // cross-batch replay
+      q.processAllAvailable()
+      val ids = spark.table("dedupstream")
+        .select($"event_id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L), s"got ${ids.toSeq}")
+    } finally q.stop()
+  }
+
   test("stateful running totals accumulate across two micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Double)]
