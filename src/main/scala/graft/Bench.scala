@@ -75,6 +75,13 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("GRAFT_AQE", "false"))
+      // The generated-class cache defaults to 100 entries; this suite's 52
+      // queries compile several codegen units each, so two sequential
+      // passes over a 100-entry LRU evict-and-recompile in BOTH passes —
+      // measured as the r2 sessionize "outlier" (15.6 s in both passes vs
+      // 0.97 s warm; the plan itself was innocent). Static conf: must be
+      // set before the first session is created.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       // a wedged broadcast must fail ONE query (and be recorded), not
       // hang the run until the driver's wall-clock cap kills everything
       .config("spark.sql.broadcastTimeout", "600")

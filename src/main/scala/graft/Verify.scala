@@ -20,6 +20,9 @@ object Verify {
       // keeps AQE off because per-stage re-planning roughly doubles
       // wall time at toy scale, which would misstate steady-state perf.
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("GRAFT_AQE", "true"))
+      // generated-class cache sized for the whole suite (default 100
+      // thrashes across 52 queries — see Bench.scala)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.broadcastTimeout", "600")
       .config("spark.executor.heartbeatInterval", "20s")
       .config("spark.network.timeout", "600s")

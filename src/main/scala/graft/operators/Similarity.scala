@@ -141,16 +141,33 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
+  /** Hot-bucket cap for the embedding near-dup self-join: a bucket
+    * larger than this is dropped before pairing (same frequent-bucket
+    * treatment as Dedup.MaxBandBucket). With 2^LshPlanes buckets the
+    * candidate count otherwise grows as N²/2^planes — at 100 TB one
+    * dense bucket emits billions of pairs on a single reducer. The cap
+    * bounds per-bucket candidates at B²/2 BY CONSTRUCTION; it is part of
+    * the operator's semantics and the oracle applies the identical cap.
+    * (The companion recall lever is more planes: planes ≈
+    * log2(N/targetBucket) keeps expected bucket size constant as the
+    * corpus grows, so the cap only ever trims pathological dense cells.) */
+  val MaxLshBucket = 512
+
   /** Embedding-cosine near-duplicates: same-LSH-bucket pairs with
     * rounded cosine >= threshold — completes the dedup taxonomy (exact,
     * MinHash+LSH, char-n-gram, SimHash, embedding-cosine). Scale shape:
     * the 6-bit bucket equi-join replaces the quadratic all-pairs cross
     * product (~64x candidate reduction); recall tunes via LshPlanes.
-    * Approximate by design, like any LSH near-dup pass. */
-  def embeddingNearDup(emb: DataFrame, threshold: Double): DataFrame = {
+    * Approximate by design, like any LSH near-dup pass. The bucket-size
+    * window provides the shuffle on bucket, so the self-join reuses that
+    * partitioning with no further exchange. */
+  def embeddingNearDup(emb: DataFrame, threshold: Double,
+      maxBucket: Int = MaxLshBucket): DataFrame = {
     val spark = emb.sparkSession
     val sig = emb.select(col("vec_id"), col("embedding"),
-      lshBucketCol(spark, col("embedding")).as("bucket"))
+        lshBucketCol(spark, col("embedding")).as("bucket"))
+      .withColumn("bn", count(lit(1)).over(Window.partitionBy(col("bucket"))))
+      .filter(col("bn") <= maxBucket).drop("bn")
     sig.as("x").join(sig.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),

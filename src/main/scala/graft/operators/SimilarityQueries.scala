@@ -53,7 +53,11 @@ object SimilarityQueries {
        |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
 
   private val nearDupEmbSql =
-    s"""WITH s AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings)
+    s"""WITH s0 AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
+       |s AS (
+       |  SELECT vec_id, embedding, bucket FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY bucket) AS bn FROM s0)
+       |  WHERE bn <= ${Similarity.MaxLshBucket})
        |SELECT vec_a, vec_b, cos_sim FROM (
        |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
        |         round(${cosSql("x.embedding", "y.embedding")}, 6) AS cos_sim

@@ -89,6 +89,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(nd.forall(p => buckets(p._1) == buckets(p._2)))
   }
 
+  test("embedding near-dup hot-bucket cap bounds candidates by construction") {
+    // 40 identical vectors land in ONE bucket; with maxBucket=16 that
+    // bucket (40 > 16) is dropped entirely — zero pairs instead of
+    // 40*39/2 — while a 3-vector cluster in its own bucket survives.
+    // This is the viral-band treatment from Dedup applied to embeddings.
+    val dim = Similarity.Dim
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(dim)(i => (math.sin(seed * 97.0 + i) + 1.5).toFloat)
+    // cool = -hot: every hyperplane projection flips sign, so the cool
+    // cluster is GUARANTEED a different bucket, and hot-cool cosine is -1
+    val hot = (0L until 40L).map(i => (i, vec(1)))
+    val cool = (100L until 103L).map(i => (i, vec(1).map(x => -x)))
+    val d = (hot ++ cool).toDF("vec_id", "embedding")
+    val capped = Similarity.embeddingNearDup(d, 0.9, maxBucket = 16)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect()
+    assert(capped.toSet == Set((100L, 101L), (100L, 102L), (101L, 102L)),
+      s"expected only the cool-cluster pairs, got ${capped.length} pairs")
+    val uncapped = Similarity.embeddingNearDup(d, 0.9, maxBucket = 1000)
+      .count()
+    assert(uncapped == 40L * 39 / 2 + 3, s"uncapped should see all pairs, got $uncapped")
+  }
+
   test("embedding stats: norms ≈ 1-ish and per-label counts sum to total") {
     val st = Similarity.embeddingStats(emb)
     val n = st.agg(sum("n_vectors")).as[Long].head()
