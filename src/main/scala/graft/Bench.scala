@@ -55,6 +55,39 @@ object Bench {
     }
   }
 
+  /** Per-query seconds from the newest committed BENCH_r{N}.json (or
+    * GRAFT_PREV_BENCH). The driver artifact wraps the bench's JSON line
+    * inside a "tail" log string, so look for "queries" at top level
+    * first, then for the {"metric":...} line inside "tail". Absent or
+    * unparsable history → empty map (first round, no diff). */
+  private def prevRoundTimes(): Map[String, Double] = try {
+    val path = sys.env.get("GRAFT_PREV_BENCH").orElse {
+      Option(new java.io.File(".").listFiles()).toSeq.flatten
+        .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+        .sortBy(f => f.getName.replaceAll("\\D", "").toInt)
+        .lastOption.map(_.getPath)
+    }
+    path.map { p =>
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = om.readTree(new java.io.File(p))
+      val qnode =
+        if (root.has("queries")) root.get("queries")
+        else if (root.has("tail")) {
+          val line = root.get("tail").asText().linesIterator
+            .flatMap(l => {
+              val i = l.indexOf("{\"metric\":")
+              if (i >= 0) Some(l.substring(i)) else None
+            }).toSeq.lastOption.getOrElse("{}")
+          om.readTree(line).path("queries")
+        } else om.createObjectNode()
+      val it = qnode.fields()
+      val b = Map.newBuilder[String, Double]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble(-1.0) }
+      b.result()
+    }.getOrElse(Map.empty)
+  } catch { case e: Throwable =>
+    System.err.println(s"[bench] no previous-round baseline: $e"); Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -157,7 +190,20 @@ object Bench {
     val errJson = errors.map { case (k, v) => s"\"$k\":\"$v\"" }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    // Per-query regression tracking: diff against the last committed
+    // round's bench artifact (driver-written BENCH_r{N}.json — per-query
+    // numbers live either at top level or inside its "tail" log string).
+    // A query is a regression if it is >1.5x its previous time AND the
+    // absolute delta is >0.25s (filters JVM noise on sub-second queries).
+    val prev: Map[String, Double] = prevRoundTimes()
+    val regressions = results.collect {
+      case (n, t) if t > 0 && prev.get(n).exists(p =>
+        p > 0 && t > p * 1.5 && t - p > 0.25) =>
+        n -> math.round(t / prev(n) * 100.0) / 100.0
+    }
+    val regJson = regressions.map { case (k, v) => s"\"$k\":$v" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"regressions":$regJson,"sf":"$sfDir"}""")
     spark.stop()
     // daemon worker threads may hold a wedged query; don't let them block exit
     sys.exit(0)

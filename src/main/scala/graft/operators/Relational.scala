@@ -224,6 +224,11 @@ object Relational {
     val monthly = Tables.orders(s, d)
       .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
       .agg(sumD(col("o_totalprice")).as("revenue"))
+    // GUARD: an unpartitioned Window.orderBy funnels ALL rows through ONE
+    // task — safe ONLY because the input is the already-aggregated
+    // monthly table (≤ a few hundred rows at any corpus size: one row per
+    // calendar month). Never copy this onto a per-row input; partition by
+    // a key (see every other window in this repo) or pre-aggregate first.
     val w = Window.orderBy(col("month"))
     monthly
       .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))

@@ -86,23 +86,109 @@ object EventsStream {
     df.writeStream.outputMode(OutputMode.Append).format("memory").queryName(name)
 
   /** Per-user running aggregates via mapGroupsWithState — the custom
-    * stateful-operator surface (timeout-driven eviction at scale). */
-  case class UserEvent(user_id: Long, value: Double)
+    * stateful-operator surface. State is evicted by an EVENT-TIME idle
+    * timeout: once the watermark passes a user's last activity plus
+    * `idleMs`, the state is removed (the function re-emits the final
+    * snapshot on eviction), so state size tracks the ACTIVE user set,
+    * not the all-time user cardinality — the difference between bounded
+    * and unbounded state at 100 TB. A user reappearing after eviction
+    * restarts from zero. Event-time (not processing-time) eviction keeps
+    * replays deterministic — and processing-time timeouts make the
+    * micro-batch engine run no-data batches continuously (its
+    * shouldRunAnotherBatch is unconditionally true), a busy loop that
+    * also never signals processAllAvailable. */
+  case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class UserTotal(user_id: Long, n: Long, total: Double)
 
-  def runningUserTotals(spark: SparkSession, events: DataFrame): DataFrame = {
+  def runningUserTotals(spark: SparkSession, events: DataFrame,
+      idleMs: Long = 60L * 60 * 1000): DataFrame = {
     import spark.implicits._
-    events.select(col("user_id"), col("value")).as[UserEvent]
+    events.select(col("user_id"), col("ts"), col("value")).as[UserEvent]
+      .withWatermark("ts", "10 minutes")
       .groupByKey(_.user_id)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+      .mapGroupsWithState(GroupStateTimeout.EventTimeTimeout()) {
         (uid: Long, rows: Iterator[UserEvent], state: GroupState[UserTotal]) =>
-          val prev = state.getOption.getOrElse(UserTotal(uid, 0L, 0.0))
-          var n = prev.n
-          var total = prev.total
-          rows.foreach { e => n += 1; total += e.value }
-          val next = UserTotal(uid, n, total)
-          state.update(next)
-          next
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            last // final flush for downstream consumers; state is gone
+          } else {
+            val prev = state.getOption.getOrElse(UserTotal(uid, 0L, 0.0))
+            var n = prev.n
+            var total = prev.total
+            var maxTs = Long.MinValue
+            rows.foreach { e =>
+              n += 1; total += e.value
+              maxTs = math.max(maxTs, e.ts.getTime)
+            }
+            val next = UserTotal(uid, n, total)
+            state.update(next)
+            // timeout must sit beyond the current watermark; a late
+            // batch for an already-quiet user evicts on the next advance
+            state.setTimeoutTimestamp(
+              math.max(maxTs + idleMs, state.getCurrentWatermarkMs() + 1))
+            next
+          }
+      }.toDF()
+  }
+
+  /** Gap-sessionization as a CUSTOM stateful operator —
+    * flatMapGroupsWithState with an EVENT-TIME timeout. Semantically
+    * identical to batch Temporal.sessionize (inclusive 30-min gap: an
+    * event exactly gap after the previous one merges) and to the native
+    * session_window streaming form, but with the state machine explicit:
+    * per-user open-session state in the state store, a session closing
+    * either when a later event arrives past the gap (emitted in-batch) or
+    * when the watermark passes session_end + gap (timeout path — state
+    * removed, session emitted). This is the production-idiomatic shape
+    * for custom session logic the built-in operator can't express. */
+  case class SessEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  // public: the state encoder's generated code instantiates it reflectively
+  case class OpenSession(startMs: Long, endMs: Long, n: Long, total: Double)
+  case class SessionRow(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
+
+  def sessionizeStateful(spark: SparkSession, events: DataFrame,
+      gapMs: Long = 30L * 60 * 1000): DataFrame = {
+    import spark.implicits._
+    def emit(uid: Long, s: OpenSession) = SessionRow(uid,
+      new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.endMs),
+      s.n, s.total)
+    events.select(col("user_id"), col("ts"), col("value")).as[SessEvent]
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[SessEvent], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            Iterator(emit(uid, last))
+          } else {
+            // iterator order within a group is not guaranteed; a group's
+            // per-batch rows are sorted here (bounded by batch size, not
+            // by history — state carries only the open session)
+            val sorted = rows.toArray.sortBy(_.ts.getTime)
+            val closed = Seq.newBuilder[SessionRow]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.endMs <= gapMs =>
+                  cur = Some(OpenSession(s.startMs, math.max(s.endMs, t),
+                    s.n + 1, s.total + e.value))
+                case Some(s) =>
+                  closed += emit(uid, s)
+                  cur = Some(OpenSession(t, t, 1L, e.value))
+                case None =>
+                  cur = Some(OpenSession(t, t, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.endMs + gapMs)
+            }
+            closed.result().iterator
+          }
       }.toDF()
   }
 }

@@ -48,4 +48,19 @@ class PlanShapeSpec extends SparkSpec {
       Dedup.wordGrams, 0.7).queryExecution.optimizedPlan.toString
     assert(plan.contains("<= 64"), s"expected band cap filter in:\n$plan")
   }
+
+  test("every window in every registered query is partitioned (one allowed exception)") {
+    // an unpartitioned window = ALL rows through one task. The single
+    // exception is window_monthly_lag, whose input is pre-aggregated to
+    // one row per calendar month (guard-commented at the definition).
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val offenders = SparkEntry.registry.flatMap { q =>
+      val plan = q.fn(spark, sf0001).queryExecution.optimizedPlan
+      plan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => q.name
+      }
+    }.distinct
+    assert(offenders.forall(_ == "window_monthly_lag"),
+      s"unpartitioned windows outside the allowed exception: $offenders")
+  }
 }

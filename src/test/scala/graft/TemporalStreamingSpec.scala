@@ -142,18 +142,78 @@ class TemporalStreamingSpec extends SparkSpec {
 
   test("stateful running totals accumulate across two micro-batches") {
     implicit val sqlCtx = spark.sqlContext
-    val mem = MemoryStream[(Long, Double)]
-    val df = mem.toDF().toDF("user_id", "value")
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val df = mem.toDF().toDF("user_id", "ts", "value")
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
     val q = EventsStream.runningUserTotals(spark, df)
       .writeStream.outputMode("update").format("memory").queryName("totals").start()
     try {
-      mem.addData((1L, 2.0), (1L, 3.0), (2L, 1.0))
+      mem.addData((1L, t0, 2.0), (1L, t0, 3.0), (2L, t0, 1.0))
       q.processAllAvailable()
-      mem.addData((1L, 5.0))
+      mem.addData((1L, t0, 5.0))
       q.processAllAvailable()
       val u1 = spark.table("totals").filter($"user_id" === 1 && $"n" === 3)
         .select("total").as[Double].collect()
       assert(u1.headOption.contains(10.0), s"expected user 1 total 10.0 after 3 events")
+    } finally q.stop()
+  }
+
+  test("stateful running totals: idle state is evicted by the event-time timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val df = mem.toDF().toDF("user_id", "ts", "value")
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    def plus(h: Long) = new Timestamp(t0.getTime + h * 3600 * 1000)
+    val q = EventsStream.runningUserTotals(spark, df)  // idle = 1 hour
+      .writeStream.outputMode("update").format("memory").queryName("evict").start()
+    try {
+      mem.addData((1L, t0, 2.0), (1L, t0, 3.0))
+      q.processAllAvailable()               // user 1: n=2, total=5
+      mem.addData((2L, plus(48), 1.0))      // watermark jumps past t0+1h+delay
+      q.processAllAvailable()
+      mem.addData((2L, plus(49), 1.0))      // next batch fires user 1's timeout
+      q.processAllAvailable()
+      mem.addData((1L, plus(49), 7.0))      // user 1 re-appears POST-eviction
+      q.processAllAvailable()
+      val u1 = spark.table("evict").filter($"user_id" === 1)
+        .select($"n", $"total").as[(Long, Double)].collect().toSet
+      // n=1/total=7 proves the (n=2,total=5) state was REMOVED, not resumed
+      assert(u1.contains((1L, 7.0)), s"state not evicted: got $u1")
+      assert(u1.contains((2L, 5.0)), s"pre-eviction totals missing: got $u1")
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionization equals batch sessionize") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val df = mem.toDF().toDF("user_id", "ts", "value")
+    val q = EventsStream.sessionizeStateful(spark, df)
+      .writeStream.outputMode("append").format("memory").queryName("statesess").start()
+    try {
+      val rows = events.select($"user_id", $"ts", $"value")
+        .as[(Long, Timestamp, Double)].collect().toSeq
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      // flush: a far-future event (sentinel user) advances the watermark
+      // past every session_end + gap; the second batch fires the timeouts
+      val maxTs = rows.map(_._2.getTime).max
+      mem.addData((-1L, new Timestamp(maxTs + 86400000L), 0.0))
+      q.processAllAvailable()
+      mem.addData((-1L, new Timestamp(maxTs + 2 * 86400000L), 0.0))
+      q.processAllAvailable()
+      def key(u: Long, s: Timestamp, e: Timestamp, n: Long, v: Double) =
+        (u, s.getTime, e.getTime, n, math.round(v * 1000))
+      val got = spark.table("statesess").filter($"user_id" =!= -1L)
+        .select($"user_id", $"session_start", $"session_end", $"n_events", $"sum_value")
+        .as[(Long, Timestamp, Timestamp, Long, Double)].collect()
+        .map(r => key(r._1, r._2, r._3, r._4, r._5)).toSet
+      val batch = Temporal.sessionize(events)
+        .select($"user_id", $"session_start", $"session_end", $"n_events", $"sum_value")
+        .as[(Long, Timestamp, Timestamp, Long, Double)].collect()
+        .map(r => key(r._1, r._2, r._3, r._4, r._5)).toSet
+      assert(got == batch,
+        s"stateful sessions != batch: missing=${(batch -- got).take(3)} extra=${(got -- batch).take(3)}")
+      assert(got.nonEmpty)
     } finally q.stop()
   }
 }
