@@ -103,7 +103,11 @@ object Similarity {
     * ASC). At production scale the argmax folds into partial aggregation
     * (max_by) rather than a window; the window form is kept for its
     * explicit, engine-portable tie-break. */
-  def ivfAssign(emb: DataFrame, nCentroids: Int): DataFrame = {
+  /** Every vector scored against every centroid, ranked per vector by
+    * (rounded cosine DESC, centroid id ASC): rank 1 is the vector's home
+    * cell, ranks <= nprobe are a query's probe cells. One broadcast of
+    * the tiny centroid set, no corpus shuffle. */
+  private def ivfRanked(emb: DataFrame, nCentroids: Int): DataFrame = {
     val spark = emb.sparkSession
     val cents = emb.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
@@ -114,9 +118,12 @@ object Similarity {
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cent_id").asc)
     scored.withColumn("rn", row_number().over(w))
+  }
+
+  def ivfAssign(emb: DataFrame, nCentroids: Int): DataFrame =
+    ivfRanked(emb, nCentroids)
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
-  }
 
   /** IVF top-k: search restricted to the query's cell (nprobe=1). The
     * second of the two ANN scale paths (sign-LSH buckets being the
@@ -152,6 +159,41 @@ object Similarity {
     * log2(N/targetBucket) keeps expected bucket size constant as the
     * corpus grows, so the cap only ever trims pathological dense cells.) */
   val MaxLshBucket = 512
+
+  /** IVF top-k with MULTIPROBE: each query searches its `nprobe` nearest
+    * cells instead of only its home cell — the standard recall repair for
+    * coarse quantization (a query near a cell boundary has its true
+    * neighbors in the adjacent cell). Candidates are a superset of the
+    * nprobe=1 candidates BY CONSTRUCTION (probe cell ranks 1..nprobe
+    * include rank 1), so recall is monotonically >= ivfTopK's at nprobe x
+    * the scoring cost. Cell ranking is deterministic (rounded cosine
+    * DESC, centroid id ASC) so the oracle reproduces the exact probes;
+    * the probe list is an equi-join key — cells shuffle once, same plan
+    * shape as nprobe=1. */
+  def ivfTopKProbed(emb: DataFrame, nCentroids: Int, nQueries: Int, k: Int,
+      nprobe: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val ranked = ivfRanked(emb, nCentroids)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val assigned = ranked.filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+    val probes = ranked.filter(col("vec_id") < nQueries && col("rn") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("cent_id").as("qcell"))
+    val scored = assigned.join(probes,
+        col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        round(graft.functions.GraftFunctions.cosine_sim(
+          spark, col("qe"), col("embedding")), 6).as("cos_sim"))
+    // no dedup needed: a candidate lives in exactly ONE home cell and the
+    // probe cells per query are distinct, so each (query, cand) joins once
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("cand_id").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("cand_id"), col("cos_sim"))
+      .orderBy("query_id", "rnk")
+  }
 
   /** Embedding-cosine near-duplicates: same-LSH-bucket pairs with
     * rounded cosine >= threshold — completes the dedup taxonomy (exact,

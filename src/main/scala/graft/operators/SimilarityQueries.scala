@@ -87,6 +87,32 @@ object SimilarityQueries {
        |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, cand_id, cos_sim FROM r
        |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
 
+  /** Multiprobe IVF (nprobe=2): same ranked-centroid CTE; queries take
+    * probe cells rn <= 2, candidates keep their rn = 1 home cell. */
+  private val annIvfMultiprobeSql =
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS ce FROM embeddings WHERE vec_id < 8),
+       |sc AS (
+       |  SELECT e.vec_id, e.embedding, c.cent_id,
+       |         round(${cosSql("e.embedding", "c.ce")}, 6) AS ccos
+       |  FROM embeddings e CROSS JOIN cents c),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |           ORDER BY ccos DESC, cent_id ASC) AS rn FROM sc),
+       |asg AS (
+       |  SELECT vec_id, embedding, cent_id AS cell FROM ranked WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, embedding AS qe, cent_id AS qcell
+       |  FROM ranked WHERE vec_id < 16 AND rn <= 2),
+       |p AS (SELECT query_id, a.vec_id AS cand_id,
+       |        round(${cosSql("qe", "a.embedding")}, 6) AS cos_sim
+       |      FROM asg a JOIN probes ON a.cell = qcell AND a.vec_id != query_id),
+       |r AS (SELECT query_id, cand_id, cos_sim,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rnk
+       |      FROM p)
+       |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, cand_id, cos_sim FROM r
+       |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+
   private val embStatsSql =
     s"""SELECT label, count(*) AS n_vectors,
        |  CAST(sum(CAST(round(sqrt(${norm2Sql("embedding")}), 6) AS DECIMAL(18,6))) AS DOUBLE)
@@ -103,6 +129,9 @@ object SimilarityQueries {
     QueryDef("ann_ivf_topk",
       (s, d) => Similarity.ivfTopK(Tables.embeddings(s, d), 8, 16, 3),
       Some(annIvfSql)),
+    QueryDef("ann_ivf_multiprobe",
+      (s, d) => Similarity.ivfTopKProbed(Tables.embeddings(s, d), 8, 16, 3, 2),
+      Some(annIvfMultiprobeSql)),
     QueryDef("near_dup_embedding",
       (s, d) => Similarity.embeddingNearDup(Tables.embeddings(s, d), 0.35),
       Some(nearDupEmbSql)),

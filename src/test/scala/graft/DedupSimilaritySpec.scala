@@ -111,6 +111,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(uncapped == 40L * 39 / 2 + 3, s"uncapped should see all pairs, got $uncapped")
   }
 
+  test("IVF multiprobe: candidates superset of nprobe=1, recall >= nprobe=1") {
+    val k = 3
+    val truth = Similarity.bruteForceTopK(emb, 16, k)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+      got.count(truth.contains).toDouble / truth.size
+    }
+    val r1 = recallOf(Similarity.ivfTopK(emb, 8, 16, k))
+    val r2 = recallOf(Similarity.ivfTopKProbed(emb, 8, 16, k, nprobe = 2))
+    assert(r2 >= r1, s"multiprobe recall $r2 < nprobe=1 recall $r1")
+    // probing 2 cells must also never SHRINK any query's result set
+    val n1 = Similarity.ivfTopK(emb, 8, 16, k).count()
+    val n2 = Similarity.ivfTopKProbed(emb, 8, 16, k, nprobe = 2).count()
+    assert(n2 >= n1, s"multiprobe returned fewer rows ($n2) than nprobe=1 ($n1)")
+  }
+
   test("embedding stats: norms ≈ 1-ish and per-label counts sum to total") {
     val st = Similarity.embeddingStats(emb)
     val n = st.agg(sum("n_vectors")).as[Long].head()
