@@ -140,6 +140,52 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Near-dup CLUSTER RESOLUTION: connected components over the
+    * near-dup pair graph, labeling every clustered doc with the min
+    * doc_id of its component (the canonical "keeper") — the step that
+    * turns pairwise matches into actual dedup decisions (keep one doc
+    * per cluster, drop the rest).
+    *
+    * Algorithm: Pregel-style min-label propagation — every iteration is
+    * one distributed join+groupBy (label flows across each edge), run
+    * until a fixpoint. Iteration count = component diameter; near-dup
+    * clusters are shallow (near-duplication is close to transitive), so
+    * a handful of rounds suffice even at 100 TB — the classic
+    * large-star/small-star variant would cut that to O(log d) if deep
+    * chains ever appeared. The driver-side loop only checks a scalar
+    * convergence count per round; all data stays distributed. */
+  def nearDupClusters(pairs: DataFrame): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // undirected edge list, both directions
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .persist(lvl)
+    var labels = edges.select(col("u").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .persist(lvl)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 50) {
+      iter += 1
+      // each doc takes min(own label, neighbors' labels)
+      val next = labels
+        .union(edges.join(labels, edges("u") === labels("doc_id"))
+          .select(edges("v").as("doc_id"), labels("label")))
+        .groupBy("doc_id").agg(min(col("label")).as("label"))
+        .persist(lvl)
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+    }
+    val sized = labels.groupBy("label")
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sized, "label")
+      .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
   /** 16-bit SimHash over token occurrences. Bit b is the sign of the sum
     * of ±1 votes, where the vote is bit (b%4) of hex nibble (b/4) of
     * md5(token) — engine-portable (ascii/shift/and only). */

@@ -78,6 +78,25 @@ object DedupQueries {
        |FROM sig ORDER BY doc_id""".stripMargin
   }
 
+  /** Connected components over the word-gram near-dup pairs via a
+    * recursive transitive closure: every clustered doc labeled with the
+    * min doc_id it can reach (= Spark's min-label fixpoint). */
+  private val clustersSql =
+    s"""WITH RECURSIVE prs AS (
+       |  SELECT doc_a, doc_b FROM (${nearDupSql(wordShinglesCte, 0.7)}) nd),
+       |ed AS (SELECT doc_a AS u, doc_b AS v FROM prs
+       |       UNION SELECT doc_b, doc_a FROM prs),
+       |rch AS (
+       |  SELECT u, v FROM ed
+       |  UNION
+       |  SELECT r.u, ed.v FROM rch r JOIN ed ON r.v = ed.u),
+       |lab AS (
+       |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+       |  FROM rch GROUP BY u),
+       |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id)
+       |SELECT doc_id, cluster_id, cluster_size FROM lab JOIN sz USING (cluster_id)
+       |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("dedup_exact",
       (s, d) => Dedup.exactDedup(Tables.documents(s, d)), Some(
@@ -100,5 +119,13 @@ object DedupQueries {
 
     QueryDef("simhash_docs",
       (s, d) => Dedup.simhashDocs(Tables.documents(s, d)), Some(simhashSql)),
+
+    QueryDef("dedup_clusters",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.nearDupClusters(
+          Dedup.nearDupPairs(docs, Dedup.wordGrams(docs), Dedup.wordGrams, 0.7))
+      },
+      Some(clustersSql)),
   )
 }

@@ -73,6 +73,56 @@ object TextAnalysis {
         round(col("bpe_tokens").cast("double") / col("n_docs").cast("double"), 6))
       .orderBy("source")
 
+  /** Deterministic train/val/test split: the first two hex nibbles of
+    * md5(doc_id) give a uniform 0-255 bucket, split 8/1/1 — the
+    * hash-based assignment every training pipeline needs (reproducible
+    * across runs/engines, no sampling state, stable under corpus
+    * append, trivially parallel). ascii-nibble math keeps the oracle
+    * bit-identical (same trick as SimHash). */
+  def trainValTestSplit(docs: DataFrame): DataFrame = {
+    val hex = md5(col("doc_id").cast("string"))
+    def nibble(i: Int): Column = {
+      val a = ascii(substring(hex, i + 1, 1))
+      a - when(a >= 97, lit(87)).otherwise(lit(48))
+    }
+    val bucket = (nibble(0) * 16 + nibble(1)).cast("long")
+    docs.select(col("doc_id"), bucket.as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 204, lit("train"))        // 204/256 ≈ 80%
+          .when(col("bucket") < 230, lit("val"))       //  26/256 ≈ 10%
+          .otherwise(lit("test")))
+      .select(col("doc_id"), col("split"))
+      .orderBy("doc_id")
+  }
+
+  /** Context-window PACKING: assign documents to fixed token-budget
+    * bins (the pretraining step that concatenates docs into
+    * context-length sequences). Docs are sharded by a hash of doc_id,
+    * ordered within the shard, and binned by the running token count:
+    * bin = floor(exclusive-cumsum / budget). Per-shard packing is the
+    * distributed form — a single global greedy pack is inherently
+    * sequential, while shards pack independently (one window sort per
+    * shard partition, no global sort) and waste at most one partial
+    * window per shard. Output: per-bin doc count and token mass. */
+  def packContexts(docs: DataFrame, nShards: Int = 16,
+      budget: Long = 8192): DataFrame = {
+    val tokens = docs.select(col("doc_id"),
+        size(filter(split(col("text"), "\\s+"), x => x =!= "")).cast("long").as("toks"))
+      .withColumn("shard", pmod(col("doc_id"), lit(nShards.toLong)))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    tokens
+      .withColumn("prior_toks", coalesce(sum(col("toks")).over(w), lit(0L)))
+      .withColumn("bin", floor(col("prior_toks") / lit(budget)))
+      .groupBy(col("shard"), col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("bin_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("shard", "bin")
+  }
+
   /** Winnowing-style fingerprints: md5 of char-5-grams, window-min over
     * 4 consecutive positions, per-doc distinct fingerprint stats.
     *

@@ -59,6 +59,44 @@ object TextAnalysisQueries {
           |       round(CAST(sum(bpe) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS avg_bpe_per_doc
           |FROM t GROUP BY source ORDER BY source""".stripMargin)),
 
+    QueryDef("train_val_test_split",
+      (s, d) => TextAnalysis.trainValTestSplit(Tables.documents(s, d)), Some(
+        """WITH h AS (
+          |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hex FROM documents),
+          |n AS (
+          |  SELECT doc_id,
+          |         ascii(substr(hex, 1, 1)) AS a0, ascii(substr(hex, 2, 1)) AS a1
+          |  FROM h),
+          |b AS (
+          |  SELECT doc_id,
+          |         (a0 - CASE WHEN a0 >= 97 THEN 87 ELSE 48 END) * 16 +
+          |         (a1 - CASE WHEN a1 >= 97 THEN 87 ELSE 48 END) AS bucket
+          |  FROM n)
+          |SELECT doc_id,
+          |       CASE WHEN bucket < 204 THEN 'train'
+          |            WHEN bucket < 230 THEN 'val' ELSE 'test' END AS split
+          |FROM b ORDER BY doc_id""".stripMargin)),
+
+    // budget 512 (not the 8192 production default) so the sf0.01 corpus
+    // actually spans several bins per shard and the cumsum binning is
+    // exercised, not vacuously bin 0
+    QueryDef("pack_contexts",
+      (s, d) => TextAnalysis.packContexts(Tables.documents(s, d), budget = 512), Some(
+        """WITH t AS (
+          |  SELECT doc_id,
+          |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS BIGINT) AS toks,
+          |    doc_id % 16 AS shard
+          |  FROM documents),
+          |c AS (
+          |  SELECT doc_id, shard, toks,
+          |         COALESCE(SUM(toks) OVER (PARTITION BY shard ORDER BY doc_id
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior_toks
+          |  FROM t)
+          |SELECT shard, CAST(FLOOR(prior_toks / 512) AS BIGINT) AS bin,
+          |       count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS bin_tokens,
+          |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+          |FROM c GROUP BY shard, bin ORDER BY shard, bin""".stripMargin)),
+
     QueryDef("doc_fingerprint",
       (s, d) => TextAnalysis.docFingerprint(Tables.documents(s, d)), Some(
         """WITH p AS (

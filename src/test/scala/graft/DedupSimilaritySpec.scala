@@ -55,6 +55,30 @@ class DedupSimilaritySpec extends SparkSpec {
       s"expected only the small cluster pair, got ${pairs.length} pairs")
   }
 
+  test("cluster resolution: chains resolve to min-id components") {
+    // pairs (1,2),(2,3) form a 2-hop chain — label 1 must PROPAGATE
+    // through 2 to 3 (one iteration is not enough); (10,11) is separate
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = Dedup.nearDupClusters(pairs)
+      .select("doc_id", "cluster_id", "cluster_size")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (10L, 10L, 2L), (11L, 10L, 2L)), s"got $got")
+  }
+
+  test("cluster resolution on real near-dup pairs: labels are component minima") {
+    val pairs = wordNearDups(0.7)
+    val clusters = Dedup.nearDupClusters(pairs)
+    val lab = clusters.select("doc_id", "cluster_id")
+      .as[(Long, Long)].collect().toMap
+    // every pair's two docs share a cluster, and each cluster id is a
+    // member of its own cluster (the canonical keeper)
+    pairs.select("doc_a", "doc_b").as[(Long, Long)].collect().foreach {
+      case (a, b) => assert(lab(a) == lab(b), s"pair ($a,$b) split across clusters")
+    }
+    lab.values.toSet.foreach { (c: Long) => assert(lab(c) == c, s"keeper $c not self-labeled") }
+  }
+
   test("simhash: near-identical docs land within hamming distance 4") {
     val nd = wordNearDups(0.9)
       .select("doc_a", "doc_b").as[(Long, Long)].collect()

@@ -72,6 +72,35 @@ class PropertiesSpec extends SparkSpec {
     assert(operators.Dedup.exactDedup(d).count() == 4)  // null hashes to null group
   }
 
+  test("train/val/test split is a deterministic partition with ~8/1/1 mass") {
+    val docs = Tables.documents(spark, sf0001)
+    val s1 = operators.TextAnalysis.trainValTestSplit(docs)
+    // partition: every doc assigned exactly once, stable across runs
+    assert(s1.count() == docs.count())
+    assert(s1.groupBy("doc_id").count().filter($"count" > 1).count() == 0)
+    val bys = s1.groupBy("split").count().as[(String, Long)].collect().toMap
+    val n = docs.count().toDouble
+    assert(bys("train") / n > 0.7 && bys("train") / n < 0.9, s"train share off: $bys")
+    assert(bys.keySet == Set("train", "val", "test"), s"got $bys")
+    val s2 = operators.TextAnalysis.trainValTestSplit(docs)
+      .as[(String, String)].collect().toSet
+    assert(s2 == s1.as[(String, String)].collect().toSet, "split not deterministic")
+  }
+
+  test("context packing conserves documents and token mass per shard") {
+    val docs = Tables.documents(spark, sf0001)
+    val packed = operators.TextAnalysis.packContexts(docs, nShards = 4, budget = 2048)
+    assert(packed.agg(sum("n_docs")).as[Long].head() == docs.count())
+    // bins are contiguous per shard: 0..max with none skipped
+    val gaps = packed.groupBy("shard")
+      .agg(max("bin").as("mx"), count(lit(1)).as("n"))
+      .filter($"mx" =!= $"n" - 1).count()
+    assert(gaps == 0, "bin ids must be contiguous per shard")
+    // each bin's token mass stays within budget + one straddling doc
+    val budgetBreak = packed.filter($"n_docs" > 1 && $"bin_tokens" > 2048 * 2).count()
+    assert(budgetBreak == 0, "a multi-doc bin overflowed far past the budget")
+  }
+
   test("a failed task attempt is retried and the job completes (reference O16)") {
     // the reference re-queues a chunk when its worker misses the 20 s
     // deadline (coordinator/coordinator.py timeout loop); Spark's analogue
