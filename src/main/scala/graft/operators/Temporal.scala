@@ -114,6 +114,37 @@ object Temporal {
       .orderBy("user_id", "event_id")
   }
 
+  /** Pure RANGE join (no equi key), bucketed: each purchase matched to
+    * ALL error events — any user's — within ±`windowMs`. The naive plan
+    * is a nested-loop theta join (O(|P|·|E|), the classic scale killer
+    * for proximity joins). Bucketing restores an equi key: both sides
+    * bucket time by floor(ms / windowMs); the error side explodes to its
+    * bucket ±1, so every true match shares a bucket copy (a pair within
+    * windowMs is within 1 bucket) and each pair joins AT MOST ONCE (the
+    * three exploded copies have distinct bucket ids). One shuffle on the
+    * bucket id, precise |Δt| <= windowMs filter after the join — the
+    * standard interval-bucketing rewrite that turns proximity search
+    * into a hash join at a 3x fan-out cost on one side. */
+  def purchasesNearErrors(events: DataFrame, windowMs: Long = 5L * 60 * 1000): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), unix_millis(col("ts")).as("p_ms"))
+      .withColumn("bucket", floor(col("p_ms") / lit(windowMs)))
+    val errors = events.filter(col("event_type") === "error")
+      .select(unix_millis(col("ts")).as("e_ms"))
+      .withColumn("b0", floor(col("e_ms") / lit(windowMs)))
+      .select(col("e_ms"),
+        explode(array(col("b0") - 1, col("b0"), col("b0") + 1)).as("bucket"))
+    purchases.join(errors,
+        Seq("bucket"), "left")
+      .withColumn("hit",
+        when(abs(col("p_ms") - col("e_ms")) <= windowMs, col("e_ms")))
+      .groupBy(col("event_id"))
+      .agg(
+        count(col("hit")).as("n_errors_nearby"),
+        min(abs(col("p_ms") - col("hit"))).as("nearest_error_ms"))
+      .orderBy("event_id")
+  }
+
   /** JSON property extraction + bucketed aggregation. */
   def jsonProps(events: DataFrame): DataFrame =
     events

@@ -117,6 +117,22 @@ object TemporalQueries {
           |  min(value) AS min_value, max(value) AS max_value
           |FROM kv GROUP BY key ORDER BY key""".stripMargin)),
 
+    // oracle is the NAIVE theta form (cross + conditional agg) — tiny at
+    // sf0.01; the Spark side is the bucketed equi-join rewrite, so this
+    // also proves the rewrite's semantics against the naive definition
+    QueryDef("purchases_near_errors",
+      (s, d) => Temporal.purchasesNearErrors(Tables.events(s, d)), Some(
+        """WITH p AS (
+          |  SELECT event_id, epoch_ms(ts) AS p_ms FROM events
+          |  WHERE event_type = 'purchase'),
+          |e AS (
+          |  SELECT epoch_ms(ts) AS e_ms FROM events WHERE event_type = 'error')
+          |SELECT p.event_id,
+          |  count(CASE WHEN abs(p_ms - e_ms) <= 300000 THEN 1 END) AS n_errors_nearby,
+          |  min(CASE WHEN abs(p_ms - e_ms) <= 300000 THEN abs(p_ms - e_ms) END) AS nearest_error_ms
+          |FROM p LEFT JOIN e ON TRUE
+          |GROUP BY p.event_id ORDER BY event_id""".stripMargin)),
+
     QueryDef("daily_type_pivot",
       (s, d) => Temporal.dailyTypePivot(Tables.events(s, d)), Some(
         """SELECT date_trunc('day', ts) AS day,

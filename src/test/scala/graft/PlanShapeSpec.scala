@@ -49,6 +49,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("<= 64"), s"expected band cap filter in:\n$plan")
   }
 
+  test("bucketed range join runs as an equi join, not a nested loop") {
+    // the whole point of the bucket rewrite: the proximity predicate
+    // must reach the executor as a hash/sort-merge equi join on bucket
+    val plan = graft.operators.Temporal.purchasesNearErrors(
+      Tables.events(spark, sf0001)).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join fell back to a nested loop:\n$plan")
+  }
+
   test("every window in every registered query is partitioned (one allowed exception)") {
     // an unpartitioned window = ALL rows through one task. The single
     // exception is window_monthly_lag, whose input is pre-aggregated to

@@ -39,6 +39,25 @@ class TemporalStreamingSpec extends SparkSpec {
     assert(f.filter(!$"converted" && $"n_purchases_after" > 0).count() == 0)
   }
 
+  test("bucketed range join equals the naive theta join") {
+    val naive = {
+      val p = events.filter($"event_type" === "purchase")
+        .select($"event_id", unix_millis($"ts").as("p_ms"))
+      val e = events.filter($"event_type" === "error")
+        .select(unix_millis($"ts").as("e_ms"))
+      p.crossJoin(e)
+        .withColumn("hit", when(abs($"p_ms" - $"e_ms") <= 300000L, $"e_ms"))
+        .groupBy("event_id")
+        .agg(count($"hit").as("n_errors_nearby"),
+          min(abs($"p_ms" - $"hit")).as("nearest_error_ms"))
+    }
+    val got = Temporal.purchasesNearErrors(events)
+      .as[(Long, Long, Option[Long])].collect().toSet
+    val want = naive.as[(Long, Long, Option[Long])].collect().toSet
+    assert(got == want, s"bucketed rewrite diverged: ${(want -- got).take(3)}")
+    assert(got.exists(_._2 > 0), "expected at least one purchase near an error")
+  }
+
   test("streaming windowed counts equal the batch result on the same data") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]
