@@ -26,10 +26,17 @@ object Tables {
     * avoids round-robin's sort-before-repartition pass). At real scale —
     * many row groups / many files — the condition is false and this is a
     * no-op, so nothing extra shuffles on a 100 TB scan. */
-  private def spread(df: DataFrame, key: String): DataFrame = {
+  /** The spread decision depends only on (file layout, parallelism), so
+    * memoize it per table path: `.rdd` forces physical planning of the
+    * scan on every call, which is pure driver overhead when the same
+    * table is loaded by 57 bench queries in one JVM. */
+  private val spreadCache = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+
+  private def spread(df: DataFrame, key: String, cacheKey: String): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 < p)
-      df.repartition(p, org.apache.spark.sql.functions.col(key))
+    val need = spreadCache.computeIfAbsent(s"$cacheKey#$p",
+      _ => df.rdd.getNumPartitions * 2 < p)
+    if (need) df.repartition(p, org.apache.spark.sql.functions.col(key))
     else df
   }
 
@@ -39,9 +46,9 @@ object Tables {
   def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    =
-    spread(table(s, d, "orders"), "o_orderkey")
+    spread(table(s, d, "orders"), "o_orderkey", s"$d/orders")
   def lineitem(s: SparkSession, d: String): DataFrame  =
-    spread(table(s, d, "lineitem"), "l_orderkey")
+    spread(table(s, d, "lineitem"), "l_orderkey", s"$d/lineitem")
   /** events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark 4 only
     * reads under spark.sql.legacy.parquet.nanosAsLong=true (set in all
     * session builders) — it then surfaces as LongType nanos; convert to a
@@ -54,10 +61,10 @@ object Tables {
       case _ => raw
     }
     // user_id: sessionize/window queries cluster on it next
-    spread(typed, "user_id")
+    spread(typed, "user_id", s"$d/events")
   }
   def documents(s: SparkSession, d: String): DataFrame =
-    spread(table(s, d, "documents"), "doc_id")
+    spread(table(s, d, "documents"), "doc_id", s"$d/documents")
   def embeddings(s: SparkSession, d: String): DataFrame =
-    spread(table(s, d, "embeddings"), "vec_id")
+    spread(table(s, d, "embeddings"), "vec_id", s"$d/embeddings")
 }

@@ -165,6 +165,21 @@ object Relational {
         approx_count_distinct(col("l_orderkey")).as("approx_orders"))
       .orderBy("l_returnflag")
 
+  /** Approximate percentiles per group — the quantile SKETCH
+    * (Greenwald-Khanna under approx_percentile), mergeable across
+    * partitions in one pass: the 100 TB path when exact percentile's
+    * per-group value buffering is too expensive. No SQL oracle (sketch
+    * internals differ across engines); the rank-error bound vs the exact
+    * percentile is spec-asserted and the driver does a rows-only check. */
+  def approxPercentilesByFlag(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_quantity, 0.5D, 1000)").as("ap50_qty"),
+        expr("approx_percentile(l_quantity, 0.9D, 1000)").as("ap90_qty"),
+        expr("approx_percentile(l_extendedprice, 0.99D, 1000)").as("ap99_price"))
+      .orderBy("l_returnflag")
+
   /** Exact interpolated percentiles per group (percentile ≡ SQL-standard
     * quantile_cont; linear interpolation). Exact, not a sketch — the
     * sketch counterpart is approxDistinct's HLL family. */

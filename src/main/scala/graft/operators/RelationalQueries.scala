@@ -101,6 +101,7 @@ object RelationalQueries {
         |       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
     QueryDef("agg_approx_distinct", Relational.approxDistinct, None),
+    QueryDef("agg_approx_percentiles", Relational.approxPercentilesByFlag, None),
 
     QueryDef("q18_large_orders", Relational.largeVolumeOrders, Some(
       """WITH big AS (

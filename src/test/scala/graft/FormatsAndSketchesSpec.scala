@@ -49,6 +49,30 @@ class FormatsAndSketchesSpec extends SparkSpec {
     }
   }
 
+  test("approx_percentile satisfies the rank-error bound vs the data") {
+    // GK sketch guarantee at accuracy A: the returned element's rank
+    // interval [count(<v), count(<=v)] intersects target ± N/A. The
+    // interval form is tie-robust (l_quantity repeats heavily).
+    val li = Tables.lineitem(spark, sf0001)
+      .select($"l_returnflag", $"l_quantity").cache()
+    val ap = Relational.approxPercentilesByFlag(spark, sf0001)
+      .select("l_returnflag", "ap50_qty", "ap90_qty")
+      .as[(String, Double, Double)].collect()
+    ap.foreach { case (flag, p50, p90) =>
+      val vals = li.filter($"l_returnflag" === flag)
+        .select("l_quantity").as[Double].collect().sorted
+      val n = vals.length.toDouble
+      val eps = n / 1000.0 + 1
+      Seq((p50, 0.5), (p90, 0.9)).foreach { case (v, q) =>
+        val below = vals.count(_ < v)
+        val atOrBelow = vals.count(_ <= v)
+        assert(below <= q * n + eps && atOrBelow >= q * n - eps,
+          s"$flag p$q=$v rank [$below,$atOrBelow] outside ${q * n} ± $eps of n=$n")
+      }
+    }
+    li.unpersist()
+  }
+
   test("as-of join: every matched signup is at-or-before its purchase, and is the latest") {
     val events = Tables.events(spark, sf0001)
     val asof = Temporal.asofSignupPurchase(events)
