@@ -85,6 +85,22 @@ object EventsStream {
   def toMemorySink(df: DataFrame, name: String): DataStreamWriter[Row] =
     df.writeStream.outputMode(OutputMode.Append).format("memory").queryName(name)
 
+  /** foreachBatch parquet sink with EXACTLY-ONCE semantics by
+    * idempotent overwrite: each micro-batch writes to a batchId-named
+    * directory with mode=overwrite, so a batch replayed after a failure
+    * (foreachBatch is at-least-once) overwrites its own previous attempt
+    * instead of duplicating rows. This is the production pattern for
+    * sinks without transactional support; the checkpoint dir supplies
+    * the replay bookkeeping. */
+  def toIdempotentParquetSink(df: DataFrame, outDir: String,
+      checkpointDir: String): DataStreamWriter[Row] =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      }
+
   /** Per-user running aggregates via mapGroupsWithState — the custom
     * stateful-operator surface. State is evicted by an EVENT-TIME idle
     * timeout: once the watermark passes a user's last activity plus

@@ -5,6 +5,7 @@ import graft.streaming.EventsStream
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import java.sql.Timestamp
+import java.nio.file.Files
 
 class TemporalStreamingSpec extends SparkSpec {
   import spark.implicits._
@@ -199,6 +200,53 @@ class TemporalStreamingSpec extends SparkSpec {
       // n=1/total=7 proves the (n=2,total=5) state was REMOVED, not resumed
       assert(u1.contains((1L, 7.0)), s"state not evicted: got $u1")
       assert(u1.contains((2L, 5.0)), s"pre-eviction totals missing: got $u1")
+    } finally q.stop()
+  }
+
+  test("AvailableNow drains a file stream to the exact batch result, then stops") {
+    // the reference engine is one-shot batch (coordinator exits when
+    // done); the Spark-native equivalent of that mode over the SAME
+    // streaming transform is Trigger.AvailableNow — process everything
+    // present, then terminate, with state/watermarks intact
+    val src = Files.createTempDirectory("avnow-src").toString
+    events.select($"ts", $"event_type").write.mode("overwrite").parquet(src)
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType))))
+      .parquet(src)
+    val q = stream.groupBy($"event_type").count()
+      .writeStream.outputMode("complete").format("memory").queryName("avnow")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      assert(q.awaitTermination(120000), "AvailableNow query did not self-terminate")
+      val got = spark.table("avnow").as[(String, Long)].collect().toSet
+      val batch = events.groupBy($"event_type").count()
+        .as[(String, Long)].collect().toSet
+      assert(got == batch)
+    } finally q.stop()
+  }
+
+  test("foreachBatch idempotent sink: replayed batch ids do not duplicate rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("fb-out").toString
+    val ckpt = Files.createTempDirectory("fb-ckpt").toString
+    val mem = MemoryStream[(Long, Double)]
+    val df = mem.toDF().toDF("user_id", "value")
+    val q = EventsStream.toIdempotentParquetSink(df, out, ckpt).start()
+    try {
+      mem.addData((1L, 1.0), (2L, 2.0))
+      q.processAllAvailable()
+      mem.addData((3L, 3.0))
+      q.processAllAvailable()
+      val rows = spark.read.parquet(out).count()
+      assert(rows == 3, s"expected 3 rows across batch dirs, got $rows")
+      // simulate the at-least-once replay: re-writing an existing batch id
+      // must overwrite, not append
+      Seq((1L, 1.0), (2L, 2.0)).toDF("user_id", "value")
+        .write.mode("overwrite").parquet(s"$out/batch=0")
+      assert(spark.read.parquet(out).count() == 3, "replayed batch duplicated rows")
     } finally q.stop()
   }
 
