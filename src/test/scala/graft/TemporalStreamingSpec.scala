@@ -203,6 +203,30 @@ class TemporalStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming word count equals the batch flagship on the same corpus") {
+    // the reference's ONE query (word count, O5-O10) run as a stream:
+    // same tokenCounts transform, complete output mode, result identical
+    // to batch — the engine's batch/stream duality on the flagship path
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val q = graft.operators.WordCount.tokenCounts(mem.toDF().toDF("text"))
+      .writeStream.outputMode("complete").format("memory").queryName("wcstream")
+      .start()
+    try {
+      val texts = Tables.documents(spark, sf0001)
+        .select($"text").as[String].collect().toSeq
+      mem.addData(texts.take(200): _*)
+      q.processAllAvailable()
+      mem.addData(texts.drop(200): _*)   // incremental update across batches
+      q.processAllAvailable()
+      val got = spark.table("wcstream").as[(String, Long)].collect().toSet
+      val batch = graft.operators.WordCount.tokenCounts(
+        Tables.documents(spark, sf0001).select($"text"))
+        .as[(String, Long)].collect().toSet
+      assert(got == batch, s"diff: ${(batch -- got).take(3)} / ${(got -- batch).take(3)}")
+    } finally q.stop()
+  }
+
   test("AvailableNow drains a file stream to the exact batch result, then stops") {
     // the reference engine is one-shot batch (coordinator exits when
     // done); the Spark-native equivalent of that mode over the SAME
