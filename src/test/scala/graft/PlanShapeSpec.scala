@@ -58,6 +58,22 @@ class PlanShapeSpec extends SparkSpec {
       s"range join fell back to a nested loop:\n$plan")
   }
 
+  test("no registered query plans a cartesian product or accidental nested loop") {
+    // blanket scale-killer audit over the whole registry. BNLJ is
+    // allowed ONLY where it is the intended shape: a tiny broadcast side
+    // scored against the streamed corpus (brute-force ANN queries and
+    // the IVF centroid assignment).
+    val allowedBnlj = Set("ann_topk", "ann_ivf_topk", "ann_ivf_multiprobe")
+    SparkEntry.registry.foreach { q =>
+      val plan = q.fn(spark, sf0001).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"${q.name} plans a cartesian product")
+      if (!allowedBnlj(q.name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"${q.name} plans an accidental nested-loop join")
+    }
+  }
+
   test("every window in every registered query is partitioned (one allowed exception)") {
     // an unpartitioned window = ALL rows through one task. The single
     // exception is window_monthly_lag, whose input is pre-aggregated to
