@@ -167,6 +167,16 @@ object RelationalQueries {
           |  count(*) AS n_rows
           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // salted join: same rewrite-proven-by-oracle pattern — the oracle is
+    // the PLAIN join, the Spark side shuffles on (key, salt)
+    QueryDef("salted_join_revenue",
+      (s, d) => Skew.saltedJoinRevenue(
+        graft.Tables.lineitem(s, d), graft.Tables.orders(s, d)), Some(
+        s"""SELECT o_orderpriority, count(*) AS n_items,
+           |  CAST(sum($discPriceSql) AS DOUBLE) AS revenue
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     QueryDef("window_top3_orders", Relational.top3OrdersPerCustomer, Some(
       """WITH r AS (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

@@ -32,4 +32,29 @@ object Skew {
       .agg(sum(col("partial")).cast("double").as("sum_value"), sum(col("n")).as("n_rows"))
       .orderBy(key)
   }
+
+  /** Salted JOIN — the join-side skew treatment: a hot fact key that
+    * would pin one reducer is split across `saltBuckets` sub-keys, and
+    * the (small but not broadcast-small) build side is replicated once
+    * per salt, so the shuffle distributes over (key, salt) uniformly.
+    * Deterministic salt from a uniform fact column (no randomness), so
+    * results — and the oracle — are exactly the plain join's. This is
+    * what AQE's skew-join split does adaptively; the explicit form is
+    * the tool when AQE is off or the skew is known ahead of time. */
+  def saltedJoinRevenue(fact: DataFrame, dim: DataFrame,
+      saltBuckets: Int = 8): DataFrame = {
+    import graft.functions.Exact.discPrice
+    val f = fact.select(
+      col("l_orderkey"),
+      discPrice(col("l_extendedprice"), col("l_discount")).as("rev"),
+      pmod(col("l_linenumber"), lit(saltBuckets)).as("salt"))
+    val d = dim.select(col("o_orderkey"), col("o_orderpriority"))
+      .withColumn("salt", explode(array((0 until saltBuckets).map(lit(_)): _*)))
+    f.join(d, f("l_orderkey") === d("o_orderkey") && f("salt") === d("salt"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("rev")).cast("double").as("revenue"))
+      .orderBy("o_orderpriority")
+  }
 }

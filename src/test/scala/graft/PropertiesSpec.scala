@@ -41,6 +41,20 @@ class PropertiesSpec extends SparkSpec {
     assert(salted == direct)
   }
 
+  test("salted join equals the plain join") {
+    val li = Tables.lineitem(spark, sf0001)
+    val ord = Tables.orders(spark, sf0001)
+    val salted = operators.Skew.saltedJoinRevenue(li, ord)
+      .as[(String, Long, Double)].collect().toSet
+    val plain = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum(graft.functions.Exact.discPrice($"l_extendedprice", $"l_discount"))
+          .cast("double").as("revenue"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(salted == plain, s"salted join diverged: ${plain -- salted}")
+  }
+
   test("round-robin repartition balances rows (reference O4 line-interleave)") {
     val li = Tables.lineitem(spark, sf0001) // 6000 rows
     val n = 7
