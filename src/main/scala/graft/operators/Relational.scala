@@ -234,6 +234,27 @@ object Relational {
       .orderBy("o_custkey", "rn")
   }
 
+  /** Per-group top-3 via the typed TopKAggregator — identical contract
+    * to top3OrdersPerCustomer (same oracle SQL) but single-pass with
+    * O(groups × k) shuffle instead of sorting every group's full row
+    * set: the right shape at 100 TB when k ≪ group size. */
+  def groupedTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.{ScoredId, TopKAggregator}
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_totalprice").as("score"), col("o_orderkey").as("id"))
+      .as[(Long, Double, Long)]
+      .map { case (ck, sc, id) => (ck, ScoredId(sc, id)) }
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(new TopKAggregator(3).toColumn)
+      .flatMap { case (ck, top) =>
+        top.zipWithIndex.map { case (x, i) => (ck, (i + 1).toLong, x.id, x.score) }
+      }
+      .toDF("o_custkey", "rn", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rn")
+  }
+
   /** Analytic window: month-over-month revenue delta via LAG. */
   def monthlyRevenueLag(s: SparkSession, d: String): DataFrame = {
     val monthly = Tables.orders(s, d)

@@ -177,6 +177,16 @@ object RelationalQueries {
            |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
+    // same oracle as window_top3_orders: the typed single-pass aggregator
+    // must reproduce the window formulation exactly (tie-break included)
+    QueryDef("grouped_topk", Relational.groupedTopK, Some(
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |SELECT o_custkey, rn, o_orderkey, o_totalprice FROM r
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin)),
+
     QueryDef("window_top3_orders", Relational.top3OrdersPerCustomer, Some(
       """WITH r AS (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
