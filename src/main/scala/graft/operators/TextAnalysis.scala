@@ -73,6 +73,49 @@ object TextAnalysis {
         round(col("bpe_tokens").cast("double") / col("n_docs").cast("double"), 6))
       .orderBy("source")
 
+  /** Repetition quality signal (the Gopher/C4-style filter): fraction
+    * of repeated word-3-grams per document — high repetition marks
+    * boilerplate/spam for downstream filtering. Shuffle-free like
+    * docFingerprint: grams, distinct counts, and the ratio are per-row
+    * ARRAY transforms — one map stage over the corpus. */
+  def repetitionStats(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), toks.as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
+        expr("transform(sequence(1, size(w) - 2), i -> concat_ws(' ', slice(w, i, 3)))").as("g3"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("g3")).cast("long").as("n_grams"),
+        size(array_distinct(col("g3"))).cast("long").as("n_distinct"))
+      .withColumn("rep_ratio",
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_grams").cast("double"), 6))
+      .orderBy("doc_id")
+
+  /** Benchmark CONTAMINATION flagging (decontamination standard): a
+    * corpus doc sharing any word-`n`-gram with the eval set (here the
+    * deterministic slice doc_id < evalMaxId) is flagged, with the count
+    * of shared grams. Scale shape: per-doc distinct grams explode once,
+    * the join shuffles on the gram string, and the eval side is tiny
+    * relative to the corpus — runtime stats may broadcast it, but
+    * nothing is forced (eval suites grow). */
+  def contamination(docs: DataFrame, evalMaxId: Long = 25, n: Int = 8): DataFrame = {
+    val grams = docs.select(col("doc_id"), toks.as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"array_distinct(transform(sequence(1, size(w) - ${n - 1}), i -> concat_ws(' ', slice(w, i, $n))))"))
+        .as("g"))
+    val evalGrams = grams.filter(col("doc_id") < evalMaxId)
+      .select(col("g")).distinct()
+    val hits = grams.filter(col("doc_id") >= evalMaxId)
+      .join(evalGrams, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared_grams")) // grams are per-doc distinct
+    docs.filter(col("doc_id") >= evalMaxId).select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_shared_grams"))
+      .withColumn("contaminated", col("n_shared_grams") > 0)
+      .orderBy("doc_id")
+  }
+
   /** Deterministic train/val/test split: the first two hex nibbles of
     * md5(doc_id) give a uniform 0-255 bucket, split 8/1/1 — the
     * hash-based assignment every training pipeline needs (reproducible

@@ -59,6 +59,43 @@ object TextAnalysisQueries {
           |       round(CAST(sum(bpe) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS avg_bpe_per_doc
           |FROM t GROUP BY source ORDER BY source""".stripMargin)),
 
+    QueryDef("repetition_stats",
+      (s, d) => TextAnalysis.repetitionStats(Tables.documents(s, d)), Some(
+        """WITH t AS (
+          |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z'']+') AS w
+          |  FROM documents),
+          |g AS (
+          |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+          |         list_transform(range(1, len(w) - 1),
+          |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS g3
+          |  FROM t WHERE len(w) >= 3)
+          |SELECT doc_id, n_tokens,
+          |       CAST(len(g3) AS BIGINT) AS n_grams,
+          |       CAST(len(list_distinct(g3)) AS BIGINT) AS n_distinct,
+          |       round(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE)
+          |             / CAST(len(g3) AS DOUBLE), 6) AS rep_ratio
+          |FROM g ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("contamination",
+      (s, d) => TextAnalysis.contamination(Tables.documents(s, d)), Some {
+        val gram = (1 to 8).map(j => s"w[i+${j - 1}]").mkString(" || ' ' || ")
+        s"""WITH t AS (
+           |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z'']+') AS w
+           |  FROM documents),
+           |g AS (
+           |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 6),
+           |           i -> $gram))) AS g
+           |  FROM t WHERE len(w) >= 8),
+           |ev AS (SELECT DISTINCT g FROM g WHERE doc_id < 25),
+           |hits AS (
+           |  SELECT doc_id, count(*) AS n_shared FROM g JOIN ev USING (g)
+           |  WHERE doc_id >= 25 GROUP BY doc_id)
+           |SELECT d.doc_id, COALESCE(n_shared, 0) AS n_shared_grams,
+           |       COALESCE(n_shared, 0) > 0 AS contaminated
+           |FROM (SELECT doc_id FROM documents WHERE doc_id >= 25) d
+           |LEFT JOIN hits USING (doc_id) ORDER BY doc_id""".stripMargin
+      }),
+
     QueryDef("train_val_test_split",
       (s, d) => TextAnalysis.trainValTestSplit(Tables.documents(s, d)), Some(
         """WITH h AS (

@@ -86,6 +86,24 @@ class PropertiesSpec extends SparkSpec {
     assert(operators.Dedup.exactDedup(d).count() == 4)  // null hashes to null group
   }
 
+  test("repetition ratio and contamination flags behave on planted docs") {
+    import operators.TextAnalysis
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),  // eval doc
+      (30L, "alpha beta gamma delta epsilon zeta eta theta iota kappa plus trailing words"),
+      (31L, "completely unrelated text with enough unique words to pass the length gate here"),
+      (32L, Seq.fill(30)("spam ham").mkString(" "))) // highly repetitive
+      .toDF("doc_id", "text")
+    val cont = TextAnalysis.contamination(d)
+      .select("doc_id", "contaminated").as[(Long, Boolean)].collect().toMap
+    assert(cont(30L), "doc sharing an 8-gram with the eval set must be flagged")
+    assert(!cont(31L) && !cont(32L), s"clean docs flagged: $cont")
+    val rep = TextAnalysis.repetitionStats(d)
+      .select("doc_id", "rep_ratio").as[(Long, Double)].collect().toMap
+    assert(rep(32L) > 0.9, s"repetitive doc scored ${rep(32L)}")
+    assert(rep(1L) == 0.0, s"all-distinct doc scored ${rep(1L)}")
+  }
+
   test("train/val/test split is a deterministic partition with ~8/1/1 mass") {
     val docs = Tables.documents(spark, sf0001)
     val s1 = operators.TextAnalysis.trainValTestSplit(docs)
