@@ -319,6 +319,46 @@ object Relational {
         |ORDER BY l_partkey""".stripMargin)
   }
 
+  /** TPC-H Q6 (forecasting revenue change): a pure filter-and-sum with
+    * no join or grouping — the query whose entire cost is the scan, so
+    * it proves the pushdown story: all three predicates reach the
+    * parquet reader as PushedFilters and only 4 columns are read
+    * (ReadSchema), then one partial+final agg. At 100 TB this shape is
+    * scan-bound and embarrassingly parallel. Revenue summed in DECIMAL
+    * (order-independent across engines). */
+  def forecastRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.04 && col("l_discount") <= 0.06 &&
+        col("l_quantity") < 24)
+      .agg(
+        count(lit(1)).as("n_items"),
+        sumExpr(dec2(col("l_extendedprice")) * dec2(col("l_discount"))).as("revenue"))
+
+  /** TPC-H Q4 shape (order-priority checking), adapted to this schema's
+    * columns: orders in a quarter having at least one lineitem shipped
+    * >= 60 days after the order date. The correlated EXISTS carries a
+    * NON-EQUI correlated predicate (l_shipdate vs o_orderdate) on top of
+    * the equi key — Catalyst decorrelates it into a left-semi join with
+    * a mixed condition, the remaining distinct SQL-subquery shape beyond
+    * the scalar subquery (`belowAvgQuantity`) and the DataFrame
+    * semi/anti joins. */
+  def orderPriorityLateShip(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_q4_v")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q4_v")
+    s.sql(
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders_q4_v o
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem_q4_v l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
   /** Set operations: nation keys with customers vs with suppliers,
     * INTERSECT / EXCEPT / UNION, tagged into one result. */
   def nationSetOps(s: SparkSession, d: String): DataFrame = {

@@ -48,6 +48,26 @@ object RelationalQueries {
          |  AND o_orderdate < TIMESTAMP '1998-01-01'
          |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)),
 
+    QueryDef("q6_forecast_revenue", Relational.forecastRevenue, Some(
+      """SELECT count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount >= 0.04 AND l_discount <= 0.06
+        |  AND l_quantity < 24""".stripMargin)),
+
+    QueryDef("q4_order_priority", Relational.orderPriorityLateShip, Some(
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)),
+
     QueryDef("join_dim_stats", Relational.regionCustomerStats, Some(
       """SELECT r_name, count(DISTINCT n_nationkey) AS n_nations,
         |  count(*) AS n_customers,

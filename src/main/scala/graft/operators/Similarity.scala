@@ -219,6 +219,46 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Int8-QUANTIZED brute-force cosine top-k: per-vector symmetric
+    * scalar quantization q[i] = floor(e[i] * 127/max|e| + 0.5), cosine
+    * computed over the quantized vectors. Quantization is the
+    * memory/IO scale lever every production vector store applies before
+    * search (4x smaller vectors, integer dot products, SIMD-friendly);
+    * at 100 TB the embedding column is the dominant scan cost and this
+    * is the column you persist. Correctness design: quantized elements
+    * are small integers (|q| <= 127), so dots and norms are exact in
+    * double and the oracle reproduces them bit-identically;
+    * floor(x + 0.5) is used instead of round() because engines disagree
+    * on round-half-away vs round-half-even for negative doubles, while
+    * floor is exact everywhere. Plan shape: identical to
+    * [[bruteForceTopK]] — broadcast the tiny query set, no corpus
+    * shuffle, per-query top-k window. */
+  def quantizedTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val maxAbs = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+    val base = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("max_abs", maxAbs)
+      .filter(col("max_abs") > 0)
+      .withColumn("qv", transform(col("embedding"), x =>
+        floor(x.cast("double") * (lit(127.0) / col("max_abs")) + lit(0.5)).cast("double")))
+      .select(col("vec_id"), col("qv"))
+    def qdot(a: Column, b: Column): Column =
+      (1 to Dim).map(i => element_at(a, i) * element_at(b, i)).reduce(_ + _)
+    def qnorm2(a: Column): Column =
+      (1 to Dim).map { i => val e = element_at(a, i); e * e }.reduce(_ + _)
+    val q = base.select(col("vec_id").as("query_id"), col("qv").as("qa"))
+      .filter(col("query_id") < nQueries)
+    val scored = base.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        round(qdot(col("qa"), col("qv")) /
+          (sqrt(qnorm2(col("qa"))) * sqrt(qnorm2(col("qv")))), 6).as("qcos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("cand_id").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("cand_id"), col("qcos"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** Per-label embedding stats; the per-vector norm is rounded to 6
     * digits and summed in DECIMAL so the cross-row aggregation is
     * order-independent (portable across engines). */

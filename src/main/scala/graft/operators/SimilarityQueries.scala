@@ -113,6 +113,36 @@ object SimilarityQueries {
        |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, cand_id, cos_sim FROM r
        |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
 
+  /** Quantized dot/norm chains over the DuckDB-side quantized list `qv`
+    * (same left-associated order as the Spark reduce). */
+  private def qdotSql(a: String, b: String): String =
+    (1 to Dim).map(i => s"$a[$i]*$b[$i]").mkString(" + ")
+
+  private def qnorm2Sql(a: String): String =
+    (1 to Dim).map(i => s"$a[$i]*$a[$i]").mkString(" + ")
+
+  private val annQuantizedSql =
+    s"""WITH m AS (
+       |  SELECT vec_id,
+       |    list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) AS max_abs,
+       |    embedding
+       |  FROM embeddings),
+       |b AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> floor(CAST(x AS DOUBLE) * (127.0 / max_abs) + 0.5)) AS qv
+       |  FROM m WHERE max_abs > 0),
+       |q AS (SELECT vec_id AS query_id, qv AS qa FROM b WHERE vec_id < 8),
+       |p AS (SELECT query_id, b.vec_id AS cand_id,
+       |        round((${qdotSql("qa", "qv")})
+       |          / (sqrt(${qnorm2Sql("qa")}) * sqrt(${qnorm2Sql("qv")})), 6) AS qcos
+       |      FROM b JOIN q ON b.vec_id != query_id),
+       |r AS (SELECT query_id, cand_id, qcos,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY qcos DESC, cand_id) AS rnk
+       |      FROM p)
+       |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, cand_id, qcos FROM r
+       |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
   private val embStatsSql =
     s"""SELECT label, count(*) AS n_vectors,
        |  CAST(sum(CAST(round(sqrt(${norm2Sql("embedding")}), 6) AS DECIMAL(18,6))) AS DOUBLE)
@@ -132,6 +162,9 @@ object SimilarityQueries {
     QueryDef("ann_ivf_multiprobe",
       (s, d) => Similarity.ivfTopKProbed(Tables.embeddings(s, d), 8, 16, 3, 2),
       Some(annIvfMultiprobeSql)),
+    QueryDef("ann_quantized_topk",
+      (s, d) => Similarity.quantizedTopK(Tables.embeddings(s, d), 8, 5),
+      Some(annQuantizedSql)),
     QueryDef("near_dup_embedding",
       (s, d) => Similarity.embeddingNearDup(Tables.embeddings(s, d), 0.35),
       Some(nearDupEmbSql)),

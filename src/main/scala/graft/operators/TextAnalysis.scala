@@ -166,6 +166,89 @@ object TextAnalysis {
       .orderBy("shard", "bin")
   }
 
+  /** TF-IDF top-k terms per document — the classic corpus-statistic
+    * ranking (keyword extraction / relevance features). The idf uses the
+    * BM25 odds-ratio form (N - df + 0.5)/(df + 0.5) rather than a log:
+    * libm `log` is not IEEE-correctly-rounded and can differ across
+    * engines in the last ulp, which the driver's bit-exact hash gate
+    * would surface; the odds form is plain field arithmetic over exact
+    * integers (deterministic everywhere) and is a strictly decreasing
+    * transform of df for fixed N, so each term's rarity ordering matches
+    * the log idf. Scale shape: one shuffle to (doc, term) counts, one
+    * to per-term document frequency, a shuffle join back on term (the
+    * vocabulary of a 100 TB corpus exceeds broadcast limits — only the
+    * single-row corpus total is broadcast), then the per-doc top-k
+    * window over k' = tf rows per doc. */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    val terms = docs.select(col("doc_id"), explode(toks).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = tf.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val scored = tf.join(dft, "term").crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf").cast("double") *
+        ((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))), 6))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"), col("tfidf"))
+      .orderBy("doc_id", "rnk")
+  }
+
+  /** Deterministic STRATIFIED sampling: a fixed-rate hash sample drawn
+    * independently within each stratum (language) — the pipeline op for
+    * rebalancing a corpus (e.g. downsampling a dominant language)
+    * without sampling state. Same ascii-nibble md5 bucket as
+    * [[trainValTestSplit]]; bucket < 51 of 256 ≈ 20%. Output is the
+    * per-stratum audit row (totals, sampled count, id range) — one
+    * map-side-combined groupBy, no second pass. */
+  def stratifiedSample(docs: DataFrame, rate256: Int = 51): DataFrame = {
+    val hex = md5(col("doc_id").cast("string"))
+    def nibble(i: Int): Column = {
+      val a = ascii(substring(hex, i + 1, 1))
+      a - when(a >= 97, lit(87)).otherwise(lit(48))
+    }
+    val sampled = (nibble(0) * 16 + nibble(1)).cast("long") < rate256
+    docs.select(col("lang"), col("doc_id"), sampled.as("s"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("s"), 1L).otherwise(0L)).as("n_sampled"),
+        min(when(col("s"), col("doc_id"))).as("first_sampled"),
+        max(when(col("s"), col("doc_id"))).as("last_sampled"))
+      .orderBy("lang")
+  }
+
+  /** Per-language LENGTH QUALITY GATE: keep documents within the
+    * [p05, p95] character-length band of their language — the
+    * outlier-trimming filter (truncated boilerplate / concatenation
+    * blowups) applied per stratum because length distributions differ by
+    * language. Two-pass shape: pass 1 reduces the corpus to one exact
+    * percentile row per language (bounded by language count, so the
+    * broadcast back is scale-correct no matter the corpus size); pass 2
+    * is a map-side filter + combine. Exact `percentile` matches DuckDB
+    * quantile_cont (both linear-interpolation); kept-average summed in
+    * DECIMAL for order-independence. */
+  def lengthQualityGate(docs: DataFrame): DataFrame = {
+    val stats = docs.groupBy("lang").agg(
+      round(expr("percentile(n_chars, 0.05D)"), 6).as("p05"),
+      round(expr("percentile(n_chars, 0.95D)"), 6).as("p95"))
+    docs.select(col("lang"), col("n_chars"))
+      .join(broadcast(stats), "lang")
+      .withColumn("kept", col("n_chars") >= col("p05") && col("n_chars") <= col("p95"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        min(col("p05")).as("p05"),
+        min(col("p95")).as("p95"),
+        (sum(when(col("kept"), col("n_chars")).otherwise(0L)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2))).cast("double") /
+          sum(when(col("kept"), 1L).otherwise(0L)).cast("double")).as("kept_avg_chars"))
+      .orderBy("lang")
+  }
+
   /** Winnowing-style fingerprints: md5 of char-5-grams, window-min over
     * 4 consecutive positions, per-doc distinct fingerprint stats.
     *

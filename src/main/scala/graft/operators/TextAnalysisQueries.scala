@@ -134,6 +134,63 @@ object TextAnalysisQueries {
           |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
           |FROM c GROUP BY shard, bin ORDER BY shard, bin""".stripMargin)),
 
+    QueryDef("tfidf_top_terms",
+      (s, d) => TextAnalysis.tfidfTopTerms(Tables.documents(s, d)), Some(
+        """WITH t AS (
+          |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS term
+          |  FROM documents),
+          |tf AS (
+          |  SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+          |dft AS (
+          |  SELECT term, count(*) AS df FROM tf GROUP BY term),
+          |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+          |s AS (
+          |  SELECT doc_id, term, tf, df,
+          |    round(CAST(tf AS DOUBLE) *
+          |      ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+          |       (CAST(df AS DOUBLE) + 0.5)), 6) AS tfidf
+          |  FROM tf JOIN dft USING (term) CROSS JOIN n),
+          |r AS (
+          |  SELECT doc_id, term, tf, df, tfidf,
+          |    row_number() OVER (PARTITION BY doc_id
+          |      ORDER BY tfidf DESC, term ASC) AS rnk
+          |  FROM s)
+          |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, tf, df, tfidf
+          |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin)),
+
+    QueryDef("stratified_sample",
+      (s, d) => TextAnalysis.stratifiedSample(Tables.documents(s, d)), Some(
+        """WITH h AS (
+          |  SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS hex FROM documents),
+          |b AS (
+          |  SELECT lang, doc_id,
+          |    ((ascii(substr(hex, 1, 1)) - CASE WHEN ascii(substr(hex, 1, 1)) >= 97 THEN 87 ELSE 48 END) * 16 +
+          |     (ascii(substr(hex, 2, 1)) - CASE WHEN ascii(substr(hex, 2, 1)) >= 97 THEN 87 ELSE 48 END)) < 51 AS s
+          |  FROM h)
+          |SELECT lang, count(*) AS n_total,
+          |       CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+          |       min(CASE WHEN s THEN doc_id END) AS first_sampled,
+          |       max(CASE WHEN s THEN doc_id END) AS last_sampled
+          |FROM b GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    QueryDef("length_gate",
+      (s, d) => TextAnalysis.lengthQualityGate(Tables.documents(s, d)), Some(
+        """WITH p AS (
+          |  SELECT lang,
+          |    round(quantile_cont(n_chars, 0.05), 6) AS p05,
+          |    round(quantile_cont(n_chars, 0.95), 6) AS p95
+          |  FROM documents GROUP BY lang),
+          |j AS (
+          |  SELECT d.lang, d.n_chars, p.p05, p.p95,
+          |         d.n_chars >= p.p05 AND d.n_chars <= p.p95 AS kept
+          |  FROM documents d JOIN p USING (lang))
+          |SELECT lang, count(*) AS n_docs,
+          |       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          |       min(p05) AS p05, min(p95) AS p95,
+          |       CAST(sum(CAST(CASE WHEN kept THEN n_chars ELSE 0 END AS DECIMAL(18,2))) AS DOUBLE)
+          |         / CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE) AS kept_avg_chars
+          |FROM j GROUP BY lang ORDER BY lang""".stripMargin)),
+
     QueryDef("doc_fingerprint",
       (s, d) => TextAnalysis.docFingerprint(Tables.documents(s, d)), Some(
         """WITH p AS (

@@ -152,6 +152,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(n2 >= n1, s"multiprobe returned fewer rows ($n2) than nprobe=1 ($n1)")
   }
 
+  test("int8-quantized top-k tracks the exact cosine ranking") {
+    val k = 5
+    val exact = Similarity.bruteForceTopK(emb, 8, k)
+      .select("query_id", "cand_id", "cos_sim")
+      .as[(Long, Long, Double)].collect()
+    val quant = Similarity.quantizedTopK(emb, 8, k)
+      .select("query_id", "cand_id", "qcos")
+      .as[(Long, Long, Double)].collect()
+    assert(quant.forall(r => r._3 >= -1.0000001 && r._3 <= 1.0000001),
+      "quantized cosine out of [-1, 1]")
+    // int8 symmetric quantization perturbs cosines by O(1/127): the
+    // top-k sets should overlap heavily (recall@k >= 0.6) and any
+    // shared (query, cand) scores should agree within 0.05
+    val exactSet = exact.map(r => (r._1, r._2)).toSet
+    val overlap = quant.count(r => exactSet.contains((r._1, r._2))).toDouble
+    assert(overlap / exact.length >= 0.6,
+      s"quantized recall ${overlap / exact.length} too low")
+    val exactScore = exact.map(r => (r._1, r._2) -> r._3).toMap
+    quant.foreach { case (q, c, s) =>
+      exactScore.get((q, c)).foreach(e =>
+        assert(math.abs(e - s) < 0.05, s"quantization error ${math.abs(e - s)} at ($q,$c)"))
+    }
+  }
+
   test("embedding stats: norms ≈ 1-ish and per-label counts sum to total") {
     val st = Similarity.embeddingStats(emb)
     val n = st.agg(sum("n_vectors")).as[Long].head()

@@ -133,6 +133,58 @@ class PropertiesSpec extends SparkSpec {
     assert(budgetBreak == 0, "a multi-doc bin overflowed far past the budget")
   }
 
+  test("stratified sample is deterministic with ~20% mass per stratum") {
+    val docs = Tables.documents(spark, sf0001)
+    val s1 = operators.TextAnalysis.stratifiedSample(docs)
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1)
+    // strata partition the corpus; each samples at roughly 51/256
+    assert(s1.map(_._2).sum == docs.count())
+    val (tot, samp) = (s1.map(_._2).sum.toDouble, s1.map(_._3).sum.toDouble)
+    assert(samp / tot > 0.12 && samp / tot < 0.28, s"sample share ${samp / tot}")
+    s1.foreach { case (lang, n, k, _, _) =>
+      assert(k <= n, s"$lang sampled more than its stratum") }
+    val s2 = operators.TextAnalysis.stratifiedSample(docs)
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(s1.sameElements(s2), "sample not deterministic")
+  }
+
+  test("length gate keeps the p05-p95 band per language") {
+    val docs = Tables.documents(spark, sf0001)
+    val g = operators.TextAnalysis.lengthQualityGate(docs)
+      .as[(String, Long, Long, Double, Double, Double)].collect()
+    assert(g.map(_._2).sum == docs.count())
+    g.foreach { case (lang, n, kept, p05, p95, avg) =>
+      assert(p05 <= p95, s"$lang: p05 > p95")
+      // exact percentile gate keeps ~90% (±band for small strata)
+      val share = kept.toDouble / n
+      assert(share > 0.75 && share <= 1.0, s"$lang kept share $share")
+      assert(avg >= p05 && avg <= p95, s"$lang kept average outside the band")
+    }
+  }
+
+  test("tfidf top terms: ranks are 1..k, scores non-increasing, df consistent") {
+    val docs = Tables.documents(spark, sf0001)
+    val t = operators.TextAnalysis.tfidfTopTerms(docs, k = 3)
+      .as[(Long, Long, String, Long, Long, Double)].collect()
+    val n = docs.count()
+    val byDoc = t.groupBy(_._1)
+    byDoc.values.foreach { rows =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq, "ranks not 1..k")
+      // scores non-increasing in rank; ties broken by term ascending
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._6 > b._6 || (a._6 == b._6 && a._3 < b._3),
+            s"rank order violated in doc ${a._1}")
+        case _ =>
+      }
+    }
+    t.foreach { case (_, _, _, tf, df, score) =>
+      assert(df >= 1 && df <= n && tf >= 1, "tf/df out of range")
+      assert(score >= 0.0, "odds-ratio idf is non-negative for df <= N")
+    }
+  }
+
   test("a failed task attempt is retried and the job completes (reference O16)") {
     // the reference re-queues a chunk when its worker misses the 20 s
     // deadline (coordinator/coordinator.py timeout loop); Spark's analogue
