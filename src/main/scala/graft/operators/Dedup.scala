@@ -197,6 +197,25 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** CANONICAL DOCUMENT SELECTION: the step after cluster resolution
+    * that makes dedup actionable — per near-dup cluster, pick the
+    * keeper by the keep-longest policy (max n_chars, ties to the
+    * smaller doc_id) and report what gets dropped. The cluster table is
+    * tiny relative to the corpus (only clustered docs appear), so the
+    * doc-metadata join shuffles the cluster side, not the corpus, and
+    * the per-cluster argmax is a window over cluster-sized groups. */
+  def canonicalDocs(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val j = clusters.join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    j.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("cluster_size"),
+        col("doc_id").as("keeper_doc"), col("n_chars").as("keeper_chars"),
+        (col("cluster_size") - 1).as("n_dropped"))
+      .orderBy("cluster_id")
+  }
+
   /** 16-bit SimHash over token occurrences. Bit b is the sign of the sum
     * of ±1 votes, where the vote is bit (b%4) of hex nibble (b/4) of
     * md5(token) — engine-portable (ascii/shift/and only). */

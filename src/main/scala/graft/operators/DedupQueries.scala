@@ -81,8 +81,8 @@ object DedupQueries {
   /** Connected components over the word-gram near-dup pairs via a
     * recursive transitive closure: every clustered doc labeled with the
     * min doc_id it can reach (= Spark's min-label fixpoint). */
-  private val clustersSql =
-    s"""WITH RECURSIVE prs AS (
+  private val clustersCtes =
+    s"""prs AS (
        |  SELECT doc_a, doc_b FROM (${nearDupSql(wordShinglesCte, 0.7)}) nd),
        |ed AS (SELECT doc_a AS u, doc_b AS v FROM prs
        |       UNION SELECT doc_b, doc_a FROM prs),
@@ -93,9 +93,29 @@ object DedupQueries {
        |lab AS (
        |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id
        |  FROM rch GROUP BY u),
-       |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id)
+       |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id)""".stripMargin
+
+  private val clustersSql =
+    s"""WITH RECURSIVE $clustersCtes
        |SELECT doc_id, cluster_id, cluster_size FROM lab JOIN sz USING (cluster_id)
        |ORDER BY doc_id""".stripMargin
+
+  /** Keeper per cluster under the keep-longest policy (ties to the
+    * smaller doc_id); mirrors Dedup.canonicalDocs over the same
+    * recursive-closure clusters. */
+  private val canonicalSql =
+    s"""WITH RECURSIVE $clustersCtes,
+       |cl AS (
+       |  SELECT doc_id, cluster_id, cluster_size FROM lab JOIN sz USING (cluster_id)),
+       |j AS (
+       |  SELECT cl.doc_id, cl.cluster_id, cl.cluster_size, d.n_chars
+       |  FROM cl JOIN documents d USING (doc_id)),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY cluster_id
+       |    ORDER BY n_chars DESC, doc_id ASC) AS rn FROM j)
+       |SELECT cluster_id, cluster_size, doc_id AS keeper_doc,
+       |       n_chars AS keeper_chars, cluster_size - 1 AS n_dropped
+       |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("dedup_exact",
@@ -127,5 +147,13 @@ object DedupQueries {
           Dedup.nearDupPairs(docs, Dedup.wordGrams(docs), Dedup.wordGrams, 0.7))
       },
       Some(clustersSql)),
+
+    QueryDef("dedup_canonical",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.canonicalDocs(docs, Dedup.nearDupClusters(
+          Dedup.nearDupPairs(docs, Dedup.wordGrams(docs), Dedup.wordGrams, 0.7)))
+      },
+      Some(canonicalSql)),
   )
 }

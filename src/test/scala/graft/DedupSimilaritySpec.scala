@@ -152,6 +152,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(n2 >= n1, s"multiprobe returned fewer rows ($n2) than nprobe=1 ($n1)")
   }
 
+  test("canonical selection keeps exactly one longest doc per cluster") {
+    val clusters = Dedup.nearDupClusters(wordNearDups(0.7))
+    val canon = Dedup.canonicalDocs(docs, clusters)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val nClusters = clusters.select("cluster_id").distinct().count()
+    assert(canon.length == nClusters, "one keeper per cluster")
+    val chars = docs.select($"doc_id", $"n_chars").as[(Long, Long)].collect().toMap
+    val byCluster = clusters.select("cluster_id", "doc_id")
+      .as[(Long, Long)].collect().groupBy(_._1)
+    canon.foreach { case (cid, size, keeper, kchars, dropped) =>
+      val members = byCluster(cid).map(_._2)
+      assert(members.contains(keeper), s"keeper $keeper not in cluster $cid")
+      assert(size == members.length && dropped == size - 1)
+      assert(kchars == chars(keeper))
+      // keep-longest policy: no member strictly longer, ties to min id
+      assert(members.forall(m => chars(m) < kchars ||
+        (chars(m) == kchars && m >= keeper)), s"wrong keeper in cluster $cid")
+    }
+  }
+
   test("int8-quantized top-k tracks the exact cosine ranking") {
     val k = 5
     val exact = Similarity.bruteForceTopK(emb, 8, k)

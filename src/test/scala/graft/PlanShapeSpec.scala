@@ -58,12 +58,36 @@ class PlanShapeSpec extends SparkSpec {
       s"range join fell back to a nested loop:\n$plan")
   }
 
+  test("q6 pushes all three predicates into the parquet scan") {
+    // the forecast-revenue scan is the pushdown proof: shipdate range,
+    // discount band, and quantity cap must reach the reader, and the
+    // ReadSchema must be pruned to the 4 referenced columns
+    // read the scan node's metadata map, not the plan string — plan
+    // rendering truncates PushedFilters at 100 chars
+    val scan = operators.Relational.forecastRevenue(spark, sf0001)
+      .queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.head
+    val pushed = scan.metadata("PushedFilters")
+    Seq("l_shipdate", "l_discount", "l_quantity").foreach { c =>
+      assert(pushed.contains(s"($c,") || pushed.contains(s"($c)"),
+        s"filter on $c not pushed: $pushed")
+    }
+    val readSchema = scan.metadata("ReadSchema")
+    Seq("l_shipdate", "l_discount", "l_quantity", "l_extendedprice").foreach(c =>
+      assert(readSchema.contains(c), s"$c missing from ReadSchema: $readSchema"))
+    assert(!readSchema.contains("l_partkey") && !readSchema.contains("l_returnflag"),
+      s"scan reads columns the query never touches: $readSchema")
+  }
+
   test("no registered query plans a cartesian product or accidental nested loop") {
     // blanket scale-killer audit over the whole registry. BNLJ is
     // allowed ONLY where it is the intended shape: a tiny broadcast side
     // scored against the streamed corpus (brute-force ANN queries and
-    // the IVF centroid assignment).
-    val allowedBnlj = Set("ann_topk", "ann_ivf_topk", "ann_ivf_multiprobe")
+    // the IVF centroid assignment, the quantized variant, and tfidf's
+    // one-row corpus-total broadcast).
+    val allowedBnlj = Set("ann_topk", "ann_ivf_topk", "ann_ivf_multiprobe",
+      "ann_quantized_topk", "tfidf_top_terms")
     SparkEntry.registry.foreach { q =>
       val plan = q.fn(spark, sf0001).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
