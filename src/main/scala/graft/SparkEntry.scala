@@ -17,6 +17,7 @@ object SparkEntry {
   val registry: Seq[QueryDef] =
     WordCountQueries.defs ++
     RelationalQueries.defs ++
+    TpchMoreQueries.defs ++
     DedupQueries.defs ++
     SimilarityQueries.defs ++
     TextAnalysisQueries.defs ++
