@@ -21,6 +21,7 @@ object SparkEntry {
     DedupQueries.defs ++
     SimilarityQueries.defs ++
     TextAnalysisQueries.defs ++
+    PipelineQueries.defs ++
     TemporalQueries.defs ++
     MultimodalQueries.defs
 

@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+
+/** Driver-contract wiring for the pipeline suite (chunking, vocab
+  * pruning, novelty, gap-fill, rolling windows). DuckDB list slicing is
+  * 1-based and end-inclusive: `w[i : i+k-1]` ≡ Spark `slice(w, i, k)`. */
+object PipelineQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("doc_chunks",
+      (s, d) => Pipeline.docChunks(Tables.documents(s, d)), Some(
+        """WITH t AS (
+          |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z'']+') AS w
+          |  FROM documents),
+          |c AS (
+          |  SELECT doc_id, CAST((i - 1) / 24 AS BIGINT) AS chunk_id,
+          |         w[i : i + 31] AS ck
+          |  FROM t, unnest(generate_series(1, len(w), 24)) AS gs(i)
+          |  WHERE len(w) > 0)
+          |SELECT doc_id, chunk_id,
+          |  CAST(len(ck) AS BIGINT) AS n_chunk_tokens,
+          |  array_to_string(ck, ' ') AS chunk
+          |FROM c ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    QueryDef("vocab_prune",
+      (s, d) => Pipeline.vocabPrune(Tables.documents(s, d)), Some(
+        """WITH per_doc AS (
+          |  SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS token
+          |  FROM documents),
+          |df AS (SELECT token, count(*) AS doc_freq FROM per_doc GROUP BY token)
+          |SELECT token, doc_freq FROM df
+          |WHERE doc_freq >= 2
+          |  AND CAST(doc_freq AS DOUBLE) <=
+          |      CAST((SELECT count(*) FROM documents) AS DOUBLE) * 0.5
+          |ORDER BY token""".stripMargin)),
+
+    QueryDef("bigram_novelty",
+      (s, d) => Pipeline.bigramNovelty(Tables.documents(s, d)), Some(
+        """WITH t AS (
+          |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z'']+') AS w
+          |  FROM documents),
+          |g AS (
+          |  SELECT DISTINCT doc_id,
+          |    array_to_string(w[i : i + 1], ' ') AS g
+          |  FROM t, unnest(generate_series(1, len(w) - 1, 1)) AS gs(i)
+          |  WHERE len(w) >= 2),
+          |df AS (SELECT g, count(*) AS gram_df FROM g GROUP BY g)
+          |SELECT doc_id, count(*) AS n_bigrams,
+          |  CAST(sum(CASE WHEN gram_df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+          |  round(CAST(sum(CASE WHEN gram_df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+          |        / CAST(count(*) AS DOUBLE), 6) AS novelty
+          |FROM g JOIN df USING (g)
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("gap_fill_counts",
+      (s, d) => Pipeline.gapFillCounts(Tables.events(s, d)), Some(
+        """WITH b AS (
+          |  SELECT event_type,
+          |    to_timestamp((epoch_ms(ts) // 900000) * 900) AS bucket
+          |  FROM events),
+          |counts AS (
+          |  SELECT event_type, bucket, count(*) AS n FROM b GROUP BY 1, 2),
+          |bounds AS (SELECT min(bucket) AS b_min, max(bucket) AS b_max FROM b),
+          |axis AS (
+          |  SELECT t.event_type, unnest(generate_series(b_min, b_max, INTERVAL 900 SECOND)) AS bucket
+          |  FROM bounds, (SELECT DISTINCT event_type FROM events) t)
+          |SELECT a.event_type, CAST(a.bucket AS TIMESTAMP) AS bucket,
+          |  CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+          |FROM axis a LEFT JOIN counts c
+          |  ON a.event_type = c.event_type AND a.bucket = c.bucket
+          |ORDER BY 1, 2""".stripMargin)),
+
+    QueryDef("rolling_hour",
+      (s, d) => Pipeline.rollingHour(Tables.events(s, d)), Some(
+        """SELECT event_id, user_id,
+          |  CAST(count(*) OVER w AS BIGINT) AS n_in_hour,
+          |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_val_hour
+          |FROM (SELECT event_id, user_id, value, epoch_ms(ts) AS ms FROM events)
+          |WINDOW w AS (PARTITION BY user_id ORDER BY ms
+          |             RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+          |ORDER BY event_id""".stripMargin))
+  )
+}
