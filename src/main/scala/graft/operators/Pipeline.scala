@@ -114,4 +114,96 @@ object Pipeline {
       .select(col("event_id"), col("user_id"), col("n_in_hour"), col("sum_val_hour"))
       .orderBy("event_id")
   }
+
+  /** k-NN label classification over the embedding corpus: held-out
+    * queries (vec_id < nQueries) are labeled by majority vote of their
+    * k nearest candidates (cosine; ties → fewer-vote label dropped,
+    * then smaller label wins). The query side broadcasts — the corpus
+    * is scanned once, never shuffled, exactly like bruteForceTopK. */
+  def knnClassify(emb: DataFrame, nQueries: Int = 32, k: Int = 5): DataFrame = {
+    val spark = emb.sparkSession
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("label").as("true_label"))
+    val c = emb.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+        col("label").as("cand_label"))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("query_id"), col("true_label"), col("cand_id"), col("cand_label"),
+        round(graft.functions.GraftFunctions.cosine_sim(spark, col("qe"), col("ce")), 6)
+          .as("cos_sim"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("cand_id").asc)
+    val votes = scored.withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= k)
+      .groupBy(col("query_id"), col("true_label"), col("cand_label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val wVote = Window.partitionBy(col("query_id"))
+      .orderBy(col("n_votes").desc, col("cand_label").asc)
+    votes.withColumn("vr", row_number().over(wVote))
+      .filter(col("vr") === 1)
+      .select(col("query_id"), col("true_label"),
+        col("cand_label").as("pred_label"), col("n_votes"))
+      .orderBy("query_id")
+  }
+
+  /** SCD type-2 history construction from an event stream: contiguous
+    * runs of the same event_type per user become validity periods with
+    * [valid_from, valid_to) bounds (valid_to = next period's start;
+    * NULL while current). One shuffle on user_id shared by the lag,
+    * the period aggregate, and the lead. */
+  def scd2History(events: DataFrame): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val periods = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(wOrd))
+      .withColumn("chg",
+        when(col("prev_type").isNull || col("prev_type") =!= col("event_type"), 1)
+          .otherwise(0))
+      .withColumn("period_id",
+        sum(col("chg")).over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+      .groupBy(col("user_id"), col("period_id"))
+      .agg(
+        min(col("event_type")).as("event_type"),
+        min(col("ts")).as("valid_from"),
+        count(lit(1)).as("n_events"))
+    val wp = Window.partitionBy(col("user_id")).orderBy(col("period_id"))
+    periods
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wp))
+      .select(col("user_id"), col("period_id"), col("event_type"),
+        col("valid_from"), col("valid_to"), col("n_events"))
+      .orderBy("user_id", "period_id")
+  }
+
+  /** Pearson correlation + OLS slope between order price and item
+    * count, from exact-decimal moment sums (Σx, Σy, Σxy, Σx², Σy² are
+    * order-independent; the final formula is a fixed double-op
+    * sequence mirrored by the oracle — engine-portable unlike the
+    * builtin corr(), which accumulates doubles in partition order). */
+  def priceItemsCorr(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val items = graft.Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("x"))
+    val joined = graft.Tables.orders(s, d)
+      .join(items, col("o_orderkey") === col("l_orderkey"))
+      .select(col("x"), dec2(col("o_totalprice")).as("y"))
+    val sums = joined.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sx2"),
+      sum(col("y") * col("y")).as("sy2"))
+    val n = col("n").cast("double")
+    val sx = col("sx").cast("double")
+    val sy = col("sy").cast("double")
+    val sxy = col("sxy").cast("double")
+    val sx2 = col("sx2").cast("double")
+    val sy2 = col("sy2").cast("double")
+    sums.select(
+      col("n").as("n_orders"),
+      round((n * sxy - sx * sy) / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)), 6)
+        .as("corr_r"),
+      round((n * sxy - sx * sy) / (n * sx2 - sx * sx), 6).as("slope"))
+  }
 }

@@ -79,6 +79,74 @@ object PipelineQueries {
           |FROM (SELECT event_id, user_id, value, epoch_ms(ts) AS ms FROM events)
           |WINDOW w AS (PARTITION BY user_id ORDER BY ms
           |             RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
-          |ORDER BY event_id""".stripMargin))
+          |ORDER BY event_id""".stripMargin)),
+
+    QueryDef("knn_classify",
+      (s, d) => Pipeline.knnClassify(Tables.embeddings(s, d)), Some(
+        s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS true_label
+           |           FROM embeddings WHERE vec_id < 32),
+           |c AS (SELECT vec_id AS cand_id, embedding AS ce, label AS cand_label
+           |      FROM embeddings WHERE vec_id >= 32),
+           |p AS (SELECT query_id, true_label, cand_id, cand_label,
+           |        round(${SimilarityQueries.cosSql("qe", "ce")}, 6) AS cos_sim
+           |      FROM c CROSS JOIN q),
+           |r AS (SELECT query_id, true_label, cand_label,
+           |        row_number() OVER (PARTITION BY query_id
+           |                           ORDER BY cos_sim DESC, cand_id) AS rnk
+           |      FROM p),
+           |v AS (SELECT query_id, true_label, cand_label, count(*) AS n_votes
+           |      FROM r WHERE rnk <= 5 GROUP BY 1, 2, 3),
+           |w AS (SELECT query_id, true_label, cand_label AS pred_label, n_votes,
+           |        row_number() OVER (PARTITION BY query_id
+           |                           ORDER BY n_votes DESC, cand_label) AS vr
+           |      FROM v)
+           |SELECT query_id, true_label, pred_label, n_votes
+           |FROM w WHERE vr = 1 ORDER BY query_id""".stripMargin)),
+
+    QueryDef("scd2_history",
+      (s, d) => Pipeline.scd2History(Tables.events(s, d)), Some(
+        """WITH o AS (
+          |  SELECT user_id, ts, event_id, event_type,
+          |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+          |  FROM events),
+          |f AS (
+          |  SELECT user_id, ts, event_type,
+          |    CAST(sum(CASE WHEN prev_type IS NULL OR prev_type <> event_type
+          |                  THEN 1 ELSE 0 END)
+          |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS period_id
+          |  FROM o),
+          |p AS (
+          |  SELECT user_id, period_id, min(event_type) AS event_type,
+          |    min(ts) AS valid_from, count(*) AS n_events
+          |  FROM f GROUP BY user_id, period_id)
+          |SELECT user_id, period_id, event_type, valid_from,
+          |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY period_id) AS valid_to,
+          |  n_events
+          |FROM p ORDER BY user_id, period_id""".stripMargin)),
+
+    QueryDef("corr_price_items",
+      (s, d) => Pipeline.priceItemsCorr(s, d), Some(
+        """WITH items AS (
+          |  SELECT l_orderkey, count(*) AS x FROM lineitem GROUP BY l_orderkey),
+          |j AS (
+          |  SELECT x, CAST(o_totalprice AS DECIMAL(18,2)) AS y
+          |  FROM orders JOIN items ON o_orderkey = l_orderkey),
+          |sums AS (
+          |  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+          |    sum(x * y) AS sxy, sum(x * x) AS sx2, sum(y * y) AS sy2
+          |  FROM j)
+          |SELECT n AS n_orders,
+          |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          |         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          |    / (sqrt(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+          |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          |       * sqrt(CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)
+          |              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr_r,
+          |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          |         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          |    / (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+          |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope
+          |FROM sums""".stripMargin))
   )
 }

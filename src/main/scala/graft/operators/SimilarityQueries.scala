@@ -15,7 +15,7 @@ object SimilarityQueries {
   private def norm2Sql(a: String): String =
     (1 to Dim).map(i => s"CAST($a[$i] AS DOUBLE)*CAST($a[$i] AS DOUBLE)").mkString(" + ")
 
-  private def cosSql(a: String, b: String): String =
+  private[operators] def cosSql(a: String, b: String): String =
     s"(${dotSql(a, b)}) / (sqrt(${norm2Sql(a)}) * sqrt(${norm2Sql(b)}))"
 
   private def projSql(e: String, j: Int): String =

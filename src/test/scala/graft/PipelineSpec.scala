@@ -64,6 +64,49 @@ class PipelineSpec extends SparkSpec {
     assert(res.filter($"n_in_hour" < 1).count() == 0)
   }
 
+  test("knn_classify votes are bounded by k and labels come from the corpus") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val labels = emb.select($"label").distinct().as[Int].collect().toSet
+    val res = Pipeline.knnClassify(emb).as[(Long, Int, Int, Long)].collect()
+    assert(res.length == 32)
+    res.foreach { case (_, _, pred, votes) =>
+      assert(votes >= 1 && votes <= 5)
+      assert(labels.contains(pred))
+    }
+  }
+
+  test("scd2 periods tile each user's timeline with alternating types") {
+    val events = Tables.events(spark, sf0001)
+    val hist = Pipeline.scd2History(events)
+    assert(hist.agg(sum($"n_events")).as[Long].head() == events.count())
+    // valid_to must equal the next period's valid_from (half-open tiling)
+    val broken = hist
+      .withColumn("next_from",
+        lead($"valid_from", 1).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"user_id").orderBy($"period_id")))
+      .filter($"valid_to".isNotNull && $"valid_to" =!= $"next_from")
+      .count()
+    assert(broken == 0)
+    // adjacent periods never share a type (else they'd be one period)
+    val merged = hist
+      .withColumn("prev_type",
+        lag($"event_type", 1).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"user_id").orderBy($"period_id")))
+      .filter($"prev_type".isNotNull && $"prev_type" === $"event_type")
+      .count()
+    assert(merged == 0)
+  }
+
+  test("corr_price_items yields a valid correlation and positive slope") {
+    val (n, r, slope) = Pipeline.priceItemsCorr(spark, sf0001)
+      .as[(Long, Double, Double)].head()
+    assert(n > 0)
+    assert(r >= -1.0 && r <= 1.0)
+    assert(!slope.isNaN && !slope.isInfinite)
+  }
+
   test("doc_chunks plan stays shuffle-free up to the final sort") {
     // One exchange may come from Tables.spread (input layout) and one
     // from the deterministic orderBy; the chunking itself must not add
