@@ -176,6 +176,62 @@ object Pipeline {
       .orderBy("user_id", "period_id")
   }
 
+  /** Fixed-width histogram of the event value distribution with a
+    * cumulative distribution function. The binning aggregate shuffles
+    * once; the CDF window runs over the (tiny) bin table — single
+    * partition by design, bounded by the bin count, never by N. */
+  def valueHistogram(events: DataFrame, width: Double = 5.0): DataFrame = {
+    val wCdf = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    events
+      .groupBy(floor(col("value") / width).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bin_lo", col("bin").cast("double") * width)
+      .withColumn("cum_n", sum(col("n")).over(wCdf))
+      .withColumn("cdf",
+        round(col("cum_n").cast("double") / sum(col("n")).over(wAll).cast("double"), 6))
+      .select(col("bin"), col("bin_lo"), col("n"), col("cum_n"), col("cdf"))
+      .orderBy("bin")
+  }
+
+  /** first/last/nth window battery: per customer (ordered by order date,
+    * then key), the first and last order dates, the second order's key,
+    * and the order count — emitted once per customer via rn=1. One
+    * shuffle on the customer key; full-frame last_value/nth_value. */
+  def firstLastOrders(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val ord = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    graft.Tables.orders(s, d)
+      .withColumn("rn", row_number().over(ord))
+      .withColumn("first_date", first(col("o_orderdate")).over(full))
+      .withColumn("last_date", last(col("o_orderdate")).over(full))
+      .withColumn("second_key", nth_value(col("o_orderkey"), 2).over(full))
+      .withColumn("n_orders", count(lit(1)).over(full))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("first_date"), col("last_date"),
+        col("second_key"), col("n_orders"))
+      .orderBy("o_custkey")
+  }
+
+  /** Deterministic MODE aggregate: the most frequent quantity per return
+    * flag, ties broken toward the smaller value (builtin mode() is
+    * tie-nondeterministic across engines, so the mode is expressed as
+    * count + rank — the scalable two-stage shape). */
+  def modeQuantity(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("cnt").desc, col("l_quantity").asc)
+    graft.Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("l_quantity").as("mode_qty"),
+        col("cnt").as("mode_count"))
+      .orderBy("l_returnflag")
+  }
+
   /** Pearson correlation + OLS slope between order price and item
     * count, from exact-decimal moment sums (Σx, Σy, Σxy, Σx², Σy² are
     * order-independent; the final formula is a fixed double-op

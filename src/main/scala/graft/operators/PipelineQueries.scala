@@ -147,6 +147,46 @@ object PipelineQueries {
           |         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
           |    / (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
           |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope
-          |FROM sums""".stripMargin))
+          |FROM sums""".stripMargin)),
+
+    QueryDef("value_histogram",
+      (s, d) => Pipeline.valueHistogram(Tables.events(s, d)), Some(
+        """WITH h AS (
+          |  SELECT CAST(floor(value / 5.0) AS BIGINT) AS bin, count(*) AS n
+          |  FROM events GROUP BY 1)
+          |SELECT bin, CAST(bin AS DOUBLE) * 5.0 AS bin_lo, n,
+          |  CAST(sum(n) OVER (ORDER BY bin
+          |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+          |  round(CAST(sum(n) OVER (ORDER BY bin
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+          |        / CAST(sum(n) OVER () AS DOUBLE), 6) AS cdf
+          |FROM h ORDER BY bin""".stripMargin)),
+
+    QueryDef("window_first_last",
+      (s, d) => Pipeline.firstLastOrders(s, d), Some(
+        """SELECT o_custkey,
+          |  first_value(o_orderdate) OVER w AS first_date,
+          |  last_value(o_orderdate) OVER w AS last_date,
+          |  nth_value(o_orderkey, 2) OVER w AS second_key,
+          |  CAST(count(*) OVER w AS BIGINT) AS n_orders
+          |FROM orders
+          |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+          |QUALIFY row_number() OVER (PARTITION BY o_custkey
+          |                           ORDER BY o_orderdate, o_orderkey) = 1
+          |ORDER BY o_custkey""".stripMargin)),
+
+    QueryDef("mode_quantity",
+      (s, d) => Pipeline.modeQuantity(s, d), Some(
+        """WITH c AS (
+          |  SELECT l_returnflag, l_quantity, count(*) AS cnt
+          |  FROM lineitem GROUP BY 1, 2),
+          |r AS (
+          |  SELECT l_returnflag, l_quantity AS mode_qty, cnt AS mode_count,
+          |    row_number() OVER (PARTITION BY l_returnflag
+          |                       ORDER BY cnt DESC, l_quantity) AS rn
+          |  FROM c)
+          |SELECT l_returnflag, mode_qty, mode_count
+          |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin))
   )
 }

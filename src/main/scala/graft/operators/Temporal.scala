@@ -183,4 +183,15 @@ object Temporal {
       .na.fill(0L, types)
       .orderBy("day")
   }
+
+  /** Inverse of [[dailyTypePivot]]: wide → long via the native unpivot
+    * operator (Expand — one map stage, no shuffle beyond the pivot's
+    * own aggregation). Zero-count combinations survive the round-trip,
+    * so unpivot(pivot(x)) is the dense grid of x. */
+  def dailyTypeUnpivot(events: DataFrame): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    dailyTypePivot(events)
+      .unpivot(Array(col("day")), types.map(col).toArray, "event_type", "n_events")
+      .orderBy("day", "event_type")
+  }
 }

@@ -142,5 +142,20 @@ object TemporalQueries {
           |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
           |  count(*) FILTER (WHERE event_type = 'view') AS "view"
           |FROM events GROUP BY 1 ORDER BY day""".stripMargin)),
+
+    QueryDef("daily_type_unpivot",
+      (s, d) => Temporal.dailyTypeUnpivot(Tables.events(s, d)), Some(
+        """WITH p AS (
+          |  SELECT date_trunc('day', ts) AS day,
+          |    count(*) FILTER (WHERE event_type = 'click') AS click,
+          |    count(*) FILTER (WHERE event_type = 'error') AS error,
+          |    count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+          |    count(*) FILTER (WHERE event_type = 'signup') AS signup,
+          |    count(*) FILTER (WHERE event_type = 'view') AS "view"
+          |  FROM events GROUP BY 1)
+          |SELECT day, event_type, n_events
+          |FROM (UNPIVOT p ON click, error, purchase, signup, "view"
+          |      INTO NAME event_type VALUE n_events)
+          |ORDER BY day, event_type""".stripMargin)),
   )
 }

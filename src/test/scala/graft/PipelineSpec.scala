@@ -107,6 +107,38 @@ class PipelineSpec extends SparkSpec {
     assert(!slope.isNaN && !slope.isInfinite)
   }
 
+  test("unpivot inverts the daily pivot (dense grid, totals preserved)") {
+    val events = Tables.events(spark, sf0001)
+    val long = graft.operators.Temporal.dailyTypeUnpivot(events)
+    val days = events.select(date_trunc("day", $"ts")).distinct().count()
+    assert(long.count() == days * 5, "unpivot must keep zero-count cells")
+    assert(long.agg(sum($"n_events")).as[Long].head() == events.count())
+  }
+
+  test("value_histogram CDF is monotone and ends at 1.0") {
+    val rows = Pipeline.valueHistogram(Tables.events(spark, sf0001))
+      .select($"cdf").as[Double].collect()
+    assert(rows.last == 1.0)
+    assert(rows.sameElements(rows.sorted))
+  }
+
+  test("window_first_last: bounds ordered, second_key null iff single order") {
+    val res = Pipeline.firstLastOrders(spark, sf0001)
+    assert(res.filter($"first_date" > $"last_date").count() == 0)
+    assert(res.filter($"n_orders" === 1 && $"second_key".isNotNull).count() == 0)
+    assert(res.filter($"n_orders" > 1 && $"second_key".isNull).count() == 0)
+  }
+
+  test("mode_quantity is the arg-max of the per-flag count table") {
+    val counts = Tables.lineitem(spark, sf0001)
+      .groupBy($"l_returnflag", $"l_quantity").agg(count(lit(1)).as("cnt"))
+    val maxCnt = counts.groupBy($"l_returnflag").agg(max($"cnt").as("max_cnt"))
+    val modes = Pipeline.modeQuantity(spark, sf0001)
+    val bad = modes.join(maxCnt, "l_returnflag")
+      .filter($"mode_count" =!= $"max_cnt").count()
+    assert(bad == 0)
+  }
+
   test("doc_chunks plan stays shuffle-free up to the final sort") {
     // One exchange may come from Tables.spread (input layout) and one
     // from the deterministic orderBy; the chunking itself must not add
