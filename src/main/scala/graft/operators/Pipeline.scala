@@ -232,6 +232,46 @@ object Pipeline {
       .orderBy("l_returnflag")
   }
 
+  /** Ratio-to-report: each nation's 1997 revenue and its share of the
+    * total. The total is a one-row broadcast back onto the (tiny)
+    * per-nation aggregate — no global window, no second scan of the
+    * facts. */
+  def revenueShare(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val rev = graft.Tables.lineitem(s, d)
+      .join(graft.Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(graft.Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(graft.Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sumExpr(discPrice(col("l_extendedprice"), col("l_discount"))).as("revenue"))
+    val total = rev.agg(sum(dec2(col("revenue"))).cast("double").as("total_rev"))
+    rev.crossJoin(broadcast(total))
+      .select(col("n_name"), col("revenue"),
+        round(col("revenue") / col("total_rev"), 6).as("share"))
+      .orderBy(col("share").desc, col("n_name").asc)
+  }
+
+  /** Cumulative distinct users per day WITHOUT stateful distinct-over-
+    * time: each user contributes on their first-seen day (one groupBy on
+    * user), the per-day first-seen counts cumsum over the (tiny) day
+    * table. The classic scalable rewrite of running COUNT(DISTINCT). */
+  def cumulativeUsers(events: DataFrame): DataFrame = {
+    val firstSeen = events
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+      .groupBy(col("first_day")).agg(count(lit(1)).as("new_users"))
+    // cumsum over the aggregated day table — bounded by the number of
+    // days, not by N, so a single-task window is the correct shape
+    val w = Window.orderBy(col("first_day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    firstSeen
+      .withColumn("cum_users", sum(col("new_users")).over(w))
+      .select(col("first_day").as("day"), col("new_users"), col("cum_users"))
+      .orderBy("day")
+  }
+
   /** Pearson correlation + OLS slope between order price and item
     * count, from exact-decimal moment sums (Σx, Σy, Σxy, Σx², Σy² are
     * order-independent; the final formula is a fixed double-op

