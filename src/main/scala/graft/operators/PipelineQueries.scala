@@ -178,6 +178,15 @@ object PipelineQueries {
           |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
           |FROM nd ORDER BY day""".stripMargin)),
 
+    QueryDef("fuzzy_name_pairs",
+      (s, d) => Pipeline.fuzzyNamePairs(s, d), Some(
+        """SELECT a.p_brand, count(*) AS n_pairs,
+          |  CAST(min(levenshtein(a.p_name, b.p_name)) AS INT) AS min_dist
+          |FROM part a JOIN part b
+          |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+          |WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3
+          |GROUP BY a.p_brand ORDER BY a.p_brand""".stripMargin)),
+
     QueryDef("value_histogram",
       (s, d) => Pipeline.valueHistogram(Tables.events(s, d)), Some(
         """WITH h AS (

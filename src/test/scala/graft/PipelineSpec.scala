@@ -152,6 +152,15 @@ class PipelineSpec extends SparkSpec {
     assert(last == events.select($"user_id").distinct().count())
   }
 
+  test("fuzzy_name_pairs only reports within-brand pairs with dist in [1,3]") {
+    val pairs = Pipeline.fuzzyNamePairs(spark, sf0001)
+      .as[(String, Long, Int)].collect()
+    pairs.foreach { case (_, n, minDist) =>
+      assert(n > 0)
+      assert(minDist >= 1 && minDist <= 3)
+    }
+  }
+
   test("doc_chunks plan stays shuffle-free up to the final sort") {
     // One exchange may come from Tables.spread (input layout) and one
     // from the deterministic orderBy; the chunking itself must not add
