@@ -298,6 +298,24 @@ object Pipeline {
       .orderBy("p_brand")
   }
 
+  /** Retention cohorts: users grouped by first-seen day (the cohort),
+    * counted by distinct activity at each day offset. The first-seen
+    * table derives from one groupBy on user; the cohort matrix is one
+    * join back to events (shuffle on user_id) plus one aggregation —
+    * no per-cohort scans, no self-join explosion. */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val firstSeen = events
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    events
+      .select(col("user_id"), date_trunc("day", col("ts")).as("act_day"))
+      .join(firstSeen, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("act_day"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   /** Pearson correlation + OLS slope between order price and item
     * count, from exact-decimal moment sums (Σx, Σy, Σxy, Σx², Σy² are
     * order-independent; the final formula is a fixed double-op

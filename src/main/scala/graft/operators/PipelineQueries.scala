@@ -187,6 +187,17 @@ object PipelineQueries {
           |WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3
           |GROUP BY a.p_brand ORDER BY a.p_brand""".stripMargin)),
 
+    QueryDef("retention_cohorts",
+      (s, d) => Pipeline.retentionCohorts(Tables.events(s, d)), Some(
+        """WITH fs AS (
+          |  SELECT user_id, min(date_trunc('day', ts)) AS cohort_day
+          |  FROM events GROUP BY user_id)
+          |SELECT cohort_day,
+          |  CAST(date_diff('day', cohort_day, date_trunc('day', ts)) AS BIGINT) AS day_offset,
+          |  count(DISTINCT e.user_id) AS n_active
+          |FROM events e JOIN fs ON e.user_id = fs.user_id
+          |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin)),
+
     QueryDef("value_histogram",
       (s, d) => Pipeline.valueHistogram(Tables.events(s, d)), Some(
         """WITH h AS (

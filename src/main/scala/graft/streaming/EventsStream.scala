@@ -85,6 +85,22 @@ object EventsStream {
   def toMemorySink(df: DataFrame, name: String): DataStreamWriter[Row] =
     df.writeStream.outputMode(OutputMode.Append).format("memory").queryName(name)
 
+  /** Streaming running-distinct users: dropDuplicates on user_id keeps
+    * each user's first PROCESSED event; day-bucketed counts of the
+    * survivors are the per-day new-user counts — the streaming analogue
+    * of batch Pipeline.cumulativeUsers. State is O(distinct users) by
+    * semantic NECESSITY (running COUNT(DISTINCT) must remember every key
+    * it has seen) — unlike runningUserTotals this is not an eviction
+    * bug; for a truly unbounded keyspace the right trade is
+    * approx_count_distinct's HLL sketch. Day attribution follows arrival
+    * order, so it equals the batch min(ts) form only for in-order
+    * streams (watermark-ordered replay); the total is order-invariant. */
+  def newUsersPerDay(events: DataFrame): DataFrame =
+    events
+      .dropDuplicates("user_id")
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("new_users"))
+
   /** foreachBatch parquet sink with EXACTLY-ONCE semantics by
     * idempotent overwrite: each micro-batch writes to a batchId-named
     * directory with mode=overwrite, so a batch replayed after a failure

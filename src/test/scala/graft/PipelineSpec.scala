@@ -161,6 +161,22 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("retention cohorts: offset-0 cell equals the cohort size") {
+    val events = Tables.events(spark, sf0001)
+    val cohorts = Pipeline.retentionCohorts(events)
+    // every user is active on their own first-seen day, so the
+    // day_offset=0 diagonal must count the whole cohort
+    val sizes = events
+      .select($"user_id", date_trunc("day", $"ts").as("day"))
+      .groupBy($"user_id").agg(min($"day").as("cohort_day"))
+      .groupBy($"cohort_day").agg(count(lit(1)).as("cohort_size"))
+    val bad = cohorts.filter($"day_offset" === 0)
+      .join(sizes, "cohort_day")
+      .filter($"n_active" =!= $"cohort_size").count()
+    assert(bad == 0)
+    assert(cohorts.filter($"day_offset" < 0).count() == 0)
+  }
+
   test("doc_chunks plan stays shuffle-free up to the final sort") {
     // One exchange may come from Tables.spread (input layout) and one
     // from the deterministic orderBy; the chunking itself must not add

@@ -307,4 +307,27 @@ class TemporalStreamingSpec extends SparkSpec {
       assert(got.nonEmpty)
     } finally q.stop()
   }
+
+  test("streaming running-distinct users totals the batch distinct count") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val df = mem.toDF().toDF("user_id", "ts")
+    val q = EventsStream.newUsersPerDay(df)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("newusers").start()
+    try {
+      // day ATTRIBUTION follows arrival order (documented), so feed in
+      // ts order; the TOTAL is order-invariant and asserted exactly
+      val rows = events.select($"user_id", $"ts")
+        .as[(Long, Timestamp)].collect().sortBy(_._2.getTime).toSeq
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("newusers")
+        .select($"day", $"new_users").as[(Timestamp, Long)].collect()
+      assert(got.map(_._2).sum == events.select($"user_id").distinct().count())
+      val eventDays = events.select(date_trunc("day", $"ts"))
+        .distinct().as[Timestamp].collect().toSet
+      assert(got.map(_._1).forall(eventDays), "emitted day outside event domain")
+    } finally q.stop()
+  }
 }
