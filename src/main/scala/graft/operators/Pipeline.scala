@@ -316,6 +316,41 @@ object Pipeline {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL) on the
+    * 1997-vs-1998 order-priority multisets, aggregated to deterministic
+    * counts. Both operators are one shuffle on the compared row — the
+    * multiset min/difference shapes DISTINCT set ops can't express. */
+  def setOpsAll(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    def slice(yr: Int) = graft.Tables.orders(s, d)
+      .filter(year(col("o_orderdate")) === yr)
+      .select(col("o_orderpriority"))
+    val y97 = slice(1997)
+    val y98 = slice(1998)
+    val inter = y97.intersectAll(y98).withColumn("op", lit("intersect_all"))
+    val diff = y97.exceptAll(y98).withColumn("op", lit("except_all"))
+    inter.unionByName(diff)
+      .groupBy(col("op"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("op", "o_orderpriority")
+  }
+
+  /** Null-handling battery: NULLIF, COALESCE, and null-safe equality
+    * (Spark <=> ≡ SQL IS NOT DISTINCT FROM), aggregated per return
+    * flag so the semantics are checkable as counts. */
+  def nullFuncs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val nd = nullif(col("l_discount"), lit(0.0))
+    graft.Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(nd.isNull, 1).otherwise(0)).cast("long").as("n_zero_disc"),
+        sum(when(coalesce(nd, lit(-1.0)) === -1.0, 1).otherwise(0)).cast("long")
+          .as("n_coalesced"),
+        sum(when(col("l_discount") <=> col("l_tax"), 1).otherwise(0)).cast("long")
+          .as("n_nullsafe_eq"))
+      .orderBy("l_returnflag")
+  }
+
   /** Pearson correlation + OLS slope between order price and item
     * count, from exact-decimal moment sums (Σx, Σy, Σxy, Σx², Σy² are
     * order-independent; the final formula is a fixed double-op

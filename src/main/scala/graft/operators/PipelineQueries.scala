@@ -198,6 +198,27 @@ object PipelineQueries {
           |FROM events e JOIN fs ON e.user_id = fs.user_id
           |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin)),
 
+    QueryDef("set_ops_all",
+      (s, d) => Pipeline.setOpsAll(s, d), Some(
+        """WITH y97 AS (SELECT o_orderpriority FROM orders WHERE year(o_orderdate) = 1997),
+          |y98 AS (SELECT o_orderpriority FROM orders WHERE year(o_orderdate) = 1998),
+          |tagged AS (
+          |  SELECT 'intersect_all' AS op, o_orderpriority
+          |  FROM (SELECT * FROM y97 INTERSECT ALL SELECT * FROM y98)
+          |  UNION ALL
+          |  SELECT 'except_all' AS op, o_orderpriority
+          |  FROM (SELECT * FROM y97 EXCEPT ALL SELECT * FROM y98))
+          |SELECT op, o_orderpriority, count(*) AS n
+          |FROM tagged GROUP BY 1, 2 ORDER BY op, o_orderpriority""".stripMargin)),
+
+    QueryDef("null_funcs",
+      (s, d) => Pipeline.nullFuncs(s, d), Some(
+        """SELECT l_returnflag, count(*) AS n_rows,
+          |  CAST(sum(CASE WHEN nullif(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_disc,
+          |  CAST(sum(CASE WHEN coalesce(nullif(l_discount, 0.0), -1.0) = -1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_coalesced,
+          |  CAST(sum(CASE WHEN l_discount IS NOT DISTINCT FROM l_tax THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_eq
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     QueryDef("value_histogram",
       (s, d) => Pipeline.valueHistogram(Tables.events(s, d)), Some(
         """WITH h AS (

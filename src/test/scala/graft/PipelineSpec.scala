@@ -177,6 +177,34 @@ class PipelineSpec extends SparkSpec {
     assert(cohorts.filter($"day_offset" < 0).count() == 0)
   }
 
+  test("set_ops_all matches multiset min / difference arithmetic") {
+    val orders = Tables.orders(spark, sf0001)
+    def counts(yr: Int) = orders.filter(year($"o_orderdate") === yr)
+      .groupBy($"o_orderpriority").count()
+      .as[(String, Long)].collect().toMap
+    val c97 = counts(1997)
+    val c98 = counts(1998)
+    val got = Pipeline.setOpsAll(spark, sf0001)
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1).map { case (op, rows) =>
+        op -> rows.map(r => r._2 -> r._3).toMap }
+    val keys = (c97.keySet ++ c98.keySet)
+    keys.foreach { k =>
+      val inter = math.min(c97.getOrElse(k, 0L), c98.getOrElse(k, 0L))
+      val diff = math.max(0L, c97.getOrElse(k, 0L) - c98.getOrElse(k, 0L))
+      assert(got.getOrElse("intersect_all", Map.empty).getOrElse(k, 0L) == inter,
+        s"intersect_all wrong for $k")
+      assert(got.getOrElse("except_all", Map.empty).getOrElse(k, 0L) == diff,
+        s"except_all wrong for $k")
+    }
+  }
+
+  test("null_funcs: NULLIF and COALESCE paths agree") {
+    val bad = Pipeline.nullFuncs(spark, sf0001)
+      .filter($"n_zero_disc" =!= $"n_coalesced").count()
+    assert(bad == 0)
+  }
+
   test("doc_chunks plan stays shuffle-free up to the final sort") {
     // One exchange may come from Tables.spread (input layout) and one
     // from the deterministic orderBy; the chunking itself must not add
