@@ -351,6 +351,23 @@ object Pipeline {
       .orderBy("l_returnflag")
   }
 
+  /** Correlated LATERAL subquery (SQL surface): each customer's top-2
+    * orders by price via a per-row correlated LIMIT. Catalyst rewrites
+    * the lateral into a ranked join (DomainJoin → window/join under
+    * RewriteLateralSubquery) — semantically the window top-k, expressed
+    * in the SQL dialect users port from. */
+  def lateralTop2Orders(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    graft.Tables.customer(s, d).createOrReplaceTempView("customer_l")
+    graft.Tables.orders(s, d).createOrReplaceTempView("orders_l")
+    s.sql("""
+      SELECT c_custkey, t.o_orderkey, t.o_totalprice
+      FROM customer_l,
+      LATERAL (SELECT o_orderkey, o_totalprice FROM orders_l
+               WHERE o_custkey = c_custkey
+               ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      ORDER BY c_custkey, o_totalprice DESC, o_orderkey""")
+  }
+
   /** Pearson correlation + OLS slope between order price and item
     * count, from exact-decimal moment sums (Σx, Σy, Σxy, Σx², Σy² are
     * order-independent; the final formula is a fixed double-op

@@ -219,6 +219,15 @@ object PipelineQueries {
           |  CAST(sum(CASE WHEN l_discount IS NOT DISTINCT FROM l_tax THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_eq
           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    QueryDef("lateral_top2_orders",
+      (s, d) => Pipeline.lateralTop2Orders(s, d), Some(
+        """SELECT c_custkey, t.o_orderkey, t.o_totalprice
+          |FROM customer,
+          |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+          |         WHERE o_custkey = c_custkey
+          |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+          |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin)),
+
     QueryDef("value_histogram",
       (s, d) => Pipeline.valueHistogram(Tables.events(s, d)), Some(
         """WITH h AS (
