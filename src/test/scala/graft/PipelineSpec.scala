@@ -205,6 +205,23 @@ class PipelineSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("lateral top-2 equals the window row_number formulation") {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    val windowed = Tables.orders(spark, sf0001)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 2)
+      .select($"o_custkey".as("c_custkey"), $"o_orderkey", $"o_totalprice")
+      .as[(Long, Long, Double)].collect().toSet
+    val lateral = Pipeline.lateralTop2Orders(spark, sf0001)
+      .as[(Long, Long, Double)].collect().toSet
+    // lateral runs over customer (outer), so customers with zero orders
+    // drop on both sides (inner lateral join ≡ window over orders)
+    assert(lateral == windowed,
+      s"lateral != window: ${(windowed -- lateral).take(3)} ${(lateral -- windowed).take(3)}")
+  }
+
   test("doc_chunks plan stays shuffle-free up to the final sort") {
     // One exchange may come from Tables.spread (input layout) and one
     // from the deterministic orderBy; the chunking itself must not add
