@@ -220,6 +220,32 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** QUALITY-WEIGHTED sampling: each document is kept with probability
+    * equal to its [[qualityScore]] quality (md5-uniform u∈[0,256) vs
+    * quality×256) — deterministic importance sampling, the data-mixing
+    * primitive that upweights high-quality text without any RNG state.
+    * Emits per-language audit sums (micro-scaled quality as BIGINT so
+    * the aggregate is order-independent); one shuffle for the quality
+    * join, one for the audit groupBy. */
+  def qualityWeightedSample(docs: DataFrame): DataFrame = {
+    val q = qualityScore(docs).select(col("doc_id"), col("quality"))
+    val hex = md5(col("doc_id").cast("string"))
+    def nibble(i: Int): Column = {
+      val a = ascii(substring(hex, i + 1, 1))
+      a - when(a >= 97, lit(87)).otherwise(lit(48))
+    }
+    val u = (nibble(0) * 16 + nibble(1)).cast("double")
+    docs.select(col("doc_id"), col("lang")).join(q, "doc_id")
+      .withColumn("kept", u < col("quality") * 256.0)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), round(col("quality") * 1000000).cast("long"))
+          .otherwise(0L)).as("q_micro_kept"))
+      .orderBy("lang")
+  }
+
   /** Per-language LENGTH QUALITY GATE: keep documents within the
     * [p05, p95] character-length band of their language — the
     * outlier-trimming filter (truncated boilerplate / concatenation

@@ -45,6 +45,30 @@ object TextAnalysisQueries {
           |             + (0.5 * (CAST(least(n_tokens, 100) AS DOUBLE) / 100.0)), 6) AS quality
           |FROM b ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("quality_weighted_sample",
+      (s, d) => TextAnalysis.qualityWeightedSample(Tables.documents(s, d)), Some(
+        """WITH t AS (
+          |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z'']+') AS w
+          |  FROM documents),
+          |q AS (
+          |  SELECT doc_id,
+          |    round((0.5 * (CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE)))
+          |          + (0.5 * (CAST(least(len(w), 100) AS DOUBLE) / 100.0)), 6) AS quality
+          |  FROM t WHERE len(w) > 0),
+          |j AS (
+          |  SELECT d.lang, q.quality,
+          |    ((ascii(substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1))
+          |      - CASE WHEN ascii(substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)) >= 97 THEN 87 ELSE 48 END) * 16 +
+          |     (ascii(substr(md5(CAST(d.doc_id AS VARCHAR)), 2, 1))
+          |      - CASE WHEN ascii(substr(md5(CAST(d.doc_id AS VARCHAR)), 2, 1)) >= 97 THEN 87 ELSE 48 END))
+          |    < q.quality * 256.0 AS kept
+          |  FROM documents d JOIN q ON d.doc_id = q.doc_id)
+          |SELECT lang, count(*) AS n_total,
+          |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          |  CAST(sum(CASE WHEN kept THEN CAST(round(quality * 1000000) AS BIGINT)
+          |           ELSE 0 END) AS BIGINT) AS q_micro_kept
+          |FROM j GROUP BY lang ORDER BY lang""".stripMargin)),
+
     QueryDef("token_stats",
       (s, d) => TextAnalysis.tokenStats(Tables.documents(s, d)), Some(
         """WITH t AS (

@@ -222,6 +222,21 @@ class PipelineSpec extends SparkSpec {
       s"lateral != window: ${(windowed -- lateral).take(3)} ${(lateral -- windowed).take(3)}")
   }
 
+  test("quality_weighted_sample keeps a quality-bounded subset per language") {
+    val rows = graft.operators.TextAnalysis
+      .qualityWeightedSample(Tables.documents(spark, sf0001))
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, total, kept, qMicro) =>
+      assert(kept >= 0 && kept <= total)
+      // micro-quality sum of kept docs is bounded by kept * max quality (1.0)
+      assert(qMicro >= 0 && qMicro <= kept * 1000000L)
+    }
+    // weighting must actually drop something and keep something overall
+    val (t, k) = (rows.map(_._2).sum, rows.map(_._3).sum)
+    assert(k > 0 && k < t)
+  }
+
   test("doc_chunks plan stays shuffle-free up to the final sort") {
     // One exchange may come from Tables.spread (input layout) and one
     // from the deterministic orderBy; the chunking itself must not add
