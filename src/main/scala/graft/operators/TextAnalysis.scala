@@ -246,6 +246,41 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** Char-trigram language classifier, fit AND applied as one dataflow
+    * (the Cavnar–Trenkle n-gram-profile method): per-language top-30
+    * trigram profiles by corpus frequency (fit = one shuffle on
+    * (lang, gram)), then each document scored by rank-weighted overlap
+    * of its DISTINCT trigrams with each profile (the profile is
+    * broadcast-tiny: languages × 30 rows), argmax per doc, emitted as a
+    * language confusion matrix. Everything is integer arithmetic with
+    * deterministic tie-breaks — a trained classifier with zero RNG and
+    * a bit-exact oracle. */
+  def charNgramLangConfusion(docs: DataFrame, topK: Int = 30): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), col("lang"), lower(col("text")).as("t"))
+      .filter(length(col("t")) >= 3)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))")).as("g"))
+    val profile = grams
+      .groupBy(col("lang"), col("g")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("g").asc)))
+      .filter(col("rank") <= topK)
+      .select(col("lang").as("cand_lang"), col("g"), (lit(topK + 1) - col("rank")).as("w"))
+    val docGrams = grams.select(col("doc_id"), col("lang"), col("g")).distinct()
+    val scored = docGrams
+      .join(broadcast(profile), "g")
+      .groupBy(col("doc_id"), col("lang"), col("cand_lang"))
+      .agg(sum(col("w")).as("score"))
+    val best = scored.withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("cand_lang").asc)))
+      .filter(col("rn") === 1)
+    best.groupBy(col("lang"), col("cand_lang").as("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "pred_lang")
+  }
+
   /** Per-language LENGTH QUALITY GATE: keep documents within the
     * [p05, p95] character-length band of their language — the
     * outlier-trimming filter (truncated boilerplate / concatenation

@@ -69,6 +69,32 @@ object TextAnalysisQueries {
           |           ELSE 0 END) AS BIGINT) AS q_micro_kept
           |FROM j GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    QueryDef("char_ngram_lang_confusion",
+      (s, d) => TextAnalysis.charNgramLangConfusion(Tables.documents(s, d)), Some(
+        """WITH g AS (
+          |  SELECT doc_id, lang, substr(lower(text), i, 3) AS g
+          |  FROM documents, unnest(generate_series(1, length(lower(text)) - 2, 1)) AS gs(i)
+          |  WHERE length(lower(text)) >= 3),
+          |prof AS (
+          |  SELECT lang AS cand_lang, g, 31 - rank AS w FROM (
+          |    SELECT lang, g, row_number() OVER (PARTITION BY lang
+          |             ORDER BY count(*) DESC, g) AS rank
+          |    FROM g GROUP BY lang, g)
+          |  WHERE rank <= 30),
+          |dg AS (SELECT DISTINCT doc_id, lang, g FROM g),
+          |scored AS (
+          |  SELECT doc_id, lang, cand_lang, CAST(sum(w) AS BIGINT) AS score
+          |  FROM dg JOIN prof USING (g)
+          |  GROUP BY doc_id, lang, cand_lang),
+          |best AS (
+          |  SELECT lang, cand_lang AS pred_lang,
+          |    row_number() OVER (PARTITION BY doc_id
+          |                       ORDER BY score DESC, cand_lang) AS rn
+          |  FROM scored)
+          |SELECT lang, pred_lang, count(*) AS n_docs
+          |FROM best WHERE rn = 1
+          |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin)),
+
     QueryDef("token_stats",
       (s, d) => TextAnalysis.tokenStats(Tables.documents(s, d)), Some(
         """WITH t AS (

@@ -237,6 +237,16 @@ class PipelineSpec extends SparkSpec {
     assert(k > 0 && k < t)
   }
 
+  test("char-ngram confusion matrix accounts for every classifiable doc") {
+    val docs = Tables.documents(spark, sf0001)
+    val conf = graft.operators.TextAnalysis.charNgramLangConfusion(docs)
+    val classified = conf.agg(sum($"n_docs")).as[Long].head()
+    // every doc with >= 3 chars produces trigrams, and the top-30
+    // profiles cover the shared vocabulary, so all docs classify
+    assert(classified == docs.filter(length(lower($"text")) >= 3).count())
+    assert(conf.filter($"n_docs" <= 0).count() == 0)
+  }
+
   test("doc_chunks plan stays shuffle-free up to the final sort") {
     // One exchange may come from Tables.spread (input layout) and one
     // from the deterministic orderBy; the chunking itself must not add
