@@ -256,11 +256,15 @@ object TextAnalysis {
     * deterministic tie-breaks — a trained classifier with zero RNG and
     * a bit-exact oracle. */
   def charNgramLangConfusion(docs: DataFrame, topK: Int = 30): DataFrame = {
+    // persisted: the gram table feeds BOTH the profile fit and the
+    // per-doc scoring — without it each branch re-runs the explode over
+    // the whole corpus (the harness clears the cache after each query)
     val grams = docs
       .select(col("doc_id"), col("lang"), lower(col("text")).as("t"))
       .filter(length(col("t")) >= 3)
       .select(col("doc_id"), col("lang"), explode(expr(
         "transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))")).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val profile = grams
       .groupBy(col("lang"), col("g")).agg(count(lit(1)).as("cnt"))
       .withColumn("rank", row_number().over(
