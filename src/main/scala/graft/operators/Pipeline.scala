@@ -368,6 +368,56 @@ object Pipeline {
       ORDER BY c_custkey, o_totalprice DESC, o_orderkey""")
   }
 
+  /** Time-series anomaly flagging: daily event counts per type scored
+    * by z-score against that type's own mean/stddev (exact moment sums,
+    * same engine-portable formula as aggStatsByFlag), |z| > 2 flagged.
+    * Two aggregations over the (tiny) day×type table after one shuffle
+    * of the facts — the fleet-metrics outlier-detection shape. */
+  def dailyAnomalies(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val stats = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("n")).as("s"), sum(col("n") * col("n")).as("s2"))
+      .select(col("event_type"),
+        (col("s").cast("double") / col("n_days").cast("double")).as("mean_n"),
+        sqrt((col("s2").cast("double") - col("s").cast("double") * col("s").cast("double")
+          / col("n_days").cast("double")) / (col("n_days").cast("double") - lit(1.0)))
+          .as("std_n"))
+    daily.join(stats, "event_type")
+      .withColumn("z", round((col("n").cast("double") - col("mean_n")) / col("std_n"), 6))
+      .filter(abs(col("z")) > 2.0)
+      .select(col("event_type"), col("day"), col("n"), col("z"))
+      .orderBy("event_type", "day")
+  }
+
+  /** Market-basket token co-occurrence: document co-occurrence counts
+    * among the top-20 corpus tokens (frequent-items pruning FIRST, the
+    * standard a-priori step — pair enumeration is bounded by K²/2
+    * regardless of corpus size). One shuffle for the frequency fit, the
+    * tiny frequent set broadcasts back, pairs shuffle on the pair key. */
+  def tokenCooccurrence(docs: DataFrame, topK: Int = 20): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(array_distinct(
+        regexp_extract_all(lower(col("text")), lit(WordCount.TokenPattern), lit(0))))
+        .as("token"))
+    // top-K via orderBy+limit → TakeOrderedAndProject (O(K) per
+    // partition), NOT a global row_number window over the whole vocab
+    val frequent = toks.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("token").asc).limit(topK)
+      .select(col("token"))
+    val ft = toks.join(broadcast(frequent), "token")
+    val a = ft.select(col("doc_id"), col("token").as("tok_a"))
+    val b = ft.select(col("doc_id"), col("token").as("tok_b"))
+    a.join(b, "doc_id")
+      .filter(col("tok_a") < col("tok_b"))
+      .groupBy(col("tok_a"), col("tok_b"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("tok_a").asc, col("tok_b").asc)
+      .limit(30)
+  }
+
   /** Pearson correlation + OLS slope between order price and item
     * count, from exact-decimal moment sums (Σx, Σy, Σxy, Σx², Σy² are
     * order-independent; the final formula is a fixed double-op

@@ -228,6 +228,37 @@ object PipelineQueries {
           |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
           |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin)),
 
+    QueryDef("daily_anomalies",
+      (s, d) => Pipeline.dailyAnomalies(Tables.events(s, d)), Some(
+        """WITH daily AS (
+          |  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
+          |  FROM events GROUP BY 1, 2),
+          |stats AS (
+          |  SELECT event_type,
+          |    CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_n,
+          |    sqrt((CAST(sum(n * n) AS DOUBLE) - CAST(sum(n) AS DOUBLE) * CAST(sum(n) AS DOUBLE)
+          |          / CAST(count(*) AS DOUBLE)) / (CAST(count(*) AS DOUBLE) - 1.0)) AS std_n
+          |  FROM daily GROUP BY event_type)
+          |SELECT d.event_type, d.day, d.n,
+          |  round((CAST(d.n AS DOUBLE) - s.mean_n) / s.std_n, 6) AS z
+          |FROM daily d JOIN stats s ON d.event_type = s.event_type
+          |WHERE abs((CAST(d.n AS DOUBLE) - s.mean_n) / s.std_n) > 2.0
+          |ORDER BY d.event_type, d.day""".stripMargin)),
+
+    QueryDef("token_cooccurrence",
+      (s, d) => Pipeline.tokenCooccurrence(Tables.documents(s, d)), Some(
+        """WITH toks AS (
+          |  SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS token
+          |  FROM documents),
+          |freq AS (
+          |  SELECT token FROM toks GROUP BY token
+          |  ORDER BY count(*) DESC, token LIMIT 20),
+          |ft AS (SELECT doc_id, token FROM toks WHERE token IN (SELECT token FROM freq))
+          |SELECT a.token AS tok_a, b.token AS tok_b, count(*) AS n_docs
+          |FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.token < b.token
+          |GROUP BY 1, 2
+          |ORDER BY n_docs DESC, tok_a, tok_b LIMIT 30""".stripMargin)),
+
     QueryDef("value_histogram",
       (s, d) => Pipeline.valueHistogram(Tables.events(s, d)), Some(
         """WITH h AS (

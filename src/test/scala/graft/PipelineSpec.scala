@@ -247,6 +247,24 @@ class PipelineSpec extends SparkSpec {
     assert(conf.filter($"n_docs" <= 0).count() == 0)
   }
 
+  test("daily_anomalies only flags days beyond 2 sigma") {
+    val res = Pipeline.dailyAnomalies(Tables.events(spark, sf0001))
+    assert(res.filter(abs($"z") <= 2.0).count() == 0)
+  }
+
+  test("token_cooccurrence pairs are ordered, bounded by corpus size") {
+    val nDocs = Tables.documents(spark, sf0001).count()
+    val rows = Pipeline.tokenCooccurrence(Tables.documents(spark, sf0001))
+      .as[(String, String, Long)].collect()
+    assert(rows.nonEmpty && rows.length <= 30)
+    rows.foreach { case (a, b, n) =>
+      assert(a < b, "pair must be canonically ordered")
+      assert(n >= 1 && n <= nDocs)
+    }
+    val counts = rows.map(_._3)
+    assert(counts.sameElements(counts.sorted(Ordering[Long].reverse)))
+  }
+
   test("doc_chunks plan stays shuffle-free up to the final sort") {
     // One exchange may come from Tables.spread (input layout) and one
     // from the deterministic orderBy; the chunking itself must not add
