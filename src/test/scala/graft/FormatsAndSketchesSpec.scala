@@ -28,6 +28,31 @@ class FormatsAndSketchesSpec extends SparkSpec {
     assert(back.exceptAll(orders).count() == 0)
   }
 
+  test("parquet schema evolution: mergeSchema unions columns across file generations") {
+    // corpora evolve: generation 1 lacks the column generation 2 adds.
+    // mergeSchema must read both, null-filling the missing column.
+    val dir = Files.createTempDirectory("graft-evolve").toString + "/t"
+    val docs = Tables.documents(spark, sf0001)
+    docs.select($"doc_id", $"lang").limit(100)
+      .write.mode("overwrite").parquet(s"$dir/gen=1")
+    docs.select($"doc_id", $"lang", $"n_chars").limit(50)
+      .write.mode("overwrite").parquet(s"$dir/gen=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("doc_id", "lang", "n_chars", "gen"))
+    assert(merged.count() == 150)
+    assert(merged.filter($"gen" === 1 && $"n_chars".isNotNull).count() == 0)
+    assert(merged.filter($"gen" === 2 && $"n_chars".isNull).count() == 0)
+  }
+
+  test("parquet zstd codec round-trips the lineitem table") {
+    val dir = Files.createTempDirectory("graft-zstd").toString + "/l"
+    val li = Tables.lineitem(spark, sf0001)
+    li.write.mode("overwrite").option("compression", "zstd").parquet(dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == li.count())
+    assert(back.exceptAll(li).count() == 0)
+  }
+
   test("JSON round-trip preserves word counts (reference O11 shape, JSON-lines)") {
     val dir = Files.createTempDirectory("graft-json").toString + "/w"
     val counts = graft.operators.WordCount.tokenCounts(Tables.documents(spark, sf0001))
