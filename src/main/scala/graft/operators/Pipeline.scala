@@ -418,6 +418,58 @@ object Pipeline {
       .limit(30)
   }
 
+  /** Point-in-time feature join with a STALENESS BOUND — the feature-
+    * store primitive: each purchase gets the user's latest at-or-before
+    * signup timestamp, but only if it is at most 7 days old (stale
+    * features become NULL, never silently served). Same scalable
+    * union-window shape as the plain as-of join (one shuffle on
+    * user_id, no pairwise range join); the tolerance is a post-window
+    * filter. */
+  def pointInTimeSignup(events: DataFrame, maxAgeMs: Long = 7L * 86400000): DataFrame = {
+    val ev = events
+      .filter(col("event_type").isin("signup", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_type"), col("event_id"),
+        when(col("event_type") === "signup", col("ts")).as("sig_ts"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("last_signup", max(col("sig_ts")).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("age_ms",
+        expr("unix_millis(ts)") - expr("unix_millis(last_signup)"))
+      .select(col("user_id"), col("event_id"), col("ts").as("purchase_ts"),
+        when(col("age_ms") <= maxAgeMs, col("last_signup")).as("feature_signup"),
+        when(col("age_ms") <= maxAgeMs, col("age_ms")).as("feature_age_ms"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** First-touch attribution: every purchase attributed to the FIRST
+    * event type of its 30-minute-gap session. Reuses the sessionize
+    * cumsum (lag → flag → running sum); the session's first touch is a
+    * min_by over (ts, event_id) within the session — all inside the one
+    * user_id shuffle the sessionization already pays. */
+  def firstTouchAttribution(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sessioned = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          expr("unix_millis(ts)") - expr("unix_millis(prev_ts)") > 30L * 60 * 1000, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wSess = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessioned
+      .withColumn("first_touch", first(col("event_type")).over(wSess))
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("first_touch"))
+      .agg(count(lit(1)).as("n_purchases"))
+      .orderBy(col("n_purchases").desc, col("first_touch").asc)
+  }
+
   /** Pearson correlation + OLS slope between order price and item
     * count, from exact-decimal moment sums (Σx, Σy, Σxy, Σx², Σy² are
     * order-independent; the final formula is a fixed double-op

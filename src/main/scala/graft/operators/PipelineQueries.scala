@@ -259,6 +259,50 @@ object PipelineQueries {
           |GROUP BY 1, 2
           |ORDER BY n_docs DESC, tok_a, tok_b LIMIT 30""".stripMargin)),
 
+    QueryDef("point_in_time_signup",
+      (s, d) => Pipeline.pointInTimeSignup(Tables.events(s, d)), Some(
+        """WITH ev AS (
+          |  SELECT user_id, ts, event_type, event_id,
+          |    CASE WHEN event_type = 'signup' THEN ts END AS sig_ts
+          |  FROM events WHERE event_type IN ('signup', 'purchase')),
+          |wd AS (
+          |  SELECT user_id, ts, event_type, event_id,
+          |    max(sig_ts) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup
+          |  FROM ev)
+          |SELECT user_id, event_id, ts AS purchase_ts,
+          |  CASE WHEN epoch_ms(ts) - epoch_ms(last_signup) <= 604800000
+          |       THEN last_signup END AS feature_signup,
+          |  CASE WHEN epoch_ms(ts) - epoch_ms(last_signup) <= 604800000
+          |       THEN CAST(epoch_ms(ts) - epoch_ms(last_signup) AS BIGINT) END AS feature_age_ms
+          |FROM wd WHERE event_type = 'purchase'
+          |ORDER BY user_id, event_id""".stripMargin)),
+
+    QueryDef("first_touch_attribution",
+      (s, d) => Pipeline.firstTouchAttribution(Tables.events(s, d)), Some(
+        """WITH o AS (
+          |  SELECT user_id, ts, event_id, event_type,
+          |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+          |  FROM events),
+          |f AS (
+          |  SELECT user_id, ts, event_id, event_type,
+          |    CAST(sum(CASE WHEN prev_ts IS NULL
+          |                  OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000
+          |                  THEN 1 ELSE 0 END)
+          |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+          |  FROM o),
+          |ft AS (
+          |  SELECT user_id, ts, event_id, event_type,
+          |    first_value(event_type) OVER (PARTITION BY user_id, session_id
+          |      ORDER BY ts, event_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_touch
+          |  FROM f)
+          |SELECT first_touch, count(*) AS n_purchases
+          |FROM ft WHERE event_type = 'purchase'
+          |GROUP BY first_touch
+          |ORDER BY n_purchases DESC, first_touch""".stripMargin)),
+
     QueryDef("value_histogram",
       (s, d) => Pipeline.valueHistogram(Tables.events(s, d)), Some(
         """WITH h AS (

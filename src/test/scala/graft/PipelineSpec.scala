@@ -265,6 +265,25 @@ class PipelineSpec extends SparkSpec {
     assert(counts.sameElements(counts.sorted(Ordering[Long].reverse)))
   }
 
+  test("point-in-time join never serves a stale or future feature") {
+    val events = Tables.events(spark, sf0001)
+    val res = Pipeline.pointInTimeSignup(events)
+    assert(res.count() ==
+      events.filter($"event_type" === "purchase").count(),
+      "every purchase must appear exactly once")
+    val bad = res.filter($"feature_signup".isNotNull &&
+      ($"feature_signup" > $"purchase_ts" || $"feature_age_ms" > 7L * 86400000))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("first-touch attribution accounts for every purchase") {
+    val events = Tables.events(spark, sf0001)
+    val total = Pipeline.firstTouchAttribution(events)
+      .agg(sum($"n_purchases")).as[Long].head()
+    assert(total == events.filter($"event_type" === "purchase").count())
+  }
+
   test("doc_chunks plan stays shuffle-free up to the final sort") {
     // One exchange may come from Tables.spread (input layout) and one
     // from the deterministic orderBy; the chunking itself must not add
