@@ -470,6 +470,31 @@ object Pipeline {
       .orderBy(col("n_purchases").desc, col("first_touch").asc)
   }
 
+  /** CDC-style snapshot diff via FULL OUTER JOIN: per-user value totals
+    * before vs after a cutoff, emitting only users whose state changed,
+    * tagged inserted/deleted/updated — the change-data-capture /
+    * MERGE-source primitive. Both snapshots aggregate first (partial
+    * aggregation before the exchange), then one co-partitioned full
+    * outer join on the user key. */
+  def userStateDiff(events: DataFrame,
+      cutoff: String = "2024-01-15 00:00:00"): DataFrame = {
+    val cut = lit(cutoff).cast("timestamp")
+    def snap(f: org.apache.spark.sql.Column, tag: String) = events.filter(f)
+      .groupBy(col("user_id"))
+      .agg(sum(dec2(col("value"))).cast("double").as(s"total_$tag"),
+        count(lit(1)).as(s"n_$tag"))
+    val before = snap(col("ts") < cut, "before")
+    val after = snap(col("ts") >= cut, "after")
+    before.join(after, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        coalesce(col("n_before"), lit(0L)).as("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        when(col("n_before").isNull, lit("inserted"))
+          .when(col("n_after").isNull, lit("deleted"))
+          .otherwise(lit("updated")).as("change"))
+      .orderBy("user_id")
+  }
+
   /** Pearson correlation + OLS slope between order price and item
     * count, from exact-decimal moment sums (Σx, Σy, Σxy, Σx², Σy² are
     * order-independent; the final formula is a fixed double-op

@@ -303,6 +303,29 @@ object PipelineQueries {
           |GROUP BY first_touch
           |ORDER BY n_purchases DESC, first_touch""".stripMargin)),
 
+    QueryDef("user_state_diff",
+      (s, d) => Pipeline.userStateDiff(Tables.events(s, d)), Some(
+        """WITH b AS (
+          |  SELECT user_id,
+          |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_before,
+          |    count(*) AS n_before
+          |  FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+          |  GROUP BY user_id),
+          |a AS (
+          |  SELECT user_id,
+          |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_after,
+          |    count(*) AS n_after
+          |  FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+          |  GROUP BY user_id)
+          |SELECT coalesce(b.user_id, a.user_id) AS user_id,
+          |  CAST(coalesce(b.n_before, 0) AS BIGINT) AS n_before,
+          |  CAST(coalesce(a.n_after, 0) AS BIGINT) AS n_after,
+          |  CASE WHEN b.user_id IS NULL THEN 'inserted'
+          |       WHEN a.user_id IS NULL THEN 'deleted'
+          |       ELSE 'updated' END AS change
+          |FROM b FULL OUTER JOIN a ON b.user_id = a.user_id
+          |ORDER BY user_id""".stripMargin)),
+
     QueryDef("value_histogram",
       (s, d) => Pipeline.valueHistogram(Tables.events(s, d)), Some(
         """WITH h AS (

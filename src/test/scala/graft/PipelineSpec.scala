@@ -284,6 +284,17 @@ class PipelineSpec extends SparkSpec {
     assert(total == events.filter($"event_type" === "purchase").count())
   }
 
+  test("user_state_diff covers every user exactly once with consistent tags") {
+    val events = Tables.events(spark, sf0001)
+    val diff = Pipeline.userStateDiff(events)
+    assert(diff.count() == events.select($"user_id").distinct().count())
+    assert(diff.filter($"change" === "inserted" && $"n_before" =!= 0).count() == 0)
+    assert(diff.filter($"change" === "deleted" && $"n_after" =!= 0).count() == 0)
+    assert(diff.filter($"change" === "updated" &&
+      ($"n_before" === 0 || $"n_after" === 0)).count() == 0)
+    assert(diff.agg(sum($"n_before" + $"n_after")).as[Long].head() == events.count())
+  }
+
   test("doc_chunks plan stays shuffle-free up to the final sort") {
     // One exchange may come from Tables.spread (input layout) and one
     // from the deterministic orderBy; the chunking itself must not add
