@@ -101,6 +101,18 @@ object EventsStream {
       .groupBy(date_trunc("day", col("ts")).as("day"))
       .agg(count(lit(1)).as("new_users"))
 
+  /** Stream-STATIC join: the streaming side enriched by a static
+    * dimension (here a per-type weight table). The static side is
+    * planned once per micro-batch as an ordinary batch relation —
+    * broadcast when small — and requires NO watermark or join-state:
+    * the canonical dimension-enrichment pattern at 100 TB (static dims
+    * refresh by restarting the query or via Delta-style snapshot
+    * reads). */
+  def enrichWithStatic(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), "event_type")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        (col("value") * col("weight")).as("weighted_value"))
+
   /** foreachBatch parquet sink with EXACTLY-ONCE semantics by
     * idempotent overwrite: each micro-batch writes to a batchId-named
     * directory with mode=overwrite, so a batch replayed after a failure

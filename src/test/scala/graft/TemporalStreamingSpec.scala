@@ -308,6 +308,45 @@ class TemporalStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static join enriches every event without join state") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(("click", 1.0), ("view", 0.5), ("purchase", 10.0),
+      ("signup", 5.0), ("error", 0.0)).toDF("event_type", "weight")
+    val mem = MemoryStream[(Long, Long, String, Double)]
+    val df = mem.toDF().toDF("event_id", "user_id", "event_type", "value")
+    val q = EventsStream.enrichWithStatic(df, dim)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("enriched").start()
+    try {
+      val rows = events.select($"event_id", $"user_id", $"event_type", $"value")
+        .as[(Long, Long, String, Double)].collect().toSeq
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("enriched")
+      assert(got.count() == events.count(), "every event must be enriched")
+      val batch = events.join(dim, "event_type")
+        .select($"event_id", ($"value" * $"weight").as("wv"))
+      val parity = got.select($"event_id", $"weighted_value")
+        .join(batch, "event_id")
+        .filter($"weighted_value" =!= $"wv").count()
+      assert(parity == 0, "stream enrichment must equal the batch join")
+    } finally q.stop()
+  }
+
+  test("observe() collects pipeline metrics without a second pass") {
+    // the metrics-observation surface: row counts and sums accumulate
+    // during the ONE execution of the query, no extra scan
+    val filtered = events.observe("metrics",
+        count(lit(1)).as("rows"), sum($"value").as("total_value"))
+      .filter($"event_type" === "purchase")
+    // metrics live on the execution that actually ran — drive THIS plan
+    val n = filtered.collect().length
+    val metrics = filtered.queryExecution.observedMetrics("metrics")
+    assert(metrics.getAs[Long]("rows") == events.count(),
+      "observe above the filter must see every row in one pass")
+    assert(n > 0)
+  }
+
   test("streaming running-distinct users totals the batch distinct count") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp)]
