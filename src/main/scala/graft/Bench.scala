@@ -55,36 +55,48 @@ object Bench {
     }
   }
 
-  /** Per-query seconds from the newest committed BENCH_r{N}.json (or
-    * GRAFT_PREV_BENCH). The driver artifact wraps the bench's JSON line
-    * inside a "tail" log string, so look for "queries" at top level
-    * first, then for the {"metric":...} line inside "tail". Absent or
-    * unparsable history → empty map (first round, no diff). */
-  private def prevRoundTimes(): Map[String, Double] = try {
-    val path = sys.env.get("GRAFT_PREV_BENCH").orElse {
-      Option(new java.io.File(".").listFiles()).toSeq.flatten
-        .filter(_.getName.matches("BENCH_r\\d+\\.json"))
-        .sortBy(f => f.getName.replaceAll("\\D", "").toInt)
-        .lastOption.map(_.getPath)
-    }
-    path.map { p =>
-      val om = new com.fasterxml.jackson.databind.ObjectMapper()
-      val root = om.readTree(new java.io.File(p))
-      val qnode =
-        if (root.has("queries")) root.get("queries")
-        else if (root.has("tail")) {
-          val line = root.get("tail").asText().linesIterator
-            .flatMap(l => {
-              val i = l.indexOf("{\"metric\":")
-              if (i >= 0) Some(l.substring(i)) else None
-            }).toSeq.lastOption.getOrElse("{}")
-          om.readTree(line).path("queries")
-        } else om.createObjectNode()
-      val it = qnode.fields()
+  /** Per-query seconds for the regression diff. Sources, in order of
+    * preference:
+    *  1. GRAFT_PREV_BENCH (explicit override);
+    *  2. the newest committed bench detail file (`bench_detail.json` or
+    *     `BENCH_r{N}_local.json`) — written by this main each run, full
+    *     per-query precision, always machine-parseable;
+    *  3. the newest driver-written BENCH_r{N}.json — its "tail" is a
+    *     2000-char log capture that may truncate the detailed JSON line,
+    *     so try every `{"metric":` candidate in it and keep the first
+    *     that parses with a non-empty "queries" object.
+    * Absent or unparsable history → empty map (first round, no diff). */
+  private def prevRoundTimes(sfDir: String): Map[String, Double] = try {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    def queriesOf(node: com.fasterxml.jackson.databind.JsonNode): Map[String, Double] = {
+      // a detail file records the sf dir it ran at; comparing against a
+      // different scale factor would flag every query — skip it
+      val sf = node.path("sf").asText("")
+      if (sf.nonEmpty && sf != sfDir && !sf.startsWith("0")) return Map.empty
+      val it = node.path("queries").fields()
       val b = Map.newBuilder[String, Double]
       while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble(-1.0) }
       b.result()
-    }.getOrElse(Map.empty)
+    }
+    def fromFile(p: String): Map[String, Double] = try {
+      val root = om.readTree(new java.io.File(p))
+      if (root.has("queries")) queriesOf(root)
+      else if (root.has("tail"))
+        root.get("tail").asText().linesIterator.flatMap { l =>
+          Iterator.iterate(l.indexOf("{\"metric\":"))(i => l.indexOf("{\"metric\":", i + 1))
+            .takeWhile(_ >= 0).map(l.substring(_))
+        }.map(s => try queriesOf(om.readTree(s)) catch { case _: Throwable => Map.empty[String, Double] })
+          .find(_.nonEmpty).getOrElse(Map.empty)
+      else Map.empty
+    } catch { case _: Throwable => Map.empty }
+    val files = Option(new java.io.File(".").listFiles()).toSeq.flatten
+    val detail = files.filter(f => f.getName == "bench_detail.json" ||
+        f.getName.matches("BENCH_r\\d+_local\\.json"))
+      .sortBy(_.lastModified()).lastOption.map(_.getPath)
+    val driverArt = files.filter(_.getName.matches("BENCH_r\\d+\\.json"))
+      .sortBy(f => f.getName.replaceAll("\\D", "").toInt).lastOption.map(_.getPath)
+    (sys.env.get("GRAFT_PREV_BENCH").toSeq ++ detail ++ driverArt)
+      .iterator.map(fromFile).find(_.nonEmpty).getOrElse(Map.empty)
   } catch { case e: Throwable =>
     System.err.println(s"[bench] no previous-round baseline: $e"); Map.empty }
 
@@ -185,17 +197,18 @@ object Bench {
         else t // warm run was still a complete, clean execution — report it
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def r3(v: Double): Double = math.round(v * 1000.0) / 1000.0
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"\"$k\":\"$v\"" }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
-    // Per-query regression tracking: diff against the last committed
-    // round's bench artifact (driver-written BENCH_r{N}.json — per-query
-    // numbers live either at top level or inside its "tail" log string).
-    // A query is a regression if it is >1.5x its previous time AND the
-    // absolute delta is >0.25s (filters JVM noise on sub-second queries).
-    val prev: Map[String, Double] = prevRoundTimes()
+    val total = r3(results.values.filter(_ >= 0).sum)
+    // Per-query regression tracking: diff against the last round's
+    // per-query numbers (committed bench_detail.json, else the driver
+    // artifact's tail). A query is a regression if it is >1.5x its
+    // previous time AND the absolute delta is >0.25s (filters JVM noise
+    // on sub-second queries). Read BEFORE overwriting bench_detail.json.
+    val prev: Map[String, Double] = prevRoundTimes(sfDir)
     val regressions = results.collect {
       case (n, t) if t > 0 && prev.get(n).exists(p =>
         p > 0 && t > p * 1.5 && t - p > 0.25) =>
@@ -203,7 +216,21 @@ object Bench {
     }
     val regJson = regressions.map { case (k, v) => s"\"$k\":$v" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"regressions":$regJson,"sf":"$sfDir"}""")
+    val detailed = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"regressions":$regJson,"sf":"$sfDir"}"""
+    // Full detail to a committed file (next round's regression baseline,
+    // and the judge's full-precision record)...
+    try {
+      val w = new java.io.PrintWriter("bench_detail.json")
+      try w.println(detailed) finally w.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] detail write failed: $e") }
+    // ...then the detailed line, then a compact total line LAST. The
+    // driver captures only the final 2000 chars of output: the detailed
+    // line for 100+ queries (~3 KB) truncates mid-JSON there (round-3
+    // artifact had "parsed": null), while the compact line always fits
+    // and carries the graded total.
+    println(detailed)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"detail":"bench_detail.json","errors":$errJson,"regressions":$regJson,"sf":"$sfDir"}""")
     spark.stop()
     // daemon worker threads may hold a wedged query; don't let them block exit
     sys.exit(0)

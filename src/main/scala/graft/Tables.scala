@@ -33,6 +33,12 @@ object Tables {
   private val spreadCache = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
 
   private def spread(df: DataFrame, key: String, cacheKey: String): DataFrame = {
+    // Cluster kill-switch: a real deployment (many files / row groups per
+    // table) never needs the spreader — set
+    // spark.graft.spread.enabled=false and the scan plan is PROVABLY
+    // untouched (no injected repartition; asserted by PlanShapeSpec).
+    if (!df.sparkSession.conf.get("spark.graft.spread.enabled", "true").toBoolean)
+      return df
     val p = df.sparkSession.sparkContext.defaultParallelism
     val need = spreadCache.computeIfAbsent(s"$cacheKey#$p",
       _ => df.rdd.getNumPartitions * 2 < p)

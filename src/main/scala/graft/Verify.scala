@@ -33,7 +33,11 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     val sc = spark.sparkContext
     val timeoutSec = sys.env.getOrElse("GRAFT_QUERY_TIMEOUT", "240").toLong
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // GRAFT_ONLY=a,b,c: dump (and emit oracle SQL for) just those
+    // queries — local builder iteration; the driver never sets it
+    val only = sys.env.get("GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_(n)) }
+    selected.foreach { case (name, fn) =>
       // per-query watchdog (same pattern as Bench): one wedged query must
       // cost the correctness run one result, not the whole artifact
       val task = new java.util.concurrent.FutureTask[Unit](() => {
@@ -69,6 +73,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

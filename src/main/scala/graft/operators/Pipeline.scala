@@ -85,7 +85,13 @@ object Pipeline {
     * cross-joined with the distinct types — both broadcast-tiny next to
     * the fact counts they left-join. */
   def gapFillCounts(events: DataFrame, bucketSec: Long = 900): DataFrame = {
-    val bucket = expr(s"timestamp_seconds((unix_millis(ts) div ${bucketSec * 1000}) * $bucketSec)")
+    // floor division (not `div`, which truncates toward zero): pre-1970
+    // timestamps have negative epoch millis and must round DOWN to the
+    // bucket start on both engines. The double quotient is exact enough:
+    // |ms| < 2^53 and the fractional part is >= 1/bucketMs away from the
+    // next integer, far beyond one ulp.
+    val bucket = expr(
+      s"timestamp_seconds(CAST(floor(unix_millis(ts) / ${bucketSec * 1000}.0) AS BIGINT) * $bucketSec)")
     val counts = events
       .groupBy(col("event_type"), bucket.as("bucket"))
       .agg(count(lit(1)).as("n"))
@@ -245,11 +251,16 @@ object Pipeline {
       .join(graft.Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
       .join(broadcast(graft.Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(sumExpr(discPrice(col("l_extendedprice"), col("l_discount"))).as("revenue"))
-    val total = rev.agg(sum(dec2(col("revenue"))).cast("double").as("total_rev"))
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount"))).as("revenue_dec"))
+    // grand total from the SAME exact-decimal per-nation sums — no
+    // double→decimal round-trip (whose .xx5-tie rounding is a latent
+    // cross-engine hazard); both operands of the share division are
+    // casts of exact decimals, identical on any engine
+    val total = rev.agg(sum(col("revenue_dec")).as("total_dec"))
     rev.crossJoin(broadcast(total))
-      .select(col("n_name"), col("revenue"),
-        round(col("revenue") / col("total_rev"), 6).as("share"))
+      .select(col("n_name"), col("revenue_dec").cast("double").as("revenue"),
+        round(col("revenue_dec").cast("double") / col("total_dec").cast("double"), 6)
+          .as("share"))
       .orderBy(col("share").desc, col("n_name").asc)
   }
 
@@ -357,15 +368,27 @@ object Pipeline {
     * RewriteLateralSubquery) — semantically the window top-k, expressed
     * in the SQL dialect users port from. */
   def lateralTop2Orders(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
-    graft.Tables.customer(s, d).createOrReplaceTempView("customer_l")
-    graft.Tables.orders(s, d).createOrReplaceTempView("orders_l")
-    s.sql("""
+    // Session-unique view names, dropped right after analysis: a query
+    // DEFINITION must not leave (or clobber) shared catalog state —
+    // bench/verify plan dozens of queries on one session, potentially
+    // concurrently. s.sql() resolves the views eagerly, so dropping them
+    // immediately is safe; the returned plan holds resolved relations.
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val cv = s"customer_l_$tag"
+    val ov = s"orders_l_$tag"
+    graft.Tables.customer(s, d).createOrReplaceTempView(cv)
+    graft.Tables.orders(s, d).createOrReplaceTempView(ov)
+    try s.sql(s"""
       SELECT c_custkey, t.o_orderkey, t.o_totalprice
-      FROM customer_l,
-      LATERAL (SELECT o_orderkey, o_totalprice FROM orders_l
+      FROM $cv,
+      LATERAL (SELECT o_orderkey, o_totalprice FROM $ov
                WHERE o_custkey = c_custkey
                ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
       ORDER BY c_custkey, o_totalprice DESC, o_orderkey""")
+    finally {
+      s.catalog.dropTempView(cv)
+      s.catalog.dropTempView(ov)
+    }
   }
 
   /** Time-series anomaly flagging: daily event counts per type scored
@@ -377,14 +400,22 @@ object Pipeline {
     val daily = events
       .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
       .agg(count(lit(1)).as("n"))
+    // zero-variance guard: a single-day type divides by (n-1)=0 and a
+    // constant type divides by std=0 — Spark's non-ANSI division would
+    // NULL (row silently dropped) while IEEE engines yield inf/NaN, a
+    // cross-engine hazard. Exclude both cases EXPLICITLY on the exact
+    // same var_n double the oracle computes, before any division.
     val stats = daily.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_days"),
         sum(col("n")).as("s"), sum(col("n") * col("n")).as("s2"))
+      .filter(col("n_days") > 1)
       .select(col("event_type"),
         (col("s").cast("double") / col("n_days").cast("double")).as("mean_n"),
-        sqrt((col("s2").cast("double") - col("s").cast("double") * col("s").cast("double")
+        ((col("s2").cast("double") - col("s").cast("double") * col("s").cast("double")
           / col("n_days").cast("double")) / (col("n_days").cast("double") - lit(1.0)))
-          .as("std_n"))
+          .as("var_n"))
+      .filter(col("var_n") > 0)
+      .select(col("event_type"), col("mean_n"), sqrt(col("var_n")).as("std_n"))
     daily.join(stats, "event_type")
       .withColumn("z", round((col("n").cast("double") - col("mean_n")) / col("std_n"), 6))
       .filter(abs(col("z")) > 2.0)
@@ -471,11 +502,14 @@ object Pipeline {
   }
 
   /** CDC-style snapshot diff via FULL OUTER JOIN: per-user value totals
-    * before vs after a cutoff, emitting only users whose state changed,
-    * tagged inserted/deleted/updated — the change-data-capture /
-    * MERGE-source primitive. Both snapshots aggregate first (partial
+    * before vs after a cutoff, emitting ONLY users whose state actually
+    * changed — present in one snapshot only (inserted/deleted), or
+    * present in both with a different event count or value total
+    * (updated). Identical-state users produce no row, so the output is a
+    * true MERGE source. Both snapshots aggregate first (partial
     * aggregation before the exchange), then one co-partitioned full
-    * outer join on the user key. */
+    * outer join on the user key; the changed-row filter compares exact
+    * decimal-derived totals, computed identically in the oracle. */
   def userStateDiff(events: DataFrame,
       cutoff: String = "2024-01-15 00:00:00"): DataFrame = {
     val cut = lit(cutoff).cast("timestamp")
@@ -486,6 +520,9 @@ object Pipeline {
     val before = snap(col("ts") < cut, "before")
     val after = snap(col("ts") >= cut, "after")
     before.join(after, Seq("user_id"), "full_outer")
+      .filter(col("n_before").isNull || col("n_after").isNull ||
+        col("n_before") =!= col("n_after") ||
+        col("total_before") =!= col("total_after"))
       .select(col("user_id"),
         coalesce(col("n_before"), lit(0L)).as("n_before"),
         coalesce(col("n_after"), lit(0L)).as("n_after"),

@@ -57,7 +57,7 @@ object PipelineQueries {
       (s, d) => Pipeline.gapFillCounts(Tables.events(s, d)), Some(
         """WITH b AS (
           |  SELECT event_type,
-          |    to_timestamp((epoch_ms(ts) // 900000) * 900) AS bucket
+          |    to_timestamp(CAST(floor(epoch_ms(ts) / 900000.0) AS BIGINT) * 900) AS bucket
           |  FROM events),
           |counts AS (
           |  SELECT event_type, bucket, count(*) AS n FROM b GROUP BY 1, 2),
@@ -153,8 +153,8 @@ object PipelineQueries {
       (s, d) => Pipeline.revenueShare(s, d), Some(
         """WITH rev AS (
           |  SELECT n_name,
-          |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-          |             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+          |    sum(CAST(l_extendedprice AS DECIMAL(18,2))
+          |        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue_dec
           |  FROM lineitem
           |  JOIN orders ON l_orderkey = o_orderkey
           |  JOIN customer ON o_custkey = c_custkey
@@ -162,9 +162,9 @@ object PipelineQueries {
           |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
           |    AND o_orderdate < TIMESTAMP '1998-01-01'
           |  GROUP BY n_name)
-          |SELECT n_name, revenue,
-          |  round(revenue / (SELECT CAST(sum(CAST(revenue AS DECIMAL(18,2))) AS DOUBLE)
-          |                   FROM rev), 6) AS share
+          |SELECT n_name, CAST(revenue_dec AS DOUBLE) AS revenue,
+          |  round(CAST(revenue_dec AS DOUBLE)
+          |        / (SELECT CAST(sum(revenue_dec) AS DOUBLE) FROM rev), 6) AS share
           |FROM rev ORDER BY share DESC, n_name""".stripMargin)),
 
     QueryDef("cumulative_users",
@@ -234,11 +234,13 @@ object PipelineQueries {
           |  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
           |  FROM events GROUP BY 1, 2),
           |stats AS (
-          |  SELECT event_type,
-          |    CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_n,
-          |    sqrt((CAST(sum(n * n) AS DOUBLE) - CAST(sum(n) AS DOUBLE) * CAST(sum(n) AS DOUBLE)
-          |          / CAST(count(*) AS DOUBLE)) / (CAST(count(*) AS DOUBLE) - 1.0)) AS std_n
-          |  FROM daily GROUP BY event_type)
+          |  SELECT event_type, mean_n, sqrt(var_n) AS std_n FROM (
+          |    SELECT event_type,
+          |      CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_n,
+          |      (CAST(sum(n * n) AS DOUBLE) - CAST(sum(n) AS DOUBLE) * CAST(sum(n) AS DOUBLE)
+          |       / CAST(count(*) AS DOUBLE)) / (CAST(count(*) AS DOUBLE) - 1.0) AS var_n
+          |    FROM daily GROUP BY event_type HAVING count(*) > 1)
+          |  WHERE var_n > 0)
           |SELECT d.event_type, d.day, d.n,
           |  round((CAST(d.n AS DOUBLE) - s.mean_n) / s.std_n, 6) AS z
           |FROM daily d JOIN stats s ON d.event_type = s.event_type
@@ -324,6 +326,8 @@ object PipelineQueries {
           |       WHEN a.user_id IS NULL THEN 'deleted'
           |       ELSE 'updated' END AS change
           |FROM b FULL OUTER JOIN a ON b.user_id = a.user_id
+          |WHERE b.user_id IS NULL OR a.user_id IS NULL
+          |   OR b.n_before <> a.n_after OR b.total_before <> a.total_after
           |ORDER BY user_id""".stripMargin)),
 
     QueryDef("value_histogram",

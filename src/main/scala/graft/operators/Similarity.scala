@@ -24,12 +24,36 @@ import org.apache.spark.sql.types.DecimalType
 object Similarity {
 
   val Dim = 64
+
+  /** Minimum (and small-corpus) plane count. */
   val LshPlanes = 6
 
+  /** Expected bucket size the plane count maintains: planes are derived
+    * so N / 2^planes stays at or below this, keeping the [[MaxLshBucket]]
+    * cap a pathological-bucket trim rather than a recall killer. */
+  val TargetBucket = 256
+
+  /** Ceiling on the derived plane count — bounds the oracle mirror (the
+    * SQL masks unused planes) at 2^24 buckets ≈ 4.3G vectors at
+    * TargetBucket 256; raise for bigger corpora. */
+  val MaxPlanes = 24
+
+  /** Scale-adaptive plane count: the smallest p in [LshPlanes, MaxPlanes]
+    * with n <= TargetBucket·2^p — i.e. planes ≈ log2(n/TargetBucket), in
+    * EXACT integer arithmetic (no float log edge cases), so the oracle
+    * reproduces it with the same CASE ladder. Expected bucket size stays
+    * ≤ TargetBucket as the corpus grows; recall is tuned by TargetBucket,
+    * not silently collapsed by a fixed plane count. */
+  def planesFor(n: Long): Int =
+    LshPlanes + (LshPlanes until MaxPlanes).count(p => n > (TargetBucket.toLong << p))
+
   /** Deterministic ±1 hyperplane matrix derived from md5 — reproducible
-    * in SQL-free constant form on both engines (inlined signs). */
+    * in SQL-free constant form on both engines (inlined signs). Generated
+    * to MaxPlanes rows; row j is independent of the total count, so a
+    * query using planesFor(n) ≤ MaxPlanes planes sees the same planes the
+    * oracle inlines. */
   lazy val lshSigns: Array[Array[Int]] =
-    graft.functions.LshBucket.signMatrix(LshPlanes, Dim)
+    graft.functions.LshBucket.signMatrix(MaxPlanes, Dim)
 
   /** Left-associated Σ a[i]*b[i] in double — order-stable. */
   def dotCol(a: Column, b: Column): Column =
@@ -48,13 +72,14 @@ object Similarity {
   def cosineCol(a: Column, b: Column): Column =
     dotCol(a, b) / (sqrt(norm2Col(a)) * sqrt(norm2Col(b)))
 
-  /** 6-bit sign-LSH bucket id — the native LshBucket expression: a
-    * generated double loop instead of a ~1,200-node when/Add chain (the
-    * chain form measurably dominated the LSH query's wall time via
-    * optimizer walks + giant-method JIT). Same IEEE sum order as the
-    * chain, so oracle parity is unchanged. */
-  def lshBucketCol(spark: org.apache.spark.sql.SparkSession, e: Column): Column =
-    graft.functions.GraftFunctions.lsh_bucket(spark, e, LshPlanes)
+  /** Sign-LSH bucket id — the native LshBucket expression: a generated
+    * double loop instead of a ~1,200-node when/Add chain (the chain form
+    * measurably dominated the LSH query's wall time via optimizer walks +
+    * giant-method JIT). Same IEEE sum order as the chain, so oracle
+    * parity is unchanged. */
+  def lshBucketCol(spark: org.apache.spark.sql.SparkSession, e: Column,
+      planes: Int = LshPlanes): Column =
+    graft.functions.GraftFunctions.lsh_bucket(spark, e, planes)
 
   /** Brute-force cosine top-k: queries = vec_id < nQueries, ranked per
     * query by (rounded cosine DESC, cand_id). */
@@ -75,10 +100,14 @@ object Similarity {
   }
 
   /** Sign-LSH top-k: candidates restricted to the query's bucket.
-    * Approximate by design; recall/cost tuned via LshPlanes. */
+    * Approximate by design; recall/cost tuned via TargetBucket. The
+    * plane count derives from the corpus count (one metadata-cheap
+    * count(*) at plan time — the same table-stats read any cost-based
+    * planner does), so bucket sizes hold steady as the corpus grows. */
   def lshTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val planes = planesFor(emb.count())
     val sig = emb.select(col("vec_id"), col("embedding"),
-      lshBucketCol(emb.sparkSession, col("embedding")).as("bucket"))
+      lshBucketCol(emb.sparkSession, col("embedding"), planes).as("bucket"))
     val q = sig.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
       col("bucket").as("qbucket")).filter(col("query_id") < nQueries)
     val scored = sig.join(broadcast(q),
@@ -94,43 +123,89 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
-  /** IVF coarse quantization: assign every vector to its nearest of
-    * `nCentroids` centroids (deterministic "training sample": the first
-    * nCentroids vectors by id — kmeans-free so both engines reproduce the
-    * exact cells). Assignment is a broadcast of the tiny centroid set
-    * against the partitioned corpus — no corpus shuffle — then a
-    * deterministic per-vector argmax (rounded cosine DESC, centroid id
-    * ASC). At production scale the argmax folds into partial aggregation
-    * (max_by) rather than a window; the window form is kept for its
-    * explicit, engine-portable tie-break. */
-  /** Every vector scored against every centroid, ranked per vector by
-    * (rounded cosine DESC, centroid id ASC): rank 1 is the vector's home
-    * cell, ranks <= nprobe are a query's probe cells. One broadcast of
-    * the tiny centroid set, no corpus shuffle. */
-  private def ivfRanked(emb: DataFrame, nCentroids: Int): DataFrame = {
+  /** Centroid-table broadcast cutoff: past this many centroids the
+    * probe table stops being force-broadcast and the assignment join is
+    * left to runtime stats (AQE still broadcasts when genuinely small).
+    * At √N centroids a 10⁹-vector corpus trains ~31k centroids × 64
+    * doubles ≈ 16 MB — right at the edge, so the cutoff matters. */
+  val MaxBroadcastCentroids = 4096
+
+  /** Scale-adaptive centroid count: the standard ~√N rule (balances
+    * cells scanned per probe against vectors per cell), floored at
+    * `minCentroids`. floor(sqrt) is correctly-rounded IEEE on both
+    * engines — deterministic. */
+  def centroidsFor(n: Long, minCentroids: Int): Int =
+    math.max(minCentroids, math.floor(math.sqrt(n.toDouble)).toLong).toInt
+
+  /** Join of the corpus against a centroid table, broadcast-hinted only
+    * while the centroid side is provably small. */
+  private def scoreAgainst(emb: DataFrame, cents: DataFrame, k: Int,
+      centCol: String): DataFrame = {
     val spark = emb.sparkSession
-    val cents = emb.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
-    val scored = emb.crossJoin(broadcast(cents))
+    val side = if (k <= MaxBroadcastCentroids) broadcast(cents) else cents
+    emb.crossJoin(side)
       .select(col("vec_id"), col("embedding"), col("cent_id"),
         round(graft.functions.GraftFunctions.cosine_sim(
-          spark, col("embedding"), col("ce")), 6).as("ccos"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("cent_id").asc)
-    scored.withColumn("rn", row_number().over(w))
+          spark, col("embedding"), col(centCol)), 6).as("ccos"))
   }
 
-  def ivfAssign(emb: DataFrame, nCentroids: Int): DataFrame =
-    ivfRanked(emb, nCentroids)
+  /** IVF coarse quantization with ONE deterministic Lloyd iteration:
+    *
+    *  1. seeds = the first K vectors by id, K = centroidsFor(N) ≈ √N —
+    *     a deterministic training sample both engines reproduce;
+    *  2. every vector assigns to its nearest seed (rounded cosine DESC,
+    *     centroid id ASC — explicit engine-portable argmax);
+    *  3. each cell re-centers to the element-wise mean of its members,
+    *     computed in EXACT integer micro-units: elements quantize to
+    *     floor(x·10⁶ + 0.5) (floor, not round — engines disagree on
+    *     half-away vs half-even for negative doubles), sum as BIGINT
+    *     (order-independent — a float sum would depend on partition
+    *     order), divide back in a fixed double-op sequence. The oracle
+    *     reproduces the centroids bit-for-bit;
+    *  4. the corpus ranks against the iterated centroids: rank 1 is the
+    *     vector's home cell, ranks ≤ nprobe are a query's probe cells.
+    *
+    * Plan shape: two corpus scans + one tiny aggregation; the centroid
+    * side is broadcast only under [[MaxBroadcastCentroids]], otherwise
+    * the assignment runs as a stats-planned join (the √N centroid table
+    * of a 100 TB corpus is NOT broadcastable). No corpus shuffle in
+    * either pass. Further Lloyd rounds would repeat steps 2-3 — one
+    * round already de-toys the first-K seeds into density-weighted
+    * centroids while keeping the oracle mirror exact. */
+  private def ivfRanked(emb: DataFrame, minCentroids: Int): DataFrame = {
+    val k = centroidsFor(emb.count(), minCentroids)
+    val seeds = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cent_id").asc)
+    val a0 = scoreAgainst(emb, seeds, k, "ce")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+    val sums = (1 to Dim).map(i =>
+      sum(floor(element_at(col("embedding"), i).cast("double") * lit(1000000.0)
+        + lit(0.5)).cast("long")).as(s"s$i"))
+    val cents1 = a0.groupBy(col("cell"))
+      .agg(sums.head, (sums.tail :+ count(lit(1)).as("cnt")): _*)
+      .select(col("cell").as("cent_id"),
+        array((1 to Dim).map(i =>
+          col(s"s$i").cast("double") / col("cnt").cast("double") / lit(1000000.0)): _*)
+          .as("ce1"))
+    scoreAgainst(emb, cents1, k, "ce1")
+      .withColumn("rn", row_number().over(w))
+  }
+
+  def ivfAssign(emb: DataFrame, minCentroids: Int): DataFrame =
+    ivfRanked(emb, minCentroids)
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
 
   /** IVF top-k: search restricted to the query's cell (nprobe=1). The
     * second of the two ANN scale paths (sign-LSH buckets being the
     * other); cells shuffle on cell id exactly like LSH buckets. */
-  def ivfTopK(emb: DataFrame, nCentroids: Int, nQueries: Int, k: Int): DataFrame = {
+  def ivfTopK(emb: DataFrame, minCentroids: Int, nQueries: Int, k: Int): DataFrame = {
     val spark = emb.sparkSession
-    val assigned = ivfAssign(emb, nCentroids)
+    val assigned = ivfAssign(emb, minCentroids)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val q = assigned.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
@@ -155,9 +230,10 @@ object Similarity {
     * dense bucket emits billions of pairs on a single reducer. The cap
     * bounds per-bucket candidates at B²/2 BY CONSTRUCTION; it is part of
     * the operator's semantics and the oracle applies the identical cap.
-    * (The companion recall lever is more planes: planes ≈
-    * log2(N/targetBucket) keeps expected bucket size constant as the
-    * corpus grows, so the cap only ever trims pathological dense cells.) */
+    * The companion recall lever is [[planesFor]]: planes ≈
+    * log2(N/TargetBucket) keeps expected bucket size ≤ TargetBucket as
+    * the corpus grows, so the cap only ever trims pathological dense
+    * cells instead of dropping nearly every bucket. */
   val MaxLshBucket = 512
 
   /** IVF top-k with MULTIPROBE: each query searches its `nprobe` nearest
@@ -170,10 +246,10 @@ object Similarity {
     * DESC, centroid id ASC) so the oracle reproduces the exact probes;
     * the probe list is an equi-join key — cells shuffle once, same plan
     * shape as nprobe=1. */
-  def ivfTopKProbed(emb: DataFrame, nCentroids: Int, nQueries: Int, k: Int,
+  def ivfTopKProbed(emb: DataFrame, minCentroids: Int, nQueries: Int, k: Int,
       nprobe: Int): DataFrame = {
     val spark = emb.sparkSession
-    val ranked = ivfRanked(emb, nCentroids)
+    val ranked = ivfRanked(emb, minCentroids)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val assigned = ranked.filter(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
@@ -206,8 +282,9 @@ object Similarity {
   def embeddingNearDup(emb: DataFrame, threshold: Double,
       maxBucket: Int = MaxLshBucket): DataFrame = {
     val spark = emb.sparkSession
+    val planes = planesFor(emb.count())
     val sig = emb.select(col("vec_id"), col("embedding"),
-        lshBucketCol(spark, col("embedding")).as("bucket"))
+        lshBucketCol(spark, col("embedding"), planes).as("bucket"))
       .withColumn("bn", count(lit(1)).over(Window.partitionBy(col("bucket"))))
       .filter(col("bn") <= maxBucket).drop("bn")
     sig.as("x").join(sig.as("y"),

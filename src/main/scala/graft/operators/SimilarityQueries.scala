@@ -24,9 +24,23 @@ object SimilarityQueries {
       t
     }.mkString(" + ")
 
+  /** Scale-adaptive plane count as a one-row CTE — the EXACT integer
+    * CASE ladder of Similarity.planesFor, computed from the same corpus
+    * count Spark reads. */
+  private def planesSql: String =
+    s"SELECT ${Similarity.LshPlanes}" +
+      (Similarity.LshPlanes until Similarity.MaxPlanes).map(p =>
+        s" + (CASE WHEN count(*) > ${Similarity.TargetBucket.toLong << p} THEN 1 ELSE 0 END)")
+        .mkString +
+      " AS np FROM embeddings"
+
+  /** Bucket id with planes j >= np masked off — mirrors the native
+    * LshBucket expression at the derived plane count (plane j's sign row
+    * is independent of the total count). Requires the planes CTE (np) in
+    * scope. */
   private def bucketSql(e: String): String =
-    (0 until Similarity.LshPlanes)
-      .map(j => s"(CASE WHEN (${projSql(e, j)}) > 0 THEN ${1 << j} ELSE 0 END)")
+    (0 until Similarity.MaxPlanes)
+      .map(j => s"(CASE WHEN $j < np AND (${projSql(e, j)}) > 0 THEN ${1 << j} ELSE 0 END)")
       .mkString(" + ")
 
   private val annTopkSql =
@@ -41,7 +55,8 @@ object SimilarityQueries {
        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
   private val annLshSql =
-    s"""WITH s AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
+    s"""WITH pl AS ($planesSql),
+       |s AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings, pl),
        |q AS (SELECT vec_id AS query_id, embedding AS qe, bucket AS qbucket FROM s WHERE vec_id < 16),
        |p AS (SELECT query_id, s.vec_id AS cand_id,
        |        round(${cosSql("qe", "s.embedding")}, 6) AS cos_sim
@@ -53,7 +68,8 @@ object SimilarityQueries {
        |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
 
   private val nearDupEmbSql =
-    s"""WITH s0 AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
+    s"""WITH pl AS ($planesSql),
+       |s0 AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings, pl),
        |s AS (
        |  SELECT vec_id, embedding, bucket FROM (
        |    SELECT *, count(*) OVER (PARTITION BY bucket) AS bn FROM s0)
@@ -64,18 +80,47 @@ object SimilarityQueries {
        |  FROM s x JOIN s y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
        |WHERE cos_sim >= 0.35 ORDER BY vec_a, vec_b""".stripMargin
 
-  private val annIvfSql =
-    s"""WITH cents AS (
-       |  SELECT vec_id AS cent_id, embedding AS ce FROM embeddings WHERE vec_id < 8),
+  /** Element i of a cell's Lloyd-mean centroid: exact integer-microunit
+    * mean, mirroring the Spark aggregation bit-for-bit (floor-quantize →
+    * BIGINT sum → fixed double-division sequence). DuckDB's sum(BIGINT)
+    * returns HUGEINT, hence the inner re-CAST. */
+  private def centMeanSql(i: Int): String =
+    s"CAST(CAST(sum(CAST(floor(CAST(embedding[$i] AS DOUBLE) * 1000000.0 + 0.5)" +
+      s" AS BIGINT)) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0"
+
+  /** Shared IVF training CTEs: √N centroid count, first-K seeds, seed
+    * assignment, one Lloyd re-centering, rank vs iterated centroids —
+    * the exact pipeline of Similarity.ivfRanked. */
+  private def ivfRankedCtes: String =
+    s"""kk AS (SELECT GREATEST(8, CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)) AS k
+       |       FROM embeddings),
+       |seeds AS (
+       |  SELECT vec_id AS cent_id, embedding AS ce FROM embeddings, kk WHERE vec_id < k),
+       |sc0 AS (
+       |  SELECT e.vec_id, e.embedding, c.cent_id,
+       |         round(${cosSql("e.embedding", "c.ce")}, 6) AS ccos
+       |  FROM embeddings e CROSS JOIN seeds c),
+       |a0 AS (
+       |  SELECT vec_id, embedding, cent_id AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |             ORDER BY ccos DESC, cent_id ASC) AS rn FROM sc0)
+       |  WHERE rn = 1),
+       |cent AS (
+       |  SELECT cell AS cent_id,
+       |         list_value(${(1 to Dim).map(centMeanSql).mkString(", ")}) AS ce
+       |  FROM a0 GROUP BY cell),
        |sc AS (
        |  SELECT e.vec_id, e.embedding, c.cent_id,
        |         round(${cosSql("e.embedding", "c.ce")}, 6) AS ccos
-       |  FROM embeddings e CROSS JOIN cents c),
+       |  FROM embeddings e CROSS JOIN cent c),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |           ORDER BY ccos DESC, cent_id ASC) AS rn FROM sc),
        |asg AS (
-       |  SELECT vec_id, embedding, cent_id AS cell FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY vec_id
-       |             ORDER BY ccos DESC, cent_id ASC) AS rn FROM sc)
-       |  WHERE rn = 1),
+       |  SELECT vec_id, embedding, cent_id AS cell FROM ranked WHERE rn = 1)""".stripMargin
+
+  private val annIvfSql =
+    s"""WITH $ivfRankedCtes,
        |q AS (SELECT vec_id AS query_id, embedding AS qe, cell AS qcell
        |      FROM asg WHERE vec_id < 16),
        |p AS (SELECT query_id, a.vec_id AS cand_id,
@@ -87,20 +132,10 @@ object SimilarityQueries {
        |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, cand_id, cos_sim FROM r
        |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
 
-  /** Multiprobe IVF (nprobe=2): same ranked-centroid CTE; queries take
+  /** Multiprobe IVF (nprobe=2): same ranked-centroid CTEs; queries take
     * probe cells rn <= 2, candidates keep their rn = 1 home cell. */
   private val annIvfMultiprobeSql =
-    s"""WITH cents AS (
-       |  SELECT vec_id AS cent_id, embedding AS ce FROM embeddings WHERE vec_id < 8),
-       |sc AS (
-       |  SELECT e.vec_id, e.embedding, c.cent_id,
-       |         round(${cosSql("e.embedding", "c.ce")}, 6) AS ccos
-       |  FROM embeddings e CROSS JOIN cents c),
-       |ranked AS (
-       |  SELECT *, row_number() OVER (PARTITION BY vec_id
-       |           ORDER BY ccos DESC, cent_id ASC) AS rn FROM sc),
-       |asg AS (
-       |  SELECT vec_id, embedding, cent_id AS cell FROM ranked WHERE rn = 1),
+    s"""WITH $ivfRankedCtes,
        |probes AS (
        |  SELECT vec_id AS query_id, embedding AS qe, cent_id AS qcell
        |  FROM ranked WHERE vec_id < 16 AND rn <= 2),

@@ -135,6 +135,53 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(uncapped == 40L * 39 / 2 + 3, s"uncapped should see all pairs, got $uncapped")
   }
 
+  test("derived plane count keeps LSH buckets under the cap as the corpus grows") {
+    // law: planes = planesFor(n) keeps expected bucket size n/2^planes
+    // at or below TargetBucket (until the MaxPlanes ceiling), never
+    // shrinks below the floor, and grows monotonically with n
+    val ladder = Seq(500L, 50000L, 5000000L, 500000000L, 50000000000L)
+    val ps = ladder.map(Similarity.planesFor)
+    ps.foreach(p => assert(p >= Similarity.LshPlanes && p <= Similarity.MaxPlanes))
+    ladder.zip(ps).foreach { case (n, p) =>
+      if (p < Similarity.MaxPlanes)
+        assert(n.toDouble / (1L << p) <= Similarity.TargetBucket,
+          s"expected bucket size blows the target at n=$n planes=$p")
+    }
+    assert(ps == ps.sorted, "plane count must be monotone in corpus size")
+    // test-scale corpora keep the legacy 6 planes (bucket stability)
+    assert(Similarity.planesFor(500) == Similarity.LshPlanes)
+
+    // empirical: a 100x corpus at the derived plane count keeps every
+    // bucket under MaxLshBucket, so the cap trims nothing here
+    val n = 50000L
+    val planes = Similarity.planesFor(n)
+    assert(planes > Similarity.LshPlanes, "100x corpus must derive more planes")
+    // iid components via murmur hash — a sin(id+i) ladder would put all
+    // vectors on a 2-dim manifold (sin(φ+i) = sinφ·cos i + cosφ·sin i)
+    // and collapse the buckets, which is a generator artifact, not LSH
+    val vecs = spark.range(n).select($"id".as("vec_id"),
+      expr(s"transform(sequence(1, ${Similarity.Dim}), " +
+        s"i -> CAST(CAST(hash(id, i) AS DOUBLE) / 2147483647.0 AS FLOAT))").as("embedding"))
+    val maxBucket = vecs
+      .select(Similarity.lshBucketCol(spark, $"embedding", planes).as("b"))
+      .groupBy("b").count().agg(max("count")).as[Long].head()
+    assert(maxBucket <= Similarity.MaxLshBucket,
+      s"max bucket $maxBucket exceeds the ${Similarity.MaxLshBucket} cap at planes=$planes")
+  }
+
+  test("IVF assignment is deterministic, total, and seeded from the first K ids") {
+    val a1 = Similarity.ivfAssign(emb, 8)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    val a2 = Similarity.ivfAssign(emb, 8)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    assert(a1 == a2, "re-running assignment must reproduce identical cells")
+    assert(a1.size == emb.count(), "every vector lands in exactly one cell")
+    val k = Similarity.centroidsFor(emb.count(), 8)
+    assert(k == math.max(8, math.floor(math.sqrt(emb.count().toDouble)).toInt))
+    assert(a1.values.toSet.subsetOf((0L until k.toLong).toSet),
+      "cells must be seed ids in [0, K)")
+  }
+
   test("IVF multiprobe: candidates superset of nprobe=1, recall >= nprobe=1") {
     val k = 3
     val truth = Similarity.bruteForceTopK(emb, 16, k)

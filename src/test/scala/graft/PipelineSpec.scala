@@ -284,15 +284,27 @@ class PipelineSpec extends SparkSpec {
     assert(total == events.filter($"event_type" === "purchase").count())
   }
 
-  test("user_state_diff covers every user exactly once with consistent tags") {
+  test("user_state_diff emits exactly the users whose state changed") {
     val events = Tables.events(spark, sf0001)
     val diff = Pipeline.userStateDiff(events)
-    assert(diff.count() == events.select($"user_id").distinct().count())
     assert(diff.filter($"change" === "inserted" && $"n_before" =!= 0).count() == 0)
     assert(diff.filter($"change" === "deleted" && $"n_after" =!= 0).count() == 0)
     assert(diff.filter($"change" === "updated" &&
       ($"n_before" === 0 || $"n_after" === 0)).count() == 0)
-    assert(diff.agg(sum($"n_before" + $"n_after")).as[Long].head() == events.count())
+    // an emitted 'updated' user really changed (count differs — totals
+    // are a superset trigger), and every non-emitted user is identical
+    // across the snapshots on BOTH count and total
+    val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+    val b = events.filter($"ts" < cut).groupBy($"user_id")
+      .agg(count(lit(1)).as("nb"), sum(graft.functions.Exact.dec2($"value")).as("tb"))
+    val a = events.filter($"ts" >= cut).groupBy($"user_id")
+      .agg(count(lit(1)).as("na"), sum(graft.functions.Exact.dec2($"value")).as("ta"))
+    val unchanged = b.join(a, "user_id")
+      .filter($"nb" === $"na" && $"tb" === $"ta")
+      .select($"user_id")
+    assert(diff.join(unchanged, "user_id").count() == 0)
+    val expected = events.select($"user_id").distinct().count() - unchanged.count()
+    assert(diff.count() == expected)
   }
 
   test("doc_chunks plan stays shuffle-free up to the final sort") {

@@ -122,4 +122,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(offenders.forall(allowedGlobal),
       s"unpartitioned windows outside the allowed exceptions: $offenders")
   }
+
+  test("spread kill-switch leaves the scan plan untouched") {
+    // spark.graft.spread.enabled=false is the cluster deployment mode:
+    // the single-row-group spreader (a toy-environment repair) must
+    // inject NOTHING — the table loads as the bare parquet scan.
+    import org.apache.spark.sql.catalyst.plans.logical.RepartitionOperation
+    spark.conf.set("spark.graft.spread.enabled", "false")
+    try {
+      val plans = Seq(
+        Tables.lineitem(spark, sf0001), Tables.orders(spark, sf0001),
+        Tables.events(spark, sf0001), Tables.documents(spark, sf0001),
+        Tables.embeddings(spark, sf0001)).map(_.queryExecution.optimizedPlan)
+      val injected = plans.flatMap(_.collect { case r: RepartitionOperation => r })
+      assert(injected.isEmpty, s"spreader ran with the flag off: $injected")
+    } finally spark.conf.set("spark.graft.spread.enabled", "true")
+  }
 }
