@@ -140,56 +140,83 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Distributed connected components by alternating LARGE-STAR /
+    * SMALL-STAR rounds (the MapReduce CC algorithm of Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14): every
+    * node ends up labeled with the min id of its component.
+    *
+    * Why this over min-label propagation: propagation needs O(diameter)
+    * rounds — a pathological chain-shaped component pays one full
+    * shuffle per hop — while star contraction halves path lengths every
+    * round, converging in O(log d). Each round is two groupBy+join
+    * passes over the edge set, all distributed; the driver sees ONE
+    * scalar row per round (edge count + order-independent XOR checksum
+    * of the edge hashes, a single aggregate action — no
+    * join-diff-count). localCheckpoint (eager) truncates lineage each
+    * round — without it every round's logical plan embeds the whole
+    * upstream near-dup tree one level deeper and analysis time swamps
+    * the sub-second joins; on a cluster, swap for reliable
+    * `checkpoint()` to survive executor loss.
+    *
+    * Returns (labels: one (doc_id, label) row per node with label = the
+    * component min, rounds actually run). */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): (DataFrame, Int) = {
+    // orient big → small once; the pair graph is undirected
+    var edges = pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    // large-star: every node u links its LARGER neighbors to
+    // m = min(Γ(u) ∪ {u}) — long paths contract toward small ids
+    def largeStar(e: DataFrame): DataFrame = {
+      val both = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = both.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      both.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+    }
+    // small-star (input oriented u > v): every node links its smaller
+    // neighbors — and itself — to its min neighbor, flattening stars
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("u").agg(min(col("v")).as("m"))
+      e.join(mins, "u").filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins.select(col("u"), col("m").as("v")))
+    }
+    var rounds = 0
+    var prevSig = (-1L, -1L)
+    var done = edges.isEmpty
+    while (!done && rounds < maxRounds) {
+      rounds += 1
+      val next = smallStar(largeStar(edges)).distinct().localCheckpoint()
+      // XOR, not SUM: order-independent like sum but cannot overflow
+      // (ANSI mode makes a wrapped long sum an error); edges are
+      // distinct so nothing self-cancels
+      val row = next.agg(count(lit(1)).as("cnt"),
+        bit_xor(xxhash64(col("u"), col("v"))).as("chk")).first()
+      val sig = (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+      done = sig == prevSig
+      prevSig = sig
+      edges = next
+    }
+    // fixpoint = forest of stars centered at component minima: non-root
+    // nodes appear on the u side pointing at the root, roots only as v
+    val labels = edges.select(col("u").as("doc_id"), col("v").as("label"))
+      .union(edges.select(col("v").as("doc_id"), col("v").as("label")))
+      .distinct()
+    (labels, rounds)
+  }
+
   /** Near-dup CLUSTER RESOLUTION: connected components over the
     * near-dup pair graph, labeling every clustered doc with the min
     * doc_id of its component (the canonical "keeper") — the step that
     * turns pairwise matches into actual dedup decisions (keep one doc
-    * per cluster, drop the rest).
-    *
-    * Algorithm: Pregel-style min-label propagation — every iteration is
-    * one distributed join+groupBy (label flows across each edge), run
-    * until a fixpoint. Iteration count = component diameter; near-dup
-    * clusters are shallow (near-duplication is close to transitive), so
-    * a handful of rounds suffice even at 100 TB — the classic
-    * large-star/small-star variant would cut that to O(log d) if deep
-    * chains ever appeared. The driver-side loop only checks a scalar
-    * convergence count per round; all data stays distributed. */
+    * per cluster, drop the rest). See [[connectedComponents]] for the
+    * O(log d) star-contraction algorithm underneath. */
   def nearDupClusters(pairs: DataFrame): DataFrame = {
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // persist the pair list FIRST: the undirected edge union reads it
-    // twice, and without the persist each branch would re-run the whole
-    // upstream near-dup pipeline (gram explode → signatures → LSH join)
-    val prs = pairs.select(col("doc_a"), col("doc_b")).persist(lvl)
-    // localCheckpoint (eager) TRUNCATES LINEAGE — without it every
-    // iteration's logical plan embeds the whole near-dup tree (and its
-    // ~1000-node generated hash expressions) one more level deep, and
-    // analysis/optimization time swamps the actual sub-second joins
-    // (cold sf0.1 run: 11.4 s bare → 8.2 s with the pairs persist →
-    // 6.1 s with checkpointing). On a cluster, swap for reliable
-    // `checkpoint()` to survive executor loss; the plan shape is
-    // identical.
-    val edges = prs.select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .union(prs.select(col("doc_b").as("u"), col("doc_a").as("v")))
-      .localCheckpoint()
-    prs.unpersist()
-    var labels = edges.select(col("u").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
-      .localCheckpoint()
-    var converged = false
-    var iter = 0
-    while (!converged && iter < 50) {
-      iter += 1
-      // each doc takes min(own label, neighbors' labels)
-      val next = labels
-        .union(edges.join(labels, edges("u") === labels("doc_id"))
-          .select(edges("v").as("doc_id"), labels("label")))
-        .groupBy("doc_id").agg(min(col("label")).as("label"))
-        .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
-        .filter(col("label") =!= col("old")).count()
-      labels = next
-      converged = changed == 0
-    }
+    val (labels, _) = connectedComponents(pairs)
     val sized = labels.groupBy("label")
       .agg(count(lit(1)).as("cluster_size"))
     labels.join(sized, "label")

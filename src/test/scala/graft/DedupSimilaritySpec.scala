@@ -66,6 +66,20 @@ class DedupSimilaritySpec extends SparkSpec {
       (10L, 10L, 2L), (11L, 10L, 2L)), s"got $got")
   }
 
+  test("star contraction resolves a chain-shaped component in O(log d) rounds") {
+    // 64-node path graph: diameter 63, the adversarial case for label
+    // propagation (one shuffle round per hop). Large-star/small-star
+    // must both (a) label every node with the component min and (b)
+    // converge in logarithmically few rounds.
+    val n = 64L
+    val chain = (0L until n - 1).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (labels, rounds) = Dedup.connectedComponents(chain)
+    assert(labels.count() == n)
+    assert(labels.filter($"label" =!= 0L).count() == 0,
+      "every chain node must resolve to component min 0")
+    assert(rounds <= 12, s"expected O(log 63) rounds, got $rounds")
+  }
+
   test("cluster resolution on real near-dup pairs: labels are component minima") {
     val pairs = wordNearDups(0.7)
     val clusters = Dedup.nearDupClusters(pairs)
