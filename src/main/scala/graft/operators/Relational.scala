@@ -154,15 +154,22 @@ object Relational {
         countDistinct(col("l_orderkey")).as("exact_orders"))
       .orderBy("l_returnflag")
 
+  /** HLL++ relative standard deviation the distinct sketch is configured
+    * at (Spark's default). The estimator's standard error IS this value,
+    * so tests hold the observed error to 3·rsd against the exact count —
+    * the checkable contract of an approximate operator. */
+  val HllRsd = 0.05
+
   /** HLL sketch distinct counts (approx_count_distinct) — no SQL oracle
-    * (sketch estimates differ across engines); the ≤5% error bound is
-    * asserted in tests and the driver does a rows-only check. */
+    * (sketch estimates differ across engines); the 3·rsd error bound vs
+    * the exact query is asserted in FormatsAndSketchesSpec and the
+    * driver does a rows-only check. */
   def approxDistinct(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+        approx_count_distinct(col("l_partkey"), HllRsd).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), HllRsd).as("approx_orders"))
       .orderBy("l_returnflag")
 
   /** Approximate percentiles per group — the quantile SKETCH

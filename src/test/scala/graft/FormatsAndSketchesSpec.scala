@@ -64,13 +64,25 @@ class FormatsAndSketchesSpec extends SparkSpec {
     assert(diff == 0)
   }
 
-  test("approx_count_distinct within 5% of exact") {
+  test("approx_count_distinct satisfies the HLL relative-error bound vs exact") {
+    // HLL++ at relative standard deviation `rsd` estimates with standard
+    // error rsd·n; hold every group's observed error to 3σ = 3·rsd
+    // (p(exceed) ≈ 0.3% per group under the estimator's near-normality)
+    // against the EXACT distinct query — the sketch analogue of the GK
+    // rank-bound check below. Both sketched columns are bounded.
+    val rsd = Relational.HllRsd
     val r = Relational.approxDistinct(spark, sf0001)
       .join(Relational.exactDistinct(spark, sf0001), "l_returnflag")
-      .select("exact_parts", "approx_parts").as[(Long, Long)].collect()
-    r.foreach { case (exact, approx) =>
-      assert(math.abs(approx - exact).toDouble / exact < 0.05,
-        s"approx $approx vs exact $exact")
+      .select("l_returnflag", "exact_parts", "approx_parts",
+        "exact_orders", "approx_orders")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (flag, exactP, approxP, exactO, approxO) =>
+      Seq(("parts", exactP, approxP), ("orders", exactO, approxO)).foreach {
+        case (what, exact, approx) =>
+          assert(math.abs(approx - exact).toDouble / exact <= 3 * rsd,
+            s"$flag $what: approx $approx vs exact $exact exceeds 3*rsd=${3 * rsd}")
+      }
     }
   }
 
