@@ -259,4 +259,90 @@ object TpchMore {
       .select(col("p_partkey"), col("p_name"), col("s_name"), col("s_acctbal"))
       .orderBy("p_partkey", "s_name")
   }
+
+  /** TPC-H Q9-style product-type profit: per-nation per-year profit on
+    * the target part family ('%gear%' ≈ the original's '%green%'). The
+    * driver schema has no ps_supplycost, so profit reduces to discounted
+    * revenue; the PLAN SHAPE is the original's: a 5-way join with every
+    * dimension broadcast, the fact side shuffled once on the grouping
+    * key. */
+  def productProfit(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).filter(col("p_name").like("%gear%"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sumExpr(discPrice(col("l_extendedprice"), col("l_discount"))).as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+
+  /** TPC-H Q11-style important inventory: per-part value with a HAVING
+    * against a multiple of the MEAN part value (the original's
+    * fraction-of-total at a fixed part count; a constant fraction would
+    * silently empty out as the part universe grows, so the threshold is
+    * expressed per-part and scales with the catalog). partsupp's
+    * supplycost×availqty becomes the part's shipped extended-price total
+    * over lineitem; the scalar global aggregate stays a one-row
+    * broadcast (the original's scalar subquery, decorrelated). Both
+    * sides of the test are the same fixed double-op sequence over exact
+    * decimal sums. */
+  def importantParts(s: SparkSession, d: String,
+      meanMultiple: Double = 1.2): DataFrame = {
+    val v = Tables.lineitem(s, d).groupBy(col("l_partkey"))
+      .agg(sum(dec2(col("l_extendedprice"))).as("value_dec"))
+    val tot = v.agg(sum(col("value_dec")).as("total_dec"),
+      count(lit(1)).as("n_parts"))
+    v.crossJoin(broadcast(tot))
+      .filter(col("value_dec").cast("double") >
+        col("total_dec").cast("double") / col("n_parts").cast("double") * meanMultiple)
+      .select(col("l_partkey").as("p_partkey"),
+        col("value_dec").cast("double").as("part_value"))
+      .orderBy(col("part_value").desc, col("p_partkey"))
+  }
+
+  /** TPC-H Q16-style supplier-relationship counts: distinct suppliers
+    * per (brand, type, size) for non-excluded parts, with deficit
+    * suppliers removed first (the original's NOT-IN complaint-supplier
+    * subquery → an anti join; the part↔supplier relation is the
+    * DISTINCT lineitem pair set, as in [[minBalanceSupplier]]). */
+  def supplierPartCounts(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val excluded = Tables.supplier(s, d)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    pairs
+      .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(Tables.part(s, d).filter(
+        col("p_brand") =!= "Brand#13" && !col("p_type").like("PROMO%") &&
+          col("p_size").isin(3, 9, 14, 19, 23, 36, 45, 49))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** TPC-H Q20-style promotion-candidate suppliers: suppliers that moved
+    * more than `minQty` units of the target part family ('blue%') in
+    * 1997. The original's half-of-availqty stock test (partsupp) becomes
+    * a shipped-volume threshold; the inner grouped subquery decorrelates
+    * to one aggregation + a semi join — no per-supplier re-scan. */
+  def promotionSuppliers(s: SparkSession, d: String,
+      minQty: Double = 150.0): DataFrame = {
+    val qualifying = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(broadcast(Tables.part(s, d).filter(col("p_name").like("blue%"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(dec2(col("l_quantity"))).as("qty_dec"))
+      .filter(col("qty_dec").cast("double") > minQty)
+      .select(col("l_suppkey"))
+    Tables.supplier(s, d)
+      .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_name"), col("n_name"))
+      .orderBy("s_name", "n_name")
+  }
 }

@@ -167,6 +167,52 @@ object TpchMoreQueries {
         |      WHERE p_type = 'LARGE' AND p_size <= 10)
         |SELECT p_partkey, p_name, s_name, s_acctbal
         |FROM j WHERE s_acctbal = min_bal
-        |ORDER BY p_partkey, s_name""".stripMargin))
+        |ORDER BY p_partkey, s_name""".stripMargin)),
+
+    QueryDef("q9_product_profit", TpchMore.productProfit, Some(
+      s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |  CAST(sum($discPriceSql) AS DOUBLE) AS sum_profit
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |WHERE p_name LIKE '%gear%'
+         |GROUP BY 1, 2
+         |ORDER BY nation, o_year DESC""".stripMargin)),
+
+    QueryDef("q11_important_parts", (s, d) => TpchMore.importantParts(s, d), Some(
+      """WITH v AS (
+        |  SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS value_dec
+        |  FROM lineitem GROUP BY l_partkey),
+        |t AS (SELECT CAST(sum(value_dec) AS DOUBLE) AS total_d,
+        |             CAST(count(*) AS DOUBLE) AS n_parts FROM v)
+        |SELECT l_partkey AS p_partkey, CAST(value_dec AS DOUBLE) AS part_value
+        |FROM v, t
+        |WHERE CAST(value_dec AS DOUBLE) > total_d / n_parts * 1.2
+        |ORDER BY part_value DESC, p_partkey""".stripMargin)),
+
+    QueryDef("q16_supplier_part_counts", TpchMore.supplierPartCounts, Some(
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |ok AS (SELECT * FROM ps WHERE l_suppkey NOT IN
+        |         (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0))
+        |SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM ok JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#13' AND p_type NOT LIKE 'PROMO%'
+        |  AND p_size IN (3, 9, 14, 19, 23, 36, 45, 49)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)),
+
+    QueryDef("q20_promotion_suppliers", (s, d) => TpchMore.promotionSuppliers(s, d), Some(
+      """SELECT s_name, n_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'blue%'
+        |    AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY l_suppkey
+        |  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 150.0)
+        |ORDER BY s_name, n_name""".stripMargin))
   )
 }

@@ -55,6 +55,65 @@ class TpchMoreSpec extends SparkSpec {
     assert(perPart.count() == 0, "a part mixes different balances")
   }
 
+  test("q9 profit totals equal the ungrouped revenue of the part family") {
+    val rows = TpchMore.productProfit(spark, sf0001)
+    val total = rows.agg(sum($"sum_profit")).as[Double].head()
+    assert(total > 0.0)
+    assert(rows.select("nation", "o_year").distinct().count() == rows.count())
+  }
+
+  test("q11 keeps exactly the parts above the mean-value threshold") {
+    import graft.functions.Exact.dec2
+    val res = TpchMore.importantParts(spark, sf0001)
+      .as[(Long, Double)].collect()
+    assert(res.nonEmpty, "q11 must select some parts")
+    val v = Tables.lineitem(spark, sf0001)
+      .groupBy($"l_partkey").agg(sum(dec2($"l_extendedprice")).as("vd"))
+    val total = v.agg(sum($"vd")).as[java.math.BigDecimal].head().doubleValue()
+    val n = v.count().toDouble
+    val thr = total / n * 1.2
+    assert(res.forall(_._2 > thr), "a selected part is at or below the threshold")
+    val expected = v.filter($"vd".cast("double") > thr).count()
+    assert(res.length == expected, s"selected ${res.length}, expected $expected")
+  }
+
+  test("q16 never counts a deficit supplier") {
+    val bad = Tables.supplier(spark, sf0001)
+      .filter($"s_acctbal" < 0).select($"s_suppkey").as[Long].collect().toSet
+    // recompute the per-group counts including deficit suppliers; any
+    // group where the operator's count differs must be explained by
+    // excluded suppliers only (operator count <= raw count)
+    val res = TpchMore.supplierPartCounts(spark, sf0001)
+    assert(res.count() > 0)
+    val raw = Tables.lineitem(spark, sf0001)
+      .select($"l_partkey", $"l_suppkey").distinct()
+      .filter(!$"l_suppkey".isInCollection(if (bad.isEmpty) Set(-1L) else bad))
+      .join(Tables.part(spark, sf0001), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand", $"p_type", $"p_size")
+      .agg(countDistinct($"l_suppkey").as("raw_cnt"))
+    val mismatch = res.join(raw, Seq("p_brand", "p_type", "p_size"))
+      .filter($"supplier_cnt" =!= $"raw_cnt").count()
+    assert(mismatch == 0, "operator counts disagree with the filtered recount")
+  }
+
+  test("q20 suppliers each cleared the shipped-quantity threshold") {
+    import graft.functions.Exact.dec2
+    val res = TpchMore.promotionSuppliers(spark, sf0001)
+    assert(res.count() > 0)
+    val qty = Tables.lineitem(spark, sf0001)
+      .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1998-01-01").cast("timestamp"))
+      .join(Tables.part(spark, sf0001).filter($"p_name".like("blue%")),
+        $"l_partkey" === $"p_partkey")
+      .groupBy($"l_suppkey")
+      .agg(sum(dec2($"l_quantity")).cast("double").as("q"))
+    val under = Tables.supplier(spark, sf0001)
+      .join(res.select($"s_name").distinct(), Seq("s_name"), "left_semi")
+      .join(qty, $"s_suppkey" === $"l_suppkey", "left_outer")
+      .filter(coalesce($"q", lit(0.0)) <= 150.0)
+    assert(under.count() == 0, "a selected supplier missed the threshold")
+  }
+
   test("q7/q8/q10/q19 plans broadcast the dimension sides") {
     for (df <- Seq(
         TpchMore.volumeShipping(spark, sf0001),
