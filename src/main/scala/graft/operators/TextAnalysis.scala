@@ -246,6 +246,38 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** SOURCE-MIX REBALANCING: resample the corpus toward an equal share
+    * per source — the domain-mixing primitive of training-data builds
+    * (cap overrepresented sources, keep underrepresented ones whole).
+    * Per source the keep rate is r = min(1, (total/n_sources)/n_docs);
+    * a doc survives iff its deterministic md5-uniform byte <
+    * r·256 — zero RNG state, byte-reproducible on any engine (same
+    * trick as [[qualityWeightedSample]]). Emits the per-source audit
+    * row (population, rate, kept). Plan shape: the source histogram is
+    * a tiny aggregate broadcast back onto the corpus; the keep decision
+    * is map-side; one audit groupBy — the corpus shuffles once. */
+  def sourceMixRebalance(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(sum(col("n_docs")).as("total"),
+      count(lit(1)).as("n_sources"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        least(lit(1.0), col("total").cast("double") / col("n_sources").cast("double")
+          / col("n_docs").cast("double")).as("keep_rate"))
+    val hex = md5(col("doc_id").cast("string"))
+    def nibble(i: Int): Column = {
+      val a = ascii(substring(hex, i + 1, 1))
+      a - when(a >= 97, lit(87)).otherwise(lit(48))
+    }
+    val u = (nibble(0) * 16 + nibble(1)).cast("double")
+    docs.select(col("doc_id"), col("source"))
+      .join(broadcast(rates), "source")
+      .withColumn("kept", u < col("keep_rate") * 256.0)
+      .groupBy(col("source"), col("n_docs"), col("keep_rate"))
+      .agg(sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("source")
+  }
+
   /** Char-trigram language classifier, fit AND applied as one dataflow
     * (the Cavnar–Trenkle n-gram-profile method): per-language top-30
     * trigram profiles by corpus frequency (fit = one shuffle on

@@ -254,5 +254,25 @@ object TextAnalysisQueries {
           |SELECT doc_id, count(DISTINCT wmin) AS n_fp,
           |       min(wmin) AS fp_min, max(wmin) AS fp_max
           |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("source_mix_rebalance",
+      (s, d) => TextAnalysis.sourceMixRebalance(Tables.documents(s, d)), Some(
+        """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+          |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total, count(*) AS n_sources FROM c),
+          |r AS (SELECT source, n_docs,
+          |        least(CAST(1.0 AS DOUBLE),
+          |              CAST(total AS DOUBLE) / CAST(n_sources AS DOUBLE)
+          |                / CAST(n_docs AS DOUBLE)) AS keep_rate
+          |      FROM c, t),
+          |k AS (SELECT d.source, r.n_docs, r.keep_rate,
+          |        ((ascii(substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1))
+          |          - CASE WHEN ascii(substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)) >= 97 THEN 87 ELSE 48 END) * 16 +
+          |         (ascii(substr(md5(CAST(d.doc_id AS VARCHAR)), 2, 1))
+          |          - CASE WHEN ascii(substr(md5(CAST(d.doc_id AS VARCHAR)), 2, 1)) >= 97 THEN 87 ELSE 48 END))
+          |        < r.keep_rate * 256.0 AS kept
+          |      FROM documents d JOIN r ON d.source = r.source)
+          |SELECT source, n_docs, keep_rate,
+          |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+          |FROM k GROUP BY 1, 2, 3 ORDER BY source""".stripMargin)),
   )
 }

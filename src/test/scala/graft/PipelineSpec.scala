@@ -237,6 +237,26 @@ class PipelineSpec extends SparkSpec {
     assert(k > 0 && k < t)
   }
 
+  test("source_mix_rebalance caps overrepresented sources at the equal-share target") {
+    val docs = Tables.documents(spark, sf0001)
+    val rows = graft.operators.TextAnalysis.sourceMixRebalance(docs)
+      .as[(String, Long, Double, Long)].collect()
+    assert(rows.map(_._1).toSet ==
+      docs.select($"source").distinct().as[String].collect().toSet,
+      "every source gets an audit row")
+    val total = rows.map(_._2).sum.toDouble
+    val target = total / rows.length
+    rows.foreach { case (src, nDocs, rate, kept) =>
+      assert(kept >= 0 && kept <= nDocs)
+      assert(rate > 0.0 && rate <= 1.0, s"$src rate $rate out of range")
+      // underrepresented sources are kept whole (rate 1); overrepresented
+      // ones are rated at target/n so their EXPECTED kept count is the
+      // equal share
+      if (nDocs <= target) assert(rate == 1.0, s"$src under target but rate $rate")
+      else assert(math.abs(rate * nDocs - target) < 1e-6, s"$src expected-kept off target")
+    }
+  }
+
   test("char-ngram confusion matrix accounts for every classifiable doc") {
     val docs = Tables.documents(spark, sf0001)
     val conf = graft.operators.TextAnalysis.charNgramLangConfusion(docs)
