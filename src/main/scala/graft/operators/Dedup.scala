@@ -149,10 +149,12 @@ object Dedup {
     * rounds — a pathological chain-shaped component pays one full
     * shuffle per hop — while star contraction halves path lengths every
     * round, converging in O(log d). Each round is two groupBy+join
-    * passes over the edge set, all distributed; the driver sees ONE
-    * scalar row per round (edge count + order-independent XOR checksum
-    * of the edge hashes, a single aggregate action — no
-    * join-diff-count). localCheckpoint (eager) truncates lineage each
+    * passes over the edge set, all distributed; convergence is the
+    * DEFINITION of done, checked directly — the oriented edge set is a
+    * star forest iff no node appears on both sides (child ∩ parent = ∅,
+    * one tiny semi-join action per round), so the fixpoint is detected
+    * the round it is reached instead of one signature-compare round
+    * later. localCheckpoint (eager) truncates lineage each
     * round — without it every round's logical plan embeds the whole
     * upstream near-dup tree one level deeper and analysis time swamps
     * the sub-second joins; on a cluster, swap for reliable
@@ -185,20 +187,16 @@ object Dedup {
         .select(col("v").as("u"), col("m").as("v"))
         .union(mins.select(col("u"), col("m").as("v")))
     }
+    // a star forest (oriented big → small) has disjoint child and parent
+    // sets; any overlap means another contraction round is needed
+    def isStarForest(e: DataFrame): Boolean =
+      e.as("a").join(e.as("b"), col("a.u") === col("b.v"), "left_semi").isEmpty
     var rounds = 0
-    var prevSig = (-1L, -1L)
-    var done = edges.isEmpty
+    var done = edges.isEmpty || isStarForest(edges)
     while (!done && rounds < maxRounds) {
       rounds += 1
       val next = smallStar(largeStar(edges)).distinct().localCheckpoint()
-      // XOR, not SUM: order-independent like sum but cannot overflow
-      // (ANSI mode makes a wrapped long sum an error); edges are
-      // distinct so nothing self-cancels
-      val row = next.agg(count(lit(1)).as("cnt"),
-        bit_xor(xxhash64(col("u"), col("v"))).as("chk")).first()
-      val sig = (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
-      done = sig == prevSig
-      prevSig = sig
+      done = isStarForest(next)
       edges = next
     }
     // fixpoint = forest of stars centered at component minima: non-root

@@ -162,26 +162,36 @@ object Similarity {
     *     (order-independent — a float sum would depend on partition
     *     order), divide back in a fixed double-op sequence. The oracle
     *     reproduces the centroids bit-for-bit;
-    *  4. the corpus ranks against the iterated centroids: rank 1 is the
-    *     vector's home cell, ranks ≤ nprobe are a query's probe cells.
+    *  4. the corpus scores against the iterated centroids; each vector's
+    *     home cell is a partial-aggregable argmax ([[argmaxCell]] — no
+    *     corpus-wide window sort), and a query's probe cells come from a
+    *     window over the query slice only.
     *
     * Plan shape: two corpus scans + one tiny aggregation; the centroid
     * side is broadcast only under [[MaxBroadcastCentroids]], otherwise
     * the assignment runs as a stats-planned join (the √N centroid table
-    * of a 100 TB corpus is NOT broadcastable). No corpus shuffle in
-    * either pass. Further Lloyd rounds would repeat steps 2-3 — one
-    * round already de-toys the first-K seeds into density-weighted
-    * centroids while keeping the oracle mirror exact. */
-  private def ivfRanked(emb: DataFrame, minCentroids: Int): DataFrame = {
+    * of a 100 TB corpus is NOT broadcastable). No corpus shuffle beyond
+    * the argmax groupBy (map-side combined). Further Lloyd rounds would
+    * repeat steps 2-3 — one round already de-toys the first-K seeds into
+    * density-weighted centroids while keeping the oracle mirror exact. */
+  /** Deterministic per-vector argmax WITHOUT a window: max_by keyed on
+    * (ccos, -cent_id) — the exact (rounded cosine DESC, centroid id ASC)
+    * tie-break of the ranked form, but as a partial-aggregable
+    * map-side-combining aggregation instead of a corpus-wide sort. The
+    * key is unique per row (cent ids are distinct within a vector), so
+    * max_by's tie behavior never engages. */
+  private def argmaxCell(scored: DataFrame): DataFrame =
+    scored.groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cent_id"), col("embedding")),
+        struct(col("ccos"), (-col("cent_id")).as("nc"))).as("w"))
+      .select(col("vec_id"), col("w.embedding").as("embedding"),
+        col("w.cent_id").as("cell"))
+
+  private def ivfScored(emb: DataFrame, minCentroids: Int): DataFrame = {
     val k = centroidsFor(emb.count(), minCentroids)
     val seeds = emb.filter(col("vec_id") < k)
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("cent_id").asc)
-    val a0 = scoreAgainst(emb, seeds, k, "ce")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+    val a0 = argmaxCell(scoreAgainst(emb, seeds, k, "ce"))
     val sums = (1 to Dim).map(i =>
       sum(floor(element_at(col("embedding"), i).cast("double") * lit(1000000.0)
         + lit(0.5)).cast("long")).as(s"s$i"))
@@ -192,13 +202,10 @@ object Similarity {
           col(s"s$i").cast("double") / col("cnt").cast("double") / lit(1000000.0)): _*)
           .as("ce1"))
     scoreAgainst(emb, cents1, k, "ce1")
-      .withColumn("rn", row_number().over(w))
   }
 
   def ivfAssign(emb: DataFrame, minCentroids: Int): DataFrame =
-    ivfRanked(emb, minCentroids)
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+    argmaxCell(ivfScored(emb, minCentroids))
 
   /** IVF top-k: search restricted to the query's cell (nprobe=1). The
     * second of the two ANN scale paths (sign-LSH buckets being the
@@ -249,23 +256,29 @@ object Similarity {
   def ivfTopKProbed(emb: DataFrame, minCentroids: Int, nQueries: Int, k: Int,
       nprobe: Int): DataFrame = {
     val spark = emb.sparkSession
-    val ranked = ivfRanked(emb, minCentroids)
+    val scored = ivfScored(emb, minCentroids)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val assigned = ranked.filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
-    val probes = ranked.filter(col("vec_id") < nQueries && col("rn") <= nprobe)
+    val assigned = argmaxCell(scored)
+    // probe ranking is the only place that needs more than the argmax —
+    // and it runs over the QUERY slice only (nQueries × K rows), never
+    // the corpus
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cent_id").asc)
+    val probes = scored.filter(col("vec_id") < nQueries)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nprobe)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("cent_id").as("qcell"))
-    val scored = assigned.join(probes,
+    val cands = assigned.join(probes,
         col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("cand_id"),
         round(graft.functions.GraftFunctions.cosine_sim(
           spark, col("qe"), col("embedding")), 6).as("cos_sim"))
     // no dedup needed: a candidate lives in exactly ONE home cell and the
     // probe cells per query are distinct, so each (query, cand) joins once
-    val w = Window.partitionBy(col("query_id"))
+    val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("cand_id").asc)
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
+    cands.withColumn("rnk", row_number().over(wq).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("cand_id"), col("cos_sim"))
       .orderBy("query_id", "rnk")
