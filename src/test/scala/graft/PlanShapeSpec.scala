@@ -90,10 +90,12 @@ class PlanShapeSpec extends SparkSpec {
     // broadcast-tiny build sides: q22's scalar average, vocab_prune's
     // corpus-count row, gap_fill's bounds row × distinct types, and
     // knn's held-out query set.
+    // round-4: q11's global-total row and source_mix's source-histogram
+    // total row — both one-row broadcast build sides by construction
     val allowedBnlj = Set("ann_topk", "ann_ivf_topk", "ann_ivf_multiprobe",
       "ann_quantized_topk", "tfidf_top_terms",
       "q22_dormant_balances", "vocab_prune", "gap_fill_counts", "knn_classify",
-      "revenue_share")
+      "revenue_share", "q11_important_parts", "source_mix_rebalance")
     SparkEntry.registry.foreach { q =>
       val plan = q.fn(spark, sf0001).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
