@@ -73,4 +73,15 @@ object Tables {
     spread(table(s, d, "documents"), "doc_id", s"$d/documents")
   def embeddings(s: SparkSession, d: String): DataFrame =
     spread(table(s, d, "embeddings"), "vec_id", s"$d/embeddings")
+
+  /** Memoized table row count — the catalog statistic scale-adaptive
+    * operators (LSH plane count, IVF centroid count) derive their
+    * parameters from. Counted once per (path) on the RAW scan (no
+    * spread repartition in the plan — a count needs no shuffle), then
+    * served from the cache exactly like a catalog's rowCount stat; a
+    * real deployment reads this from table metadata without any job. */
+  private val countCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  def rowCount(s: SparkSession, d: String, name: String): Long =
+    countCache.computeIfAbsent(s"$d/$name", _ => table(s, d, name).count())
 }

@@ -101,11 +101,13 @@ object Similarity {
 
   /** Sign-LSH top-k: candidates restricted to the query's bucket.
     * Approximate by design; recall/cost tuned via TargetBucket. The
-    * plane count derives from the corpus count (one metadata-cheap
-    * count(*) at plan time — the same table-stats read any cost-based
-    * planner does), so bucket sizes hold steady as the corpus grows. */
-  def lshTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
-    val planes = planesFor(emb.count())
+    * plane count derives from the corpus count (pass the memoized
+    * catalog stat `Tables.rowCount` as `corpusCount`; the fallback
+    * count(*) is the same table-stats read any cost-based planner
+    * does), so bucket sizes hold steady as the corpus grows. */
+  def lshTopK(emb: DataFrame, nQueries: Int, k: Int,
+      corpusCount: Option[Long] = None): DataFrame = {
+    val planes = planesFor(corpusCount.getOrElse(emb.count()))
     val sig = emb.select(col("vec_id"), col("embedding"),
       lshBucketCol(emb.sparkSession, col("embedding"), planes).as("bucket"))
     val q = sig.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
@@ -187,8 +189,9 @@ object Similarity {
       .select(col("vec_id"), col("w.embedding").as("embedding"),
         col("w.cent_id").as("cell"))
 
-  private def ivfScored(emb: DataFrame, minCentroids: Int): DataFrame = {
-    val k = centroidsFor(emb.count(), minCentroids)
+  private def ivfScored(emb: DataFrame, minCentroids: Int,
+      corpusCount: Option[Long]): DataFrame = {
+    val k = centroidsFor(corpusCount.getOrElse(emb.count()), minCentroids)
     val seeds = emb.filter(col("vec_id") < k)
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
     val a0 = argmaxCell(scoreAgainst(emb, seeds, k, "ce"))
@@ -204,15 +207,17 @@ object Similarity {
     scoreAgainst(emb, cents1, k, "ce1")
   }
 
-  def ivfAssign(emb: DataFrame, minCentroids: Int): DataFrame =
-    argmaxCell(ivfScored(emb, minCentroids))
+  def ivfAssign(emb: DataFrame, minCentroids: Int,
+      corpusCount: Option[Long] = None): DataFrame =
+    argmaxCell(ivfScored(emb, minCentroids, corpusCount))
 
   /** IVF top-k: search restricted to the query's cell (nprobe=1). The
     * second of the two ANN scale paths (sign-LSH buckets being the
     * other); cells shuffle on cell id exactly like LSH buckets. */
-  def ivfTopK(emb: DataFrame, minCentroids: Int, nQueries: Int, k: Int): DataFrame = {
+  def ivfTopK(emb: DataFrame, minCentroids: Int, nQueries: Int, k: Int,
+      corpusCount: Option[Long] = None): DataFrame = {
     val spark = emb.sparkSession
-    val assigned = ivfAssign(emb, minCentroids)
+    val assigned = ivfAssign(emb, minCentroids, corpusCount)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val q = assigned.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
@@ -254,9 +259,9 @@ object Similarity {
     * the probe list is an equi-join key — cells shuffle once, same plan
     * shape as nprobe=1. */
   def ivfTopKProbed(emb: DataFrame, minCentroids: Int, nQueries: Int, k: Int,
-      nprobe: Int): DataFrame = {
+      nprobe: Int, corpusCount: Option[Long] = None): DataFrame = {
     val spark = emb.sparkSession
-    val scored = ivfScored(emb, minCentroids)
+    val scored = ivfScored(emb, minCentroids, corpusCount)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val assigned = argmaxCell(scored)
     // probe ranking is the only place that needs more than the argmax —
@@ -293,9 +298,10 @@ object Similarity {
     * window provides the shuffle on bucket, so the self-join reuses that
     * partitioning with no further exchange. */
   def embeddingNearDup(emb: DataFrame, threshold: Double,
-      maxBucket: Int = MaxLshBucket): DataFrame = {
+      maxBucket: Int = MaxLshBucket,
+      corpusCount: Option[Long] = None): DataFrame = {
     val spark = emb.sparkSession
-    val planes = planesFor(emb.count())
+    val planes = planesFor(corpusCount.getOrElse(emb.count()))
     val sig = emb.select(col("vec_id"), col("embedding"),
         lshBucketCol(spark, col("embedding"), planes).as("bucket"))
       .withColumn("bn", count(lit(1)).over(Window.partitionBy(col("bucket"))))

@@ -189,19 +189,23 @@ object SimilarityQueries {
       (s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d), 8, 5),
       Some(annTopkSql)),
     QueryDef("ann_lsh_topk",
-      (s, d) => Similarity.lshTopK(Tables.embeddings(s, d), 16, 3),
+      (s, d) => Similarity.lshTopK(Tables.embeddings(s, d), 16, 3,
+        Some(Tables.rowCount(s, d, "embeddings"))),
       Some(annLshSql)),
     QueryDef("ann_ivf_topk",
-      (s, d) => Similarity.ivfTopK(Tables.embeddings(s, d), 8, 16, 3),
+      (s, d) => Similarity.ivfTopK(Tables.embeddings(s, d), 8, 16, 3,
+        Some(Tables.rowCount(s, d, "embeddings"))),
       Some(annIvfSql)),
     QueryDef("ann_ivf_multiprobe",
-      (s, d) => Similarity.ivfTopKProbed(Tables.embeddings(s, d), 8, 16, 3, 2),
+      (s, d) => Similarity.ivfTopKProbed(Tables.embeddings(s, d), 8, 16, 3, 2,
+        Some(Tables.rowCount(s, d, "embeddings"))),
       Some(annIvfMultiprobeSql)),
     QueryDef("ann_quantized_topk",
       (s, d) => Similarity.quantizedTopK(Tables.embeddings(s, d), 8, 5),
       Some(annQuantizedSql)),
     QueryDef("near_dup_embedding",
-      (s, d) => Similarity.embeddingNearDup(Tables.embeddings(s, d), 0.35),
+      (s, d) => Similarity.embeddingNearDup(Tables.embeddings(s, d), 0.35,
+        corpusCount = Some(Tables.rowCount(s, d, "embeddings"))),
       Some(nearDupEmbSql)),
     QueryDef("embedding_stats",
       (s, d) => Similarity.embeddingStats(Tables.embeddings(s, d)),
