@@ -532,6 +532,36 @@ object Pipeline {
       .orderBy("user_id")
   }
 
+  /** Batch MERGE / UPSERT semantics without a transactional table
+    * format (no Delta/Iceberg packages ship in this environment; this
+    * is the engine-level merge a foreachBatch sink or MERGE INTO
+    * executes): target = per-user state before the cutoff, source =
+    * changes after it. Matched users update (counts and exact-decimal
+    * totals accumulate), unmatched source users insert, unmatched
+    * target users are kept unchanged — the full upsert truth table,
+    * tagged. One co-partitioned full outer join after partial
+    * aggregation on both sides; totals stay DECIMAL until the final
+    * cast so the merge arithmetic is engine-exact. */
+  def mergeUpsertState(events: DataFrame,
+      cutoff: String = "2024-01-15 00:00:00"): DataFrame = {
+    val cut = lit(cutoff).cast("timestamp")
+    val zero = lit(0).cast(org.apache.spark.sql.types.DecimalType(18, 2))
+    def snap(f: org.apache.spark.sql.Column, tag: String) = events.filter(f)
+      .groupBy(col("user_id"))
+      .agg(sum(dec2(col("value"))).as(s"t_$tag"), count(lit(1)).as(s"n_$tag"))
+    snap(col("ts") < cut, "tgt").join(snap(col("ts") >= cut, "src"),
+        Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        (coalesce(col("n_tgt"), lit(0L)) + coalesce(col("n_src"), lit(0L)))
+          .as("n_events"),
+        (coalesce(col("t_tgt"), zero) + coalesce(col("t_src"), zero))
+          .cast("double").as("total_value"),
+        when(col("n_tgt").isNull, lit("inserted"))
+          .when(col("n_src").isNull, lit("kept"))
+          .otherwise(lit("updated")).as("status"))
+      .orderBy("user_id")
+  }
+
   /** Pearson correlation + OLS slope between order price and item
     * count, from exact-decimal moment sums (Σx, Σy, Σxy, Σx², Σy² are
     * order-independent; the final formula is a fixed double-op

@@ -330,6 +330,28 @@ object PipelineQueries {
           |   OR b.n_before <> a.n_after OR b.total_before <> a.total_after
           |ORDER BY user_id""".stripMargin)),
 
+    QueryDef("merge_upsert_state",
+      (s, d) => Pipeline.mergeUpsertState(Tables.events(s, d)), Some(
+        """WITH tgt AS (
+          |  SELECT user_id, sum(CAST(value AS DECIMAL(18,2))) AS t_tgt,
+          |         count(*) AS n_tgt
+          |  FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+          |  GROUP BY user_id),
+          |src AS (
+          |  SELECT user_id, sum(CAST(value AS DECIMAL(18,2))) AS t_src,
+          |         count(*) AS n_src
+          |  FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+          |  GROUP BY user_id)
+          |SELECT coalesce(tgt.user_id, src.user_id) AS user_id,
+          |  CAST(coalesce(n_tgt, 0) + coalesce(n_src, 0) AS BIGINT) AS n_events,
+          |  CAST(coalesce(t_tgt, CAST(0 AS DECIMAL(18,2)))
+          |       + coalesce(t_src, CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+          |  CASE WHEN tgt.user_id IS NULL THEN 'inserted'
+          |       WHEN src.user_id IS NULL THEN 'kept'
+          |       ELSE 'updated' END AS status
+          |FROM tgt FULL OUTER JOIN src ON tgt.user_id = src.user_id
+          |ORDER BY user_id""".stripMargin)),
+
     QueryDef("value_histogram",
       (s, d) => Pipeline.valueHistogram(Tables.events(s, d)), Some(
         """WITH h AS (

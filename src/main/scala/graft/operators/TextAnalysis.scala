@@ -246,6 +246,52 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** HEAVY-HITTER TOKENS via the two-pass Misra–Gries pipeline — the
+    * production frequent-items shape at 100 TB:
+    *
+    *  - pass 1 (sketch): every partition runs a Misra–Gries(k) summary
+    *    over its token stream (mapPartitions — O(k) state, one pass, no
+    *    shuffle) and emits only its ≤ k candidate tokens. Pigeonhole
+    *    makes the candidate union a SUPERSET of every global heavy
+    *    hitter: freq(t)·k > N implies some partition saw
+    *    freq_p(t)·k > n_p.
+    *  - pass 2 (exact): only the candidates (≤ k·partitions tokens,
+    *    ≪ vocabulary) are recounted exactly (semi join + groupBy) and
+    *    filtered by the exact integer threshold freq·k > N.
+    *
+    * The sketch chooses WHICH tokens get recounted, never the answer —
+    * so the result is deterministic (independent of partitioning and
+    * merge order) and the oracle is the plain exact query. Integer
+    * threshold arithmetic (freq·k > N) avoids division entirely. */
+  def heavyHitterTokens(docs: DataFrame, k: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tokens = docs.select(explode(toks).as("token")).as[String]
+    val cands = tokens.mapPartitions { it =>
+      val counts = scala.collection.mutable.HashMap[String, Long]()
+      it.foreach { t =>
+        if (counts.contains(t) || counts.size < k)
+          counts(t) = counts.getOrElse(t, 0L) + 1
+        else {
+          // decrement-all step; snapshot keys before mutating
+          counts.keys.toArray.foreach { key =>
+            val v = counts(key) - 1
+            if (v == 0L) counts.remove(key) else counts(key) = v
+          }
+        }
+      }
+      counts.keysIterator
+    }.toDF("token").distinct()
+    val total = docs.agg(sum(size(toks)).as("n_total"))
+    tokens.toDF()
+      .join(cands, Seq("token"), "left_semi")
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .crossJoin(broadcast(total))
+      .filter(col("freq") * k > col("n_total"))
+      .select(col("token"), col("freq"))
+      .orderBy(col("freq").desc, col("token").asc)
+  }
+
   /** SOURCE-MIX REBALANCING: resample the corpus toward an equal share
     * per source — the domain-mixing primitive of training-data builds
     * (cap overrepresented sources, keep underrepresented ones whole).

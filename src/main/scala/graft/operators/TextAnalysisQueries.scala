@@ -255,6 +255,18 @@ object TextAnalysisQueries {
           |       min(wmin) AS fp_min, max(wmin) AS fp_max
           |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("heavy_hitter_tokens",
+      (s, d) => TextAnalysis.heavyHitterTokens(Tables.documents(s, d)), Some(
+        """WITH toks AS (
+          |  SELECT unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS token
+          |  FROM documents),
+          |t AS (SELECT count(*) AS n_total FROM toks)
+          |SELECT token, count(*) AS freq
+          |FROM toks, t
+          |GROUP BY token, n_total
+          |HAVING count(*) * 64 > n_total
+          |ORDER BY freq DESC, token""".stripMargin)),
+
     QueryDef("source_mix_rebalance",
       (s, d) => TextAnalysis.sourceMixRebalance(Tables.documents(s, d)), Some(
         """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),

@@ -257,6 +257,36 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("merge-upsert conserves event counts and exact value totals") {
+    val events = Tables.events(spark, sf0001)
+    val merged = Pipeline.mergeUpsertState(events)
+    assert(merged.select($"user_id").distinct().count() == merged.count())
+    assert(merged.agg(sum($"n_events")).as[Long].head() == events.count())
+    val totalMerged = merged.agg(
+      sum(graft.functions.Exact.dec2($"total_value"))).as[java.math.BigDecimal].head()
+    val totalRaw = events.agg(
+      sum(graft.functions.Exact.dec2($"value"))).as[java.math.BigDecimal].head()
+    assert(totalMerged.compareTo(totalRaw) == 0,
+      s"merged total $totalMerged != raw total $totalRaw")
+  }
+
+  test("heavy hitters: MG candidates bound the scan, result equals exact") {
+    val docs = Tables.documents(spark, sf0001)
+    val k = 32
+    val got = graft.operators.TextAnalysis.heavyHitterTokens(docs, k)
+      .as[(String, Long)].collect().toSeq
+    assert(got.nonEmpty, "corpus should have some heavy tokens at k=32")
+    // ground truth: plain exact count with the same integer threshold
+    val tokens = docs.select(
+      explode(regexp_extract_all(lower($"text"), lit("[a-z']+"), lit(0))).as("token"))
+    val n = tokens.count()
+    val exact = tokens.groupBy($"token").agg(count(lit(1)).as("freq"))
+      .filter($"freq" * k > n)
+      .orderBy($"freq".desc, $"token".asc)
+      .as[(String, Long)].collect().toSeq
+    assert(got == exact, "two-pass MG result must equal the exact heavy-hitter set")
+  }
+
   test("char-ngram confusion matrix accounts for every classifiable doc") {
     val docs = Tables.documents(spark, sf0001)
     val conf = graft.operators.TextAnalysis.charNgramLangConfusion(docs)
