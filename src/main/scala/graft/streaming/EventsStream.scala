@@ -129,6 +129,59 @@ object EventsStream {
         batch.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
       }
 
+  /** foreachBatch MERGE sink: each micro-batch UPSERTS its per-user
+    * delta into a keyed parquet state table — read current state, full
+    * outer join with the batch aggregate, rewrite, swap. This is the
+    * pattern a transactional table format executes as MERGE INTO; with
+    * plain parquet the rewrite covers the (keyed, compact) state table,
+    * fine while state ≪ stream — the usual aggregate-state case.
+    *
+    * An accumulating merge is NOT naturally idempotent (replaying a
+    * batch would double-count), so exactly-once comes from a batchId
+    * marker: a replayed batch whose `_merged_<id>` marker exists is
+    * skipped — the transaction-log trick of the table formats, reduced
+    * to one atomic marker-file create per batch. Complements
+    * [[toIdempotentParquetSink]], which handles the naturally-idempotent
+    * (partitioned-overwrite) case instead. */
+  def toMergeSink(df: DataFrame, stateDir: String,
+      checkpointDir: String): DataStreamWriter[Row] =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val hconf = spark.sparkContext.hadoopConfiguration
+        val fs = new org.apache.hadoop.fs.Path(stateDir).getFileSystem(hconf)
+        val marker = new org.apache.hadoop.fs.Path(s"$stateDir/_merged_$batchId")
+        if (!fs.exists(marker)) {
+          val delta = batch
+            .groupBy(col("user_id"))
+            .agg(count(lit(1)).as("d_n"),
+              sum(col("value").cast(DecimalType(18, 2))).as("d_total"))
+          val curPath = new org.apache.hadoop.fs.Path(s"$stateDir/current")
+          val zero = lit(0).cast(DecimalType(18, 2))
+          val cur =
+            if (fs.exists(curPath)) spark.read.parquet(curPath.toString)
+            else spark.createDataFrame(
+              spark.sparkContext.emptyRDD[Row],
+              StructType(Seq(
+                StructField("user_id", LongType),
+                StructField("n_events", LongType),
+                StructField("total_value", DecimalType(18, 2)))))
+          val merged = cur.join(delta, Seq("user_id"), "full_outer")
+            .select(col("user_id"),
+              (coalesce(col("n_events"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
+                .as("n_events"),
+              (coalesce(col("total_value"), zero) + coalesce(col("d_total"), zero))
+                .cast(DecimalType(18, 2)).as("total_value"))
+          val tmp = new org.apache.hadoop.fs.Path(s"$stateDir/tmp_$batchId")
+          merged.write.mode("overwrite").parquet(tmp.toString)
+          fs.delete(curPath, true)
+          fs.rename(tmp, curPath)
+          fs.create(marker).close()
+        }
+      }
+
   /** Per-user running aggregates via mapGroupsWithState — the custom
     * stateful-operator surface. State is evicted by an EVENT-TIME idle
     * timeout: once the watermark passes a user's last activity plus

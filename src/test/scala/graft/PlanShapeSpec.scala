@@ -95,7 +95,8 @@ class PlanShapeSpec extends SparkSpec {
     val allowedBnlj = Set("ann_topk", "ann_ivf_topk", "ann_ivf_multiprobe",
       "ann_quantized_topk", "tfidf_top_terms",
       "q22_dormant_balances", "vocab_prune", "gap_fill_counts", "knn_classify",
-      "revenue_share", "q11_important_parts", "source_mix_rebalance")
+      "revenue_share", "q11_important_parts", "source_mix_rebalance",
+      "heavy_hitter_tokens")
     SparkEntry.registry.foreach { q =>
       val plan = q.fn(spark, sf0001).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),

@@ -320,6 +320,47 @@ class TemporalStreamingSpec extends SparkSpec {
       s"restart lost or duplicated rows: $got")
   }
 
+  test("streaming merge sink upserts per-batch deltas and absorbs replays exactly once") {
+    // the accumulating-merge counterpart of the idempotent-overwrite
+    // restart test: a replayed batch would DOUBLE-COUNT unless the
+    // batchId marker guard skips it, so crash-restart here proves the
+    // non-idempotent-sink exactly-once pattern
+    val src = Files.createTempDirectory("ms-src").toString
+    val state = Files.createTempDirectory("ms-state").toString
+    val ckpt = Files.createTempDirectory("ms-ckpt").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+    def stream() = spark.readStream.schema(schema).parquet(src)
+    Seq((1L, 1.0), (1L, 2.0), (2L, 5.0)).toDF("user_id", "value")
+      .write.mode("append").parquet(src)
+    val q1 = EventsStream.toMergeSink(stream(), state, ckpt).start()
+    try q1.processAllAvailable() finally q1.stop()
+    Seq((1L, 4.0), (3L, 7.0)).toDF("user_id", "value")
+      .write.mode("append").parquet(src)
+    // crash simulation: newest commit marker gone → that batch replays
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit))
+    assert(commits.nonEmpty)
+    assert(commits.maxBy(_.getName.toLong).delete())
+    var attempts = 0
+    var drained = false
+    while (!drained) {
+      val q2 = EventsStream.toMergeSink(stream(), state, ckpt).start()
+      try { q2.processAllAvailable(); drained = true }
+      catch {
+        case e: Throwable if attempts < 60 &&
+            String.valueOf(e.getMessage).contains("concurrently using") =>
+          attempts += 1; Thread.sleep(500)
+      } finally q2.stop()
+    }
+    val got = spark.read.parquet(s"$state/current")
+      .select($"user_id", $"n_events", $"total_value".cast("double"))
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 3L, 7.0), (2L, 1L, 5.0), (3L, 1L, 7.0)),
+      s"merge state wrong after replayed batch: $got")
+  }
+
   test("flatMapGroupsWithState sessionization equals batch sessionize") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Double)]
