@@ -241,6 +241,43 @@ object Dedup {
       .orderBy("cluster_id")
   }
 
+  /** NEAR-DUP GRAPH STATISTICS: nodes, edges, triangles, and the global
+    * clustering coefficient of the near-dup pair graph — the cluster-
+    * cohesion diagnostic of a dedup pass (near-duplication is close to
+    * transitive, so a healthy pair graph is triangle-dense; a low
+    * coefficient flags thresholds that chain unrelated docs).
+    *
+    * Triangles via the standard distributed node-iterator++ shape: edges
+    * oriented low → high id, then triangle = e1(a,b) ⋈ e2(b,c) ⋈
+    * e3(a,c) — every triangle counted exactly once, join fan-out bounded
+    * by out-degrees (at scale, orient by (degree, id) so every
+    * out-degree is O(√m); id-orientation keeps the oracle trivial and
+    * the shape identical). Wedges are Σ deg·(deg−1)/2 in exact integer
+    * arithmetic, so coefficient = 3·triangles/wedges is a fixed
+    * double-op both engines share. */
+  def nearDupGraphStats(pairs: DataFrame): DataFrame = {
+    val e = pairs.select(least(col("doc_a"), col("doc_b")).as("a"),
+        greatest(col("doc_a"), col("doc_b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val agg = deg.agg(count(lit(1)).as("n_nodes"),
+      (sum(col("d") * (col("d") - 1)) / 2).cast("long").as("n_wedges"))
+    val edges = e.agg(count(lit(1)).as("n_edges"))
+    agg.crossJoin(broadcast(edges)).crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+        when(col("n_wedges") > 0,
+          round(col("n_triangles").cast("double") * 3.0
+            / col("n_wedges").cast("double"), 6)).otherwise(lit(0.0))
+          .as("clustering_coef"))
+  }
+
   /** 16-bit SimHash over token occurrences. Bit b is the sign of the sum
     * of ±1 votes, where the vote is bit (b%4) of hex nibble (b/4) of
     * md5(token) — engine-portable (ascii/shift/and only). */

@@ -117,7 +117,43 @@ object DedupQueries {
        |       n_chars AS keeper_chars, cluster_size - 1 AS n_dropped
        |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin
 
+  /** Graph stats over the word-gram near-dup pairs: id-oriented
+    * triangle join + exact integer wedge count (mirrors
+    * Dedup.nearDupGraphStats). */
+  private val graphStatsSql =
+    s"""WITH prs AS (
+       |  SELECT doc_a, doc_b FROM (${nearDupSql(wordShinglesCte, 0.7)}) nd),
+       |e AS (
+       |  SELECT DISTINCT least(doc_a, doc_b) AS a, greatest(doc_a, doc_b) AS b
+       |  FROM prs WHERE doc_a <> doc_b),
+       |tri AS (
+       |  SELECT count(*) AS n_triangles
+       |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+       |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |deg AS (
+       |  SELECT v, count(*) AS d FROM (
+       |    SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+       |  GROUP BY v),
+       |ag AS (
+       |  SELECT count(*) AS n_nodes,
+       |    CAST(CAST(sum(d * (d - 1)) AS BIGINT) / 2 AS BIGINT) AS n_wedges
+       |  FROM deg),
+       |ec AS (SELECT count(*) AS n_edges FROM e)
+       |SELECT n_nodes, n_edges, n_triangles,
+       |  CASE WHEN n_wedges > 0
+       |       THEN round(CAST(n_triangles AS DOUBLE) * 3.0 / CAST(n_wedges AS DOUBLE), 6)
+       |       ELSE 0.0 END AS clustering_coef
+       |FROM ag, ec, tri""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("near_dup_graph_stats",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.nearDupGraphStats(
+          Dedup.nearDupPairs(docs, Dedup.wordGrams(docs), Dedup.wordGrams, 0.7))
+      },
+      Some(graphStatsSql)),
+
     QueryDef("dedup_exact",
       (s, d) => Dedup.exactDedup(Tables.documents(s, d)), Some(
         """SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keeper

@@ -93,6 +93,16 @@ class DedupSimilaritySpec extends SparkSpec {
     lab.values.toSet.foreach { (c: Long) => assert(lab(c) == c, s"keeper $c not self-labeled") }
   }
 
+  test("graph stats: K4 plus a pendant edge counts triangles and wedges exactly") {
+    // K4 on nodes 1-4 (4 triangles; degrees 3,3,3,4 after the pendant
+    // (4,5)) → wedges 3+3+3+6+0 = 15, coefficient 3·4/15 = 0.8
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val row = Dedup.nearDupGraphStats(edges)
+      .as[(Long, Long, Long, Double)].head()
+    assert(row == ((5L, 7L, 4L, 0.8)), s"got $row")
+  }
+
   test("simhash: near-identical docs land within hamming distance 4") {
     val nd = wordNearDups(0.9)
       .select("doc_a", "doc_b").as[(Long, Long)].collect()
