@@ -230,7 +230,18 @@ object Bench {
     // artifact had "parsed": null), while the compact line always fits
     // and carries the graded total.
     println(detailed)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"detail":"bench_detail.json","errors":$errJson,"regressions":$regJson,"sf":"$sfDir"}""")
+    // the compact line must stay well under the 2000-char tail even in a
+    // pathological round: cap its error/regression maps at the 8 worst
+    // (the detail line and file carry the full maps)
+    def cap8(m: Iterable[(String, String)], n: Int): String = {
+      val kept = m.take(8).map { case (k, v) => s"\"$k\":$v" }.mkString(",")
+      val extra = if (n > 8) s",\"_more\":${n - 8}" else ""
+      s"{$kept$extra}"
+    }
+    val errC = cap8(errors.map { case (k, v) => k -> s"\"$v\"" }, errors.size)
+    val regC = cap8(regressions.toSeq.sortBy(-_._2).map { case (k, v) => k -> v.toString },
+      regressions.size)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"detail":"bench_detail.json","errors":$errC,"regressions":$regC,"sf":"$sfDir"}""")
     spark.stop()
     // daemon worker threads may hold a wedged query; don't let them block exit
     sys.exit(0)

@@ -241,6 +241,26 @@ object Dedup {
       .orderBy("cluster_id")
   }
 
+  /** ENSEMBLE DEDUP: near-dup pairs from BOTH signals — text
+    * MinHash+LSH jaccard AND embedding-cosine LSH — unioned into ONE
+    * pair graph, then resolved to clusters. The production shape: each
+    * signal misses pairs the other catches (a reworded doc keeps its
+    * embedding neighborhood; a template edit keeps its shingles), and
+    * feeding the union through a single connected-components pass makes
+    * the keeper decision consistent across signals instead of two
+    * passes fighting over the same docs. `emb.vec_id` is the embedding
+    * row of the same-id document. */
+  def ensembleDedupClusters(docs: DataFrame, emb: DataFrame,
+      jaccardThreshold: Double, cosineThreshold: Double,
+      corpusCount: Option[Long] = None): DataFrame = {
+    val textPairs = nearDupPairs(docs, wordGrams(docs), wordGrams, jaccardThreshold)
+      .select(col("doc_a"), col("doc_b"))
+    val embPairs = Similarity
+      .embeddingNearDup(emb, cosineThreshold, corpusCount = corpusCount)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    nearDupClusters(textPairs.union(embPairs).distinct())
+  }
+
   /** NEAR-DUP GRAPH STATISTICS: nodes, edges, triangles, and the global
     * clustering coefficient of the near-dup pair graph — the cluster-
     * cohesion diagnostic of a dedup pass (near-duplication is close to

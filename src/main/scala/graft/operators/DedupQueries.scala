@@ -145,7 +145,35 @@ object DedupQueries {
        |       ELSE 0.0 END AS clustering_coef
        |FROM ag, ec, tri""".stripMargin
 
+  /** Ensemble dedup oracle: text pairs ∪ embedding pairs → the same
+    * recursive transitive closure as the clusters oracle. */
+  private val ensembleClustersSql =
+    s"""WITH RECURSIVE ${SimilarityQueries.embPairCtes(0.35)},
+       |tp AS (
+       |  SELECT doc_a, doc_b FROM (${nearDupSql(wordShinglesCte, 0.7)}) nd),
+       |prs AS (
+       |  SELECT doc_a, doc_b FROM tp
+       |  UNION SELECT vec_a, vec_b FROM ep),
+       |ed AS (SELECT doc_a AS u, doc_b AS v FROM prs
+       |       UNION SELECT doc_b, doc_a FROM prs),
+       |rch AS (
+       |  SELECT u, v FROM ed
+       |  UNION
+       |  SELECT r.u, ed.v FROM rch r JOIN ed ON r.v = ed.u),
+       |lab AS (
+       |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+       |  FROM rch GROUP BY u),
+       |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id)
+       |SELECT doc_id, cluster_id, cluster_size FROM lab JOIN sz USING (cluster_id)
+       |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("dedup_ensemble_clusters",
+      (s, d) => Dedup.ensembleDedupClusters(
+        Tables.documents(s, d), Tables.embeddings(s, d), 0.7, 0.35,
+        Some(Tables.rowCount(s, d, "embeddings"))),
+      Some(ensembleClustersSql)),
+
     QueryDef("near_dup_graph_stats",
       (s, d) => {
         val docs = Tables.documents(s, d)

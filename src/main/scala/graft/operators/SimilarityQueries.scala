@@ -67,18 +67,26 @@ object SimilarityQueries {
        |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, cand_id, cos_sim FROM r
        |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
 
-  private val nearDupEmbSql =
-    s"""WITH pl AS ($planesSql),
+  /** CTE chain `pl, s0, s, ep` ending in the thresholded same-bucket
+    * embedding pair set (vec_a < vec_b) — shared by the standalone
+    * near-dup query and the ensemble dedup oracle. */
+  private[operators] def embPairCtes(threshold: Double): String =
+    s"""pl AS ($planesSql),
        |s0 AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings, pl),
        |s AS (
        |  SELECT vec_id, embedding, bucket FROM (
        |    SELECT *, count(*) OVER (PARTITION BY bucket) AS bn FROM s0)
-       |  WHERE bn <= ${Similarity.MaxLshBucket})
-       |SELECT vec_a, vec_b, cos_sim FROM (
-       |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
-       |         round(${cosSql("x.embedding", "y.embedding")}, 6) AS cos_sim
-       |  FROM s x JOIN s y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
-       |WHERE cos_sim >= 0.35 ORDER BY vec_a, vec_b""".stripMargin
+       |  WHERE bn <= ${Similarity.MaxLshBucket}),
+       |ep AS (
+       |  SELECT vec_a, vec_b, cos_sim FROM (
+       |    SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+       |           round(${cosSql("x.embedding", "y.embedding")}, 6) AS cos_sim
+       |    FROM s x JOIN s y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+       |  WHERE cos_sim >= $threshold)""".stripMargin
+
+  private val nearDupEmbSql =
+    s"""WITH ${embPairCtes(0.35)}
+       |SELECT vec_a, vec_b, cos_sim FROM ep ORDER BY vec_a, vec_b""".stripMargin
 
   /** Element i of a cell's Lloyd-mean centroid: exact integer-microunit
     * mean, mirroring the Spark aggregation bit-for-bit (floor-quantize →

@@ -93,6 +93,21 @@ class DedupSimilaritySpec extends SparkSpec {
     lab.values.toSet.foreach { (c: Long) => assert(lab(c) == c, s"keeper $c not self-labeled") }
   }
 
+  test("ensemble dedup: every pair from either signal shares a cluster") {
+    val clusters = Dedup.ensembleDedupClusters(docs, emb, 0.7, 0.35)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+    val tp = wordNearDups(0.7).select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val ep = Similarity.embeddingNearDup(emb, 0.35)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect()
+    assert(tp.nonEmpty && ep.nonEmpty, "both signals should fire on sf0.001")
+    (tp ++ ep).foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"signal pair ($a,$b) split across clusters")
+    }
+    // the ensemble graph's nodes are exactly the union of signal nodes
+    val nodes = (tp ++ ep).flatMap(p => Seq(p._1, p._2)).toSet
+    assert(clusters.keySet == nodes)
+  }
+
   test("graph stats: K4 plus a pendant edge counts triangles and wedges exactly") {
     // K4 on nodes 1-4 (4 triangles; degrees 3,3,3,4 after the pendant
     // (4,5)) → wedges 3+3+3+6+0 = 15, coefficient 3·4/15 = 0.8
