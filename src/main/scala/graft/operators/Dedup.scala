@@ -258,7 +258,9 @@ object Dedup {
     val embPairs = Similarity
       .embeddingNearDup(emb, cosineThreshold, corpusCount = corpusCount)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
-    nearDupClusters(textPairs.union(embPairs).distinct())
+    // no distinct here: cluster resolution orients and dedups the edge
+    // set as its first step — an extra shuffle would be pure waste
+    nearDupClusters(textPairs.union(embPairs))
   }
 
   /** NEAR-DUP GRAPH STATISTICS: nodes, edges, triangles, and the global
