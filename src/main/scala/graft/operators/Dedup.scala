@@ -150,15 +150,17 @@ object Dedup {
     * shuffle per hop — while star contraction halves path lengths every
     * round, converging in O(log d). Each round is two groupBy+join
     * passes over the edge set, all distributed; convergence is the
-    * DEFINITION of done, checked directly — the oriented edge set is a
-    * star forest iff no node appears on both sides (child ∩ parent = ∅,
-    * one tiny semi-join action per round), so the fixpoint is detected
-    * the round it is reached instead of one signature-compare round
-    * later. localCheckpoint (eager) truncates lineage each
-    * round — without it every round's logical plan embeds the whole
-    * upstream near-dup tree one level deeper and analysis time swamps
-    * the sub-second joins; on a cluster, swap for reliable
-    * `checkpoint()` to survive executor loss.
+    * DEFINITION of done, checked directly ([[isStarForest]], one small
+    * aggregate action per round), so the fixpoint is detected the round
+    * it is reached instead of one signature-compare round later.
+    * localCheckpoint (NON-eager) truncates lineage each round — without
+    * it every round's logical plan embeds the whole upstream near-dup
+    * tree one level deeper and analysis time swamps the sub-second
+    * joins. Non-eager matters for cost: the convergence check is the
+    * first action over each round's edge set, so the SAME job both
+    * materializes the checkpoint and decides convergence — one action
+    * per round, not two. On a cluster, swap for reliable `checkpoint()`
+    * to survive executor loss.
     *
     * Returns (labels: one (doc_id, label) row per node with label = the
     * component min, rounds actually run). */
@@ -169,7 +171,7 @@ object Dedup {
         least(col("doc_a"), col("doc_b")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // large-star: every node u links its LARGER neighbors to
     // m = min(Γ(u) ∪ {u}) — long paths contract toward small ids
     def largeStar(e: DataFrame): DataFrame = {
@@ -187,15 +189,29 @@ object Dedup {
         .select(col("v").as("u"), col("m").as("v"))
         .union(mins.select(col("u"), col("m").as("v")))
     }
-    // a star forest (oriented big → small) has disjoint child and parent
-    // sets; any overlap means another contraction round is needed
+    // Fixpoint test: the oriented edge set is a star forest iff
+    //  (a) no node appears as both a child (u side) and a parent (v
+    //      side), AND
+    //  (b) every child has exactly ONE parent.
+    // Side-disjointness alone is NOT sufficient: the path 1-5-2 orients
+    // to {(5,1),(5,2)} — sides disjoint, yet node 5 has two parents and
+    // nodes 1,2 of one component would split into different clusters.
+    // Both conditions check in ONE action: per-node parent count (np —
+    // edge rows are distinct, so a plain sum counts distinct parents)
+    // and parent-side membership (isP) from a single groupBy over the
+    // 2|E|-row side-tagged union.
     def isStarForest(e: DataFrame): Boolean =
-      e.as("a").join(e.as("b"), col("a.u") === col("b.v"), "left_semi").isEmpty
+      e.select(col("u").as("id"), lit(1L).as("np"), lit(0).as("isP"))
+        .union(e.select(col("v").as("id"), lit(0L).as("np"), lit(1).as("isP")))
+        .groupBy("id")
+        .agg(sum(col("np")).as("np"), max(col("isP")).as("isP"))
+        .filter(col("np") > 1 || (col("np") === 1 && col("isP") === 1))
+        .isEmpty
     var rounds = 0
     var done = edges.isEmpty || isStarForest(edges)
     while (!done && rounds < maxRounds) {
       rounds += 1
-      val next = smallStar(largeStar(edges)).distinct().localCheckpoint()
+      val next = smallStar(largeStar(edges)).distinct().localCheckpoint(eager = false)
       done = isStarForest(next)
       edges = next
     }
@@ -269,28 +285,60 @@ object Dedup {
     * transitive, so a healthy pair graph is triangle-dense; a low
     * coefficient flags thresholds that chain unrelated docs).
     *
-    * Triangles via the standard distributed node-iterator++ shape: edges
-    * oriented low → high id, then triangle = e1(a,b) ⋈ e2(b,c) ⋈
-    * e3(a,c) — every triangle counted exactly once, join fan-out bounded
-    * by out-degrees (at scale, orient by (degree, id) so every
-    * out-degree is O(√m); id-orientation keeps the oracle trivial and
-    * the shape identical). Wedges are Σ deg·(deg−1)/2 in exact integer
-    * arithmetic, so coefficient = 3·triangles/wedges is a fixed
-    * double-op both engines share. */
+    * Triangles via the distributed node-iterator++ shape (Suri &
+    * Vassilvitskii, WWW'11): every edge oriented from its lower
+    * (degree, id) endpoint to its higher one, wedges enumerated at the
+    * LOW-degree endpoint (e1.u = e2.u), closed by the oriented edge
+    * between the two wedge tips. (degree, id) is a total order, so each
+    * triangle has exactly one minimum vertex under it and is counted
+    * exactly once; the count is orientation-invariant, so the oracle's
+    * simpler id-oriented join produces the identical number. Why
+    * degree-orientation matters at 100×: out-degrees under it are
+    * O(√m), so the wedge join's fan-out per key is bounded — a low-ID
+    * celebrity hub under id-orientation fans out O(deg²) on one key.
+    * Wedges are Σ deg·(deg−1) div 2 in pure integer arithmetic (each
+    * term is even, so floor division is exact), and coefficient =
+    * 3·triangles/wedges is a fixed double-op both engines share. */
+  /** Edges oriented low → high under the (degree, id) total order —
+    * exposed for the fan-out bound spec. Input must be the distinct
+    * undirected edge set (a < b); output columns (u, w, uk, wk) where
+    * uk/wk are the sortable (d, id) orientation keys. */
+  private[graft] def orientByDegree(e: DataFrame): DataFrame = {
+    val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val ka = struct(col("da").as("d"), col("a").as("id"))
+    val kb = struct(col("db").as("d"), col("b").as("id"))
+    e.join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+      .select(
+        when(ka < kb,
+          struct(col("a").as("u"), col("b").as("w"), ka.as("uk"), kb.as("wk")))
+          .otherwise(
+            struct(col("b").as("u"), col("a").as("w"), kb.as("uk"), ka.as("wk")))
+          .as("o"))
+      .select(col("o.u").as("u"), col("o.w").as("w"),
+        col("o.uk").as("uk"), col("o.wk").as("wk"))
+  }
+
   def nearDupGraphStats(pairs: DataFrame): DataFrame = {
     val e = pairs.select(least(col("doc_a"), col("doc_b")).as("a"),
         greatest(col("doc_a"), col("doc_b")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val tri = e.as("e1")
-      .join(e.as("e2"), col("e1.b") === col("e2.a"))
-      .join(e.as("e3"),
-        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+    val o = orientByDegree(e)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // wedge at the orientation-minimal vertex, tips ordered by key so
+    // the closing edge's direction is known: (tip1 → tip2)
+    val tri = o.as("e1")
+      .join(o.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.wk") < col("e2.wk"))
+      .join(o.as("e3"),
+        col("e3.u") === col("e1.w") && col("e3.w") === col("e2.w"))
       .agg(count(lit(1)).as("n_triangles"))
     val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
     val agg = deg.agg(count(lit(1)).as("n_nodes"),
-      (sum(col("d") * (col("d") - 1)) / 2).cast("long").as("n_wedges"))
+      expr("sum(d * (d - 1)) div 2").as("n_wedges"))
     val edges = e.agg(count(lit(1)).as("n_edges"))
     agg.crossJoin(broadcast(edges)).crossJoin(broadcast(tri))
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"),

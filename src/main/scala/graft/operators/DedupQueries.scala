@@ -117,9 +117,13 @@ object DedupQueries {
        |       n_chars AS keeper_chars, cluster_size - 1 AS n_dropped
        |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin
 
-  /** Graph stats over the word-gram near-dup pairs: id-oriented
-    * triangle join + exact integer wedge count (mirrors
-    * Dedup.nearDupGraphStats). */
+  /** Graph stats over the word-gram near-dup pairs. The oracle's
+    * triangle join is id-oriented — simpler than the Spark side's
+    * (degree, id) orientation and provably the same count (each
+    * triangle is counted at its unique minimum vertex under either
+    * total order). Wedges use floor division on the BIGINT sum on both
+    * sides (each d·(d−1) term is even, so the quotient is exact at any
+    * scale — no double-division rounding hazard). */
   private val graphStatsSql =
     s"""WITH prs AS (
        |  SELECT doc_a, doc_b FROM (${nearDupSql(wordShinglesCte, 0.7)}) nd),
@@ -136,7 +140,7 @@ object DedupQueries {
        |  GROUP BY v),
        |ag AS (
        |  SELECT count(*) AS n_nodes,
-       |    CAST(CAST(sum(d * (d - 1)) AS BIGINT) / 2 AS BIGINT) AS n_wedges
+       |    (CAST(sum(d * (d - 1)) AS BIGINT) // 2) AS n_wedges
        |  FROM deg),
        |ec AS (SELECT count(*) AS n_edges FROM e)
        |SELECT n_nodes, n_edges, n_triangles,

@@ -80,6 +80,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(rounds <= 12, s"expected O(log 63) rounds, got $rounds")
   }
 
+  test("star contraction does not stop early on multi-parent states") {
+    // Regression for the round-4 ADVICE counter-examples: a
+    // side-disjointness-only fixpoint test passes these inputs at round
+    // 0 (child and parent sets disjoint) even though an intermediate
+    // node still has TWO parents and the component is unresolved. The
+    // fixpoint test must also require out-degree 1 per child.
+    // Path 1-5-2 orients to {(5,1),(5,2)}: sides disjoint, node 5
+    // double-parented.
+    val p1 = Seq((1L, 5L), (5L, 2L)).toDF("doc_a", "doc_b")
+    val (l1, _) = Dedup.connectedComponents(p1)
+    val got1 = l1.as[(Long, Long)].collect().toSet
+    assert(got1 == Set((1L, 1L), (2L, 1L), (5L, 1L)), s"got $got1")
+    // Alternating high/low path 1-7-5-9-2: after one smallStar the edge
+    // set {(5,1),(7,1),(5,2),(9,2)} is again side-disjoint but
+    // under-merged (node 5 parented by both 1 and 2).
+    val p2 = Seq((1L, 7L), (7L, 5L), (5L, 9L), (9L, 2L)).toDF("doc_a", "doc_b")
+    val (l2, _) = Dedup.connectedComponents(p2)
+    val got2 = l2.as[(Long, Long)].collect().toSet
+    assert(got2 == Set(1L, 2L, 5L, 7L, 9L).map(_ -> 1L), s"got $got2")
+  }
+
   test("cluster resolution on real near-dup pairs: labels are component minima") {
     val pairs = wordNearDups(0.7)
     val clusters = Dedup.nearDupClusters(pairs)
@@ -116,6 +137,24 @@ class DedupSimilaritySpec extends SparkSpec {
     val row = Dedup.nearDupGraphStats(edges)
       .as[(Long, Long, Long, Double)].head()
     assert(row == ((5L, 7L, 4L, 0.8)), s"got $row")
+  }
+
+  test("degree orientation bounds triangle-join fan-out at a low-id hub") {
+    // Hub node 1 connected to 200 leaves. Under id-orientation the hub
+    // (lowest id, highest degree) gets out-degree 200, so the wedge
+    // self-join fans out C(200,2) ≈ 20k candidate rows on ONE join key —
+    // the O(deg²) celebrity blowup. Under (degree, id) orientation every
+    // degree-1 leaf points AT the hub: max out-degree 1, zero wedge
+    // candidates, identical (exact) stats.
+    val star = (2L to 201L).map(i => (1L, i)).toDF("doc_a", "doc_b")
+    val und = star.select(least($"doc_a", $"doc_b").as("a"),
+      greatest($"doc_a", $"doc_b").as("b")).distinct()
+    val maxOut = Dedup.orientByDegree(und)
+      .groupBy("u").count().agg(max("count")).as[Long].head()
+    assert(maxOut == 1L, s"hub fan-out not bounded: max out-degree $maxOut")
+    // stats stay exact: 0 triangles, hub wedges 200·199/2 = 19900
+    val row = Dedup.nearDupGraphStats(star).as[(Long, Long, Long, Double)].head()
+    assert(row == ((201L, 200L, 0L, 0.0)), s"got $row")
   }
 
   test("simhash: near-identical docs land within hamming distance 4") {
