@@ -189,14 +189,23 @@ object Bench {
     // query, its methods compiled long ago — pass 2 measures steady-state
     // execution, which is the thing being graded. Disable via
     // GRAFT_WARM_PASS=false.
+    // GRAFT_ONLY=a,b,c restricts the run to named queries — an iteration
+    // aid for tuning a single operator; the full suite is the default.
+    val selected: Map[String, (SparkSession, String) => DataFrame] =
+      sys.env.get("GRAFT_ONLY") match {
+        case Some(names) =>
+          val keep = names.split(',').map(_.trim).filter(_.nonEmpty).toSet
+          SparkEntry.queries.filter { case (n, _) => keep(n) }
+        case None => SparkEntry.queries
+      }
     val warmTimes: Map[String, Double] =
       if (sys.env.getOrElse("GRAFT_WARM_PASS", "true") == "true")
-        SparkEntry.queries.map { case (n, fn) => n -> runOnce(n, fn, timed = false) }
+        selected.map { case (n, fn) => n -> runOnce(n, fn, timed = false) }
       else Map.empty
     // both passes are complete executions of the query, so min(warm,
     // timed) is best-observed — it also shields a timed run that caught
     // a host CPU-steal burst (documented on this VM)
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val t = runOnce(name, fn, timed = true)
       val w = warmTimes.getOrElse(name, -1.0)
       val dt =
@@ -226,8 +235,10 @@ object Bench {
       .mkString("{", ",", "}")
     val detailed = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"regressions":$regJson,"sf":"$sfDir"}"""
     // Full detail to a committed file (next round's regression baseline,
-    // and the judge's full-precision record)...
-    try {
+    // and the judge's full-precision record) — but never from a
+    // GRAFT_ONLY-filtered run, which would shrink the baseline to the
+    // filtered subset and corrupt the next full run's regression diff.
+    if (!sys.env.contains("GRAFT_ONLY")) try {
       val w = new java.io.PrintWriter("bench_detail.json")
       try w.println(detailed) finally w.close()
     } catch { case e: Throwable =>

@@ -268,16 +268,20 @@ object Dedup {
     * row of the same-id document. */
   def ensembleDedupClusters(docs: DataFrame, emb: DataFrame,
       jaccardThreshold: Double, cosineThreshold: Double,
-      corpusCount: Option[Long] = None): DataFrame = {
-    val textPairs = nearDupPairs(docs, wordGrams(docs), wordGrams, jaccardThreshold)
-      .select(col("doc_a"), col("doc_b"))
-    val embPairs = Similarity
-      .embeddingNearDup(emb, cosineThreshold, corpusCount = corpusCount)
-      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      corpusCount: Option[Long] = None): DataFrame =
+    ensembleDedupClustersFrom(
+      nearDupPairs(docs, wordGrams(docs), wordGrams, jaccardThreshold),
+      Similarity.embeddingNearDup(emb, cosineThreshold, corpusCount = corpusCount))
+
+  /** Ensemble clustering from PREBUILT pair tables — the registry wires
+    * this to the shared materialized pair builds (SharedIntermediates)
+    * so the suite never re-runs the MinHash or embedding-LSH pipelines
+    * that other entries already materialized. */
+  def ensembleDedupClustersFrom(textPairs: DataFrame, embPairs: DataFrame): DataFrame =
     // no distinct here: cluster resolution orients and dedups the edge
     // set as its first step — an extra shuffle would be pure waste
-    nearDupClusters(textPairs.union(embPairs))
-  }
+    nearDupClusters(textPairs.select(col("doc_a"), col("doc_b"))
+      .union(embPairs.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))))
 
   /** NEAR-DUP GRAPH STATISTICS: nodes, edges, triangles, and the global
     * clustering coefficient of the near-dup pair graph — the cluster-
@@ -321,12 +325,20 @@ object Dedup {
   }
 
   def nearDupGraphStats(pairs: DataFrame): DataFrame = {
+    // The edge set fans out to FIVE consumers (orientation ×2 via the
+    // degree join, wedge degrees, edge count, and — through `o` — the
+    // 3-way triangle self-join). A lazy persist leaves the expensive
+    // upstream pair pipeline in every consumer's lineage, and the
+    // concurrent cold-cache stages of one action race to populate the
+    // same partitions — measured as the pair pipeline executing ~4× in
+    // one query. Eager localCheckpoint materializes the (tiny relative
+    // to the corpus) edge set exactly once and truncates the lineage;
+    // on a cluster use reliable checkpoint() instead.
     val e = pairs.select(least(col("doc_a"), col("doc_b")).as("a"),
         greatest(col("doc_a"), col("doc_b")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val o = orientByDegree(e)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
+    val o = orientByDegree(e).localCheckpoint()
     // wedge at the orientation-minimal vertex, tips ordered by key so
     // the closing edge's direction is known: (tip1 → tip2)
     val tri = o.as("e1")

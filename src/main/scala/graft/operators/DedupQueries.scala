@@ -173,17 +173,12 @@ object DedupQueries {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("dedup_ensemble_clusters",
-      (s, d) => Dedup.ensembleDedupClusters(
-        Tables.documents(s, d), Tables.embeddings(s, d), 0.7, 0.35,
-        Some(Tables.rowCount(s, d, "embeddings"))),
+      (s, d) => Dedup.ensembleDedupClustersFrom(
+        SharedIntermediates.textPairs(s, d), SharedIntermediates.embPairs(s, d)),
       Some(ensembleClustersSql)),
 
     QueryDef("near_dup_graph_stats",
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-        Dedup.nearDupGraphStats(
-          Dedup.nearDupPairs(docs, Dedup.wordGrams(docs), Dedup.wordGrams, 0.7))
-      },
+      (s, d) => Dedup.nearDupGraphStats(SharedIntermediates.textPairs(s, d)),
       Some(graphStatsSql)),
 
     QueryDef("dedup_exact",
@@ -192,10 +187,7 @@ object DedupQueries {
           |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin)),
 
     QueryDef("near_dup_minhash",
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-        Dedup.nearDupPairs(docs, Dedup.wordGrams(docs), Dedup.wordGrams, 0.7)
-      },
+      (s, d) => SharedIntermediates.textPairs(s, d),
       Some(nearDupSql(wordShinglesCte, 0.7))),
 
     QueryDef("near_dup_ngram",
@@ -209,19 +201,12 @@ object DedupQueries {
       (s, d) => Dedup.simhashDocs(Tables.documents(s, d)), Some(simhashSql)),
 
     QueryDef("dedup_clusters",
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-        Dedup.nearDupClusters(
-          Dedup.nearDupPairs(docs, Dedup.wordGrams(docs), Dedup.wordGrams, 0.7))
-      },
+      (s, d) => SharedIntermediates.textClusters(s, d),
       Some(clustersSql)),
 
     QueryDef("dedup_canonical",
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-        Dedup.canonicalDocs(docs, Dedup.nearDupClusters(
-          Dedup.nearDupPairs(docs, Dedup.wordGrams(docs), Dedup.wordGrams, 0.7)))
-      },
+      (s, d) => Dedup.canonicalDocs(
+        Tables.documents(s, d), SharedIntermediates.textClusters(s, d)),
       Some(canonicalSql)),
   )
 }

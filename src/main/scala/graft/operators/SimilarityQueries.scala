@@ -96,9 +96,10 @@ object SimilarityQueries {
     s"CAST(CAST(sum(CAST(floor(CAST(embedding[$i] AS DOUBLE) * 1000000.0 + 0.5)" +
       s" AS BIGINT)) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0"
 
-  /** Shared IVF training CTEs: √N centroid count, first-K seeds, seed
-    * assignment, one Lloyd re-centering, rank vs iterated centroids —
-    * the exact pipeline of Similarity.ivfRanked. */
+  /** Shared IVF training CTEs: √N centroid count, first-K seeds,
+    * sample-bounded seed assignment (first TrainFactor·K vectors — the
+    * production-shape training sample Similarity.ivfCentroids uses),
+    * one Lloyd re-centering, rank vs iterated centroids. */
   private def ivfRankedCtes: String =
     s"""kk AS (SELECT GREATEST(8, CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)) AS k
        |       FROM embeddings),
@@ -107,7 +108,8 @@ object SimilarityQueries {
        |sc0 AS (
        |  SELECT e.vec_id, e.embedding, c.cent_id,
        |         round(${cosSql("e.embedding", "c.ce")}, 6) AS ccos
-       |  FROM embeddings e CROSS JOIN seeds c),
+       |  FROM embeddings e CROSS JOIN seeds c, kk
+       |  WHERE e.vec_id < k * ${Similarity.TrainFactor}),
        |a0 AS (
        |  SELECT vec_id, embedding, cent_id AS cell FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id
@@ -212,8 +214,7 @@ object SimilarityQueries {
       (s, d) => Similarity.quantizedTopK(Tables.embeddings(s, d), 8, 5),
       Some(annQuantizedSql)),
     QueryDef("near_dup_embedding",
-      (s, d) => Similarity.embeddingNearDup(Tables.embeddings(s, d), 0.35,
-        corpusCount = Some(Tables.rowCount(s, d, "embeddings"))),
+      (s, d) => SharedIntermediates.embPairs(s, d),
       Some(nearDupEmbSql)),
     QueryDef("embedding_stats",
       (s, d) => Similarity.embeddingStats(Tables.embeddings(s, d)),
