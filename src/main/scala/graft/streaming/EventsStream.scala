@@ -137,12 +137,28 @@ object EventsStream {
     * fine while state ≪ stream — the usual aggregate-state case.
     *
     * An accumulating merge is NOT naturally idempotent (replaying a
-    * batch would double-count), so exactly-once comes from a batchId
-    * marker: a replayed batch whose `_merged_<id>` marker exists is
-    * skipped — the transaction-log trick of the table formats, reduced
-    * to one atomic marker-file create per batch. Complements
-    * [[toIdempotentParquetSink]], which handles the naturally-idempotent
-    * (partitioned-overwrite) case instead. */
+    * batch would double-count), so exactly-once comes from a
+    * versioned-state commit protocol — the transaction-log trick of the
+    * table formats, reduced to its two load-bearing rules:
+    *
+    *  1. State versions are IMMUTABLE dirs `v<batchId>`; a merge writes
+    *     the NEW version beside the old one — the live state is never
+    *     deleted or renamed, so no crash window can lose it.
+    *  2. The `_merged_<batchId>` marker is the COMMIT POINTER, created
+    *     LAST (one atomic empty-file create). Readers and the next
+    *     batch resolve state as v(max committed marker id); an
+    *     uncommitted (partial or complete) version dir is invisible. A
+    *     crash before the marker → replay re-merges from the old
+    *     version and mode(overwrite) replaces the orphan; a crash after
+    *     → the marker makes the replay a no-op. Double-count and
+    *     state-loss windows are both closed.
+    *
+    * Older version dirs are pruned only AFTER the new marker commits;
+    * the (empty) markers themselves are retained as the replay ledger —
+    * one zero-byte file per batch, compacted in production by the table
+    * format's log checkpointing. Complements [[toIdempotentParquetSink]],
+    * which handles the naturally-idempotent (partitioned-overwrite)
+    * case instead. */
   def toMergeSink(df: DataFrame, stateDir: String,
       checkpointDir: String): DataStreamWriter[Row] =
     df.writeStream
@@ -158,29 +174,58 @@ object EventsStream {
             .groupBy(col("user_id"))
             .agg(count(lit(1)).as("d_n"),
               sum(col("value").cast(DecimalType(18, 2))).as("d_total"))
-          val curPath = new org.apache.hadoop.fs.Path(s"$stateDir/current")
           val zero = lit(0).cast(DecimalType(18, 2))
-          val cur =
-            if (fs.exists(curPath)) spark.read.parquet(curPath.toString)
-            else spark.createDataFrame(
+          val committed = committedVersions(fs, stateDir)
+          val cur = committed.lastOption match {
+            case Some(v) => spark.read.parquet(s"$stateDir/v$v")
+            case None => spark.createDataFrame(
               spark.sparkContext.emptyRDD[Row],
               StructType(Seq(
                 StructField("user_id", LongType),
                 StructField("n_events", LongType),
                 StructField("total_value", DecimalType(18, 2)))))
+          }
           val merged = cur.join(delta, Seq("user_id"), "full_outer")
             .select(col("user_id"),
               (coalesce(col("n_events"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
                 .as("n_events"),
               (coalesce(col("total_value"), zero) + coalesce(col("d_total"), zero))
                 .cast(DecimalType(18, 2)).as("total_value"))
-          val tmp = new org.apache.hadoop.fs.Path(s"$stateDir/tmp_$batchId")
-          merged.write.mode("overwrite").parquet(tmp.toString)
-          fs.delete(curPath, true)
-          fs.rename(tmp, curPath)
-          fs.create(marker).close()
+          merged.write.mode("overwrite")
+            .parquet(s"$stateDir/v$batchId")
+          fs.create(marker).close() // commit point
+          committed.foreach(v =>
+            fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/v$v"), true))
         }
       }
+
+  /** Marker ids present in `stateDir`, ascending — the commit log of
+    * [[toMergeSink]]. */
+  private def committedVersions(fs: org.apache.hadoop.fs.FileSystem,
+      stateDir: String): Seq[Long] = {
+    val base = new org.apache.hadoop.fs.Path(stateDir)
+    if (!fs.exists(base)) Seq.empty
+    else fs.listStatus(base).map(_.getPath.getName)
+      .filter(_.startsWith("_merged_"))
+      .map(_.stripPrefix("_merged_").toLong).toSeq.sorted
+  }
+
+  /** Read [[toMergeSink]]'s current state: the newest COMMITTED version
+    * (uncommitted orphans from a crashed batch are invisible). Empty-state
+    * schema if no batch has committed yet. */
+  def mergeState(spark: SparkSession, stateDir: String): DataFrame = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(stateDir).getFileSystem(hconf)
+    committedVersions(fs, stateDir).lastOption match {
+      case Some(v) => spark.read.parquet(s"$stateDir/v$v")
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        StructType(Seq(
+          StructField("user_id", LongType),
+          StructField("n_events", LongType),
+          StructField("total_value", DecimalType(18, 2)))))
+    }
+  }
 
   /** Per-user running aggregates via mapGroupsWithState — the custom
     * stateful-operator surface. State is evicted by an EVENT-TIME idle

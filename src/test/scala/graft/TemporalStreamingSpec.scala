@@ -343,6 +343,15 @@ class TemporalStreamingSpec extends SparkSpec {
       .filter(_.getName.forall(_.isDigit))
     assert(commits.nonEmpty)
     assert(commits.maxBy(_.getName.toLong).delete())
+    // harsher crash window: the sink also died AFTER writing the new
+    // state version but BEFORE its commit marker — fake the orphan by
+    // copying batch-0 state to an uncommitted v9. The reader must not
+    // see it, and replay must still converge to the right totals.
+    val orphan = EventsStream.mergeState(spark, state)
+    orphan.write.mode("overwrite").parquet(s"$state/v9")
+    assert(EventsStream.mergeState(spark, state)
+      .as[(Long, Long, java.math.BigDecimal)].collect().length == 2,
+      "uncommitted version dir leaked into mergeState")
     var attempts = 0
     var drained = false
     while (!drained) {
@@ -354,7 +363,7 @@ class TemporalStreamingSpec extends SparkSpec {
           attempts += 1; Thread.sleep(500)
       } finally q2.stop()
     }
-    val got = spark.read.parquet(s"$state/current")
+    val got = EventsStream.mergeState(spark, state)
       .select($"user_id", $"n_events", $"total_value".cast("double"))
       .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
     assert(got == Seq((1L, 3L, 7.0), (2L, 1L, 5.0), (3L, 1L, 7.0)),
