@@ -197,10 +197,10 @@ object Similarity {
     * max_by's tie behavior never engages. */
   private def argmaxCell(scored: DataFrame): DataFrame =
     scored.groupBy(col("vec_id"))
-      .agg(max_by(struct(col("cent_id"), col("embedding")),
+      .agg(max_by(struct(col("cent_id"), col("embedding"), col("ccos")),
         struct(col("ccos"), (-col("cent_id")).as("nc"))).as("w"))
       .select(col("vec_id"), col("w.embedding").as("embedding"),
-        col("w.cent_id").as("cell"))
+        col("w.cent_id").as("cell"), col("w.ccos").as("ccos"))
 
   /** Lloyd-iterated centroid table (cent_id, ce1), K rows — an ANN
     * INDEX structure, built once per (session, corpus, parameters) and
@@ -344,6 +344,42 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("cand_id"), col("cos_sim"))
       .orderBy("query_id", "rnk")
+  }
+
+  /** SEMANTIC DEDUP (the SemDeDup shape, Abbas et al. 2023): cluster
+    * the embedding space with the shared IVF coarse quantizer, elect a
+    * per-cell REPRESENTATIVE (the member most central to its cell:
+    * max centroid-cosine, min vec_id on ties), and flag every other
+    * member whose cosine to the representative clears `threshold` as a
+    * semantic duplicate. Complements pairwise [[embeddingNearDup]]: cost
+    * is ONE cosine per vector (vs per candidate pair), which is what
+    * makes semantic dedup runnable on corpora where even bucketed
+    * pairwise comparison is too big.
+    *
+    * Scale shape: assignment is the memoized index build + a
+    * partial-aggregable argmax (no corpus window); representative
+    * election is the same argmax pattern per CELL (K rows out); the
+    * K-row rep table joins back broadcast under the same provable-size
+    * gate as the centroid table. One corpus shuffle total (the argmax
+    * groupBy), everything else is map-side. */
+  def semanticDedup(emb: DataFrame, minCentroids: Int, threshold: Double,
+      corpusCount: Option[Long] = None): DataFrame = {
+    val spark = emb.sparkSession
+    val (cents1, kc) = ivfCentroids(emb, minCentroids, corpusCount)
+    val assigned = argmaxCell(scoreAgainst(emb, cents1, kc, "ce1"))
+    val reps = assigned.groupBy(col("cell"))
+      .agg(max_by(struct(col("vec_id"), col("embedding")),
+        struct(col("ccos"), (-col("vec_id")).as("nv"))).as("r"))
+      .select(col("cell"), col("r.vec_id").as("rep_id"),
+        col("r.embedding").as("re"))
+    val repSide = if (kc <= MaxBroadcastCentroids) broadcast(reps) else reps
+    assigned.join(repSide, "cell")
+      .select(col("vec_id"), col("cell"), col("rep_id"),
+        round(graft.functions.GraftFunctions.cosine_sim(
+          spark, col("embedding"), col("re")), 6).as("rep_cos"))
+      .withColumn("is_dup",
+        col("vec_id") =!= col("rep_id") && col("rep_cos") >= threshold)
+      .orderBy("vec_id")
   }
 
   /** Embedding-cosine near-duplicates: same-LSH-bucket pairs with

@@ -127,7 +127,7 @@ object SimilarityQueries {
        |  SELECT *, row_number() OVER (PARTITION BY vec_id
        |           ORDER BY ccos DESC, cent_id ASC) AS rn FROM sc),
        |asg AS (
-       |  SELECT vec_id, embedding, cent_id AS cell FROM ranked WHERE rn = 1)""".stripMargin
+       |  SELECT vec_id, embedding, cent_id AS cell, ccos FROM ranked WHERE rn = 1)""".stripMargin
 
   private val annIvfSql =
     s"""WITH $ivfRankedCtes,
@@ -188,6 +188,24 @@ object SimilarityQueries {
        |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, cand_id, qcos FROM r
        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
+  /** SemDeDup oracle: same IVF assignment CTEs; representative = max
+    * (ccos, -vec_id) per cell via a window, members scored against the
+    * rep embedding with the shared cosine chain. */
+  private val semanticDedupSql =
+    s"""WITH $ivfRankedCtes,
+       |reps AS (
+       |  SELECT cell, vec_id AS rep_id, embedding AS re FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY cell
+       |             ORDER BY ccos DESC, vec_id ASC) AS rr FROM asg)
+       |  WHERE rr = 1),
+       |sc2 AS (
+       |  SELECT a.vec_id, a.cell, r.rep_id,
+       |         round(${cosSql("a.embedding", "r.re")}, 6) AS rep_cos
+       |  FROM asg a JOIN reps r ON a.cell = r.cell)
+       |SELECT vec_id, cell, rep_id, rep_cos,
+       |       (vec_id != rep_id AND rep_cos >= 0.35) AS is_dup
+       |FROM sc2 ORDER BY vec_id""".stripMargin
+
   private val embStatsSql =
     s"""SELECT label, count(*) AS n_vectors,
        |  CAST(sum(CAST(round(sqrt(${norm2Sql("embedding")}), 6) AS DECIMAL(18,6))) AS DOUBLE)
@@ -216,6 +234,10 @@ object SimilarityQueries {
     QueryDef("near_dup_embedding",
       (s, d) => SharedIntermediates.embPairs(s, d),
       Some(nearDupEmbSql)),
+    QueryDef("semantic_dedup",
+      (s, d) => Similarity.semanticDedup(Tables.embeddings(s, d), 8, 0.35,
+        corpusCount = Some(Tables.rowCount(s, d, "embeddings"))),
+      Some(semanticDedupSql)),
     QueryDef("embedding_stats",
       (s, d) => Similarity.embeddingStats(Tables.embeddings(s, d)),
       Some(embStatsSql)),

@@ -422,4 +422,139 @@ object TextAnalysis {
         array_min(col("wm")).as("fp_min"),
         array_max(col("wm")).as("fp_max"))
       .orderBy("doc_id")
+
+  /** PII patterns: email, NANP-ish phone fragment, dotted-quad IP. All
+    * RE2-compatible AND java.util.regex-compatible (no lookaround, no
+    * backreferences; \d and \b mean the same ASCII things in both), so
+    * the DuckDB oracle applies the byte-identical regexes. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> """[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}""",
+    "phone" -> """\b\d{3}-\d{4}\b""",
+    "ip" -> """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b""")
+
+  /** Deterministic PII seeding for the registry entry: the synthetic
+    * corpus contains no PII, so redaction over it would be vacuously
+    * correct. Both engines append the same doc_id-derived email / phone /
+    * IP fragments to a deterministic subset of docs, making the oracle
+    * exercise every pattern on every run. */
+  def seedPii(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(col("text"),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit(" call 555-01"),
+            lpad(pmod(col("doc_id"), lit(100)).cast("string"), 2, "0"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(11)) === 0,
+          concat(lit(" host 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+            lit("."), pmod(col("doc_id") * 7, lit(256)).cast("string"))).otherwise(lit("")))
+        .as("text"))
+
+  /** PII REDACTION — the scrubbing stage every training pipeline runs
+    * before anything ships: per-doc match counts per PII class plus the
+    * cleaned text with typed placeholders. Counts are taken on the raw
+    * text, replacements applied in fixed pattern order (placeholders
+    * contain no digits, so later patterns cannot match earlier
+    * replacements). Pure per-row regex work — one map stage, no shuffle,
+    * trivially 100 TB-parallel. */
+  def redactPii(docs: DataFrame): DataFrame = {
+    val counts = PiiPatterns.map { case (n, p) =>
+      size(regexp_extract_all(col("text"), lit(p), lit(0))).cast("long").as(s"n_$n")
+    }
+    val cleaned = PiiPatterns.foldLeft(col("text")) { case (c, (n, p)) =>
+      regexp_replace(c, lit(p), lit(s"<${n.toUpperCase}>"))
+    }
+    docs.select((col("doc_id") +: counts :+ cleaned.as("clean_text")): _*)
+      .orderBy("doc_id")
+  }
+
+  /** Stand-in sensitive-term list for [[blocklistGate]] — words present
+    * in the synthetic vocabulary so the gate is non-vacuous. */
+  val Blockwords = Seq("customer", "merge")
+
+  /** WORDLIST GATE — the toxicity/NSFW-filter shape: per-doc blocklist
+    * hit ratio and a keep/drop decision at `maxRatio`. Per-row array
+    * filter over the token array; no shuffle. */
+  def blocklistGate(docs: DataFrame, maxRatio: Double = 0.05): DataFrame =
+    docs.select(col("doc_id"), toks.as("w"))
+      .filter(size(col("w")) > 0)
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        size(filter(col("w"), x => x.isin(Blockwords: _*))).cast("long").as("n_hits"))
+      .withColumn("hit_ratio",
+        round(col("n_hits").cast("double") / col("n_tokens").cast("double"), 6))
+      .withColumn("kept", col("hit_ratio") <= maxRatio)
+      .orderBy("doc_id")
+
+  /** BOILERPLATE COVERAGE — frequent-fragment detection (the C4/RefinedWeb
+    * boilerplate-removal shape, n-gram granularity since the synthetic
+    * corpus has no line structure): a word-`n`-gram appearing in >=
+    * `minDocs` DISTINCT docs is boilerplate; each doc reports how much of
+    * its gram stream that covers. Scale shape: the gram stream is built
+    * once and persisted (three consumers: document-frequency table,
+    * per-doc totals, per-doc hits); the DF table shuffles on the gram
+    * string with map-side combine; nothing is force-broadcast — frequent
+    * n-gram tables are unbounded in a boilerplate-heavy corpus, so the
+    * hit join is left to runtime stats (AQE broadcasts it when small). */
+  def boilerplateCoverage(docs: DataFrame, n: Int = 5, minDocs: Int = 3): DataFrame = {
+    val grams = docs.select(col("doc_id"), toks.as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(w) - ${n - 1}), i -> concat_ws(' ', slice(w, i, $n)))"))
+        .as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val boiler = grams.distinct()
+      .groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("g"))
+    val perDoc = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val hits = grams.join(boiler, "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
+    perDoc.join(hits, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_boiler"))
+      .withColumn("boiler_ratio",
+        round(col("n_boiler").cast("double") / col("n_grams").cast("double"), 6))
+      .orderBy("doc_id")
+  }
+
+  /** BIGRAM-LM QUALITY SCORE — the perplexity-style fluency signal:
+    * train add-one-smoothed bigram statistics on the corpus itself
+    * (c(w1 w2), c(w1·) from the bigram stream, vocabulary V from the
+    * token stream), then score every doc by its mean log-probability.
+    *
+    * Cross-engine exactness: counts are exact integers, p = (c2+1)/(c1+V)
+    * is one double division of exact BIGINTs (bit-identical), and each
+    * ln(p) is quantized to 1e-4 units via floor(x*1e4 + 0.5) BEFORE the
+    * per-doc sum — summing doubles would be partition-order-dependent,
+    * and raw ln() may differ between libm implementations in the last
+    * ulp (quantization makes a mismatch need an ulp error within 1e-11
+    * of a rounding boundary — vanishing). Scale shape: one shuffle for
+    * each count table (map-side combined), one shuffle joining the
+    * stream to c2 on the bigram string; c1 rides the same row (the
+    * bigram carries its own first token). */
+  def bigramLmScore(docs: DataFrame): DataFrame = {
+    val big = docs.select(col("doc_id"), toks.as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> concat_ws(' ', slice(w, i, 2)))"))
+        .as("g"))
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c2 = big.groupBy("g").agg(count(lit(1)).as("c2"))
+    val c1 = big.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v = docs.select(explode(toks).as("tok")).agg(
+      countDistinct(col("tok")).as("v"))
+    val scored = big.join(c2, "g").join(c1, "w1").crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        floor(log((col("c2") + 1).cast("double") /
+          (col("c1") + col("v")).cast("double")) * lit(10000.0) + lit(0.5))
+          .cast("long").as("lp4"))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp4")).as("s4"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("s4").cast("double") / col("n_bigrams").cast("double") / lit(10000.0), 6)
+          .as("avg_logp"))
+      .orderBy("doc_id")
+  }
 }

@@ -286,5 +286,96 @@ object TextAnalysisQueries {
           |SELECT source, n_docs, keep_rate,
           |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
           |FROM k GROUP BY 1, 2, 3 ORDER BY source""".stripMargin)),
+
+    QueryDef("pii_redact",
+      (s, d) => TextAnalysis.redactPii(TextAnalysis.seedPii(Tables.documents(s, d))),
+      Some {
+        val email = """[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"""
+        val phone = """\b\d{3}-\d{4}\b"""
+        val ip = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+        s"""WITH s AS (
+           |  SELECT doc_id, text ||
+           |    CASE WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+           |    CASE WHEN doc_id % 7 = 0 THEN ' call 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ELSE '' END ||
+           |    CASE WHEN doc_id % 11 = 0 THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END
+           |    AS text
+           |  FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_email,
+           |  CAST(len(regexp_extract_all(text, '$phone')) AS BIGINT) AS n_phone,
+           |  CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ip,
+           |  regexp_replace(regexp_replace(regexp_replace(text,
+           |    '$email', '<EMAIL>', 'g'),
+           |    '$phone', '<PHONE>', 'g'),
+           |    '$ip', '<IP>', 'g') AS clean_text
+           |FROM s ORDER BY doc_id""".stripMargin
+      }),
+
+    QueryDef("blocklist_gate",
+      (s, d) => TextAnalysis.blocklistGate(Tables.documents(s, d)), Some {
+        val bl = TextAnalysis.Blockwords.map(w => s"'$w'").mkString(", ")
+        s"""WITH t AS (
+           |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z'']+') AS w
+           |  FROM documents),
+           |b AS (
+           |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+           |         CAST(len(list_filter(w, x -> x IN ($bl))) AS BIGINT) AS n_hits
+           |  FROM t WHERE len(w) > 0),
+           |r AS (
+           |  SELECT doc_id, n_tokens, n_hits,
+           |         round(CAST(n_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS hit_ratio
+           |  FROM b)
+           |SELECT doc_id, n_tokens, n_hits, hit_ratio, (hit_ratio <= 0.05) AS kept
+           |FROM r ORDER BY doc_id""".stripMargin
+      }),
+
+    QueryDef("boilerplate_coverage",
+      (s, d) => TextAnalysis.boilerplateCoverage(Tables.documents(s, d)), Some {
+        val gram = (1 to 5).map(j => s"w[i+${j - 1}]").mkString(" || ' ' || ")
+        s"""WITH t AS (
+           |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z'']+') AS w
+           |  FROM documents),
+           |gs AS (
+           |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 3),
+           |           i -> $gram)) AS g
+           |  FROM t WHERE len(w) >= 5),
+           |boiler AS (
+           |  SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS df FROM gs GROUP BY g)
+           |  WHERE df >= 3),
+           |per AS (SELECT doc_id, count(*) AS n_grams FROM gs GROUP BY doc_id),
+           |hits AS (
+           |  SELECT doc_id, count(*) AS n_boiler
+           |  FROM gs JOIN boiler USING (g) GROUP BY doc_id)
+           |SELECT p.doc_id, p.n_grams,
+           |  CAST(coalesce(h.n_boiler, 0) AS BIGINT) AS n_boiler,
+           |  round(CAST(coalesce(h.n_boiler, 0) AS DOUBLE)
+           |        / CAST(p.n_grams AS DOUBLE), 6) AS boiler_ratio
+           |FROM per p LEFT JOIN hits h ON p.doc_id = h.doc_id
+           |ORDER BY 1""".stripMargin
+      }),
+
+    QueryDef("bigram_lm_score",
+      (s, d) => TextAnalysis.bigramLmScore(Tables.documents(s, d)), Some(
+        """WITH t AS (
+          |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z'']+') AS w
+          |  FROM documents),
+          |bg AS (
+          |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+          |           i -> w[i] || ' ' || w[i+1])) AS g
+          |  FROM t WHERE len(w) >= 2),
+          |b2 AS (SELECT doc_id, g, split_part(g, ' ', 1) AS w1 FROM bg),
+          |c2 AS (SELECT g, count(*) AS c2 FROM b2 GROUP BY g),
+          |c1 AS (SELECT w1, count(*) AS c1 FROM b2 GROUP BY w1),
+          |vv AS (SELECT count(DISTINCT tok) AS v
+          |       FROM (SELECT unnest(w) AS tok FROM t)),
+          |sc AS (
+          |  SELECT b.doc_id,
+          |    CAST(floor(ln(CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + vv.v AS DOUBLE))
+          |         * 10000.0 + 0.5) AS BIGINT) AS lp4
+          |  FROM b2 b JOIN c2 USING (g) JOIN c1 USING (w1), vv)
+          |SELECT doc_id, count(*) AS n_bigrams,
+          |  round(CAST(CAST(sum(lp4) AS BIGINT) AS DOUBLE)
+          |        / CAST(count(*) AS DOUBLE) / 10000.0, 6) AS avg_logp
+          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
   )
 }

@@ -129,6 +129,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(clusters.keySet == nodes)
   }
 
+  test("semantic dedup: total partition, one self-similar rep per cell, dups cleared") {
+    val sd = Similarity.semanticDedup(emb, 8, 0.35)
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+    // every vector classified exactly once
+    assert(sd.map(_._1).toSet == emb.select("vec_id").as[Long].collect().toSet)
+    assert(sd.length == sd.map(_._1).distinct.length)
+    // exactly one representative per cell; a rep is its own nearest
+    // neighbor (rounded cosine 1.0) and never flagged
+    val reps = sd.filter(r => r._1 == r._3)
+    assert(reps.map(_._2).toSet == sd.map(_._2).toSet, "a cell lacks a rep")
+    reps.foreach { r =>
+      assert(r._4 == 1.0, s"rep ${r._1} self-cosine ${r._4}")
+      assert(!r._5, s"rep ${r._1} flagged as dup")
+    }
+    // flagged rows are exactly the non-reps at/above the threshold
+    sd.filter(r => r._1 != r._3).foreach { r =>
+      assert(r._5 == (r._4 >= 0.35), s"wrong flag on $r")
+    }
+  }
+
   test("graph stats: K4 plus a pendant edge counts triangles and wedges exactly") {
     // K4 on nodes 1-4 (4 triangles; degrees 3,3,3,4 after the pendant
     // (4,5)) → wedges 3+3+3+6+0 = 15, coefficient 3·4/15 = 0.8

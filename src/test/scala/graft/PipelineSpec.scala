@@ -1,12 +1,72 @@
 package graft
 
-import graft.operators.Pipeline
+import graft.operators.{Pipeline, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Pipeline-suite invariants: chunk coverage, vocab band limits,
   * novelty bounds, gap-fill density, and rolling-frame self-inclusion. */
 class PipelineSpec extends SparkSpec {
   import spark.implicits._
+
+  test("pii_redact counts and scrubs every pattern class exactly") {
+    val df = Seq(
+      (1L, "write to alice.smith@example.org or call 555-0134 from 192.168.1.10"),
+      (2L, "no pii here at all")).toDF("doc_id", "text")
+    val rows = TextAnalysis.redactPii(df)
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(rows(0) == ((1L, 1L, 1L, 1L,
+      "write to <EMAIL> or call <PHONE> from <IP>")), s"got ${rows(0)}")
+    assert(rows(1) == ((2L, 0L, 0L, 0L, "no pii here at all")), s"got ${rows(1)}")
+  }
+
+  test("seedPii plants every pattern class on its deterministic subset") {
+    val seeded = TextAnalysis.redactPii(
+      TextAnalysis.seedPii(Tables.documents(spark, sf0001)))
+    val n = Tables.documents(spark, sf0001).count()
+    val got = seeded.agg(
+      sum(when($"n_email" > 0, 1L).otherwise(0L)),
+      sum(when($"n_phone" > 0, 1L).otherwise(0L)),
+      sum(when($"n_ip" > 0, 1L).otherwise(0L)))
+      .as[(Long, Long, Long)].head()
+    // ids are 0..n-1, so ceil(n/5) etc. multiples carry each class
+    assert(got == (((n + 4) / 5, (n + 6) / 7, (n + 10) / 11)), s"got $got for n=$n")
+  }
+
+  test("blocklist_gate flags exactly the blocklisted token mass") {
+    val df = Seq(
+      (1L, "customer merge table"),
+      (2L, "table scan only")).toDF("doc_id", "text")
+    val rows = TextAnalysis.blocklistGate(df)
+      .as[(Long, Long, Long, Double, Boolean)].collect().sortBy(_._1)
+    assert(rows(0) == ((1L, 3L, 2L, 0.666667, false)), s"got ${rows(0)}")
+    assert(rows(1) == ((2L, 3L, 0L, 0.0, true)), s"got ${rows(1)}")
+  }
+
+  test("boilerplate_coverage marks grams shared by >= minDocs docs") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon one"),
+      (2L, "alpha beta gamma delta epsilon two"),
+      (3L, "alpha beta gamma delta epsilon three"),
+      (4L, "zeta eta theta iota kappa")).toDF("doc_id", "text")
+    val rows = TextAnalysis.boilerplateCoverage(df)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    // docs 1-3: 2 grams each, the shared one ("alpha..epsilon") in 3 docs
+    (0 to 2).foreach(i =>
+      assert(rows(i) == ((i + 1L, 2L, 1L, 0.5)), s"got ${rows(i)}"))
+    assert(rows(3) == ((4L, 1L, 0L, 0.0)), s"got ${rows(3)}")
+  }
+
+  test("bigram_lm_score matches hand-computed smoothed log-probs") {
+    val df = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    val rows = TextAnalysis.bigramLmScore(df)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    // c2(a b)=2, c2(a c)=1, c1(a)=3, V=3:
+    //   docs 1,2: ln(3/6)  = -0.6931472 -> quantized -0.6931
+    //   doc 3:    ln(2/6)  = -1.0986123 -> quantized -1.0986
+    assert(rows(0) == ((1L, 1L, -0.6931)), s"got ${rows(0)}")
+    assert(rows(1) == ((2L, 1L, -0.6931)), s"got ${rows(1)}")
+    assert(rows(2) == ((3L, 1L, -1.0986)), s"got ${rows(2)}")
+  }
 
   test("doc_chunks covers every document with ceil(n/stride) chunks") {
     val docs = Tables.documents(spark, sf0001)

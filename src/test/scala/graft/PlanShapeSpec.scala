@@ -92,11 +92,15 @@ class PlanShapeSpec extends SparkSpec {
     // knn's held-out query set.
     // round-4: q11's global-total row and source_mix's source-histogram
     // total row — both one-row broadcast build sides by construction
+    // round-5: semantic_dedup (broadcast K-row centroid/rep tables, the
+    // IVF assignment shape) and bigram_lm_score (one-row vocabulary-size
+    // broadcast)
     val allowedBnlj = Set("ann_topk", "ann_ivf_topk", "ann_ivf_multiprobe",
       "ann_quantized_topk", "tfidf_top_terms",
       "q22_dormant_balances", "vocab_prune", "gap_fill_counts", "knn_classify",
       "revenue_share", "q11_important_parts", "source_mix_rebalance",
-      "heavy_hitter_tokens", "near_dup_graph_stats")
+      "heavy_hitter_tokens", "near_dup_graph_stats",
+      "semantic_dedup", "bigram_lm_score")
     SparkEntry.registry.foreach { q =>
       val plan = q.fn(spark, sf0001).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
