@@ -115,15 +115,27 @@ object Dedup {
   def nearDupPairs(docs: DataFrame, grams: DataFrame,
       mkGrams: DataFrame => DataFrame, threshold: Double,
       maxBand: Int = MaxBandBucket): DataFrame = {
-    val wBand = Window.partitionBy(col("band"))
-    val b = bands(minhashes(grams))
-      .withColumn("bn", count(lit(1)).over(wBand))
-      .filter(col("bn") <= maxBand).drop("bn")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val b = cappedBands(grams, maxBand)
     val cand = b.as("x").join(b.as("y"),
         col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+    verifyJaccard(docs, mkGrams, cand, threshold)
+  }
+
+  /** Band table with the frequent-band cap applied — the persisted LSH
+    * INDEX a production dedup pipeline maintains between increments. */
+  private def cappedBands(grams: DataFrame, maxBand: Int): DataFrame =
+    bands(minhashes(grams))
+      .withColumn("bn", count(lit(1)).over(Window.partitionBy(col("band"))))
+      .filter(col("bn") <= maxBand).drop("bn")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** Exact set-jaccard verification over a candidate pair table: shingle
+    * sets are built ONLY for docs appearing in some candidate. */
+  private def verifyJaccard(docs: DataFrame, mkGrams: DataFrame => DataFrame,
+      cand0: DataFrame, threshold: Double): DataFrame = {
+    val cand = cand0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candIds = cand.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
@@ -138,6 +150,34 @@ object Dedup {
     jac.filter(col("jac") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** INCREMENTAL near-dup: pairs that touch the NEW batch (doc_id >=
+    * splitId) only — the production daily-increment pattern. A corpus is
+    * deduplicated ONCE; every later increment joins its bands against
+    * the maintained band index and verifies only increment-touching
+    * candidates, so per-increment cost scales with |increment| × bucket
+    * density, NEVER with |corpus|² (corpus×corpus pairs are provably
+    * excluded by construction: every candidate has its x side in the new
+    * batch). Result is EXACTLY the full-recompute pair set restricted to
+    * pairs whose max id is in the increment — equivalence spec-pinned
+    * and oracle-gated. Here the band table is recomputed because the
+    * test corpus is small; at scale it is the persisted index this
+    * method's first argument models ([[cappedBands]] materializes it —
+    * swap the persist for the durable table). The frequent-band cap
+    * applies to the FULL band table (corpus + increment), preserving the
+    * capped semantics of [[nearDupPairs]] exactly. */
+  def nearDupPairsIncremental(docs: DataFrame, grams: DataFrame,
+      mkGrams: DataFrame => DataFrame, splitId: Long, threshold: Double,
+      maxBand: Int = MaxBandBucket): DataFrame = {
+    val b = cappedBands(grams, maxBand)
+    val bNew = b.filter(col("doc_id") >= splitId)
+    val cand = bNew.as("x").join(b.as("y"),
+        col("x.band") === col("y.band") && col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+      .distinct()
+    verifyJaccard(docs, mkGrams, cand, threshold)
   }
 
   /** Distributed connected components by alternating LARGE-STAR /

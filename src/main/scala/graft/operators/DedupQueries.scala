@@ -190,6 +190,24 @@ object DedupQueries {
       (s, d) => SharedIntermediates.textPairs(s, d),
       Some(nearDupSql(wordShinglesCte, 0.7))),
 
+    QueryDef("near_dup_incremental",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        // last ~10% of ids = the increment; both engines derive the
+        // split from the corpus count with the same double floor
+        val split = math.floor(
+          Tables.rowCount(s, d, "documents").toDouble * 0.9).toLong
+        Dedup.nearDupPairsIncremental(docs, Dedup.wordGrams(docs),
+          Dedup.wordGrams, split, 0.7)
+      },
+      // the incremental result IS the full pair set restricted to pairs
+      // touching the increment (doc_b = max id of an ordered pair)
+      Some(s"""WITH full_pairs AS (${nearDupSql(wordShinglesCte, 0.7)}),
+           |sp AS (SELECT CAST(floor(CAST(count(*) AS DOUBLE) * 0.9) AS BIGINT) AS split
+           |       FROM documents)
+           |SELECT doc_a, doc_b, jaccard FROM full_pairs, sp
+           |WHERE doc_b >= split ORDER BY doc_a, doc_b""".stripMargin)),
+
     QueryDef("near_dup_ngram",
       (s, d) => {
         val docs = Tables.documents(s, d)

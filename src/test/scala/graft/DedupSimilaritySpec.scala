@@ -129,6 +129,19 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(clusters.keySet == nodes)
   }
 
+  test("incremental near-dup equals the full pair set restricted to the increment") {
+    val full = wordNearDups(0.7).as[(Long, Long, Double)].collect().toSet
+    val split = math.floor(docs.count().toDouble * 0.9).toLong
+    val inc = Dedup.nearDupPairsIncremental(docs, Dedup.wordGrams(docs),
+      Dedup.wordGrams, split, 0.7).as[(Long, Long, Double)].collect().toSet
+    assert(inc == full.filter(_._2 >= split),
+      s"incremental diverges: extra=${inc -- full}, missing=${full.filter(_._2 >= split) -- inc}")
+    // non-vacuity: the increment actually contains near-dup pairs, and
+    // the corpus-only pairs were actually excluded
+    assert(inc.nonEmpty, "no pairs touch the increment at sf0.001")
+    assert(full.exists(_._2 < split), "no corpus-only pairs to exclude")
+  }
+
   test("semantic dedup: total partition, one self-similar rep per cell, dups cleared") {
     val sd = Similarity.semanticDedup(emb, 8, 0.35)
       .as[(Long, Long, Long, Double, Boolean)].collect()
