@@ -346,6 +346,128 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
+  // ---- IVF-PQ ----------------------------------------------------------
+
+  /** Product-quantization geometry: 64-dim vectors cut into [[PqSub]]
+    * subspaces of [[PqSubDim]] dims, [[PqCodes]] codes per subspace
+    * (4-bit codes → a vector compresses to 8 nibbles; at 10⁹ vectors
+    * the code table is 4 GB where the float corpus is 256 GB — the
+    * compression is what makes billion-scale ANN serveable). */
+  val PqSub = 8
+  val PqSubDim = 8
+  val PqCodes = 16
+
+  /** Subvector stream in EXACT micro-units: (vec_id, sub, qa1..qa8),
+    * qa_j = floor(e[sub·8+j]·10⁶ + 0.5) as BIGINT. All PQ distances are
+    * then exact integer arithmetic — no float-sum ordering or libm
+    * variance anywhere in the index, so the oracle reproduces every
+    * distance bit-for-bit. */
+  private def pqSubvecs(emb: DataFrame): DataFrame = {
+    val qas = (1 to PqSubDim).map(j =>
+      floor(element_at(col("embedding"), col("sub") * PqSubDim + j).cast("double")
+        * lit(1000000.0) + lit(0.5)).cast("long").as(s"qa$j"))
+    emb.select(col("vec_id"),
+        explode(sequence(lit(0), lit(PqSub - 1))).as("sub"), col("embedding"))
+      .select(col("vec_id") +: col("sub") +: qas: _*)
+  }
+
+  /** Σ (qa_j − qc_j)² over one subspace — exact BIGINT L2². */
+  private def pqDist: Column =
+    (1 to PqSubDim).map { j =>
+      val d = col(s"qa$j") - col(s"qc$j"); d * d
+    }.reduce(_ + _)
+
+  private val pqMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** PQ codebook — (sub, code, qc1..qc8), ≤ [[PqSub]]·[[PqCodes]] rows.
+    * Training mirrors the IVF build: deterministic seeds (subvectors of
+    * the first [[PqCodes]] vectors), one Lloyd round on the bounded
+    * sample (first PqCodes² vectors), centroids re-centered in integer
+    * micro-units (floor(mean + 0.5) on the exact BIGINT sum). Memoized
+    * per (session, corpus) like the IVF centroid table — an index is
+    * built once. */
+  private def pqCodebook(emb: DataFrame): DataFrame = {
+    val key = s"${System.identityHashCode(emb.sparkSession)}:" +
+      s"${emb.queryExecution.logical.semanticHash()}"
+    pqMemo.computeIfAbsent(key, _ => {
+      val sv = pqSubvecs(emb)
+      val seeds = sv.filter(col("vec_id") < PqCodes)
+        .select(col("sub") +: col("vec_id").as("code") +:
+          (1 to PqSubDim).map(j => col(s"qa$j").as(s"qc$j")): _*)
+      val train = sv.filter(col("vec_id") < PqCodes.toLong * PqCodes)
+      val assigned = train.join(broadcast(seeds), "sub")
+        .select(col("vec_id") +: col("sub") +: col("code") +: pqDist.as("d") +:
+          (1 to PqSubDim).map(j => col(s"qa$j")): _*)
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(max_by(struct(col("code") +: (1 to PqSubDim).map(j => col(s"qa$j")): _*),
+          struct((-col("d")).as("nd"), (-col("code")).as("nc"))).as("w"))
+        .select(col("sub") +: col("w.code").as("code") +:
+          (1 to PqSubDim).map(j => col(s"w.qa$j").as(s"qa$j")): _*)
+      val sums = (1 to PqSubDim).map(j => sum(col(s"qa$j")).as(s"s$j"))
+      val cents = assigned.groupBy(col("sub"), col("code"))
+        .agg(sums.head, (sums.tail :+ count(lit(1)).as("cnt")): _*)
+        .select(col("sub") +: col("code") +: (1 to PqSubDim).map(j =>
+          floor(col(s"s$j").cast("double") / col("cnt").cast("double") + lit(0.5))
+            .cast("long").as(s"qc$j")): _*)
+      cents.localCheckpoint()
+    })
+  }
+
+  /** Corpus PQ codes: per (vector, subspace) the argmin-distance code
+    * (ties → lower code id), a partial-aggregable max_by — no window. */
+  private def pqEncode(sv: DataFrame, cb: DataFrame): DataFrame =
+    sv.join(broadcast(cb), "sub")
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(max_by(col("code"),
+        struct((-pqDist).as("nd"), (-col("code")).as("nc"))).as("code"))
+
+  /** IVF-PQ top-k — the production ANN index shape (the FAISS
+    * `IVFx,PQy` default): the IVF coarse quantizer restricts candidates
+    * to the query's cell, and candidates are scored by ASYMMETRIC
+    * DISTANCE COMPUTATION — the query precomputes its distance to every
+    * codebook centroid (a [[PqSub]]×[[PqCodes]] table), and a
+    * candidate's approximate distance is the SUM of 8 table lookups on
+    * its stored nibbles, never touching the candidate's floats.
+    *
+    * Scale shape: both index structures (centroid table, codebook) are
+    * memoized one-time builds; the corpus is touched by exactly two
+    * one-shuffle aggregations (cell argmax, code argmin — both
+    * partial-aggregable); the per-query distance table is broadcast
+    * (nQueries·128 rows); ADC itself is an equi-join on (query, sub,
+    * code) plus a map-side-combinable SUM — no float math, no window
+    * over the corpus. All distances are exact BIGINTs, so ranking ties
+    * break identically everywhere. */
+  def ivfPqTopK(emb: DataFrame, minCentroids: Int, nQueries: Int, k: Int,
+      corpusCount: Option[Long] = None): DataFrame = {
+    val (cents1, kc) = ivfCentroids(emb, minCentroids, corpusCount)
+    val assigned = argmaxCell(scoreAgainst(emb, cents1, kc, "ce1"))
+      .select(col("vec_id"), col("cell"))
+    val cb = pqCodebook(emb)
+    val codes = pqEncode(pqSubvecs(emb), cb)
+    val q = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("cell").as("qcell"))
+    val cand = assigned.join(broadcast(q),
+        col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"))
+    val qdt = pqSubvecs(emb.filter(col("vec_id") < nQueries))
+      .join(broadcast(cb), "sub")
+      .select(col("vec_id").as("query_id"), col("sub"), col("code"),
+        pqDist.as("dpart"))
+    val adc = cand
+      .join(codes.select(col("vec_id").as("cand_id"), col("sub"), col("code")),
+        "cand_id")
+      .join(broadcast(qdt), Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(sum(col("dpart")).as("adc_dist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("cand_id").asc)
+    adc.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("cand_id"), col("adc_dist"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** SEMANTIC DEDUP (the SemDeDup shape, Abbas et al. 2023): cluster
     * the embedding space with the shared IVF coarse quantizer, elect a
     * per-cell REPRESENTATIVE (the member most central to its cell:

@@ -188,6 +188,71 @@ object SimilarityQueries {
        |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, cand_id, qcos FROM r
        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
+  /** IVF-PQ oracle. Every PQ quantity is exact BIGINT arithmetic
+    * (micro-unit subvectors, integer L2², integer ADC sums), so the
+    * whole index — codebook, codes, distance tables, ranking — is
+    * reproduced bit-for-bit from the same CTE algebra. */
+  private def pqd(a: String, b: String): String =
+    (1 to Similarity.PqSubDim)
+      .map(j => s"($a.qa$j - $b.qc$j)*($a.qa$j - $b.qc$j)").mkString(" + ")
+
+  private val annIvfPqSql: String = {
+    val qaCols = (1 to Similarity.PqSubDim).map(j =>
+      s"CAST(floor(CAST(embedding[r.sub*${Similarity.PqSubDim}+$j] AS DOUBLE)" +
+        s"*1000000.0 + 0.5) AS BIGINT) AS qa$j").mkString(",\n       |         ")
+    val qcSeed = (1 to Similarity.PqSubDim).map(j => s"qa$j AS qc$j").mkString(", ")
+    val qcMean = (1 to Similarity.PqSubDim).map(j =>
+      s"CAST(floor(CAST(CAST(sum(qa$j) AS BIGINT) AS DOUBLE)" +
+        s" / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) AS qc$j").mkString(",\n       |    ")
+    val qaPass = (1 to Similarity.PqSubDim).map(j => s"qa$j").mkString(", ")
+    s"""WITH $ivfRankedCtes,
+       |sv AS (
+       |  SELECT vec_id, r.sub AS sub,
+       |         $qaCols
+       |  FROM embeddings, range(0, ${Similarity.PqSub}) r(sub)),
+       |pseeds AS (
+       |  SELECT sub, vec_id AS code, $qcSeed FROM sv
+       |  WHERE vec_id < ${Similarity.PqCodes}),
+       |passign AS (
+       |  SELECT sub, code, $qaPass FROM (
+       |    SELECT t.*, s.code, row_number() OVER (
+       |        PARTITION BY t.vec_id, t.sub
+       |        ORDER BY ${pqd("t", "s")} ASC, s.code ASC) AS rn
+       |    FROM ptrainsv t JOIN pseeds s USING (sub))
+       |  WHERE rn = 1),
+       |pcb AS (
+       |  SELECT sub, code,
+       |    $qcMean
+       |  FROM passign GROUP BY sub, code),
+       |pcodes AS (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT v.vec_id, v.sub, c.code, row_number() OVER (
+       |        PARTITION BY v.vec_id, v.sub
+       |        ORDER BY ${pqd("v", "c")} ASC, c.code ASC) AS rn
+       |    FROM sv v JOIN pcb c USING (sub))
+       |  WHERE rn = 1),
+       |qdt AS (
+       |  SELECT v.vec_id AS query_id, v.sub, c.code, ${pqd("v", "c")} AS dpart
+       |  FROM sv v JOIN pcb c USING (sub) WHERE v.vec_id < 16),
+       |pcand AS (
+       |  SELECT q.vec_id AS query_id, a.vec_id AS cand_id
+       |  FROM asg a JOIN (SELECT vec_id, cell FROM asg WHERE vec_id < 16) q
+       |    ON a.cell = q.cell AND a.vec_id != q.vec_id),
+       |adc AS (
+       |  SELECT c.query_id, c.cand_id, CAST(sum(qdt.dpart) AS BIGINT) AS adc_dist
+       |  FROM pcand c
+       |  JOIN pcodes pc ON pc.vec_id = c.cand_id
+       |  JOIN qdt ON qdt.query_id = c.query_id AND qdt.sub = pc.sub
+       |          AND qdt.code = pc.code
+       |  GROUP BY 1, 2)
+       |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, cand_id, adc_dist FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |           ORDER BY adc_dist ASC, cand_id ASC) AS rnk FROM adc)
+       |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+      .replace("ptrainsv",
+        s"(SELECT * FROM sv WHERE vec_id < ${Similarity.PqCodes.toLong * Similarity.PqCodes})")
+  }
+
   /** SemDeDup oracle: same IVF assignment CTEs; representative = max
     * (ccos, -vec_id) per cell via a window, members scored against the
     * rep embedding with the shared cosine chain. */
@@ -234,6 +299,10 @@ object SimilarityQueries {
     QueryDef("near_dup_embedding",
       (s, d) => SharedIntermediates.embPairs(s, d),
       Some(nearDupEmbSql)),
+    QueryDef("ann_ivfpq_topk",
+      (s, d) => Similarity.ivfPqTopK(Tables.embeddings(s, d), 8, 16, 3,
+        corpusCount = Some(Tables.rowCount(s, d, "embeddings"))),
+      Some(annIvfPqSql)),
     QueryDef("semantic_dedup",
       (s, d) => Similarity.semanticDedup(Tables.embeddings(s, d), 8, 0.35,
         corpusCount = Some(Tables.rowCount(s, d, "embeddings"))),

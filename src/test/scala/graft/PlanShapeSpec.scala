@@ -100,7 +100,7 @@ class PlanShapeSpec extends SparkSpec {
       "q22_dormant_balances", "vocab_prune", "gap_fill_counts", "knn_classify",
       "revenue_share", "q11_important_parts", "source_mix_rebalance",
       "heavy_hitter_tokens", "near_dup_graph_stats",
-      "semantic_dedup", "bigram_lm_score")
+      "semantic_dedup", "bigram_lm_score", "ann_ivfpq_topk")
     SparkEntry.registry.foreach { q =>
       val plan = q.fn(spark, sf0001).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
