@@ -114,8 +114,13 @@ object Dedup {
     * runtime stats (AQE) may still choose broadcast when genuinely small. */
   def nearDupPairs(docs: DataFrame, grams: DataFrame,
       mkGrams: DataFrame => DataFrame, threshold: Double,
-      maxBand: Int = MaxBandBucket): DataFrame = {
-    val b = cappedBands(grams, maxBand)
+      maxBand: Int = MaxBandBucket): DataFrame =
+    nearDupPairsFromBands(docs, cappedBands(grams, maxBand), mkGrams, threshold)
+
+  /** [[nearDupPairs]] from a PREBUILT capped band table — lets callers
+    * serve the band index from a shared materialized build. */
+  def nearDupPairsFromBands(docs: DataFrame, b: DataFrame,
+      mkGrams: DataFrame => DataFrame, threshold: Double): DataFrame = {
     val cand = b.as("x").join(b.as("y"),
         col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -125,7 +130,7 @@ object Dedup {
 
   /** Band table with the frequent-band cap applied — the persisted LSH
     * INDEX a production dedup pipeline maintains between increments. */
-  private def cappedBands(grams: DataFrame, maxBand: Int): DataFrame =
+  private[graft] def cappedBands(grams: DataFrame, maxBand: Int): DataFrame =
     bands(minhashes(grams))
       .withColumn("bn", count(lit(1)).over(Window.partitionBy(col("band"))))
       .filter(col("bn") <= maxBand).drop("bn")
@@ -169,8 +174,16 @@ object Dedup {
     * capped semantics of [[nearDupPairs]] exactly. */
   def nearDupPairsIncremental(docs: DataFrame, grams: DataFrame,
       mkGrams: DataFrame => DataFrame, splitId: Long, threshold: Double,
-      maxBand: Int = MaxBandBucket): DataFrame = {
-    val b = cappedBands(grams, maxBand)
+      maxBand: Int = MaxBandBucket): DataFrame =
+    nearDupPairsIncrementalFromBands(docs, cappedBands(grams, maxBand),
+      mkGrams, splitId, threshold)
+
+  /** [[nearDupPairsIncremental]] against a PREBUILT band index — the
+    * literal production shape: the increment's bands probe the
+    * maintained index table. */
+  def nearDupPairsIncrementalFromBands(docs: DataFrame, b: DataFrame,
+      mkGrams: DataFrame => DataFrame, splitId: Long,
+      threshold: Double): DataFrame = {
     val bNew = b.filter(col("doc_id") >= splitId)
     val cand = bNew.as("x").join(b.as("y"),
         col("x.band") === col("y.band") && col("x.doc_id") =!= col("y.doc_id"))

@@ -192,13 +192,13 @@ object DedupQueries {
 
     QueryDef("near_dup_incremental",
       (s, d) => {
-        val docs = Tables.documents(s, d)
         // last ~10% of ids = the increment; both engines derive the
-        // split from the corpus count with the same double floor
+        // split from the corpus count with the same double floor. The
+        // increment probes the SHARED band index — the production shape.
         val split = math.floor(
           Tables.rowCount(s, d, "documents").toDouble * 0.9).toLong
-        Dedup.nearDupPairsIncremental(docs, Dedup.wordGrams(docs),
-          Dedup.wordGrams, split, 0.7)
+        Dedup.nearDupPairsIncrementalFromBands(Tables.documents(s, d),
+          SharedIntermediates.textBands(s, d), Dedup.wordGrams, split, 0.7)
       },
       // the incremental result IS the full pair set restricted to pairs
       // touching the increment (doc_b = max id of an ordered pair)

@@ -39,12 +39,22 @@ object SharedIntermediates {
     memo.computeIfAbsent(s"${System.identityHashCode(s)}:$key",
       _ => df.localCheckpoint())
 
-  /** Word-3-gram MinHash near-dup pairs at jaccard >= 0.7. */
-  def textPairs(s: SparkSession, d: String): DataFrame =
-    cached(s, s"textPairs:$d") {
-      val docs = Tables.documents(s, d)
-      Dedup.nearDupPairs(docs, Dedup.wordGrams(docs), Dedup.wordGrams, 0.7)
+  /** Capped word-gram LSH band table — the maintained dedup INDEX the
+    * batch pair build and the incremental path both probe. */
+  def textBands(s: SparkSession, d: String): DataFrame =
+    cached(s, s"textBands:$d") {
+      Dedup.cappedBands(Dedup.wordGrams(Tables.documents(s, d)),
+        Dedup.MaxBandBucket)
     }
+
+  /** Word-3-gram MinHash near-dup pairs at jaccard >= 0.7. */
+  def textPairs(s: SparkSession, d: String): DataFrame = {
+    val tb = textBands(s, d) // resolve BEFORE cached() — no nesting
+    cached(s, s"textPairs:$d") {
+      Dedup.nearDupPairsFromBands(Tables.documents(s, d), tb,
+        Dedup.wordGrams, 0.7)
+    }
+  }
 
   /** Embedding-cosine near-dup pairs at cosine >= 0.35. */
   def embPairs(s: SparkSession, d: String): DataFrame =
