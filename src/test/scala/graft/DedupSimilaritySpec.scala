@@ -129,6 +129,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(clusters.keySet == nodes)
   }
 
+  test("cluster resolution completes under an injected task failure (O16 for dedup)") {
+    // the reference re-queues a timed-out chunk (coordinator timeout
+    // loop); the Spark analogue is task retry under maxFailures. The
+    // iterative CC path layers localCheckpoint rounds over the failing
+    // source, so this proves retry works through the shared-build shape
+    // too, not just a flat map stage.
+    val pairs = wordNearDups(0.7)
+    val expect = Dedup.nearDupClusters(pairs)
+      .as[(Long, Long, Long)].collect().toSet
+    DedupFailOnce.fired.set(false)
+    val flaky = spark.createDataFrame(pairs.rdd.mapPartitions { it =>
+      if (!DedupFailOnce.fired.getAndSet(true))
+        throw new RuntimeException("injected first-attempt failure")
+      it
+    }, pairs.schema)
+    val got = Dedup.nearDupClusters(flaky)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(DedupFailOnce.fired.get(), "injection never executed")
+    assert(got == expect, "retry produced different clusters")
+  }
+
   test("incremental near-dup equals the full pair set restricted to the increment") {
     val full = wordNearDups(0.7).as[(Long, Long, Double)].collect().toSet
     val split = math.floor(docs.count().toDouble * 0.9).toLong
@@ -390,4 +411,11 @@ class DedupSimilaritySpec extends SparkSpec {
     val n = st.agg(sum("n_vectors")).as[Long].head()
     assert(n == emb.count())
   }
+}
+
+/** Single-shot failure injector for the O16 dedup retry spec — a static
+  * flag so exactly ONE task attempt ever throws, regardless of how many
+  * jobs re-execute the source stage. */
+object DedupFailOnce {
+  val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
 }
