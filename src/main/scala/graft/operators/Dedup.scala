@@ -193,6 +193,41 @@ object Dedup {
     verifyJaccard(docs, mkGrams, cand, threshold)
   }
 
+  /** Per-row MinHash signature columns m0..m7 (xxhash64 mins over word
+    * 3-grams) — a MAP-ONLY formulation (array transforms, no explode, no
+    * shuffle), which is what a STREAMING dedup gate requires: signatures
+    * must be computable row-local so the only stateful operator is the
+    * signature-keyed dedup itself. Docs too short for a 3-gram fall back
+    * to a singleton gram of the lowered text, so exact duplicates still
+    * collapse. xxhash64 (not md5) because this surface is spec-pinned by
+    * batch≡stream parity, not a DuckDB oracle — and it is ~an order of
+    * magnitude cheaper per gram. Identical signatures ⇒ near-identical
+    * shingle sets w.h.p. (8-way min-hash agreement), the standard
+    * signature-equality dedup gate. */
+  def withMinhashSig(docs: DataFrame): DataFrame = {
+    val base = docs.withColumn("w",
+      regexp_extract_all(lower(col("text")), lit(WordCount.TokenPattern), lit(0)))
+    val grams = when(size(col("w")) >= 3,
+        expr("transform(sequence(1, size(w) - 2), i -> concat_ws(' ', slice(w, i, 3)))"))
+      .otherwise(array(lower(col("text"))))
+    val withG = base.withColumn("g", grams)
+    (0 until 8).foldLeft(withG) { (df, j) =>
+      df.withColumn(s"m$j", array_min(expr(s"transform(g, x -> xxhash64(x, $j))")))
+    }.drop("w", "g")
+  }
+
+  /** Batch reference semantics for the streaming gate: keep the first
+    * (ts, doc_id) row per signature. */
+  def sigDedupBatch(docs: DataFrame): DataFrame = {
+    val sigCols = (0 until 8).map(j => col(s"m$j"))
+    val w = Window.partitionBy(sigCols: _*)
+      .orderBy(col("ts").asc, col("doc_id").asc)
+    withMinhashSig(docs)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop(((0 until 8).map(j => s"m$j") :+ "rn"): _*)
+  }
+
   /** Distributed connected components by alternating LARGE-STAR /
     * SMALL-STAR rounds (the MapReduce CC algorithm of Kiveris et al.,
     * "Connected Components in MapReduce and Beyond", SoCC'14): every

@@ -56,6 +56,25 @@ object EventsStream {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** STREAMING NEAR-DUP GATE: ingestion-time near-duplicate filtering —
+    * each document's 8-way MinHash signature is computed row-local
+    * (map-only, graft.operators.Dedup.withMinhashSig), and
+    * dropDuplicatesWithinWatermark keyed on the signature keeps the
+    * first document per signature while the watermark holds. This is
+    * the streaming member of the dedup taxonomy: exact batch, MinHash
+    * batch, incremental-vs-index, and ingestion-gate. State is
+    * O(distinct signatures inside the watermark window) — bounded by
+    * stream rate × delay, NOT by corpus size, which is what makes the
+    * gate runnable forever. Signature equality ≈ jaccard ≳ 0.9 w.h.p.;
+    * lower-threshold dedup stays a batch/incremental concern (it needs
+    * the band index). Batch≡stream parity is spec-pinned against
+    * Dedup.sigDedupBatch. */
+  def nearDupGate(docs: DataFrame, delay: String = "10 minutes"): DataFrame =
+    graft.operators.Dedup.withMinhashSig(docs)
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("m0", (1 until 8).map(j => s"m$j"): _*)
+      .drop((0 until 8).map(j => s"m$j"): _*)
+
   /** Watermarked stream-stream interval join: each purchase matched to
     * the same user's signups within the preceding 7 days. Both sides
     * carry watermarks and the join condition bounds event time, so state

@@ -370,6 +370,37 @@ class TemporalStreamingSpec extends SparkSpec {
       s"merge state wrong after replayed batch: $got")
   }
 
+  test("streaming near-dup gate equals the batch signature dedup") {
+    implicit val sqlCtx = spark.sqlContext
+    // planted: docs 1 and 2 are identical (same signature), 4 duplicates
+    // 1 again later, 3 and 5 are unique; 6 is a short doc (singleton-gram
+    // fallback) duplicated by 7
+    val t0 = 1700000000000L
+    def ts(s: Long) = new Timestamp(t0 + s * 1000)
+    val rows = Seq(
+      (1L, ts(1), "alpha beta gamma delta epsilon zeta eta"),
+      (2L, ts(2), "alpha beta gamma delta epsilon zeta eta"),
+      (3L, ts(3), "one two three four five six seven eight"),
+      (4L, ts(4), "alpha beta gamma delta epsilon zeta eta"),
+      (5L, ts(5), "nine ten eleven twelve thirteen fourteen"),
+      (6L, ts(6), "hi"),
+      (7L, ts(7), "hi"))
+    val batchDf = rows.toDF("doc_id", "ts", "text")
+    val expect = operators.Dedup.sigDedupBatch(batchDf)
+      .select("doc_id").as[Long].collect().toSet
+    assert(expect == Set(1L, 3L, 5L, 6L), s"batch kept $expect")
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = EventsStream.nearDupGate(mem.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ndgate").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("ndgate").select("doc_id").as[Long].collect().toSet
+      assert(got == expect, s"stream kept $got, batch kept $expect")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization equals batch sessionize") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Double)]
