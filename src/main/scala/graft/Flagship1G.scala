@@ -104,14 +104,28 @@ object Flagship1G {
         f"${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
 
-    // ---- timed: the reference's O1→O13 dataflow
+    // ---- timed: the reference's O1→O13 dataflow. Default path extracts
+    // RAW bytes (I/O only) and runs the errors=ignore decode inside the
+    // distributed job (readLinesLenient) — the serial whole-file
+    // transcode (GRAFT_SERIAL_DECODE=true, the reference's literal
+    // shape) measured 19.1 s of the 30.9 s total, i.e. the pipeline's
+    // only non-scaling stage; the distributed decode removes it.
+    val serialDecode = sys.env.getOrElse("GRAFT_SERIAL_DECODE", "false") == "true"
     val t0 = System.nanoTime()
     val cached = TextIngest.fetchCached(s"file://$zipPath", s"$work/cache")
-    val files = TextIngest.extractZipUtf8(
-      Files.newInputStream(cached), s"$work/extract")
-    val tExtract = System.nanoTime()
     // files[0]: the reference processes the first archive member only
-    val docs = TextIngest.readLines(spark, files.head).toDF("text")
+    val (files, mkDocs) =
+      if (serialDecode) {
+        val fs = TextIngest.extractZipUtf8(
+          Files.newInputStream(cached), s"$work/extract")
+        (fs, () => TextIngest.readLines(spark, fs.head).toDF("text"))
+      } else {
+        val fs = TextIngest.extractZipRaw(
+          Files.newInputStream(cached), s"$work/extract_raw")
+        (fs, () => TextIngest.readLinesLenient(spark, fs.head).toDF("text"))
+      }
+    val tExtract = System.nanoTime()
+    val docs = mkDocs()
     val counts = WordCount.tokenCounts(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // NUM_REDUCERS = 2 × parallelism (reference coordinator.py:11)

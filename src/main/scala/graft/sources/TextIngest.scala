@@ -84,4 +84,57 @@ object TextIngest {
     spark.conf.set("spark.sql.files.maxPartitionBytes", splitBytes.toString)
     spark.read.textFile(path)
   }
+
+  /** Extract ZIP members as RAW BYTES (no transcode) — the fast I/O-only
+    * step that [[readLinesLenient]] pairs with to make the decode
+    * distributed. Returns extracted paths in archive order. */
+  def extractZipRaw(zipIn: InputStream, destDir: String): Seq[String] = {
+    Files.createDirectories(Paths.get(destDir))
+    val zis = new ZipInputStream(zipIn)
+    val out = Seq.newBuilder[String]
+    var entry = zis.getNextEntry
+    val buf = new Array[Byte](1 << 20)
+    while (entry != null) {
+      if (!entry.isDirectory) {
+        val name = Paths.get(entry.getName).getFileName.toString
+        val dest = Paths.get(destDir, name + ".bin")
+        val fos = new FileOutputStream(dest.toFile)
+        var n = zis.read(buf)
+        while (n >= 0) { fos.write(buf, 0, n); n = zis.read(buf) }
+        fos.close()
+        out += dest.toString
+      }
+      entry = zis.getNextEntry
+    }
+    out.result()
+  }
+
+  /** DISTRIBUTED errors=ignore decode: read the raw file with Hadoop's
+    * TextInputFormat — whose line splitting is byte-oriented on \n, and
+    * \n can never appear inside a multibyte UTF-8 sequence, so splits
+    * are safe regardless of encoding — and decode each line's BYTES with
+    * the ignoring decoder in the executors.
+    *
+    * Exactly equal to the serial whole-file transcode
+    * ([[extractZipUtf8]]): UTF-8 is self-synchronizing, so an invalid
+    * sequence truncated at a line boundary is dropped by both framings
+    * (spec-pinned on adversarial bytes). This removes the flagship
+    * pipeline's only serial stage — at 100 TB the decode runs as ~3,000
+    * map tasks per 100 GB instead of one coordinator thread. */
+  def readLinesLenient(spark: SparkSession, path: String,
+      splitBytes: Long = DefaultSplitBytes): Dataset[String] = {
+    import org.apache.hadoop.io.{LongWritable, Text}
+    import org.apache.hadoop.mapreduce.lib.input.TextInputFormat
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    conf.setLong("mapreduce.input.fileinputformat.split.maxsize", splitBytes)
+    val lines = spark.sparkContext
+      .newAPIHadoopFile(path, classOf[TextInputFormat],
+        classOf[LongWritable], classOf[Text], conf)
+      .map { case (_, t) =>
+        decodeLenient(java.util.Arrays.copyOf(t.getBytes, t.getLength))
+      }
+    import spark.implicits._
+    spark.createDataset(lines)
+  }
 }

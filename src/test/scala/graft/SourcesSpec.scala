@@ -69,6 +69,30 @@ class SourcesSpec extends SparkSpec {
     assert(TextIngest.decodeLenient(bytes) == "abcd")
   }
 
+  test("distributed lenient decode equals the serial whole-file transcode") {
+    // adversarial bytes: valid multibyte chars, a bare continuation, a
+    // truncated lead byte RIGHT BEFORE a newline (the split-boundary
+    // case), and an invalid pair mid-line — the serial decoder and the
+    // per-line distributed decoder must produce identical lines
+    val dirty =
+      "héllo ".getBytes("UTF-8") ++ Array(0xff.toByte) ++ "wörld".getBytes("UTF-8") ++
+      Array(0xC3.toByte) ++ "\n".getBytes("UTF-8") ++
+      Array(0x80.toByte) ++ "second ligne\n".getBytes("UTF-8") ++
+      "tail no newline".getBytes("UTF-8") ++ Array(0xE2.toByte, 0x82.toByte)
+    val dir = Files.createTempDirectory("graft-lenient").toString
+    val serialPaths = TextIngest.extractZipUtf8(
+      new ByteArrayInputStream(makeZip("d.txt" -> dirty)), dir + "/serial")
+    val serialLines = TextIngest.readLines(spark, serialPaths.head)
+      .collect().toSeq
+    val rawPaths = TextIngest.extractZipRaw(
+      new ByteArrayInputStream(makeZip("d.txt" -> dirty)), dir + "/raw")
+    val distLines = TextIngest.readLinesLenient(spark, rawPaths.head)
+      .collect().toSeq
+    assert(distLines == serialLines,
+      s"distributed $distLines vs serial $serialLines")
+    assert(serialLines == Seq("héllo wörld", "second ligne", "tail no newline"))
+  }
+
   test("readLines + wordcount over an extracted text file") {
     val dir = Files.createTempDirectory("graft-txt").toString
     Files.write(Paths.get(dir, "c.txt"), "Don't stop\nme now don't\n".getBytes("UTF-8"))
