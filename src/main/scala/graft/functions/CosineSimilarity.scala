@@ -104,11 +104,15 @@ object GraftFunctions {
       exprs(1).eval().asInstanceOf[Number].intValue())
   }
 
+  val nfcNormalizeBuilder: Seq[Expression] => Expression =
+    exprs => NfcNormalize(exprs(0))
+
   /** Idempotent per-session registration (temp functions). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("cosine_sim", cosineSimBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("lsh_bucket", lshBucketBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("nfc_normalize", nfcNormalizeBuilder, "scala_udf")
   }
 
   /** Column API over the registered functions. */
@@ -120,6 +124,11 @@ object GraftFunctions {
   def lsh_bucket(spark: SparkSession, e: Column, planes: Int): Column = {
     register(spark)
     call_function("lsh_bucket", e, org.apache.spark.sql.functions.lit(planes))
+  }
+
+  def nfc_normalize(spark: SparkSession, s: Column): Column = {
+    register(spark)
+    call_function("nfc_normalize", s)
   }
 }
 
@@ -136,5 +145,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("lsh_bucket"),
       new ExpressionInfo(classOf[LshBucket].getName, "lsh_bucket"),
       GraftFunctions.lshBucketBuilder))
+    e.injectFunction((
+      new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      GraftFunctions.nfcNormalizeBuilder))
   }
 }

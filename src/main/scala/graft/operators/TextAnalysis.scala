@@ -469,6 +469,37 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Deterministic Unicode seeding: the synthetic corpus is pure ASCII
+    * (NFC-invariant), so the normalization entry would be vacuous. Both
+    * engines append the same doc_id-derived decomposed sequences:
+    * e+U+0301 (composes to é), A+U+030A (composes to Å), and U+2126
+    * OHM SIGN (a canonical singleton — NFC rewrites it to U+03A9 Ω). */
+  def seedUnicode(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(col("text"),
+        when(pmod(col("doc_id"), lit(3)) === 0, lit(" cafe\u0301")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(4)) === 0, lit(" A\u030A")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(7)) === 0, lit(" \u2126")).otherwise(lit("")))
+        .as("text"))
+
+  /** UNICODE NORMALIZATION gate — the canonicalization step an ingestion
+    * pipeline runs before any hashing: decomposed sequences ("e"+◌́) and
+    * canonical singletons (OHM SIGN) defeat exact dedup, fingerprints,
+    * and token stats unless NFC-composed first. Uses the native
+    * [[graft.functions.NfcNormalize]] expression (Spark has no builtin);
+    * pure per-row work, no shuffle. Reports both lengths so the
+    * composition is visible (char count drops when sequences compose). */
+  def unicodeNormalize(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val clean = graft.functions.GraftFunctions.nfc_normalize(spark, col("text"))
+    docs.select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_raw"),
+        length(clean).cast("long").as("n_chars_nfc"),
+        (clean =!= col("text")).as("changed"),
+        clean.as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   /** Stand-in sensitive-term list for [[blocklistGate]] — words present
     * in the synthetic vocabulary so the gate is non-vacuous. */
   val Blockwords = Seq("customer", "merge")

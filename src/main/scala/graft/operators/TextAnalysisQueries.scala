@@ -311,6 +311,22 @@ object TextAnalysisQueries {
            |FROM s ORDER BY doc_id""".stripMargin
       }),
 
+    QueryDef("unicode_normalize",
+      (s, d) => TextAnalysis.unicodeNormalize(
+        TextAnalysis.seedUnicode(Tables.documents(s, d))), Some(
+        """WITH s AS (
+          |  SELECT doc_id, text ||
+          |    CASE WHEN doc_id % 3 = 0 THEN ' cafe' || chr(769) ELSE '' END ||
+          |    CASE WHEN doc_id % 4 = 0 THEN ' A' || chr(778) ELSE '' END ||
+          |    CASE WHEN doc_id % 7 = 0 THEN ' ' || chr(8486) ELSE '' END AS text
+          |  FROM documents)
+          |SELECT doc_id,
+          |  CAST(length(text) AS BIGINT) AS n_chars_raw,
+          |  CAST(length(nfc_normalize(text)) AS BIGINT) AS n_chars_nfc,
+          |  (nfc_normalize(text) != text) AS changed,
+          |  nfc_normalize(text) AS clean_text
+          |FROM s ORDER BY doc_id""".stripMargin)),
+
     QueryDef("blocklist_gate",
       (s, d) => TextAnalysis.blocklistGate(Tables.documents(s, d)), Some {
         val bl = TextAnalysis.Blockwords.map(w => s"'$w'").mkString(", ")

@@ -81,6 +81,37 @@ class CustomFunctionsSpec extends SparkSpec {
     assert(e.getMessage.contains("lsh_bucket"))
   }
 
+  test("nfc_normalize composes decomposed sequences and canonical singletons") {
+    val df = Seq(
+      (1L, "café"),          // e + combining acute -> é
+      (2L, "Ångström"), // ring + diaeresis -> Å, ö
+      (3L, "Ω ohm"),          // OHM SIGN -> GREEK CAPITAL OMEGA
+      (4L, "plain ascii"),
+      (5L, null)).toDF("id", "s")
+    val got = df.select($"id",
+        graft.functions.GraftFunctions.nfc_normalize(spark, $"s").as("n"))
+      .as[(Long, Option[String])].collect().sortBy(_._1)
+    assert(got(0)._2.get == "caf\u00e9")
+    assert(got(1)._2.get == "\u00c5ngstr\u00f6m")
+    assert(got(2)._2.get == "\u03a9 ohm")
+    assert(got(3)._2.get == "plain ascii", "ASCII must pass through unchanged")
+    assert(got(4)._2.isEmpty, "null in, null out")
+    // idempotence: normalizing twice equals normalizing once
+    val twice = df.filter($"s".isNotNull).select(
+      graft.functions.GraftFunctions.nfc_normalize(spark,
+        graft.functions.GraftFunctions.nfc_normalize(spark, $"s")).as("n2"))
+      .as[String].collect().sorted
+    val once = df.filter($"s".isNotNull).select(
+      graft.functions.GraftFunctions.nfc_normalize(spark, $"s").as("n1"))
+      .as[String].collect().sorted
+    assert(twice.sameElements(once))
+    // callable from SQL (extension-injected surface)
+    df.filter($"s".isNotNull).createOrReplaceTempView("nfc_in")
+    val viaSql = spark.sql("SELECT nfc_normalize(s) FROM nfc_in WHERE id = 1")
+      .as[String].head()
+    assert(viaSql == "caf\u00e9")
+  }
+
   test("TopKAggregator matches Window+row_number top-3 per customer") {
     val orders = Tables.orders(spark, sf0001)
     val viaAgg = orders
