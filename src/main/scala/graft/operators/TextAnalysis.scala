@@ -549,6 +549,58 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** COUNT-MIN SKETCH geometry: d=4 hash rows × w=4096 buckets (3 md5
+    * nibbles per row — 12 of the 32 digest nibbles used, rows pairwise
+    * independent enough for the CM guarantee). */
+  val CmsDepth = 4
+  val CmsWidth = 4096
+
+  private def cmsNib(h: Column, i: Int): Column = {
+    val a = ascii(substring(h, i + 1, 1))
+    a - when(a >= 97, lit(87)).otherwise(lit(48))
+  }
+
+  /** The d bucket indexes of a token — md5-nibble arithmetic the DuckDB
+    * oracle reproduces digit-for-digit. */
+  private def cmsBuckets(tok: Column): Column = {
+    val h = md5(tok)
+    array((0 until CmsDepth).map { j =>
+      (cmsNib(h, 3 * j) * 256 + cmsNib(h, 3 * j + 1) * 16 + cmsNib(h, 3 * j + 2))
+        .cast("long")
+    }: _*)
+  }
+
+  /** COUNT-MIN SKETCH frequency estimation — the mergeable bounded-
+    * memory frequency sketch (d×w counters; merge = cell-wise add;
+    * estimate = min over rows; est ≥ truth always, error ≤ ~N/w w.h.p.).
+    * Unlike the HLL/GK entries (rows-only by necessity), this sketch is
+    * FULLY oracle-gated: bucket hashes are md5-nibble arithmetic, so
+    * sketch cells and estimates are bit-identical across engines.
+    * Output: top `topK` tokens by exact count with their CMS estimates
+    * and the overestimate invariant (also spec-pinned corpus-wide).
+    * Scale shape: the sketch build is one map-side-combined groupBy over
+    * d×|tokens| rows into AT MOST d×w cells (16k rows — broadcast-sized
+    * by construction, the entire point of a sketch); the estimate join
+    * touches the distinct-token table, not the stream. */
+  def cmsTokenCounts(docs: DataFrame, topK: Int = 50): DataFrame = {
+    val toksDf = docs.select(explode(toks).as("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cells = toksDf
+      .select(posexplode(cmsBuckets(col("tok"))).as(Seq("j", "bucket")))
+      .groupBy("j", "bucket").agg(count(lit(1)).as("cnt"))
+    val exact = toksDf.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+    val est = exact
+      .select(col("tok"), posexplode(cmsBuckets(col("tok"))).as(Seq("j", "bucket")))
+      .join(cells, Seq("j", "bucket"))
+      .groupBy("tok").agg(min(col("cnt")).as("cms_est"))
+    exact.join(est, "tok")
+      .orderBy(col("exact_cnt").desc, col("tok").asc)
+      .limit(topK)
+      .select(col("tok"), col("exact_cnt"), col("cms_est"),
+        (col("cms_est") >= col("exact_cnt")).as("overestimate"))
+      .orderBy(col("exact_cnt").desc, col("tok").asc)
+  }
+
   /** BIGRAM-LM QUALITY SCORE — the perplexity-style fluency signal:
     * train add-one-smoothed bigram statistics on the corpus itself
     * (c(w1 w2), c(w1·) from the bigram stream, vocabulary V from the

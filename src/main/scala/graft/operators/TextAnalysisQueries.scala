@@ -370,6 +370,36 @@ object TextAnalysisQueries {
            |ORDER BY 1""".stripMargin
       }),
 
+    QueryDef("cms_token_counts",
+      (s, d) => TextAnalysis.cmsTokenCounts(Tables.documents(s, d)), Some {
+        def nib(i: Int) =
+          s"(ascii(substr(h, $i, 1)) - CASE WHEN ascii(substr(h, $i, 1)) >= 97 THEN 87 ELSE 48 END)"
+        // j-th bucket from nibbles 3j+1..3j+3 (1-based), mirroring cmsBuckets
+        def bucket(j: Int) =
+          s"(${nib(3 * j + 1)}*256 + ${nib(3 * j + 2)}*16 + ${nib(3 * j + 3)})"
+        def bucketUnion(src: String) =
+          (0 until TextAnalysis.CmsDepth).map(j =>
+            s"SELECT tok, $j AS j, ${bucket(j)} AS bucket FROM $src")
+            .mkString("\n  UNION ALL\n  ")
+        s"""WITH toks AS (
+           |  SELECT unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS tok
+           |  FROM documents),
+           |hx AS (SELECT tok, md5(tok) AS h FROM toks),
+           |cellsrc AS (
+           |  ${bucketUnion("hx")}),
+           |cells AS (SELECT j, bucket, count(*) AS cnt FROM cellsrc GROUP BY 1, 2),
+           |exact AS (SELECT tok, count(*) AS exact_cnt FROM toks GROUP BY tok),
+           |dh AS (SELECT tok, md5(tok) AS h FROM exact),
+           |eb AS (
+           |  ${bucketUnion("dh")}),
+           |est AS (
+           |  SELECT tok, CAST(min(cnt) AS BIGINT) AS cms_est
+           |  FROM eb JOIN cells USING (j, bucket) GROUP BY tok)
+           |SELECT tok, exact_cnt, cms_est, (cms_est >= exact_cnt) AS overestimate
+           |FROM exact JOIN est USING (tok)
+           |ORDER BY exact_cnt DESC, tok LIMIT 50""".stripMargin
+      }),
+
     QueryDef("bigram_lm_score",
       (s, d) => TextAnalysis.bigramLmScore(Tables.documents(s, d)), Some(
         """WITH t AS (

@@ -56,6 +56,21 @@ class PipelineSpec extends SparkSpec {
     assert(rows(3) == ((4L, 1L, 0L, 0.0)), s"got ${rows(3)}")
   }
 
+  test("count-min sketch never underestimates; exact on a collision-free corpus") {
+    val top = TextAnalysis.cmsTokenCounts(Tables.documents(spark, sf0001))
+      .as[(String, Long, Long, Boolean)].collect()
+    // the synthetic vocabulary is ~31 tokens — top-50 returns all of them
+    assert(top.nonEmpty && top.length <= 50)
+    assert(top.forall(_._4), "CMS must never underestimate")
+    // tiny corpus, 2 tokens, 4×4096 cells: md5 buckets are deterministic
+    // and (verified) collision-free here, so min-over-rows is exact
+    val small = Seq((1L, "aaa aaa aaa bbb")).toDF("doc_id", "text")
+    val rows = TextAnalysis.cmsTokenCounts(small)
+      .as[(String, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(rows.toSeq == Seq(("aaa", 3L, 3L, true), ("bbb", 1L, 1L, true)),
+      s"got ${rows.toSeq}")
+  }
+
   test("bigram_lm_score matches hand-computed smoothed log-probs") {
     val df = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
     val rows = TextAnalysis.bigramLmScore(df)
