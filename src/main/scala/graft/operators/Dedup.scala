@@ -105,10 +105,11 @@ object Dedup {
     * stream → groupBy min); the fat shingle-set arrays are built solely
     * for docs that appear in some candidate pair — at 100 TB that is the
     * difference between touching the whole corpus twice and touching the
-    * (tiny) near-dup neighborhood. The band table is persisted
-    * hash-partitioned on `band` (the bucket-size window provides the
-    * shuffle), so the self-join reuses that partitioning with no further
-    * exchange. All downstream joins are plain shuffle joins — candidate
+    * (tiny) near-dup neighborhood. The band table is persisted with the
+    * frequent-band cap already applied map-side ([[cappedBands]]), so
+    * the self-join shuffles only capped buckets — every band key carries
+    * ≤ maxBand rows BY CONSTRUCTION and no reducer can be skewed by a
+    * viral band. All downstream joins are plain shuffle joins — candidate
     * sets are UNBOUNDED in the worst case (billions of pairs in a
     * boilerplate-heavy corpus), so nothing here is force-broadcast;
     * runtime stats (AQE) may still choose broadcast when genuinely small. */
@@ -129,12 +130,32 @@ object Dedup {
   }
 
   /** Band table with the frequent-band cap applied — the persisted LSH
-    * INDEX a production dedup pipeline maintains between increments. */
-  private[graft] def cappedBands(grams: DataFrame, maxBand: Int): DataFrame =
-    bands(minhashes(grams))
-      .withColumn("bn", count(lit(1)).over(Window.partitionBy(col("band"))))
-      .filter(col("bn") <= maxBand).drop("bn")
+    * INDEX a production dedup pipeline maintains between increments.
+    *
+    * The cap is applied MAP-SIDE: band sizes come from a partial-
+    * aggregated `groupBy(band).count()` (each map task pre-combines its
+    * local counts, so even a band holding the whole corpus contributes
+    * one row per map task to the shuffle — skew-immune, unlike a window
+    * over `band`, which has no partial aggregation and would ship a
+    * viral band's FULL bucket to one reducer before dropping it), and
+    * rows of over-cap bands are dropped by a broadcast ANTI join against
+    * the VIRAL band table. The viral side is the provably small one:
+    * every viral band holds > maxBand rows, so |viral| < |band rows| /
+    * maxBand, and in a real corpus it is a handful of boilerplate
+    * templates — vs the surviving-band set, which is ~corpus-sized and
+    * could never broadcast. With the broadcast hint the drop happens in
+    * the map stage of whatever consumes the table; no stage anywhere
+    * observes a viral band's full bucket. Same semantics (a band's rows
+    * survive iff its total count ≤ maxBand), same oracle SQL. */
+  private[graft] def cappedBands(grams: DataFrame, maxBand: Int): DataFrame = {
+    val b = bands(minhashes(grams))
+    val viral = b.groupBy(col("band"))
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > maxBand)
+      .select(col("band"))
+    b.join(broadcast(viral), Seq("band"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
 
   /** Exact set-jaccard verification over a candidate pair table: shingle
     * sets are built ONLY for docs appearing in some candidate. */

@@ -509,18 +509,25 @@ object Similarity {
     * MinHash+LSH, char-n-gram, SimHash, embedding-cosine). Scale shape:
     * the 6-bit bucket equi-join replaces the quadratic all-pairs cross
     * product (~64x candidate reduction); recall tunes via LshPlanes.
-    * Approximate by design, like any LSH near-dup pass. The bucket-size
-    * window provides the shuffle on bucket, so the self-join reuses that
-    * partitioning with no further exchange. */
+    * Approximate by design, like any LSH near-dup pass. The hot-bucket
+    * cap is applied MAP-SIDE, exactly like Dedup.cappedBands: bucket
+    * sizes from a partial-aggregated groupBy (skew-immune — a window
+    * over `bucket` would ship a viral bucket's full membership to one
+    * reducer before dropping it), over-cap rows dropped by a broadcast
+    * ANTI join against the provably-small viral-bucket table (|viral| <
+    * N / maxBucket by construction). */
   def embeddingNearDup(emb: DataFrame, threshold: Double,
       maxBucket: Int = MaxLshBucket,
       corpusCount: Option[Long] = None): DataFrame = {
     val spark = emb.sparkSession
     val planes = planesFor(corpusCount.getOrElse(emb.count()))
-    val sig = emb.select(col("vec_id"), col("embedding"),
-        lshBucketCol(spark, col("embedding"), planes).as("bucket"))
-      .withColumn("bn", count(lit(1)).over(Window.partitionBy(col("bucket"))))
-      .filter(col("bn") <= maxBucket).drop("bn")
+    val sig0 = emb.select(col("vec_id"), col("embedding"),
+      lshBucketCol(spark, col("embedding"), planes).as("bucket"))
+    val viral = sig0.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > maxBucket)
+      .select(col("bucket"))
+    val sig = sig0.join(broadcast(viral), Seq("bucket"), "left_anti")
     sig.as("x").join(sig.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
