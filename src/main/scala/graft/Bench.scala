@@ -191,11 +191,23 @@ object Bench {
     // GRAFT_WARM_PASS=false.
     // GRAFT_ONLY=a,b,c restricts the run to named queries — an iteration
     // aid for tuning a single operator; the full suite is the default.
+    // an empty/whitespace GRAFT_ONLY (or one matching nothing) falls
+    // back to the full suite instead of silently running ZERO queries
+    // and printing a zero total that reads like a perfect score
     val selected: Map[String, (SparkSession, String) => DataFrame] =
       sys.env.get("GRAFT_ONLY") match {
         case Some(names) =>
           val keep = names.split(',').map(_.trim).filter(_.nonEmpty).toSet
-          SparkEntry.queries.filter { case (n, _) => keep(n) }
+          val unknown = keep.diff(SparkEntry.queries.keySet)
+          if (unknown.nonEmpty)
+            System.err.println(s"[bench] GRAFT_ONLY names not in registry: " +
+              unknown.mkString(","))
+          val picked = SparkEntry.queries.filter { case (n, _) => keep(n) }
+          if (picked.isEmpty) {
+            System.err.println("[bench] GRAFT_ONLY selected zero queries — " +
+              "running the FULL suite instead")
+            SparkEntry.queries
+          } else picked
         case None => SparkEntry.queries
       }
     val warmTimes: Map[String, Double] =
@@ -233,7 +245,16 @@ object Bench {
     }
     val regJson = regressions.map { case (k, v) => s"\"$k\":$v" }
       .mkString("{", ",", "}")
-    val detailed = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"regressions":$regJson,"sf":"$sfDir"}"""
+    // One-time index-build cost (band tables, centroid/codebook builds,
+    // shared pair tables). The warm pass pays it and the timed pass
+    // serves the memoized build — correct amortized accounting for an
+    // index, but the price must be VISIBLE, not hidden: report each
+    // build's wall-clock seconds and the sum alongside the query times.
+    val builds = operators.Materialize.buildTimes
+    val buildJson = builds.toSeq.sortBy(-_._2)
+      .map { case (k, v) => s"\"$k\":${r3(v)}" }.mkString("{", ",", "}")
+    val buildTotal = r3(builds.values.sum)
+    val detailed = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"regressions":$regJson,"index_build":$buildJson,"index_build_total":$buildTotal,"sf":"$sfDir"}"""
     // Full detail to a committed file (next round's regression baseline,
     // and the judge's full-precision record) — but never from a
     // GRAFT_ONLY-filtered run, which would shrink the baseline to the
@@ -260,7 +281,7 @@ object Bench {
     val errC = cap8(errors.map { case (k, v) => k -> s"\"$v\"" }, errors.size)
     val regC = cap8(regressions.toSeq.sortBy(-_._2).map { case (k, v) => k -> v.toString },
       regressions.size)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"detail":"bench_detail.json","errors":$errC,"regressions":$regC,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"detail":"bench_detail.json","errors":$errC,"regressions":$regC,"index_build_total":$buildTotal,"sf":"$sfDir"}""")
     spark.stop()
     // daemon worker threads may hold a wedged query; don't let them block exit
     sys.exit(0)

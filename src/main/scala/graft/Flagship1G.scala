@@ -40,8 +40,10 @@ object Flagship1G {
     val wordsPerLine = 12
     val lineBytes = wordsPerLine * 5L // 4-letter words + separators + \n
     val nLines = targetBytes / lineBytes
-    val u = abs(xxhash64(col("id"), col("j"), lit(42))).cast("double") /
-      lit(Long.MaxValue.toDouble)
+    // pmod, not abs: abs(Long.MinValue) is Long.MinValue (still
+    // negative), which would push u below 0 and rank out of range
+    val u = pmod(xxhash64(col("id"), col("j"), lit(42)), lit(Long.MaxValue))
+      .cast("double") / lit(Long.MaxValue.toDouble)
     val rank = floor(pow(lit(vocab.toDouble), u)).cast("long") + lit(17576L)
     def letter(div: Long) = chr(lit(97) + pmod((col("r") / div).cast("long"), lit(26)))
     val word = concat(letter(1), letter(26), letter(676), letter(17576))

@@ -55,15 +55,26 @@ object Tables {
     spread(table(s, d, "orders"), "o_orderkey", s"$d/orders")
   def lineitem(s: SparkSession, d: String): DataFrame  =
     spread(table(s, d, "lineitem"), "l_orderkey", s"$d/lineitem")
-  /** events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark 4 only
-    * reads under spark.sql.legacy.parquet.nanosAsLong=true (set in all
-    * session builders) — it then surfaces as LongType nanos; convert to a
-    * proper µs timestamp (the data is µs-aligned, so this is exact). */
+  /** events.ts normalization seam. The driver's fixture generator has
+    * shipped the column in two physical layouts over time:
+    *  - INT64 TIMESTAMP(NANOS): Spark 4 reads it only under
+    *    spark.sql.legacy.parquet.nanosAsLong=true (set in all session
+    *    builders) and surfaces it as LongType nanos → convert to a µs
+    *    timestamp (the data is µs-aligned, so exact).
+    *  - TIMESTAMP(isAdjustedToUTC=false, µs): Spark 4's default
+    *    inferTimestampNTZ reads it as TIMESTAMP_NTZ, which every
+    *    unix_millis()/window() downstream rejects → cast to TIMESTAMP.
+    *    The session timezone is pinned UTC in every builder, so the
+    *    cast is exact and matches DuckDB's naive-epoch epoch_ms.
+    * Every consumer goes through this loader, so downstream code can
+    * assume a plain UTC TimestampType `ts` regardless of fixture vintage. */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = table(s, d, "events")
     val typed = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", raw("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
     // user_id: sessionize/window queries cluster on it next

@@ -129,32 +129,74 @@ object Dedup {
     verifyJaccard(docs, mkGrams, cand, threshold)
   }
 
-  /** Band table with the frequent-band cap applied — the persisted LSH
-    * INDEX a production dedup pipeline maintains between increments.
+  /** Raw (uncapped) band table — exposed for plan specs. */
+  private[graft] def bandTable(grams: DataFrame): DataFrame =
+    bands(minhashes(grams))
+
+  /** The frequent-band-cap PLAN over a prebuilt band table: band sizes
+    * from a partial-aggregated `groupBy(band).count()` (each map task
+    * pre-combines its local counts, so even a band holding the whole
+    * corpus contributes one row per map task to the shuffle — skew-
+    * immune, unlike a window over `band`, which has no partial
+    * aggregation and would ship a viral band's FULL bucket to one
+    * reducer before dropping it), then rows of over-cap bands dropped
+    * by a LEFT ANTI join against the viral-band key set.
     *
-    * The cap is applied MAP-SIDE: band sizes come from a partial-
-    * aggregated `groupBy(band).count()` (each map task pre-combines its
-    * local counts, so even a band holding the whole corpus contributes
-    * one row per map task to the shuffle — skew-immune, unlike a window
-    * over `band`, which has no partial aggregation and would ship a
-    * viral band's FULL bucket to one reducer before dropping it), and
-    * rows of over-cap bands are dropped by a broadcast ANTI join against
-    * the VIRAL band table. The viral side is the provably small one:
-    * every viral band holds > maxBand rows, so |viral| < |band rows| /
-    * maxBand, and in a real corpus it is a handful of boilerplate
-    * templates — vs the surviving-band set, which is ~corpus-sized and
-    * could never broadcast. With the broadcast hint the drop happens in
-    * the map stage of whatever consumes the table; no stage anywhere
-    * observes a viral band's full bucket. Same semantics (a band's rows
-    * survive iff its total count ≤ maxBand), same oracle SQL. */
-  private[graft] def cappedBands(grams: DataFrame, maxBand: Int): DataFrame = {
-    val b = bands(minhashes(grams))
+    * The viral side carries NO broadcast hint. |viral| < |band rows| /
+    * maxBand makes it tiny in any realistic corpus, but that bound is
+    * LINEAR in corpus size (a boilerplate-heavy corpus can push
+    * N·bands/maxBand distinct viral keys), so an unconditional hint is
+    * an unbounded driver collect — a broadcast OOM waiting for scale.
+    * AQE broadcasts the anti-join's right side at runtime when its
+    * MEASURED size is small (the same map-side drop in practice) and
+    * degrades to a shuffle anti-join instead of failing when it is not.
+    * Semantics are unchanged either way (a band's rows survive iff its
+    * total count ≤ maxBand) and match the oracle SQL exactly: `band` is
+    * non-null by construction (concat of non-null md5 hex chunks), so
+    * anti-join null-key semantics — a NULL key never matches, always
+    * survives — can never diverge from the oracle's count-over-group
+    * drop. PlanShapeSpec pins both the shape and the no-hint rule. */
+  private[graft] def cappedBandsPlan(b: DataFrame, maxBand: Int): DataFrame = {
     val viral = b.groupBy(col("band"))
       .agg(count(lit(1)).as("bn"))
       .filter(col("bn") > maxBand)
       .select(col("band"))
-    b.join(broadcast(viral), Seq("band"), "left_anti")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    b.join(viral, Seq("band"), "left_anti")
+  }
+
+  /** Band table with the frequent-band cap applied — the persisted LSH
+    * INDEX a production dedup pipeline maintains between increments
+    * ([[cappedBandsPlan]] for the plan itself).
+    *
+    * Built EAGERLY: the raw band table feeds both the viral aggregate
+    * and the anti-join probe side, and leaving it lazy re-runs the
+    * gram→minhash→band pipeline (the most expensive stage of the whole
+    * dedup pass — the gram stream alone measured 8-10 s at sf0.1) once
+    * per consumer, or races concurrent stages of one job to populate
+    * the same cache partitions. So: materialize the raw table once,
+    * build the capped index from it through `materialize` (default
+    * eager localCheckpoint; [[SharedIntermediates]] passes the durable
+    * parquet-backed [[Materialize.table]] in cluster mode), then free
+    * the raw table's storage. The whole staging lives inside the thunk
+    * the materializer receives: when a durable build already exists the
+    * thunk is never evaluated and NOTHING upstream runs — reusing an
+    * index must not cost a corpus scan. */
+  private[graft] def cappedBands(grams: DataFrame, maxBand: Int,
+      materialize: (() => DataFrame) => DataFrame =
+        t => t().localCheckpoint()): DataFrame = {
+    var raw: Option[DataFrame] = None
+    val capped = materialize { () =>
+      val b = bandTable(grams)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      b.count() // materialize ONCE before the two consumers below scan it
+      raw = Some(b)
+      cappedBandsPlan(b, maxBand)
+    }
+    // the materializer contract: the plan it was handed is fully
+    // materialized before it returns — so the raw staging table can be
+    // freed here without re-exposing consumers to its lineage
+    raw.foreach(_.unpersist(blocking = false))
+    capped
   }
 
   /** Exact set-jaccard verification over a candidate pair table: shingle

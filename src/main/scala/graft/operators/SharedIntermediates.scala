@@ -16,13 +16,17 @@ import graft.Tables
   * downstream consumer — no production pipeline re-shingles the corpus
   * per query.
   *
-  * Mechanism: first use materializes via eager localCheckpoint (RDD
-  * storage — intentionally OUTSIDE the SQL cache, so the per-query
-  * `spark.catalog.clearCache()` hygiene in Bench/Verify does not evict
-  * the shared build); later uses read the materialized partitions and
-  * start their lineage there. On a cluster, swap localCheckpoint for a
-  * parquet write + read-back (a durable materialized view) to survive
-  * executor loss.
+  * Mechanism: first use materializes through [[Materialize.table]] —
+  * eager localCheckpoint in single-JVM mode, durable content-keyed
+  * parquet when `spark.graft.index.dir` is set (the cluster-survivable
+  * path; see Materialize's scaladoc) — and an in-JVM memo serves later
+  * uses. Memo keys are (sessionUUID, dataset): session UUIDs are
+  * unique and never reused, unlike the identityHashCode keys this used
+  * through round 6, which can collide across sessions and silently
+  * serve one session's index to another. Entries are evicted when the
+  * backing SparkContext shuts down (listener-registered once per
+  * context), so a long-lived JVM cycling applications does not
+  * accumulate dead plans.
   *
   * The thresholds here are the registry's published operator
   * parameters (jaccard 0.7 on word 3-grams, cosine 0.35) — the same
@@ -30,21 +34,44 @@ import graft.Tables
   */
 object SharedIntermediates {
   private val memo = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val listenerRegistered =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+
+  private def evictOnShutdown(s: SparkSession): Unit = {
+    val sc = s.sparkContext
+    if (listenerRegistered.add(sc.applicationId))
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          memo.clear()
+      })
+  }
 
   /** Materialize-once per (session, key). The builder runs at most once
     * per JVM session; a builder that needs another cached entry must
     * resolve it BEFORE calling this (ConcurrentHashMap forbids
     * recursive computeIfAbsent). */
-  def cached(s: SparkSession, key: String)(df: => DataFrame): DataFrame =
-    memo.computeIfAbsent(s"${System.identityHashCode(s)}:$key",
-      _ => df.localCheckpoint())
+  def cached(s: SparkSession, key: String)(df: => DataFrame): DataFrame = {
+    evictOnShutdown(s)
+    memo.computeIfAbsent(s"${Materialize.sessionKey(s)}:$key",
+      _ => Materialize.timedBuild(key)(Materialize.table(s, key)(df)))
+  }
+
+  /** Memoize a builder that MATERIALIZES ITSELF (via Materialize or an
+    * internal eager build) — no second checkpoint layered on top. */
+  private def memoized(s: SparkSession, key: String)(df: => DataFrame): DataFrame = {
+    evictOnShutdown(s)
+    memo.computeIfAbsent(s"${Materialize.sessionKey(s)}:$key",
+      _ => Materialize.timedBuild(key)(df))
+  }
 
   /** Capped word-gram LSH band table — the maintained dedup INDEX the
     * batch pair build and the incremental path both probe. */
   def textBands(s: SparkSession, d: String): DataFrame =
-    cached(s, s"textBands:$d") {
+    memoized(s, s"textBands:$d") {
       Dedup.cappedBands(Dedup.wordGrams(Tables.documents(s, d)),
-        Dedup.MaxBandBucket)
+        Dedup.MaxBandBucket, t => Materialize.table(s, s"textBands:$d")(t()))
     }
 
   /** Word-3-gram MinHash near-dup pairs at jaccard >= 0.7. */
@@ -60,7 +87,8 @@ object SharedIntermediates {
   def embPairs(s: SparkSession, d: String): DataFrame =
     cached(s, s"embPairs:$d") {
       Similarity.embeddingNearDup(Tables.embeddings(s, d), 0.35,
-        corpusCount = Some(Tables.rowCount(s, d, "embeddings")))
+        corpusCount = Some(Tables.rowCount(s, d, "embeddings")),
+        materialize = t => Materialize.table(s, s"embBuckets:$d")(t()))
     }
 
   /** Connected components over [[textPairs]]. */

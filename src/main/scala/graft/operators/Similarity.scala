@@ -206,29 +206,34 @@ object Similarity {
     * INDEX structure, built once per (session, corpus, parameters) and
     * memoized, exactly like a production IVF deployment trains its
     * coarse quantizer once and serves every query from the build. The
-    * first consumer pays the (sample-bounded) training job via eager
-    * localCheckpoint; every later consumer — nprobe=1, multiprobe,
-    * assignment — starts from the materialized K-row table. Keyed on
-    * the canonicalized input plan, so distinct corpora never share an
-    * index. localCheckpoint, not SQL cache: per-query clearCache
-    * hygiene must not evict an index build. */
+    * first consumer pays the (sample-bounded) training job via
+    * [[Materialize.table]] — eager localCheckpoint in-JVM, durable
+    * content-keyed parquet when spark.graft.index.dir is set; every
+    * later consumer — nprobe=1, multiprobe, assignment — starts from
+    * the materialized K-row table. Keyed on the canonicalized input
+    * plan, so distinct corpora never share an index. Never the SQL
+    * cache: per-query clearCache hygiene must not evict an index
+    * build. */
   private val centroidMemo =
     new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, Int)]()
 
   private def ivfCentroids(emb: DataFrame, minCentroids: Int,
       corpusCount: Option[Long]): (DataFrame, Int) = {
-    val key = s"${System.identityHashCode(emb.sparkSession)}:" +
-      s"${emb.queryExecution.logical.semanticHash()}:$minCentroids:" +
-      s"${corpusCount.getOrElse(-1L)}"
-    centroidMemo.computeIfAbsent(key, _ => {
-      val (c, k) = trainCentroids(emb, minCentroids, corpusCount)
-      (c.localCheckpoint(), k)
-    })
+    // content key: canonicalized-plan hash + parameters (shared by the
+    // durable parquet path); memo key prefixes the session UUID —
+    // stable and never reused, unlike identityHashCode (r5 advice)
+    val spark = emb.sparkSession
+    val contentKey = s"ivfCentroids:${emb.queryExecution.logical.semanticHash()}:" +
+      s"$minCentroids:${corpusCount.getOrElse(-1L)}"
+    centroidMemo.computeIfAbsent(s"${Materialize.sessionKey(spark)}:$contentKey",
+      _ => Materialize.timedBuild(contentKey) {
+        val k = centroidsFor(corpusCount.getOrElse(emb.count()), minCentroids)
+        val c = Materialize.table(spark, contentKey)(trainCentroids(emb, k))
+        (c, k)
+      })
   }
 
-  private def trainCentroids(emb: DataFrame, minCentroids: Int,
-      corpusCount: Option[Long]): (DataFrame, Int) = {
-    val k = centroidsFor(corpusCount.getOrElse(emb.count()), minCentroids)
+  private def trainCentroids(emb: DataFrame, k: Int): DataFrame = {
     val seeds = emb.filter(col("vec_id") < k)
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
     val train = emb.filter(col("vec_id") < k.toLong * TrainFactor)
@@ -242,7 +247,7 @@ object Similarity {
         array((1 to Dim).map(i =>
           col(s"s$i").cast("double") / col("cnt").cast("double") / lit(1000000.0)): _*)
           .as("ce1"))
-    (cents1, k)
+    cents1
   }
 
   private def ivfScored(emb: DataFrame, minCentroids: Int,
@@ -388,9 +393,10 @@ object Similarity {
     * per (session, corpus) like the IVF centroid table — an index is
     * built once. */
   private def pqCodebook(emb: DataFrame): DataFrame = {
-    val key = s"${System.identityHashCode(emb.sparkSession)}:" +
-      s"${emb.queryExecution.logical.semanticHash()}"
-    pqMemo.computeIfAbsent(key, _ => {
+    val spark = emb.sparkSession
+    val contentKey = s"pqCodebook:${emb.queryExecution.logical.semanticHash()}"
+    pqMemo.computeIfAbsent(s"${Materialize.sessionKey(spark)}:$contentKey",
+      _ => Materialize.timedBuild(contentKey)(Materialize.table(spark, contentKey) {
       val sv = pqSubvecs(emb)
       val seeds = sv.filter(col("vec_id") < PqCodes)
         .select(col("sub") +: col("vec_id").as("code") +:
@@ -410,8 +416,8 @@ object Similarity {
         .select(col("sub") +: col("code") +: (1 to PqSubDim).map(j =>
           floor(col(s"s$j").cast("double") / col("cnt").cast("double") + lit(0.5))
             .cast("long").as(s"qc$j")): _*)
-      cents.localCheckpoint()
-    })
+      cents
+    }))
   }
 
   /** Corpus PQ codes: per (vector, subspace) the argmin-distance code
@@ -504,30 +510,59 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** The hot-bucket-cap PLAN over a prebuilt signature table — the
+    * exact analogue of [[Dedup.cappedBandsPlan]]: bucket sizes from a
+    * partial-aggregated groupBy (skew-immune — a window over `bucket`
+    * would ship a viral bucket's full membership to one reducer before
+    * dropping it), over-cap rows dropped by a LEFT ANTI join against
+    * the viral-bucket key set. NO broadcast hint on the viral side: its
+    * |viral| < N/maxBucket bound is linear in corpus size, so forcing a
+    * driver-side broadcast is an OOM at scale — AQE broadcasts it at
+    * runtime when genuinely small and falls back to a shuffle anti-join
+    * when not. `bucket` is non-null by construction (LshBucket over a
+    * non-null embedding), so anti-join null-key semantics (NULL never
+    * matches → always survives) cannot diverge from the oracle's
+    * count-over-group drop. */
+  private[graft] def cappedBucketsPlan(sig0: DataFrame, maxBucket: Int): DataFrame = {
+    val viral = sig0.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > maxBucket)
+      .select(col("bucket"))
+    sig0.join(viral, Seq("bucket"), "left_anti")
+  }
+
   /** Embedding-cosine near-duplicates: same-LSH-bucket pairs with
     * rounded cosine >= threshold — completes the dedup taxonomy (exact,
     * MinHash+LSH, char-n-gram, SimHash, embedding-cosine). Scale shape:
     * the 6-bit bucket equi-join replaces the quadratic all-pairs cross
     * product (~64x candidate reduction); recall tunes via LshPlanes.
-    * Approximate by design, like any LSH near-dup pass. The hot-bucket
-    * cap is applied MAP-SIDE, exactly like Dedup.cappedBands: bucket
-    * sizes from a partial-aggregated groupBy (skew-immune — a window
-    * over `bucket` would ship a viral bucket's full membership to one
-    * reducer before dropping it), over-cap rows dropped by a broadcast
-    * ANTI join against the provably-small viral-bucket table (|viral| <
-    * N / maxBucket by construction). */
+    * Approximate by design, like any LSH near-dup pass.
+    *
+    * The capped signature table is an INDEX and is built EAGERLY, like
+    * [[Dedup.cappedBands]]: the raw signature table feeds the viral
+    * aggregate, the anti-join probe side, and (through the capped
+    * table) BOTH sides of the pair self-join — left lazy, the embedding
+    * scan + bucket computation re-runs per consumer. Materialize the
+    * raw signatures once, build the capped index through `materialize`
+    * (default eager localCheckpoint; durable parquet via
+    * [[Materialize.table]] in cluster mode), free the raw table. */
   def embeddingNearDup(emb: DataFrame, threshold: Double,
       maxBucket: Int = MaxLshBucket,
-      corpusCount: Option[Long] = None): DataFrame = {
+      corpusCount: Option[Long] = None,
+      materialize: (() => DataFrame) => DataFrame =
+        t => t().localCheckpoint()): DataFrame = {
     val spark = emb.sparkSession
-    val planes = planesFor(corpusCount.getOrElse(emb.count()))
-    val sig0 = emb.select(col("vec_id"), col("embedding"),
-      lshBucketCol(spark, col("embedding"), planes).as("bucket"))
-    val viral = sig0.groupBy(col("bucket"))
-      .agg(count(lit(1)).as("bn"))
-      .filter(col("bn") > maxBucket)
-      .select(col("bucket"))
-    val sig = sig0.join(broadcast(viral), Seq("bucket"), "left_anti")
+    var raw: Option[DataFrame] = None
+    val sig = materialize { () =>
+      val planes = planesFor(corpusCount.getOrElse(emb.count()))
+      val sig0 = emb.select(col("vec_id"), col("embedding"),
+          lshBucketCol(spark, col("embedding"), planes).as("bucket"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sig0.count() // materialize ONCE before the consumers below scan it
+      raw = Some(sig0)
+      cappedBucketsPlan(sig0, maxBucket)
+    }
+    raw.foreach(_.unpersist(blocking = false))
     sig.as("x").join(sig.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),

@@ -213,8 +213,20 @@ object EventsStream {
           merged.write.mode("overwrite")
             .parquet(s"$stateDir/v$batchId")
           fs.create(marker).close() // commit point
-          committed.foreach(v =>
-            fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/v$v"), true))
+          // Prune EVERYTHING except the just-committed version: older
+          // committed dirs AND their markers, plus any uncommitted v*
+          // orphan a writer that crashed before its commit marker left
+          // behind (these previously accumulated forever). Safe against
+          // replay: only the LAST batch can re-run after a crash, and
+          // its own marker is the one kept, so deleting older markers
+          // can never resurrect a double-merge.
+          val base = new org.apache.hadoop.fs.Path(stateDir)
+          fs.listStatus(base).foreach { st =>
+            val n = st.getPath.getName
+            val keep = n == s"v$batchId" || n == s"_merged_$batchId"
+            if (!keep && (n.startsWith("v") || n.startsWith("_merged_")))
+              fs.delete(st.getPath, true)
+          }
         }
       }
 

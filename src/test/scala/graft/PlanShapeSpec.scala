@@ -12,12 +12,27 @@ class PlanShapeSpec extends SparkSpec {
   lazy val emb = Tables.embeddings(spark, sf0001)
 
   test("near-dup pipeline contains no forced broadcast hints") {
-    // candidate-pair and shingle-set sizes are unbounded at scale; the
-    // operator must leave join strategy to stats, never force broadcast
-    val plan = Dedup.nearDupPairs(docs, Dedup.wordGrams(docs),
-      Dedup.wordGrams, 0.7).queryExecution.analyzed.toString
-    assert(!plan.toLowerCase.contains("hint"),
-      s"near-dup must not force join strategies:\n$plan")
+    // candidate-pair and shingle-set sizes are unbounded at scale, and
+    // even the "provably small" viral band/bucket tables are only
+    // |rows|/cap — LINEAR in corpus size. The operator must leave every
+    // join strategy to stats, never force broadcast; AQE broadcasts the
+    // genuinely-small sides at runtime. Checked on the UNmaterialized
+    // plan builders (the materialized index hides its build plan behind
+    // a checkpoint scan).
+    val b = Dedup.bandTable(Dedup.wordGrams(docs))
+    val capped = Dedup.cappedBandsPlan(b, Dedup.MaxBandBucket)
+    val pairPlan = Dedup.nearDupPairsFromBands(docs, capped, Dedup.wordGrams, 0.7)
+      .queryExecution.analyzed.toString
+    assert(!pairPlan.toLowerCase.contains("hint"),
+      s"near-dup must not force join strategies:\n$pairPlan")
+    val sig0 = emb.select(org.apache.spark.sql.functions.col("vec_id"),
+      org.apache.spark.sql.functions.col("embedding"),
+      Similarity.lshBucketCol(spark,
+        org.apache.spark.sql.functions.col("embedding")).as("bucket"))
+    val bucketPlan = Similarity.cappedBucketsPlan(sig0, Similarity.MaxLshBucket)
+      .queryExecution.analyzed.toString
+    assert(!bucketPlan.toLowerCase.contains("hint"),
+      s"hot-bucket cap must not force join strategies:\n$bucketPlan")
   }
 
   test("brute-force ANN broadcasts the query side, never shuffles the corpus") {
@@ -42,11 +57,46 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("frequent-band cap bounds the LSH self-join input by construction") {
-    // the band table feeding the self-join must carry the bucket-size
-    // filter (bn <= cap) below the join
-    val plan = Dedup.nearDupPairs(docs, Dedup.wordGrams(docs),
-      Dedup.wordGrams, 0.7).queryExecution.optimizedPlan.toString
-    assert(plan.contains("<= 64"), s"expected band cap filter in:\n$plan")
+    // the capped index build is a LEFT ANTI join against the aggregated
+    // over-cap (bn > cap) band key set — partial-aggregated counts
+    // (skew-immune) and no forced broadcast. Pin that exact shape.
+    val plan = Dedup.cappedBandsPlan(Dedup.bandTable(Dedup.wordGrams(docs)),
+      Dedup.MaxBandBucket).queryExecution.optimizedPlan.toString
+    assert(plan.contains("> 64"), s"expected over-cap viral filter in:\n$plan")
+    assert(plan.contains("LeftAnti"), s"expected anti-join drop in:\n$plan")
+  }
+
+  test("centroid tables over MaxBroadcastCentroids are never force-broadcast") {
+    // K > 4096: the √N centroid table of a genuinely large corpus does
+    // not fit a broadcast — the assignment/rep joins must fall back to
+    // stats-planned joins with NO hint, and the results must be
+    // byte-identical whichever strategy the planner then picks (proved
+    // by toggling autoBroadcastJoinThreshold, which flips the runtime
+    // strategy without touching the logical plan).
+    val k = Similarity.MaxBroadcastCentroids + 1
+    val n = Tables.rowCount(spark, sf0001, "embeddings")
+    def pq() = Similarity.ivfPqTopK(emb, k, 4, 5, Some(n))
+    def sem() = Similarity.semanticDedup(emb, k, 0.35, Some(n))
+    // the bounded query-side / 128-row-codebook broadcasts stay (they
+    // are size-capped by construction); only hints covering the
+    // CENTROID or REPRESENTATIVE tables are scale-killers here
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val centroidCols = Set("ce1", "cent_id", "re", "rep_id")
+    for ((name, df) <- Seq("ivfPqTopK" -> pq(), "semanticDedup" -> sem())) {
+      val bad = df.queryExecution.analyzed.collect {
+        case h: ResolvedHint if h.output.exists(a => centroidCols(a.name)) => h
+      }
+      assert(bad.isEmpty,
+        s"$name force-broadcasts a ${k}-row centroid/rep table:\n${bad.mkString("\n")}")
+    }
+    val withStats = (pq().collect().toSeq, sem().collect().toSeq)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      assert(pq().collect().toSeq == withStats._1,
+        "ivfPqTopK results change with join strategy")
+      assert(sem().collect().toSeq == withStats._2,
+        "semanticDedup results change with join strategy")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
   test("bucketed range join runs as an equi join, not a nested loop") {
