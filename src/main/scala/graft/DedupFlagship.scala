@@ -44,7 +44,7 @@ import graft.operators.Dedup
   */
 object DedupFlagship {
 
-  val WordsPerDoc = 300 // ~1.8 KB/doc → 500k docs ≈ 0.9 GB of text
+  val WordsPerDoc = 400 // 2 KB/doc (5 B/word) → 500k docs = 1.0 GB of text
   val DupEvery = 10     // 1 dup per 9 base docs (10% of corpus is dups)
   val Threshold = 0.7
 
