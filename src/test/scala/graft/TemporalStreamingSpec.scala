@@ -368,6 +368,15 @@ class TemporalStreamingSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
     assert(got == Seq((1L, 3L, 7.0), (2L, 1L, 5.0), (3L, 1L, 7.0)),
       s"merge state wrong after replayed batch: $got")
+    // the committed batch's sweep also PRUNES the crashed-writer orphan
+    // (v9) and every older version dir AND marker — previously orphans
+    // accumulated forever. Exactly one version + its marker remain.
+    val left = new java.io.File(state).listFiles().map(_.getName)
+      .filter(n => n.startsWith("v") || n.startsWith("_merged_")).sorted.toSeq
+    assert(left.length == 2 && left.count(_.startsWith("_merged_")) == 1 &&
+      left.find(_.startsWith("_merged_")).map(_.stripPrefix("_merged_")) ==
+        left.find(n => n.startsWith("v") && !n.startsWith("_")).map(_.stripPrefix("v")),
+      s"stale/orphan state not pruned (expected one version + its marker): $left")
   }
 
   test("streaming near-dup gate equals the batch signature dedup") {
