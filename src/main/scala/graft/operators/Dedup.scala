@@ -304,14 +304,16 @@ object Dedup {
     * DEFINITION of done, checked directly ([[isStarForest]], one small
     * aggregate action per round), so the fixpoint is detected the round
     * it is reached instead of one signature-compare round later.
-    * localCheckpoint (NON-eager) truncates lineage each round — without
-    * it every round's logical plan embeds the whole upstream near-dup
-    * tree one level deeper and analysis time swamps the sub-second
-    * joins. Non-eager matters for cost: the convergence check is the
-    * first action over each round's edge set, so the SAME job both
-    * materializes the checkpoint and decides convergence — one action
-    * per round, not two. On a cluster, swap for reliable `checkpoint()`
-    * to survive executor loss.
+    * [[Materialize.stage]] (NON-eager) truncates lineage each round —
+    * without it every round's logical plan embeds the whole upstream
+    * near-dup tree one level deeper and analysis time swamps the
+    * sub-second joins. Non-eager matters for cost: the convergence
+    * check is the first action over each round's edge set, so the SAME
+    * job both materializes the checkpoint and decides convergence —
+    * one action per round, not two. In cluster mode
+    * (spark.graft.checkpoint.reliable + a checkpoint dir) each round
+    * checkpoints RELIABLY to shared storage and survives executor
+    * loss — DurabilitySpec drives that mode.
     *
     * Returns (labels: one (doc_id, label) row per node with label = the
     * component min, rounds actually run). */
@@ -322,7 +324,7 @@ object Dedup {
         least(col("doc_a"), col("doc_b")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint(eager = false)
+    edges = Materialize.stage(edges, eager = false)
     // large-star: every node u links its LARGER neighbors to
     // m = min(Γ(u) ∪ {u}) — long paths contract toward small ids
     def largeStar(e: DataFrame): DataFrame = {
@@ -362,7 +364,7 @@ object Dedup {
     var done = edges.isEmpty || isStarForest(edges)
     while (!done && rounds < maxRounds) {
       rounds += 1
-      val next = smallStar(largeStar(edges)).distinct().localCheckpoint(eager = false)
+      val next = Materialize.stage(smallStar(largeStar(edges)).distinct(), eager = false)
       done = isStarForest(next)
       edges = next
     }
@@ -482,14 +484,15 @@ object Dedup {
     // upstream pair pipeline in every consumer's lineage, and the
     // concurrent cold-cache stages of one action race to populate the
     // same partitions — measured as the pair pipeline executing ~4× in
-    // one query. Eager localCheckpoint materializes the (tiny relative
-    // to the corpus) edge set exactly once and truncates the lineage;
-    // on a cluster use reliable checkpoint() instead.
-    val e = pairs.select(least(col("doc_a"), col("doc_b")).as("a"),
-        greatest(col("doc_a"), col("doc_b")).as("b"))
-      .filter(col("a") =!= col("b")).distinct()
-      .localCheckpoint()
-    val o = orientByDegree(e).localCheckpoint()
+    // one query. Eager staging materializes the (tiny relative to the
+    // corpus) edge set exactly once and truncates the lineage;
+    // Materialize.stage upgrades to reliable checkpoint() in cluster
+    // mode.
+    val e = Materialize.stage(
+      pairs.select(least(col("doc_a"), col("doc_b")).as("a"),
+          greatest(col("doc_a"), col("doc_b")).as("b"))
+        .filter(col("a") =!= col("b")).distinct())
+    val o = Materialize.stage(orientByDegree(e))
     // wedge at the orientation-minimal vertex, tips ordered by key so
     // the closing edge's direction is known: (tip1 → tip2)
     val tri = o.as("e1")

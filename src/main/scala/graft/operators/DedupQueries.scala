@@ -209,10 +209,8 @@ object DedupQueries {
            |WHERE doc_b >= split ORDER BY doc_a, doc_b""".stripMargin)),
 
     QueryDef("near_dup_ngram",
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-        Dedup.nearDupPairs(docs, Dedup.charGrams(docs), Dedup.charGrams, 0.6)
-      },
+      (s, d) => Dedup.nearDupPairsFromBands(Tables.documents(s, d),
+        SharedIntermediates.charBands(s, d), Dedup.charGrams, 0.6),
       Some(nearDupSql(charShinglesCte, 0.6))),
 
     QueryDef("simhash_docs",

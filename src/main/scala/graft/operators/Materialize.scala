@@ -73,6 +73,25 @@ object Materialize {
     }
   }
 
+  val ReliableConf = "spark.graft.checkpoint.reliable"
+
+  /** Stage a multi-consumer intermediate with lineage truncation — the
+    * iterative-algorithm counterpart of [[table]] (connected-components
+    * round edges, the graph-stats edge/orientation tables). Default is
+    * localCheckpoint (single-JVM: fast, dies with an executor); with
+    * `spark.graft.checkpoint.reliable=true` AND a context checkpoint
+    * dir set, it becomes a RELIABLE `checkpoint()` to shared storage —
+    * the cluster mode where a lost executor must not kill a 30-round
+    * CC fixpoint loop. `eager = false` preserves the CC loop's
+    * one-action-per-round contract (the convergence check both
+    * materializes the round and decides the fixpoint). */
+  def stage(df: DataFrame, eager: Boolean = true): DataFrame = {
+    val s = df.sparkSession
+    val reliable = s.conf.get(ReliableConf, "false").toBoolean &&
+      s.sparkContext.getCheckpointDir.isDefined
+    if (reliable) df.checkpoint(eager) else df.localCheckpoint(eager)
+  }
+
   /** Stable per-session identity for in-JVM memo keys: the session
     * UUID (unique per session, never reused — unlike identityHashCode,
     * which is neither). `sessionUUID` is bytecode-public but

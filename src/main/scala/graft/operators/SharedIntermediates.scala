@@ -74,6 +74,16 @@ object SharedIntermediates {
         Dedup.MaxBandBucket, t => Materialize.table(s, s"textBands:$d")(t()))
     }
 
+  /** Capped char-12-gram LSH band table — the second maintained dedup
+    * index (near_dup_ngram's published parameters: 12-char shingles,
+    * jaccard 0.6). Without this, every bench invocation of the n-gram
+    * query re-ran the full gram→minhash→band build twice (warm+timed). */
+  def charBands(s: SparkSession, d: String): DataFrame =
+    memoized(s, s"charBands:$d") {
+      Dedup.cappedBands(Dedup.charGrams(Tables.documents(s, d)),
+        Dedup.MaxBandBucket, t => Materialize.table(s, s"charBands:$d")(t()))
+    }
+
   /** Word-3-gram MinHash near-dup pairs at jaccard >= 0.7. */
   def textPairs(s: SparkSession, d: String): DataFrame = {
     val tb = textBands(s, d) // resolve BEFORE cached() — no nesting

@@ -70,6 +70,34 @@ class DurabilitySpec extends SparkSpec {
     }
   }
 
+  test("connected components checkpoint reliably in cluster mode") {
+    // spark.graft.checkpoint.reliable + a context checkpoint dir =
+    // cluster mode: each CC round's edge set goes to RELIABLE storage
+    // (survives executor loss) instead of localCheckpoint blocks.
+    // Results must be identical and the checkpoint dir actually used.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    spark.conf.set(Materialize.ReliableConf, "true")
+    val s = spark; import s.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L),
+      (22L, 20L)).toDF("doc_a", "doc_b")
+    try {
+      val reliable = Dedup.nearDupClusters(pairs).collect().map(_.toString).sorted
+      def rdds(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(rdds).sum
+        else if (f.getName.startsWith("part-")) 1 else 0
+      assert(rdds(new java.io.File(dir)) > 0,
+        "reliable mode did not write to the checkpoint dir")
+      spark.conf.set(Materialize.ReliableConf, "false")
+      val default = Dedup.nearDupClusters(pairs).collect().map(_.toString).sorted
+      assert(reliable.sameElements(default),
+        "cluster-mode checkpointing changed CC results")
+    } finally {
+      spark.conf.unset(Materialize.ReliableConf)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("embedding bucket index and IVF centroids survive a new session") {
     withIndexDir { dir =>
       val s1 = spark.newSession()
