@@ -102,10 +102,12 @@ object Dedup {
     * verified with exact set jaccard computed ONLY for candidate docs.
     *
     * Scale shape: signatures never materialize per-doc arrays (gram
-    * stream → groupBy min); the fat shingle-set arrays are built solely
-    * for docs that appear in some candidate pair — at 100 TB that is the
-    * difference between touching the whole corpus twice and touching the
-    * (tiny) near-dup neighborhood. The band table is persisted with the
+    * stream → groupBy min); the exact-jaccard verify is likewise
+    * gram-level — skinny rows and partial aggregation end to end, no
+    * per-doc array ever materializes ([[verifyJaccard]]) — and touches
+    * only docs that appear in some candidate pair: at 100 TB that is
+    * the difference between touching the whole corpus twice and
+    * touching the (tiny) near-dup neighborhood. The band table is persisted with the
     * frequent-band cap already applied map-side ([[cappedBands]]), so
     * the self-join shuffles only capped buckets — every band key carries
     * ≤ maxBand rows BY CONSTRUCTION and no reducer can be skewed by a
@@ -199,22 +201,43 @@ object Dedup {
     capped
   }
 
-  /** Exact set-jaccard verification over a candidate pair table: shingle
-    * sets are built ONLY for docs appearing in some candidate. */
+  /** Exact set-jaccard verification over a candidate pair table,
+    * computed GRAM-LEVEL: |A∩B| is a count over the (pair, gram)
+    * equi-join of the two docs' distinct gram streams, |A∪B| =
+    * |A|+|B|−|A∩B| from per-doc distinct counts. Every row in every
+    * stage is SKINNY (ids + one gram string) and every aggregation is
+    * partial-aggregable — unlike the previous collect_set formulation,
+    * which materialized each candidate doc's full shingle set as one
+    * array row (a single pathological document with tens of millions
+    * of grams OOMs the task that builds its array; here it is just
+    * more rows). Grams are built ONLY for docs appearing in some
+    * candidate pair, so cost stays bounded by the near-dup
+    * neighborhood, never the corpus. Identical numbers: intersection/
+    * union over distinct grams, same double division, same rounding. */
   private def verifyJaccard(docs: DataFrame, mkGrams: DataFrame => DataFrame,
       cand0: DataFrame, threshold: Double): DataFrame = {
     val cand = cand0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candIds = cand.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
-    val sets = shingleSets(mkGrams(docs.join(candIds, Seq("doc_id"), "left_semi")))
+    // distinct gram stream of candidate docs — shared by the size
+    // aggregate and both sides of the intersection join
+    val grams = mkGrams(docs.join(candIds, Seq("doc_id"), "left_semi"))
+      .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val jac = sets.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = grams.select(col("doc_id").as("doc_a"), col("g"))
       .join(cand, "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .join(grams.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("ni"))
+    // pairs with an empty intersection vanish at the inner join — they
+    // could never clear a positive threshold
+    val jac = inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("sha"), col("shb"))).cast("double") /
-          size(array_distinct(concat(col("sha"), col("shb")))).cast("double")).as("jac"))
+        (col("ni").cast("double") /
+          (col("na") + col("nb") - col("ni")).cast("double")).as("jac"))
     jac.filter(col("jac") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")
