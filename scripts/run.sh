@@ -3,6 +3,12 @@
 # that build.sbt injects for forked runs. Usage: scripts/run.sh <mainClass> [args...]
 set -e
 CP=$(cat /tmp/cp.txt)
+# local-cluster mode (GRAFT_MASTER / ClusterCheck): the in-process
+# standalone Worker forks executor JVMs via the Spark launcher, which
+# needs a distribution root and an explicit scala version (the binary
+# distro carries no launcher/target build dirs to infer it from).
+export SPARK_HOME="${SPARK_HOME:-/opt/spark}"
+export SPARK_SCALA_VERSION="${SPARK_SCALA_VERSION:-2.13}"
 exec java \
   --add-opens=java.base/java.lang=ALL-UNNAMED \
   --add-opens=java.base/java.lang.invoke=ALL-UNNAMED \

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Materialize, Similarity}
+
+/** ANN flagship at ~1M vectors: measured recall@k of every approximate
+  * ANN path against exact brute-force ground truth, at three orders of
+  * magnitude more vectors than sf0.1 (the correctness scale where the
+  * IVF/PQ recall claims previously lived). The [[DedupFlagship]]
+  * pattern applied to the similarity family: plant structure, measure
+  * retrieval, report per-stage wall time.
+  *
+  * Corpus: `nVecs` 64-dim float vectors with CLUSTER STRUCTURE — 1,000
+  * latent centers (deterministic xxhash64 draws in [-1,1]) plus
+  * per-vector noise at 0.25 amplitude — so "nearest neighbors" are
+  * semantically meaningful (cluster mates) rather than uniform-random
+  * noise where every method degenerates to chance. All generation is
+  * pure Catalyst (a distributed job, no driver data).
+  *
+  * Methods measured (k=10, 64 query vectors = `vec_id < 64`, each
+  * path's own registry semantics):
+  *  - `brute` — exact cosine top-k: the ground truth AND the
+  *    throughput baseline every approximate path must beat;
+  *  - `lsh` — sign-LSH bucket restriction (planes from corpus count);
+  *  - `ivf` — IVF nprobe=1 (√N centroids ≈ 1,000 at 1M);
+  *  - `ivf_mp` — IVF multiprobe nprobe=2 (recall must be ≥ ivf's:
+  *    candidates are a superset by construction);
+  *  - `ivfpq` — IVF + 8×16 product-quantized ADC scoring;
+  *  - `int8` — int8-quantized brute force (exact ranking in quantized
+  *    space — high recall, cost still linear).
+  *
+  * Recall@10 = |approx ∩ truth| / |truth| over all queries. Wall
+  * times include each path's one-time index build on first call
+  * (centroid/codebook training); [[Materialize.buildTimes]] is
+  * reported separately so build vs serve cost is attributable.
+  * Results recorded in ANN_1M.md. Usage:
+  *   scripts/run.sh graft.AnnFlagship [nVecs] [workDir]
+  */
+object AnnFlagship {
+  val K = 10
+  val NQueries = 64
+  val NClusters = 1000
+
+  private def genVectors(spark: SparkSession, dir: String, n: Long): Unit = {
+    val noise = 0.25
+    spark.range(n)
+      .select(col("id").as("vec_id"), expr(
+        s"""transform(sequence(1, ${Similarity.Dim}), i -> CAST(
+           |  (pmod(xxhash64(id % $NClusters, i, 1), 1000000) / 500000.0 - 1.0)
+           |  + $noise * (pmod(xxhash64(id, i, 2), 1000000) / 500000.0 - 1.0)
+           |AS FLOAT))""".stripMargin).as("embedding"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nVecs = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val work = if (args.length > 1) args(1) else "/tmp/graft_ann1m"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-ann-flagship")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("GRAFT_AQE", "true"))
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val vecDir = s"$work/vectors"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$vecDir/_SUCCESS"))) {
+      val t0 = System.nanoTime()
+      genVectors(spark, vecDir, nVecs)
+      println(f"setup: vectors generated in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    val emb = spark.read.parquet(vecDir)
+    val n = Some(nVecs)
+
+    def timed(name: String)(f: => DataFrame): (DataFrame, Double) = {
+      val t0 = System.nanoTime()
+      val r = f.localCheckpoint()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"stage $name%-8s $dt%8.1f s")
+      (r, dt)
+    }
+    val (truth, tBrute) = timed("brute")(Similarity.bruteForceTopK(emb, NQueries, K))
+    val truthPairs = truth.select("query_id", "cand_id")
+    val nTruth = truthPairs.count()
+    def recallOf(approx: DataFrame): Double =
+      truthPairs.join(approx.select("query_id", "cand_id"),
+        Seq("query_id", "cand_id"), "left_semi").count().toDouble / nTruth
+
+    val methods = Seq[(String, () => DataFrame)](
+      "lsh" -> (() => Similarity.lshTopK(emb, NQueries, K, n)),
+      "ivf" -> (() => Similarity.ivfTopK(emb, 8, NQueries, K, n)),
+      "ivf_mp" -> (() => Similarity.ivfTopKProbed(emb, 8, NQueries, K, 2, n)),
+      "ivfpq" -> (() => Similarity.ivfPqTopK(emb, 8, NQueries, K, corpusCount = n)),
+      "int8" -> (() => Similarity.quantizedTopK(emb, NQueries, K)))
+    val results = methods.map { case (name, f) =>
+      val (df, dt) = timed(name)(f())
+      name -> (recallOf(df), dt)
+    }
+    val builds = Materialize.buildTimes
+    def r4(v: Double) = math.round(v * 10000.0) / 10000.0
+    val methodJson = results.map { case (nm, (rec, dt)) =>
+      s""""$nm":{"recall":${r4(rec)},"sec":${r4(dt)}}""" }.mkString(",")
+    val buildJson = builds.toSeq.sortBy(-_._2)
+      .map { case (k, v) => s""""$k":${r4(v)}""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"ann_1m","n_vectors":$nVecs,"dim":${Similarity.Dim},"k":$K,"n_queries":$NQueries,"truth_pairs":$nTruth,"brute_sec":${r4(tBrute)},$methodJson,"index_build":$buildJson,"cpus":$cpus}""")
+    spark.stop()
+  }
+}

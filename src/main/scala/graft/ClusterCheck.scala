@@ -1,0 +1,260 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.util.concurrent.{FutureTask, TimeUnit, TimeoutException}
+
+/** Multi-process execution evidence — the claim this engine inherits
+  * from the reference (1 coordinator + N worker PROCESSES — reference
+  * `coordinator/coordinator.py:92-101`, `docker-compose.yml`) and that
+  * plain `local[N]` cannot witness. One run produces four artifacts,
+  * printed as a single JSON line (committed as CLUSTER_r{N}.md):
+  *
+  *  1. **Worker-count invariance / cross-process correctness**: every
+  *     registered query runs twice — once on `local[8]`, once on a
+  *     `local-cluster` master with executors as separate forked JVMs —
+  *     and the canonical result hashes must match pairwise. This is the
+  *     reference's "same answer regardless of USE_WORKERS" property
+  *     (reference `README.md:69-76`), upgraded to 125 queries. It
+  *     proves closure serialization, cross-process shuffle, and
+  *     broadcast over the block-transfer service for the entire
+  *     operator surface. (The two approx-sketch entries are compared
+  *     rows-only, same as the driver's oracle: GK percentile merge
+  *     order is partition-dependent by design.)
+  *  2. **Durable-index reuse across topologies**: the word-gram band
+  *     index built durably by the LOCAL phase is probed by the CLUSTER
+  *     phase — served plan must be a bare parquet scan (no Aggregate /
+  *     Generate / Join anywhere: a rebuild carries all three) and the
+  *     pair results hash-equal. A restarted driver with a different
+  *     executor topology reuses the index without a corpus scan.
+  *  3. **Executor loss mid-CC-loop under reliable checkpointing**: a
+  *     200k-node chain graph forces an O(log n)-round connected-
+  *     components fixpoint; mid-loop, one forked executor JVM is
+  *     `destroyForcibly`'d. With `spark.graft.checkpoint.reliable=true`
+  *     each round's edge set lives on shared storage, so the stage
+  *     retry recomputes from the checkpoint instead of dying with the
+  *     executor's localCheckpoint blocks — the job must complete with
+  *     hash-identical clusters.
+  *  4. **Executor-kill during a full query** (the reference's
+  *     worker-timeout→reassign semantics, O16): one expensive query is
+  *     re-run on the cluster while an executor dies; same hash.
+  *
+  * Run via `scripts/run.sh graft.ClusterCheck` with SPARK_HOME set;
+  * GRAFT_CLUSTER_MASTER overrides the cluster topology, GRAFT_ONLY
+  * restricts the query set (iteration aid).
+  */
+object ClusterCheck {
+  private val RowsOnly = Set("agg_approx_distinct", "agg_approx_percentiles")
+
+  private def session(master: String, shufflePartitions: Int): SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val b = SparkSession.builder()
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.sql.broadcastTimeout", "600")
+      // reliable checkpoint dirs are never self-deleted by Spark; the
+      // cleaner removes each CC round's files once its RDD is unreachable
+      // (Materialize.stage scaladoc — the cluster-mode requirement)
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+      .config("spark.ui.enabled", "false")
+    val withMaster =
+      if (Cluster.isCluster(master)) {
+        require(sys.env.contains("SPARK_HOME"),
+          s"$master needs SPARK_HOME so the standalone worker can fork executors")
+        b.master(master)
+          .config("spark.executor.extraClassPath",
+            System.getProperty("java.class.path"))
+          .config("spark.executor.extraJavaOptions", Cluster.execOpts)
+          .config("spark.task.maxFailures", "8")
+          .config("spark.stage.maxConsecutiveAttempts", "8")
+      } else b.master(master)
+    val s = withMaster.getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Canonical content hash: row strings sorted, md5 — partition-layout
+    * independent for every registered query (none uses rand / partition
+    * ids; all are oracle-hash-green cross-engine, which already implies
+    * aggregation-order robustness). */
+  private def resultHash(df: DataFrame): (Long, String) = {
+    val rows = df.collect().map(_.toString).sorted
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.foreach(r => md.update(r.getBytes("UTF-8")))
+    (rows.length.toLong, md.digest().map("%02x".format(_)).mkString)
+  }
+
+  /** Run one query under a watchdog; None on timeout/error (recorded). */
+  private def runHashed(spark: SparkSession, name: String,
+      fn: (SparkSession, String) => DataFrame, sfDir: String,
+      timeoutSec: Long, errors: collection.mutable.Map[String, String])
+      : Option[(Long, String)] = {
+    val sc = spark.sparkContext
+    val task = new FutureTask[(Long, String)](() => {
+      sc.setJobGroup(name, name, interruptOnCancel = true)
+      try resultHash(fn(spark, sfDir)) finally sc.clearJobGroup()
+    })
+    val th = new Thread(task, s"cluster-$name"); th.setDaemon(true); th.start()
+    val r = try Some(task.get(timeoutSec, TimeUnit.SECONDS)) catch {
+      case _: TimeoutException =>
+        sc.cancelJobGroup(name); errors(name) = "Timeout"; None
+      case e: Throwable =>
+        val c = if (e.getCause != null) e.getCause else e
+        errors(name) = c.getClass.getSimpleName + ": " +
+          String.valueOf(c.getMessage).take(120)
+        None
+    }
+    spark.catalog.clearCache()
+    r
+  }
+
+  /** Kill `n` forked executor JVMs (children running
+    * CoarseGrainedExecutorBackend), after `delayMs`. The flag records
+    * whether a kill actually happened — a resilience check that never
+    * killed anything must FAIL, not report vacuous success. */
+  private def killExecutors(n: Int, delayMs: Long)
+      : (Thread, java.util.concurrent.atomic.AtomicBoolean) = {
+    val killed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val t = new Thread(() => {
+      Thread.sleep(delayMs)
+      import scala.jdk.CollectionConverters._
+      // Executor JVMs are DIRECT CHILDREN of this driver JVM (the
+      // in-process standalone Worker forks them via ProcessBuilder).
+      // Match on parentage + java, not on the command line: the
+      // launcher puts a ~13 KB -cp before the main class, and
+      // /proc/<pid>/cmdline truncates at 4 KB on this kernel, so
+      // "CoarseGrainedExecutorBackend" is not even visible.
+      val execs = ProcessHandle.current().children().toList.asScala
+        .filter(_.info().command().orElse("").contains("java"))
+      execs.take(n).foreach { h =>
+        System.err.println(s"[cluster-check] killing executor pid=${h.pid}")
+        if (h.destroyForcibly()) killed.set(true)
+      }
+      if (execs.isEmpty)
+        System.err.println("[cluster-check] WARNING: no executor JVM found to kill")
+    }, "executor-killer")
+    t.setDaemon(true); t.start(); (t, killed)
+  }
+
+  /** The CC resilience workload: a long chain forces ~log2(n) rounds of
+    * large/small-star — a wide kill window. Built from spark.range so
+    * both topologies derive identical input. */
+  private def chainClusters(spark: SparkSession, n: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val edges = spark.range(n - 1)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+    operators.Dedup.nearDupClusters(edges)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val clusterMaster =
+      sys.env.getOrElse("GRAFT_CLUSTER_MASTER", "local-cluster[2,8,4096]")
+    val timeoutSec = sys.env.getOrElse("GRAFT_QUERY_TIMEOUT", "300").toLong
+    val chainN = sys.env.getOrElse("GRAFT_CHAIN_N", "200000").toLong
+    val only = sys.env.get("GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_(n)) }
+    val indexDir =
+      java.nio.file.Files.createTempDirectory("graft-cluster-index").toString
+    val ckptDir =
+      java.nio.file.Files.createTempDirectory("graft-cluster-ckpt").toString
+    val errors = collection.mutable.LinkedHashMap[String, String]()
+
+    // ---- Phase A: local[8] baseline (builds the durable indexes) ----
+    System.err.println(s"[cluster-check] phase A: local[8] baseline, ${selected.size} queries")
+    val sLocal = session("local[8]", 8)
+    sLocal.conf.set(operators.Materialize.DirConf, indexDir)
+    val localHashes = selected.map { case (n, fn) =>
+      n -> runHashed(sLocal, n, fn, sfDir, timeoutSec, errors)
+    }
+    val localChain = resultHash(chainClusters(sLocal, chainN))
+    sLocal.stop()
+
+    // ---- Phase B: the same queries across forked executor JVMs ----
+    System.err.println(s"[cluster-check] phase B: $clusterMaster")
+    val sc1 = session(clusterMaster, 16)
+    val clusterIndexDir =
+      java.nio.file.Files.createTempDirectory("graft-cluster-index-b").toString
+    sc1.conf.set(operators.Materialize.DirConf, clusterIndexDir)
+    val clusterHashes = selected.map { case (n, fn) =>
+      n -> runHashed(sc1, n, fn, sfDir, timeoutSec, errors)
+    }
+    val perQuery = selected.keys.toSeq.sorted.map { n =>
+      (localHashes(n), clusterHashes(n)) match {
+        case (Some((lr, lh)), Some((cr, ch))) =>
+          val ok = if (RowsOnly(n)) lr == cr else lr == cr && lh == ch
+          n -> (if (ok) "match" else "MISMATCH")
+        case _ => n -> "error"
+      }
+    }
+    val nMatch = perQuery.count(_._2 == "match")
+
+    // ---- Phase B2: durable band index built by the LOCAL phase, probed
+    // from the cluster topology. Three proofs: the served plan is a bare
+    // parquet scan (a rebuild would carry Aggregate+Generate+Join), the
+    // index files on disk are untouched (mtime snapshot), and the pairs
+    // derived from the served index hash-equal the local phase's. A
+    // fresh session is essential — the in-JVM memo from phase B would
+    // otherwise serve the cluster-built index and prove nothing. ----
+    def indexSnapshot(): Map[String, Long] = {
+      val root = java.nio.file.Paths.get(indexDir)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => p.toString -> java.nio.file.Files.getLastModifiedTime(p).toMillis)
+        .toMap
+    }
+    val before = indexSnapshot()
+    val s2 = sc1.newSession()
+    s2.conf.set(operators.Materialize.DirConf, indexDir)
+    val bands = operators.SharedIntermediates.textBands(s2, sfDir)
+    val plan = bands.queryExecution.optimizedPlan.toString
+    val bareScan = !plan.contains("Aggregate") && !plan.contains("Generate") &&
+      !plan.contains("Join")
+    val pairsCluster = resultHash(operators.Dedup.nearDupPairsFromBands(
+      Tables.documents(s2, sfDir), bands, operators.Dedup.wordGrams, 0.7))
+    val untouched = indexSnapshot() == before
+    val pairsLocal = localHashes.get("near_dup_minhash").flatten
+    val durableOk = bareScan && untouched && pairsLocal.exists(_ == pairsCluster)
+
+    // ---- Phase B3: kill an executor mid-CC-loop, reliable checkpoints ----
+    sc1.sparkContext.setCheckpointDir(s"file:$ckptDir")
+    sc1.conf.set(operators.Materialize.ReliableConf, "true")
+    val (killer, killHappened) = killExecutors(1, delayMs = 4000)
+    val killedChain = try Some(resultHash(chainClusters(sc1, chainN)))
+      catch { case e: Throwable =>
+        errors("cc_kill") = e.getClass.getSimpleName; None }
+    killer.join(15000)
+    val ccKillOk = killHappened.get() && killedChain.contains(localChain)
+    sc1.conf.set(operators.Materialize.ReliableConf, "false")
+
+    // ---- Phase B4: kill an executor during a full registered query.
+    // A fresh session with a fresh index dir forces the ENTIRE
+    // gram→minhash→band→verify pipeline (including the durable index
+    // write) to execute while an executor dies under it. ----
+    val s3 = sc1.newSession()
+    val killDir =
+      java.nio.file.Files.createTempDirectory("graft-cluster-index-kill").toString
+    s3.conf.set(operators.Materialize.DirConf, killDir)
+    val (killer2, kill2Happened) = killExecutors(1, delayMs = 1500)
+    val killedQuery = runHashed(s3, "near_dup_minhash",
+      SparkEntry.queries("near_dup_minhash"), sfDir, timeoutSec, errors)
+    killer2.join(15000)
+    val queryKillOk = kill2Happened.get() && killedQuery.isDefined &&
+      killedQuery == localHashes.get("near_dup_minhash").flatten
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(killDir))
+    sc1.stop()
+
+    val mismatches = perQuery.filter(_._2 != "match").map(_._1)
+    val errJson = errors.map { case (k, v) => s""""$k":"$v"""" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"cluster_check","master":"$clusterMaster","sf":"$sfDir","queries_total":${selected.size},"queries_match":$nMatch,"mismatches":${mismatches.map("\"" + _ + "\"").mkString("[", ",", "]")},"durable_cross_topology":$durableOk,"durable_bare_scan":$bareScan,"cc_executor_kill_ok":$ccKillOk,"query_executor_kill_ok":$queryKillOk,"chain_n":$chainN,"errors":$errJson}""")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(indexDir))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(clusterIndexDir))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckptDir))
+    sys.exit(if (nMatch == selected.size && durableOk && ccKillOk && queryKillOk) 0 else 1)
+  }
+}

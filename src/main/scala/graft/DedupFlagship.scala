@@ -136,8 +136,15 @@ object DedupFlagship {
 
     // ---- timed pipeline, stage by stage (each stage materialized so
     // the timings attribute to the right operator)
+    // production-hash band index (one xxhash64 + 8 affine permutations
+    // per gram vs the oracle path's two md5 digests — Dedup.fastBandTable
+    // scaladoc; GRAFT_MD5_BANDS=true re-runs the md5 variant for the
+    // before/after comparison recorded in DEDUP_1GB.md)
+    val useMd5 = sys.env.getOrElse("GRAFT_MD5_BANDS", "false").toBoolean
     val (bands, tIndex) = timed("band_index") {
-      Dedup.cappedBands(Dedup.wordGrams(docs), Dedup.MaxBandBucket)
+      if (useMd5) Dedup.cappedBands(Dedup.wordGrams(docs), Dedup.MaxBandBucket)
+      else Dedup.cappedBands(Dedup.wordGrams(docs), Dedup.MaxBandBucket,
+        table = Dedup.fastBandTable)
     }
     val (pairs, tPairs) = timed("pairs") {
       Dedup.nearDupPairsFromBands(docs, bands, Dedup.wordGrams, Threshold)

@@ -27,21 +27,43 @@ object Tables {
     * many row groups / many files — the condition is false and this is a
     * no-op, so nothing extra shuffles on a 100 TB scan. */
   /** The spread decision depends only on (file layout, parallelism), so
-    * memoize it per table path: `.rdd` forces physical planning of the
-    * scan on every call, which is pure driver overhead when the same
-    * table is loaded by 57 bench queries in one JVM. */
+    * memoize it per table path. The partition count is ESTIMATED from
+    * the file listing with the same maxSplitBytes arithmetic the file
+    * scan uses — a pure metadata read. (Through round 7 this called
+    * `df.rdd.getNumPartitions`, which forces physical planning of the
+    * scan on every first load even when the spread is a no-op — pure
+    * driver overhead, and planner work a 100 TB catalog would never
+    * spend on a load-time heuristic.) */
   private val spreadCache = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
 
-  private def spread(df: DataFrame, key: String, cacheKey: String): DataFrame = {
+  private def spread(df: DataFrame, key: String, path: String): DataFrame = {
     // Cluster kill-switch: a real deployment (many files / row groups per
     // table) never needs the spreader — set
     // spark.graft.spread.enabled=false and the scan plan is PROVABLY
     // untouched (no injected repartition; asserted by PlanShapeSpec).
-    if (!df.sparkSession.conf.get("spark.graft.spread.enabled", "true").toBoolean)
+    val spark = df.sparkSession
+    if (!spark.conf.get("spark.graft.spread.enabled", "true").toBoolean)
       return df
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    val need = spreadCache.computeIfAbsent(s"$cacheKey#$p",
-      _ => df.rdd.getNumPartitions * 2 < p)
+    val p = spark.sparkContext.defaultParallelism
+    val need = spreadCache.computeIfAbsent(s"$path#$p", { _ =>
+      import org.apache.spark.network.util.JavaUtils.byteStringAsBytes
+      val maxPB = byteStringAsBytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+      val openCost = byteStringAsBytes(
+        spark.conf.get("spark.sql.files.openCostInBytes", "4MB"))
+      val hp = new org.apache.hadoop.fs.Path(path)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val sizes = fs.listStatus(hp).toSeq
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+        .map(_.getLen)
+      // FilePartition.maxSplitBytes: min(maxPartitionBytes,
+      // max(openCost, (totalBytes incl. open costs) / parallelism))
+      val total = sizes.map(_ + openCost).sum
+      val maxSplit = math.min(maxPB, math.max(openCost, total / math.max(1, p)))
+      val est = sizes.map(sz => math.max(1L, (sz + maxSplit - 1) / maxSplit)).sum
+      est * 2 < p
+    })
     if (need) df.repartition(p, org.apache.spark.sql.functions.col(key))
     else df
   }
@@ -52,9 +74,9 @@ object Tables {
   def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    =
-    spread(table(s, d, "orders"), "o_orderkey", s"$d/orders")
+    spread(table(s, d, "orders"), "o_orderkey", s"$d/orders.parquet")
   def lineitem(s: SparkSession, d: String): DataFrame  =
-    spread(table(s, d, "lineitem"), "l_orderkey", s"$d/lineitem")
+    spread(table(s, d, "lineitem"), "l_orderkey", s"$d/lineitem.parquet")
   /** events.ts normalization seam. The driver's fixture generator has
     * shipped the column in two physical layouts over time:
     *  - INT64 TIMESTAMP(NANOS): Spark 4 reads it only under
@@ -78,12 +100,12 @@ object Tables {
       case _ => raw
     }
     // user_id: sessionize/window queries cluster on it next
-    spread(typed, "user_id", s"$d/events")
+    spread(typed, "user_id", s"$d/events.parquet")
   }
   def documents(s: SparkSession, d: String): DataFrame =
-    spread(table(s, d, "documents"), "doc_id", s"$d/documents")
+    spread(table(s, d, "documents"), "doc_id", s"$d/documents.parquet")
   def embeddings(s: SparkSession, d: String): DataFrame =
-    spread(table(s, d, "embeddings"), "vec_id", s"$d/embeddings")
+    spread(table(s, d, "embeddings"), "vec_id", s"$d/embeddings.parquet")
 
   /** Memoized table row count — the catalog statistic scale-adaptive
     * operators (LSH plane count, IVF centroid count) derive their

@@ -7,8 +7,9 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // GRAFT_MASTER=local-cluster[2,8,4096] runs the whole correctness
+    // dump across real forked executor JVMs (see Cluster.scala)
+    val spark = Cluster.configure(SparkSession.builder(), cpus)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -59,18 +59,73 @@ object Materialize {
 
   /** Materialize `df` under `key`, once. The builder argument is
     * by-name: when the durable table already exists it is never
-    * evaluated (no plan construction, no upstream jobs). */
+    * evaluated (no plan construction, no upstream jobs).
+    *
+    * Commit protocol (multi-driver safe): a builder writes to a PRIVATE
+    * temp directory and atomically renames it into place, so two
+    * sessions sharing one index dir (the stated multi-driver design)
+    * can race freely — exactly one rename wins, losers discard their
+    * temp table, and a concurrent reader only ever observes either no
+    * table or a fully-committed one (never a half-overwritten dir, the
+    * failure mode of the previous in-place `mode(overwrite)` write).
+    * A leftover dir with no `_SUCCESS` (crashed writer) is cleared
+    * before building. Temp names start with '.' so even the worst
+    * rename interleaving (a temp moved INTO a just-committed target by
+    * a lagging loser) is invisible to parquet readers, which skip
+    * dot-prefixed paths. */
   def table(spark: SparkSession, key: String)(df: => DataFrame): DataFrame = {
     val dir = spark.conf.get(DirConf, "")
     if (dir.isEmpty) df.localCheckpoint()
     else {
       val safe = key.replaceAll("[^A-Za-z0-9._-]", "_")
-      val path = s"$dir/$safe"
-      val (_, fs) = fsPath(spark, path)
+      val (path, fs) = fsPath(spark, s"$dir/$safe")
       val ok = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
-      if (!fs.exists(ok)) df.write.mode("overwrite").parquet(path)
-      spark.read.parquet(path)
+      if (!fs.exists(ok)) {
+        if (fs.exists(path)) fs.delete(path, true)
+        val tmp = new org.apache.hadoop.fs.Path(
+          s"$dir/.tmp-$safe-${java.util.UUID.randomUUID.toString.take(8)}")
+        df.write.mode("overwrite").parquet(tmp.toString)
+        // lost the race (another builder committed meanwhile) → discard
+        if (fs.exists(ok) || !fs.rename(tmp, path)) fs.delete(tmp, true)
+      }
+      spark.read.parquet(path.toString)
     }
+  }
+
+  /** Content fingerprint of source data, to fold into durable index
+    * keys: a hash of the recursive file listing (path, length, mtime)
+    * of each root. Without it, keys are path+parameters only, and a
+    * REGENERATED dataset under the same path (fixtures do change) would
+    * silently serve a stale band/bucket/centroid index — wrong pairs,
+    * no error. Memoized per (session, roots): one listing per session,
+    * matching Spark's own per-session file-index caching; a source
+    * mutated mid-session is out of scope by the same contract. */
+  private val fpMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def sourceFingerprint(spark: SparkSession, paths: Seq[String]): String = {
+    val memoKey = sessionKey(spark) + ":" + paths.sorted.mkString(",")
+    fpMemo.computeIfAbsent(memoKey, { _ =>
+      val conf = spark.sparkContext.hadoopConfiguration
+      val entries = scala.collection.mutable.ArrayBuffer[String]()
+      paths.foreach { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        try {
+          val fs = hp.getFileSystem(conf)
+          val st = fs.getFileStatus(hp)
+          if (st.isDirectory) {
+            val it = fs.listFiles(hp, true)
+            while (it.hasNext) {
+              val f = it.next()
+              entries += s"${f.getPath.toUri.getPath}:${f.getLen}:${f.getModificationTime}"
+            }
+          } else entries += s"${st.getPath.toUri.getPath}:${st.getLen}:${st.getModificationTime}"
+        } catch { case _: java.io.FileNotFoundException => entries += s"absent:$p" }
+      }
+      val md = java.security.MessageDigest.getInstance("MD5")
+      entries.sorted.foreach(e => md.update((e + "\n").getBytes("UTF-8")))
+      md.digest().take(6).map("%02x".format(_)).mkString
+    })
   }
 
   val ReliableConf = "spark.graft.checkpoint.reliable"
@@ -84,7 +139,19 @@ object Materialize {
     * the cluster mode where a lost executor must not kill a 30-round
     * CC fixpoint loop. `eager = false` preserves the CC loop's
     * one-action-per-round contract (the convergence check both
-    * materializes the round and decides the fixpoint). */
+    * materializes the round and decides the fixpoint).
+    *
+    * Cluster-mode operational note: Spark never deletes reliable
+    * checkpoint dirs on its own, so a 30-round fixpoint leaves one
+    * edge-RDD dir per round on shared storage for the life of the
+    * context. Deployments MUST set
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (the
+    * ContextCleaner then removes each round's files once its RDD is
+    * unreachable — true the moment the next round materializes).
+    * ClusterCheck's cluster session sets it; per-round eager deletion
+    * here would race the non-eager contract (the previous round's
+    * checkpoint is still the current round's lineage parent until the
+    * convergence action runs). */
   def stage(df: DataFrame, eager: Boolean = true): DataFrame = {
     val s = df.sparkSession
     val reliable = s.conf.get(ReliableConf, "false").toBoolean &&

@@ -66,28 +66,39 @@ object SharedIntermediates {
       _ => Materialize.timedBuild(key)(df))
   }
 
+  /** Durable-key suffix: dataset path + content fingerprint, so a
+    * REGENERATED dataset under the same path can never be served a
+    * stale index from a pre-existing spark.graft.index.dir (see
+    * [[Materialize.sourceFingerprint]]). */
+  private def keyOf(s: SparkSession, name: String, d: String): String =
+    s"$name:$d@${Materialize.sourceFingerprint(s, Seq(d))}"
+
   /** Capped word-gram LSH band table — the maintained dedup INDEX the
     * batch pair build and the incremental path both probe. */
-  def textBands(s: SparkSession, d: String): DataFrame =
-    memoized(s, s"textBands:$d") {
+  def textBands(s: SparkSession, d: String): DataFrame = {
+    val k = keyOf(s, "textBands", d)
+    memoized(s, k) {
       Dedup.cappedBands(Dedup.wordGrams(Tables.documents(s, d)),
-        Dedup.MaxBandBucket, t => Materialize.table(s, s"textBands:$d")(t()))
+        Dedup.MaxBandBucket, t => Materialize.table(s, k)(t()))
     }
+  }
 
   /** Capped char-12-gram LSH band table — the second maintained dedup
     * index (near_dup_ngram's published parameters: 12-char shingles,
     * jaccard 0.6). Without this, every bench invocation of the n-gram
     * query re-ran the full gram→minhash→band build twice (warm+timed). */
-  def charBands(s: SparkSession, d: String): DataFrame =
-    memoized(s, s"charBands:$d") {
+  def charBands(s: SparkSession, d: String): DataFrame = {
+    val k = keyOf(s, "charBands", d)
+    memoized(s, k) {
       Dedup.cappedBands(Dedup.charGrams(Tables.documents(s, d)),
-        Dedup.MaxBandBucket, t => Materialize.table(s, s"charBands:$d")(t()))
+        Dedup.MaxBandBucket, t => Materialize.table(s, k)(t()))
     }
+  }
 
   /** Word-3-gram MinHash near-dup pairs at jaccard >= 0.7. */
   def textPairs(s: SparkSession, d: String): DataFrame = {
     val tb = textBands(s, d) // resolve BEFORE cached() — no nesting
-    cached(s, s"textPairs:$d") {
+    cached(s, keyOf(s, "textPairs", d)) {
       Dedup.nearDupPairsFromBands(Tables.documents(s, d), tb,
         Dedup.wordGrams, 0.7)
     }
@@ -95,15 +106,15 @@ object SharedIntermediates {
 
   /** Embedding-cosine near-dup pairs at cosine >= 0.35. */
   def embPairs(s: SparkSession, d: String): DataFrame =
-    cached(s, s"embPairs:$d") {
+    cached(s, keyOf(s, "embPairs", d)) {
       Similarity.embeddingNearDup(Tables.embeddings(s, d), 0.35,
         corpusCount = Some(Tables.rowCount(s, d, "embeddings")),
-        materialize = t => Materialize.table(s, s"embBuckets:$d")(t()))
+        materialize = t => Materialize.table(s, keyOf(s, "embBuckets", d))(t()))
     }
 
   /** Connected components over [[textPairs]]. */
   def textClusters(s: SparkSession, d: String): DataFrame = {
     val tp = textPairs(s, d)
-    cached(s, s"textClusters:$d")(Dedup.nearDupClusters(tp))
+    cached(s, keyOf(s, "textClusters", d))(Dedup.nearDupClusters(tp))
   }
 }

@@ -219,12 +219,15 @@ object Similarity {
 
   private def ivfCentroids(emb: DataFrame, minCentroids: Int,
       corpusCount: Option[Long]): (DataFrame, Int) = {
-    // content key: canonicalized-plan hash + parameters (shared by the
-    // durable parquet path); memo key prefixes the session UUID —
-    // stable and never reused, unlike identityHashCode (r5 advice)
+    // content key: canonicalized-plan hash + parameters + source-file
+    // fingerprint (shared by the durable parquet path — the fingerprint
+    // is what stops a REGENERATED corpus under the same path from being
+    // served a stale centroid table); memo key prefixes the session
+    // UUID — stable and never reused, unlike identityHashCode
     val spark = emb.sparkSession
     val contentKey = s"ivfCentroids:${emb.queryExecution.logical.semanticHash()}:" +
-      s"$minCentroids:${corpusCount.getOrElse(-1L)}"
+      s"$minCentroids:${corpusCount.getOrElse(-1L)}" +
+      s"@${Materialize.sourceFingerprint(spark, emb.inputFiles.toSeq)}"
     centroidMemo.computeIfAbsent(s"${Materialize.sessionKey(spark)}:$contentKey",
       _ => Materialize.timedBuild(contentKey) {
         val k = centroidsFor(corpusCount.getOrElse(emb.count()), minCentroids)
@@ -394,7 +397,8 @@ object Similarity {
     * built once. */
   private def pqCodebook(emb: DataFrame): DataFrame = {
     val spark = emb.sparkSession
-    val contentKey = s"pqCodebook:${emb.queryExecution.logical.semanticHash()}"
+    val contentKey = s"pqCodebook:${emb.queryExecution.logical.semanticHash()}" +
+      s"@${Materialize.sourceFingerprint(spark, emb.inputFiles.toSeq)}"
     pqMemo.computeIfAbsent(s"${Materialize.sessionKey(spark)}:$contentKey",
       _ => Materialize.timedBuild(contentKey)(Materialize.table(spark, contentKey) {
       val sv = pqSubvecs(emb)

@@ -583,12 +583,23 @@ object TextAnalysis {
     * by construction, the entire point of a sketch); the estimate join
     * touches the distinct-token table, not the stream. */
   def cmsTokenCounts(docs: DataFrame, topK: Int = 50): DataFrame = {
-    val toksDf = docs.select(explode(toks).as("tok"))
+    // ONE pass over the corpus-sized token stream (map-side combined
+    // groupBy); everything downstream derives from this VOCABULARY-
+    // bounded table. A CMS cell's count is exactly the sum of the
+    // counts of the tokens hashing into it, so the sketch is built from
+    // `exact` — r7 instead persisted the full exploded token stream
+    // (MEMORY_AND_DISK, linear in corpus size) to buy a second stream
+    // scan; at 100 TB that persist alone is a storage bill. The persist
+    // kept here is the distinct-token table — Heaps-law sublinear
+    // (sf0.1: ~60k vocab rows vs ~5M stream rows), three consumers
+    // (cell build, estimate join, final join); the SQL cache entry is
+    // freed by the per-query clearCache hygiene in Bench/Verify.
+    val exact = docs.select(explode(toks).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cells = toksDf
-      .select(posexplode(cmsBuckets(col("tok"))).as(Seq("j", "bucket")))
-      .groupBy("j", "bucket").agg(count(lit(1)).as("cnt"))
-    val exact = toksDf.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+    val cells = exact
+      .select(col("exact_cnt"), posexplode(cmsBuckets(col("tok"))).as(Seq("j", "bucket")))
+      .groupBy("j", "bucket").agg(sum(col("exact_cnt")).as("cnt"))
     val est = exact
       .select(col("tok"), posexplode(cmsBuckets(col("tok"))).as(Seq("j", "bucket")))
       .join(cells, Seq("j", "bucket"))
@@ -612,10 +623,19 @@ object TextAnalysis {
     * per-doc sum — summing doubles would be partition-order-dependent,
     * and raw ln() may differ between libm implementations in the last
     * ulp (quantization makes a mismatch need an ulp error within 1e-11
-    * of a rounding boundary — vanishing). Scale shape: one shuffle for
-    * each count table (map-side combined), one shuffle joining the
-    * stream to c2 on the bigram string; c1 rides the same row (the
-    * bigram carries its own first token). */
+    * of a rounding boundary — vanishing).
+    *
+    * Scale shape: the corpus-sized bigram stream is NEVER persisted —
+    * it is a map-only lineage (scan → tokenize → explode), scanned
+    * twice: once to build the bigram-count table, once to score. r7
+    * persisted the full stream (MEMORY_AND_DISK, linear in corpus
+    * size) to avoid the second scan — at 100 TB the spill is a storage
+    * bill, and recomputing a map-only lineage is the scale-safe trade.
+    * The persisted table is `c2` — DISTINCT bigrams (sublinear), three
+    * consumers — and c1 derives from it by construction: c(w1·) is the
+    * sum of c(w1 w2) over the bigrams starting with w1, so the unigram
+    * table costs a tiny aggregate over c2 instead of a third shuffle of
+    * the stream. */
   def bigramLmScore(docs: DataFrame): DataFrame = {
     val big = docs.select(col("doc_id"), toks.as("w"))
       .filter(size(col("w")) >= 2)
@@ -623,12 +643,14 @@ object TextAnalysis {
         "transform(sequence(1, size(w) - 1), i -> concat_ws(' ', slice(w, i, 2)))"))
         .as("g"))
       .withColumn("w1", substring_index(col("g"), " ", 1))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val c2 = big.groupBy("g").agg(count(lit(1)).as("c2"))
-    val c1 = big.groupBy("w1").agg(count(lit(1)).as("c1"))
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
     val v = docs.select(explode(toks).as("tok")).agg(
       countDistinct(col("tok")).as("v"))
-    val scored = big.join(c2, "g").join(c1, "w1").crossJoin(broadcast(v))
+    val scored = big.join(c2.select("g", "c2"), "g").join(c1, "w1")
+      .crossJoin(broadcast(v))
       .select(col("doc_id"),
         floor(log((col("c2") + 1).cast("double") /
           (col("c1") + col("v")).cast("double")) * lit(10000.0) + lit(0.5))

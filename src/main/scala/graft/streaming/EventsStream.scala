@@ -172,12 +172,15 @@ object EventsStream {
     *     → the marker makes the replay a no-op. Double-count and
     *     state-loss windows are both closed.
     *
-    * Older version dirs are pruned only AFTER the new marker commits;
-    * the (empty) markers themselves are retained as the replay ledger —
-    * one zero-byte file per batch, compacted in production by the table
-    * format's log checkpointing. Complements [[toIdempotentParquetSink]],
-    * which handles the naturally-idempotent (partitioned-overwrite)
-    * case instead. */
+    * Keep-only-latest: pruning runs only AFTER the new marker commits
+    * and deletes everything except the just-committed `v<batchId>` and
+    * its marker — older version dirs, older markers, and any
+    * uncommitted orphan a crashed writer left. One marker is all the
+    * ledger replay needs: only the LAST batch can re-run after a crash,
+    * and its own marker is the one retained, so deleting older markers
+    * can never resurrect a double-merge. Complements
+    * [[toIdempotentParquetSink]], which handles the naturally-
+    * idempotent (partitioned-overwrite) case instead. */
   def toMergeSink(df: DataFrame, stateDir: String,
       checkpointDir: String): DataStreamWriter[Row] =
     df.writeStream
