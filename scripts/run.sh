@@ -1,7 +1,16 @@
 #!/bin/bash
-# Fast runner: java with the sbt-exported classpath + the JDK17 add-opens
-# that build.sbt injects for forked runs. Usage: scripts/run.sh <mainClass> [args...]
+# Fast runner: java with the compiled classes + Spark's unmanaged jars and
+# the JDK17 add-opens that build.sbt injects for forked runs.
+# Usage: scripts/run.sh <mainClass> [args...]
 set -e
+# /tmp is wiped between sessions; rebuild the classpath cache on demand.
+# Runtime deps are exactly target classes + /opt/spark/jars (build.sbt
+# unmanagedBase) — test-only deps (scalatest) are not needed for mains.
+if [ ! -s /tmp/cp.txt ]; then
+  REPO="$(cd "$(dirname "$0")/.." && pwd)"
+  printf '%s' "$REPO/target/scala-2.13/classes" > /tmp/cp.txt
+  printf ':%s' /opt/spark/jars/*.jar >> /tmp/cp.txt
+fi
 CP=$(cat /tmp/cp.txt)
 # local-cluster mode (GRAFT_MASTER / ClusterCheck): the in-process
 # standalone Worker forks executor JVMs via the Spark launcher, which

@@ -259,9 +259,43 @@ object Similarity {
     scoreAgainst(emb, cents1, k, "ce1")
   }
 
+  private val assignMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** The INVERTED FILE itself, as a built-once index: the narrow
+    * (vec_id, cell, ccos) corpus→cell assignment, memoized through
+    * [[Materialize.table]] exactly like the centroid table. Before this
+    * existed, every IVF consumer (nprobe=1, multiprobe, IVF-PQ,
+    * semantic dedup) re-ran the N×K assignment join per call — measured
+    * at 1M vectors that is ~185 s of redundant cosine evaluation per
+    * serve (ANN_1M.md), and at 10⁹ vectors it is the difference between
+    * an index and a full-corpus scan per query family. The index is
+    * NARROW on purpose: embeddings re-attach via an equi-join on
+    * vec_id (co-partitionable, broadcastable at small SF) instead of
+    * being duplicated into the index files. */
+  def ivfAssignIndex(emb: DataFrame, minCentroids: Int,
+      corpusCount: Option[Long] = None): DataFrame = {
+    val spark = emb.sparkSession
+    val contentKey = s"ivfAssign:${emb.queryExecution.logical.semanticHash()}:" +
+      s"$minCentroids:${corpusCount.getOrElse(-1L)}" +
+      s"@${Materialize.sourceFingerprint(spark, emb.inputFiles.toSeq)}"
+    assignMemo.computeIfAbsent(s"${Materialize.sessionKey(spark)}:$contentKey",
+      _ => Materialize.timedBuild(contentKey)(Materialize.table(spark, contentKey)(
+        argmaxCell(ivfScored(emb, minCentroids, corpusCount))
+          .select(col("vec_id"), col("cell"), col("ccos")))))
+  }
+
+  /** Assignment with embeddings re-attached — (vec_id, embedding, cell,
+    * ccos), the working shape every IVF consumer scores against. */
+  private def assignedWithEmb(emb: DataFrame, minCentroids: Int,
+      corpusCount: Option[Long]): DataFrame =
+    emb.select(col("vec_id"), col("embedding"))
+      .join(ivfAssignIndex(emb, minCentroids, corpusCount), "vec_id")
+      .select(col("vec_id"), col("embedding"), col("cell"), col("ccos"))
+
   def ivfAssign(emb: DataFrame, minCentroids: Int,
       corpusCount: Option[Long] = None): DataFrame =
-    argmaxCell(ivfScored(emb, minCentroids, corpusCount))
+    assignedWithEmb(emb, minCentroids, corpusCount)
 
   /** IVF top-k: search restricted to the query's cell (nprobe=1). The
     * second of the two ANN scale paths (sign-LSH buckets being the
@@ -269,13 +303,10 @@ object Similarity {
   def ivfTopK(emb: DataFrame, minCentroids: Int, nQueries: Int, k: Int,
       corpusCount: Option[Long] = None): DataFrame = {
     val spark = emb.sparkSession
-    // NOT persisted: the self-join below reads the assignment from both
-    // sides, but both subtrees are identical up to the argmax exchange,
-    // so exchange reuse computes the shuffle once; only the (tiny,
-    // post-shuffle) final aggregation runs per side. A lazy persist
-    // here measurably HURT — the cold cache made the concurrent join
-    // stages race to populate the same partitions, re-running the whole
-    // training lineage per side (the round-4 IVF regression).
+    // both sides of the self-join read the MATERIALIZED assignment index
+    // (narrow table + vec_id equi-join to re-attach embeddings) — the
+    // N×K assignment job runs once per (session, corpus, params), not
+    // once per consumer subtree
     val assigned = ivfAssign(emb, minCentroids, corpusCount)
     val q = assigned.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
@@ -326,11 +357,11 @@ object Similarity {
     // NB: kc is the CENTROID count — naming it `k` would shadow the top-k
     // parameter and turn the final rank filter into "top-K-centroids"
     val (cents1, kc) = ivfCentroids(emb, minCentroids, corpusCount)
-    // one consumer for the corpus-wide scoring (the argmax) — no need to
-    // materialize the N×K scored rows; the probe ranking below scores
-    // the QUERY SLICE against the same (checkpointed) centroid table in
-    // its own tiny plan (nQueries × K rows), never the corpus
-    val assigned = argmaxCell(scoreAgainst(emb, cents1, kc, "ce1"))
+    // the corpus side serves from the materialized assignment index;
+    // the probe ranking below scores the QUERY SLICE against the same
+    // (checkpointed) centroid table in its own tiny plan (nQueries × K
+    // rows), never the corpus
+    val assigned = assignedWithEmb(emb, minCentroids, corpusCount)
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cent_id").asc)
     val probes = scoreAgainst(emb.filter(col("vec_id") < nQueries), cents1, kc, "ce1")
@@ -358,25 +389,63 @@ object Similarity {
 
   /** Product-quantization geometry: 64-dim vectors cut into [[PqSub]]
     * subspaces of [[PqSubDim]] dims, [[PqCodes]] codes per subspace
-    * (4-bit codes → a vector compresses to 8 nibbles; at 10⁹ vectors
-    * the code table is 4 GB where the float corpus is 256 GB — the
-    * compression is what makes billion-scale ANN serveable). */
-  val PqSub = 8
-  val PqSubDim = 8
+    * (4-bit codes → a vector compresses to 16 nibbles = 8 bytes; at
+    * 10⁹ vectors the code table is 8 GB where the float corpus is
+    * 256 GB — the compression is what makes billion-scale ANN
+    * serveable). 16×4-dim (not 8×8-dim): for a fixed code budget,
+    * more/smaller subspaces quantize far finer — k^(2/D) variance
+    * reduction per subspace is 16^(1/2) at D=4 vs 16^(1/4) at D=8 —
+    * at identical total encode cost. Measured at 1M vectors the 8×8
+    * geometry's within-cell ADC ranking was indistinguishable from
+    * random (recall@10 = 0.019, ANN_1M.md round-8 "before"). */
+  val PqSub = 16
+  val PqSubDim = 4
   val PqCodes = 16
 
-  /** Subvector stream in EXACT micro-units: (vec_id, sub, qa1..qa8),
-    * qa_j = floor(e[sub·8+j]·10⁶ + 0.5) as BIGINT. All PQ distances are
-    * then exact integer arithmetic — no float-sum ordering or libm
-    * variance anywhere in the index, so the oracle reproduces every
-    * distance bit-for-bit. */
-  private def pqSubvecs(emb: DataFrame): DataFrame = {
+  /** ADC shortlist multiple: IVF-PQ ranks its cell's candidates by
+    * quantized distance, keeps the top RefineFactor·k, and re-ranks
+    * that shortlist with EXACT cosines over the original vectors — the
+    * standard refine stage (FAISS IVFPQR; Jégou et al. 2011 §V). The
+    * exact pass touches RefineFactor·k·nQueries vectors — negligible —
+    * while repairing the quantization error that otherwise decides the
+    * final ranking. */
+  val RefineFactor = 4
+
+  /** RESIDUAL subvector stream in EXACT micro-units over
+    * (vec_id, embedding, ce) where `ce` is the assigned cell's
+    * centroid: qa_j = floor(e[i]·10⁶ + 0.5) − floor(ce[i]·10⁶ + 0.5),
+    * i = sub·[[PqSubDim]]+j, as BIGINT. Encoding residuals (vector −
+    * coarse centroid), not raw vectors, is the heart of IVFPQ: within a
+    * cell the raw vectors all sit near the centroid, so a GLOBAL
+    * codebook spends its 4 bits spanning the whole space and resolves
+    * nothing inside the cell, while a residual codebook spends them on
+    * exactly the within-cell offsets the ranking depends on. All PQ
+    * distances stay exact integer arithmetic — no float-sum ordering or
+    * libm variance anywhere in the index, so the oracle reproduces
+    * every distance bit-for-bit. */
+  private def residualSubvecs(embWithCent: DataFrame): DataFrame = {
     val qas = (1 to PqSubDim).map(j =>
-      floor(element_at(col("embedding"), col("sub") * PqSubDim + j).cast("double")
-        * lit(1000000.0) + lit(0.5)).cast("long").as(s"qa$j"))
-    emb.select(col("vec_id"),
-        explode(sequence(lit(0), lit(PqSub - 1))).as("sub"), col("embedding"))
+      (floor(element_at(col("embedding"), col("sub") * PqSubDim + j).cast("double")
+        * lit(1000000.0) + lit(0.5)).cast("long")
+        - floor(element_at(col("ce"), col("sub") * PqSubDim + j).cast("double")
+        * lit(1000000.0) + lit(0.5)).cast("long")).as(s"qa$j"))
+    embWithCent.select(col("vec_id"),
+        explode(sequence(lit(0), lit(PqSub - 1))).as("sub"),
+        col("embedding"), col("ce"))
       .select(col("vec_id") +: col("sub") +: qas: _*)
+  }
+
+  /** (vec_id, embedding, ce): each vector paired with its home cell's
+    * centroid — assignment from the narrow index, centroid table
+    * broadcast under the provable-size gate. */
+  private def withCentroid(emb: DataFrame, minCentroids: Int,
+      corpusCount: Option[Long]): DataFrame = {
+    val (cents1, kc) = ivfCentroids(emb, minCentroids, corpusCount)
+    val cside = cents1.select(col("cent_id").as("cell"), col("ce1").as("ce"))
+    val joined = if (kc <= MaxBroadcastCentroids) broadcast(cside) else cside
+    assignedWithEmb(emb, minCentroids, corpusCount)
+      .join(joined, "cell")
+      .select(col("vec_id"), col("embedding"), col("ce"))
   }
 
   /** Σ (qa_j − qc_j)² over one subspace — exact BIGINT L2². */
@@ -388,25 +457,35 @@ object Similarity {
   private val pqMemo =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  /** PQ codebook — (sub, code, qc1..qc8), ≤ [[PqSub]]·[[PqCodes]] rows.
-    * Training mirrors the IVF build: deterministic seeds (subvectors of
-    * the first [[PqCodes]] vectors), one Lloyd round on the bounded
-    * sample (first PqCodes² vectors), centroids re-centered in integer
-    * micro-units (floor(mean + 0.5) on the exact BIGINT sum). Memoized
-    * per (session, corpus) like the IVF centroid table — an index is
-    * built once. */
-  private def pqCodebook(emb: DataFrame): DataFrame = {
+  /** PQ codebook — (sub, code, qc1..qc4), ≤ [[PqSub]]·[[PqCodes]] rows,
+    * trained on RESIDUAL subvectors. Training mirrors the IVF build:
+    * deterministic seeds (residual subvectors of the first [[PqCodes]]
+    * vectors), one Lloyd round on the bounded sample (first PqCodes²
+    * vectors), centroids re-centered in integer micro-units
+    * (floor(mean + 0.5) on the exact BIGINT sum). Memoized per
+    * (session, corpus, params) like the IVF centroid table — an index
+    * is built once. Key carries a version tag (v2 = residual 16×4
+    * geometry) so a durable index dir written by the pre-residual code
+    * can never be served to this one. */
+  private def pqCodebook(emb: DataFrame, minCentroids: Int,
+      corpusCount: Option[Long]): DataFrame = {
     val spark = emb.sparkSession
-    val contentKey = s"pqCodebook:${emb.queryExecution.logical.semanticHash()}" +
+    val contentKey = s"pqCodebook:v2:${emb.queryExecution.logical.semanticHash()}:" +
+      s"$minCentroids:${corpusCount.getOrElse(-1L)}" +
       s"@${Materialize.sourceFingerprint(spark, emb.inputFiles.toSeq)}"
     pqMemo.computeIfAbsent(s"${Materialize.sessionKey(spark)}:$contentKey",
       _ => Materialize.timedBuild(contentKey)(Materialize.table(spark, contentKey) {
-      val sv = pqSubvecs(emb)
+      // sample filter AFTER centroid attachment: the coarse quantizer
+      // and assignment are the full-corpus index structures; only the
+      // codebook's Lloyd step trains on the bounded prefix (the
+      // vec_id predicate pushes through the join to both scans)
+      val sv = residualSubvecs(
+        withCentroid(emb, minCentroids, corpusCount)
+          .filter(col("vec_id") < PqCodes.toLong * PqCodes))
       val seeds = sv.filter(col("vec_id") < PqCodes)
         .select(col("sub") +: col("vec_id").as("code") +:
           (1 to PqSubDim).map(j => col(s"qa$j").as(s"qc$j")): _*)
-      val train = sv.filter(col("vec_id") < PqCodes.toLong * PqCodes)
-      val assigned = train.join(broadcast(seeds), "sub")
+      val assigned = sv.join(broadcast(seeds), "sub")
         .select(col("vec_id") +: col("sub") +: col("code") +: pqDist.as("d") +:
           (1 to PqSubDim).map(j => col(s"qa$j")): _*)
         .groupBy(col("vec_id"), col("sub"))
@@ -432,35 +511,64 @@ object Similarity {
       .agg(max_by(col("code"),
         struct((-pqDist).as("nd"), (-col("code")).as("nc"))).as("code"))
 
-  /** IVF-PQ top-k — the production ANN index shape (the FAISS
-    * `IVFx,PQy` default): the IVF coarse quantizer restricts candidates
-    * to the query's cell, and candidates are scored by ASYMMETRIC
-    * DISTANCE COMPUTATION — the query precomputes its distance to every
-    * codebook centroid (a [[PqSub]]×[[PqCodes]] table), and a
-    * candidate's approximate distance is the SUM of 8 table lookups on
-    * its stored nibbles, never touching the candidate's floats.
+  private val pqCodesMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** The PQ CODE TABLE as a built-once index: (vec_id, sub, code) for
+    * the whole corpus — the 8-byte-per-vector structure a production
+    * IVFPQ deployment stores and serves. Encoding touches every corpus
+    * vector × [[PqCodes]] codes, so like the assignment index it must
+    * run once per (session, corpus, params), not once per query call. */
+  private def pqCodesIndex(emb: DataFrame, minCentroids: Int,
+      corpusCount: Option[Long]): DataFrame = {
+    val spark = emb.sparkSession
+    val contentKey = s"pqCodes:v2:${emb.queryExecution.logical.semanticHash()}:" +
+      s"$minCentroids:${corpusCount.getOrElse(-1L)}" +
+      s"@${Materialize.sourceFingerprint(spark, emb.inputFiles.toSeq)}"
+    pqCodesMemo.computeIfAbsent(s"${Materialize.sessionKey(spark)}:$contentKey",
+      _ => Materialize.timedBuild(contentKey)(Materialize.table(spark, contentKey)(
+        pqEncode(residualSubvecs(withCentroid(emb, minCentroids, corpusCount)),
+          pqCodebook(emb, minCentroids, corpusCount)))))
+  }
+
+  /** IVF-PQ top-k with refine — the production ANN index shape (FAISS
+    * `IVFx,PQy` + refine; Jégou et al. 2011): the IVF coarse quantizer
+    * restricts candidates to the query's cell; candidates are scored by
+    * ASYMMETRIC DISTANCE COMPUTATION over RESIDUALS — the query
+    * precomputes its residual's distance to every codebook centroid (a
+    * [[PqSub]]×[[PqCodes]] table), and a candidate's approximate
+    * distance is the SUM of [[PqSub]] table lookups on its stored
+    * nibbles, never touching the candidate's floats; the ADC top
+    * [[RefineFactor]]·k shortlist is then re-ranked with exact cosines.
     *
-    * Scale shape: both index structures (centroid table, codebook) are
-    * memoized one-time builds; the corpus is touched by exactly two
-    * one-shuffle aggregations (cell argmax, code argmin — both
-    * partial-aggregable); the per-query distance table is broadcast
-    * (nQueries·128 rows); ADC itself is an equi-join on (query, sub,
-    * code) plus a map-side-combinable SUM — no float math, no window
-    * over the corpus. All distances are exact BIGINTs, so ranking ties
-    * break identically everywhere. */
+    * Scale shape: all three index structures (centroid table, code
+    * table, codebook) are memoized one-time builds; a SERVE touches the
+    * narrow assignment index, the narrow code table, one broadcast
+    * distance table (nQueries·[[PqSub]]·[[PqCodes]] rows), a
+    * map-side-combinable SUM, and an exact re-rank bounded at
+    * RefineFactor·k·nQueries vector reads — no corpus-scale float math
+    * per query. All ADC distances are exact BIGINTs, so shortlist ties
+    * break identically everywhere; the refined cosines reuse the
+    * round-6 chain the other ANN paths pin. */
   def ivfPqTopK(emb: DataFrame, minCentroids: Int, nQueries: Int, k: Int,
       corpusCount: Option[Long] = None): DataFrame = {
-    val (cents1, kc) = ivfCentroids(emb, minCentroids, corpusCount)
-    val assigned = argmaxCell(scoreAgainst(emb, cents1, kc, "ce1"))
+    val spark = emb.sparkSession
+    val assigned = ivfAssignIndex(emb, minCentroids, corpusCount)
       .select(col("vec_id"), col("cell"))
-    val cb = pqCodebook(emb)
-    val codes = pqEncode(pqSubvecs(emb), cb)
+    val cb = pqCodebook(emb, minCentroids, corpusCount)
+    val codes = pqCodesIndex(emb, minCentroids, corpusCount)
     val q = assigned.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("cell").as("qcell"))
     val cand = assigned.join(broadcast(q),
         col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("cand_id"))
-    val qdt = pqSubvecs(emb.filter(col("vec_id") < nQueries))
+    // query distance table against the QUERY's home-cell residual: the
+    // query and its same-cell candidates share one coarse centroid, so
+    // ADC over residuals is exact in the centroid term (classic per-cell
+    // lookup tables). nQueries × PqSub × PqCodes rows — broadcast.
+    val qdt = residualSubvecs(
+        withCentroid(emb, minCentroids, corpusCount)
+          .filter(col("vec_id") < nQueries))
       .join(broadcast(cb), "sub")
       .select(col("vec_id").as("query_id"), col("sub"), col("code"),
         pqDist.as("dpart"))
@@ -470,11 +578,30 @@ object Similarity {
       .join(broadcast(qdt), Seq("query_id", "sub", "code"))
       .groupBy(col("query_id"), col("cand_id"))
       .agg(sum(col("dpart")).as("adc_dist"))
-    val w = Window.partitionBy(col("query_id"))
+    // ADC shortlist → EXACT re-rank (the refine stage): quantized
+    // distance picks RefineFactor·k candidates per query, true cosines
+    // over the original vectors decide the final k — bounded exact
+    // work (RefineFactor·k·nQueries pairs) repairing quantization
+    // error in the final ranking
+    val ws = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_dist").asc, col("cand_id").asc)
-    adc.withColumn("rnk", row_number().over(w).cast("long"))
+    val short = adc.withColumn("srnk", row_number().over(ws))
+      .filter(col("srnk") <= RefineFactor * k)
+      .select(col("query_id"), col("cand_id"))
+    val qe = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val scored = short
+      .join(emb.select(col("vec_id").as("cand_id"), col("embedding").as("cemb")),
+        "cand_id")
+      .join(broadcast(qe), "query_id")
+      .select(col("query_id"), col("cand_id"),
+        round(graft.functions.GraftFunctions.cosine_sim(
+          spark, col("qe"), col("cemb")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("cand_id").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk"), col("cand_id"), col("adc_dist"))
+      .select(col("query_id"), col("rnk"), col("cand_id"), col("cos_sim"))
       .orderBy("query_id", "rnk")
   }
 
@@ -497,8 +624,8 @@ object Similarity {
   def semanticDedup(emb: DataFrame, minCentroids: Int, threshold: Double,
       corpusCount: Option[Long] = None): DataFrame = {
     val spark = emb.sparkSession
-    val (cents1, kc) = ivfCentroids(emb, minCentroids, corpusCount)
-    val assigned = argmaxCell(scoreAgainst(emb, cents1, kc, "ce1"))
+    val (_, kc) = ivfCentroids(emb, minCentroids, corpusCount)
+    val assigned = assignedWithEmb(emb, minCentroids, corpusCount)
     val reps = assigned.groupBy(col("cell"))
       .agg(max_by(struct(col("vec_id"), col("embedding")),
         struct(col("ccos"), (-col("vec_id")).as("nv"))).as("r"))
@@ -591,6 +718,7 @@ object Similarity {
     * [[bruteForceTopK]] — broadcast the tiny query set, no corpus
     * shuffle, per-query top-k window. */
   def quantizedTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val spark = emb.sparkSession
     val maxAbs = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
     val base = emb.select(col("vec_id"), col("embedding"))
       .withColumn("max_abs", maxAbs)
@@ -598,16 +726,20 @@ object Similarity {
       .withColumn("qv", transform(col("embedding"), x =>
         floor(x.cast("double") * (lit(127.0) / col("max_abs")) + lit(0.5)).cast("double")))
       .select(col("vec_id"), col("qv"))
-    def qdot(a: Column, b: Column): Column =
-      (1 to Dim).map(i => element_at(a, i) * element_at(b, i)).reduce(_ + _)
-    def qnorm2(a: Column): Column =
-      (1 to Dim).map { i => val e = element_at(a, i); e * e }.reduce(_ + _)
     val q = base.select(col("vec_id").as("query_id"), col("qv").as("qa"))
       .filter(col("query_id") < nQueries)
+    // scoring via the native cosine expression: the quantized elements
+    // are exact small integers in double, and cosine_sim's generated
+    // loop accumulates dot/norms left-to-right exactly like the oracle's
+    // expanded 64-term chains — same IEEE sequence, same value. The
+    // previous composed-builtin form (3×64 element_at terms per pair)
+    // blew past the JIT's method-size limits and ran interpreted,
+    // measured 15× SLOWER than float brute force at 1M vectors — the
+    // exact inversion of what int8 quantization is for.
     val scored = base.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("cand_id"),
-        round(qdot(col("qa"), col("qv")) /
-          (sqrt(qnorm2(col("qa"))) * sqrt(qnorm2(col("qv")))), 6).as("qcos"))
+        round(graft.functions.GraftFunctions.cosine_sim(
+          spark, col("qa"), col("qv")), 6).as("qcos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("qcos").desc, col("cand_id").asc)
     scored.withColumn("rnk", row_number().over(w).cast("long"))

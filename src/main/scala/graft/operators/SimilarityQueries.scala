@@ -188,17 +188,22 @@ object SimilarityQueries {
        |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, cand_id, qcos FROM r
        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
-  /** IVF-PQ oracle. Every PQ quantity is exact BIGINT arithmetic
-    * (micro-unit subvectors, integer L2², integer ADC sums), so the
-    * whole index — codebook, codes, distance tables, ranking — is
-    * reproduced bit-for-bit from the same CTE algebra. */
+  /** IVF-PQ oracle (residual PQ + refine). Every PQ quantity is exact
+    * BIGINT arithmetic (micro-unit RESIDUAL subvectors — per-element
+    * floors of vector and home-cell centroid subtracted as integers —
+    * integer L2², integer ADC sums), so the whole index — codebook,
+    * codes, distance tables, shortlist — is reproduced bit-for-bit from
+    * the same CTE algebra; the refine stage re-ranks the shortlist with
+    * the shared exact-cosine chain. */
   private def pqd(a: String, b: String): String =
     (1 to Similarity.PqSubDim)
       .map(j => s"($a.qa$j - $b.qc$j)*($a.qa$j - $b.qc$j)").mkString(" + ")
 
   private val annIvfPqSql: String = {
     val qaCols = (1 to Similarity.PqSubDim).map(j =>
-      s"CAST(floor(CAST(embedding[r.sub*${Similarity.PqSubDim}+$j] AS DOUBLE)" +
+      s"CAST(floor(CAST(a.embedding[r.sub*${Similarity.PqSubDim}+$j] AS DOUBLE)" +
+        s"*1000000.0 + 0.5) AS BIGINT)" +
+        s" - CAST(floor(CAST(c.ce[r.sub*${Similarity.PqSubDim}+$j] AS DOUBLE)" +
         s"*1000000.0 + 0.5) AS BIGINT) AS qa$j").mkString(",\n       |         ")
     val qcSeed = (1 to Similarity.PqSubDim).map(j => s"qa$j AS qc$j").mkString(", ")
     val qcMean = (1 to Similarity.PqSubDim).map(j =>
@@ -207,9 +212,10 @@ object SimilarityQueries {
     val qaPass = (1 to Similarity.PqSubDim).map(j => s"qa$j").mkString(", ")
     s"""WITH $ivfRankedCtes,
        |sv AS (
-       |  SELECT vec_id, r.sub AS sub,
+       |  SELECT a.vec_id, r.sub AS sub,
        |         $qaCols
-       |  FROM embeddings, range(0, ${Similarity.PqSub}) r(sub)),
+       |  FROM asg a JOIN cent c ON a.cell = c.cent_id,
+       |       range(0, ${Similarity.PqSub}) r(sub)),
        |pseeds AS (
        |  SELECT sub, vec_id AS code, $qcSeed FROM sv
        |  WHERE vec_id < ${Similarity.PqCodes}),
@@ -244,10 +250,21 @@ object SimilarityQueries {
        |  JOIN pcodes pc ON pc.vec_id = c.cand_id
        |  JOIN qdt ON qdt.query_id = c.query_id AND qdt.sub = pc.sub
        |          AND qdt.code = pc.code
-       |  GROUP BY 1, 2)
-       |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, cand_id, adc_dist FROM (
+       |  GROUP BY 1, 2),
+       |shortl AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |             ORDER BY adc_dist ASC, cand_id ASC) AS srnk FROM adc)
+       |  WHERE srnk <= ${Similarity.RefineFactor * 3}),
+       |ref AS (
+       |  SELECT s.query_id, s.cand_id,
+       |         round(${cosSql("qq.embedding", "cc.embedding")}, 6) AS cos_sim
+       |  FROM shortl s
+       |  JOIN embeddings qq ON qq.vec_id = s.query_id
+       |  JOIN embeddings cc ON cc.vec_id = s.cand_id)
+       |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, cand_id, cos_sim FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id
-       |           ORDER BY adc_dist ASC, cand_id ASC) AS rnk FROM adc)
+       |           ORDER BY cos_sim DESC, cand_id ASC) AS rnk FROM ref)
        |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
       .replace("ptrainsv",
         s"(SELECT * FROM sv WHERE vec_id < ${Similarity.PqCodes.toLong * Similarity.PqCodes})")

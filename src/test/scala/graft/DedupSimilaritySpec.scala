@@ -163,35 +163,41 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(full.exists(_._2 < split), "no corpus-only pairs to exclude")
   }
 
-  test("ivf-pq: bounded ranks, non-negative exact distances, self-dup lands on top") {
+  test("ivf-pq: bounded ranks, refined cosines in range, self-dup lands on top") {
     val pq = Similarity.ivfPqTopK(emb, 8, 16, 3)
-      .as[(Long, Long, Long, Long)].collect()
+      .as[(Long, Long, Long, Double)].collect()
     assert(pq.nonEmpty)
     pq.groupBy(_._1).foreach { case (q, rows) =>
       val rnks = rows.map(_._2).sorted
       assert(rnks.sameElements(1L to rnks.length), s"ranks not dense for query $q")
       assert(rnks.length <= 3)
+      // refine invariant: the exact re-rank orders by true cosine
+      val byRank = rows.sortBy(_._2).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        s"refined cosines not descending for query $q")
     }
-    assert(pq.forall(_._4 >= 0L), "ADC distance must be non-negative")
-    // determinism: integer distances → a rerun is bit-identical
+    assert(pq.forall(r => r._4 >= -1.0 && r._4 <= 1.0),
+      "refined cosine out of range")
+    // determinism: integer ADC shortlist + rounded exact cosines → a
+    // rerun is bit-identical
     val again = Similarity.ivfPqTopK(emb, 8, 16, 3)
-      .as[(Long, Long, Long, Long)].collect()
+      .as[(Long, Long, Long, Double)].collect()
     assert(pq.sorted.sameElements(again.sorted), "non-deterministic result")
     // recall sanity: an identical-embedding duplicate shares the query's
-    // codes, so its ADC distance is Σ_sub min_code dt[sub][code] — the
-    // provable MINIMUM over the cell (it is the query's own quantization
-    // residual). The twin must therefore appear with the minimal
-    // distance among the query's results.
+    // home cell AND its codes, so it survives the ADC shortlist (its
+    // quantized distance is the provable cell minimum — the query's own
+    // quantization residual) and the exact refine puts it at cosine 1.0,
+    // rank 1.
     val twin = emb.filter(col("vec_id") === 0L)
       .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"), col("label"))
     val withTwin = emb.union(twin)
     val t = Similarity.ivfPqTopK(withTwin, 8, 1, 3)
-      .as[(Long, Long, Long, Long)].collect()
+      .as[(Long, Long, Long, Double)].collect()
     val q0 = t.filter(_._1 == 0L)
     val twinRow = q0.find(_._3 == 1000000L)
     assert(twinRow.isDefined, s"twin missing from query 0's top-3: ${q0.toSeq}")
-    assert(twinRow.get._4 == q0.map(_._4).min,
-      s"twin not at the minimal ADC distance: ${q0.toSeq}")
+    assert(twinRow.get._2 == 1L && twinRow.get._4 == 1.0,
+      s"twin not refined to rank 1 at cosine 1.0: ${q0.toSeq}")
   }
 
   test("semantic dedup: total partition, one self-similar rep per cell, dups cleared") {
