@@ -66,6 +66,12 @@ object AnnFlagship {
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("GRAFT_AQE", "true"))
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
+      // GRAFT_INDEX_DIR: durable index mode — a SECOND flagship run in a
+      // fresh JVM then serves every ANN path from the parquet indexes
+      // (assignment, codes, centroids, codebook) without rebuilding,
+      // measuring pure serve cost the way a deployed cluster would see it
+      .config(graft.operators.Materialize.DirConf,
+        sys.env.getOrElse("GRAFT_INDEX_DIR", ""))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

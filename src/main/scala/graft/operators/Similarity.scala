@@ -409,7 +409,7 @@ object Similarity {
     * exact pass touches RefineFactor·k·nQueries vectors — negligible —
     * while repairing the quantization error that otherwise decides the
     * final ranking. */
-  val RefineFactor = 4
+  val RefineFactor = 8
 
   /** RESIDUAL subvector stream in EXACT micro-units over
     * (vec_id, embedding, ce) where `ce` is the assigned cell's
@@ -717,15 +717,37 @@ object Similarity {
     * floor is exact everywhere. Plan shape: identical to
     * [[bruteForceTopK]] — broadcast the tiny query set, no corpus
     * shuffle, per-query top-k window. */
+  private val quantMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** The QUANTIZED CORPUS as a built-once index — (vec_id, qv), the
+    * 4×-smaller column a production vector store persists and serves
+    * from. Materialized for two reasons: it is what "quantize the
+    * corpus" means at scale (pay the transform once, not per query
+    * batch), and without it Catalyst's projection collapse inlines the
+    * 64-element quantization transform into the score join's output
+    * projection, re-quantizing every corpus vector once per QUERY PAIR
+    * (measured 3× over float brute force at 1M×64 queries — the exact
+    * inversion of the feature's purpose). */
+  private def quantizedCorpus(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    val contentKey = s"int8Corpus:${emb.queryExecution.logical.semanticHash()}" +
+      s"@${Materialize.sourceFingerprint(spark, emb.inputFiles.toSeq)}"
+    quantMemo.computeIfAbsent(s"${Materialize.sessionKey(spark)}:$contentKey",
+      _ => Materialize.timedBuild(contentKey)(Materialize.table(spark, contentKey) {
+        val maxAbs = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+        emb.select(col("vec_id"), col("embedding"))
+          .withColumn("max_abs", maxAbs)
+          .filter(col("max_abs") > 0)
+          .withColumn("qv", transform(col("embedding"), x =>
+            floor(x.cast("double") * (lit(127.0) / col("max_abs")) + lit(0.5)).cast("double")))
+          .select(col("vec_id"), col("qv"))
+      }))
+  }
+
   def quantizedTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
     val spark = emb.sparkSession
-    val maxAbs = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
-    val base = emb.select(col("vec_id"), col("embedding"))
-      .withColumn("max_abs", maxAbs)
-      .filter(col("max_abs") > 0)
-      .withColumn("qv", transform(col("embedding"), x =>
-        floor(x.cast("double") * (lit(127.0) / col("max_abs")) + lit(0.5)).cast("double")))
-      .select(col("vec_id"), col("qv"))
+    val base = quantizedCorpus(emb)
     val q = base.select(col("vec_id").as("query_id"), col("qv").as("qa"))
       .filter(col("query_id") < nQueries)
     // scoring via the native cosine expression: the quantized elements
