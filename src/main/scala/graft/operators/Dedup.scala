@@ -92,29 +92,32 @@ object Dedup {
 
   /** PRODUCTION-HASH band table: identical banded-LSH shape to
     * [[bandTable]] (8 minhashes → 4 bands × 2 rows), but the signature
-    * hashing is ONE xxhash64 pass per gram occurrence plus 8 affine
-    * permutations `h·A_j + B_j` (odd A_j ⇒ a bijection on Z/2⁶⁴ — the
-    * classic one-hash-k-permutations MinHash), where the md5 variant
-    * pays two full MD5 digests (MessageDigest allocation + 64 hex-char
-    * string materialization + 8 substring extractions) per occurrence.
-    * The gram-hash stage is the dominant cost of the whole dedup
-    * pipeline at 1 GB (47.6 s of 69.9 s in the r7 flagship), which is
-    * exactly the stage this variant attacks; bands are LONGs, so the
-    * capped self-join shuffles 8 bytes per key instead of a ~20-char
-    * string. The md5 path REMAINS the registry/oracle surface — DuckDB
-    * reproduces md5 hex arithmetic digit-for-digit, xxhash64 has no
-    * cross-engine twin — so every oracle-gated entry is unchanged;
-    * this is the path a production deployment (and [[graft.DedupFlagship]])
-    * runs, recall/precision re-measured against the same planted truth
-    * (DEDUP_1GB.md). */
+    * hashing is ONE xxhash64 pass over each gram STRING plus 8
+    * fixed-width re-hashes `xxhash64(h, j)` over the resulting 8-byte
+    * long (the one-hash-k-derived-hashes MinHash family), where the md5
+    * variant pays two full MD5 digests (MessageDigest allocation + 64
+    * hex-char string materialization + 8 substring extractions) per
+    * occurrence. An affine `h·A_j + B_j` permutation would be cheaper
+    * still, but Spark 4 runs ANSI mode by default and full-range 64-bit
+    * products raise ARITHMETIC_OVERFLOW rather than wrap — re-hashing
+    * the long stays inside well-defined semantics at ~the same cost
+    * and mixes strictly better. The string is hashed ONCE: whole-stage
+    * codegen's subexpression elimination shares the inner xxhash64(g)
+    * across the 8 outer hashes. The gram-hash stage is the dominant
+    * cost of the whole dedup pipeline at 1 GB (47.6 s of 69.9 s in the
+    * r7 flagship), which is exactly the stage this variant attacks;
+    * bands are LONGs, so the capped self-join shuffles 8 bytes per key
+    * instead of a ~20-char string. The md5 path REMAINS the
+    * registry/oracle surface — DuckDB reproduces md5 hex arithmetic
+    * digit-for-digit, xxhash64 has no cross-engine twin — so every
+    * oracle-gated entry is unchanged; this is the path a production
+    * deployment (and [[graft.DedupFlagship]]) runs, recall/precision
+    * re-measured against the same planted truth (DEDUP_1GB.md). */
   private[graft] def fastBandTable(grams: DataFrame): DataFrame = {
     val h = xxhash64(col("g"))
-    // deterministic odd multipliers / offsets (golden-ratio increments)
-    val A = (0 until 8).map(j => 0x9E3779B97F4A7C15L * (2 * j + 1) | 1L)
-    val B = (0 until 8).map(j => 0xC2B2AE3D27D4EB4FL * j)
     val sig = grams
       .select(col("doc_id") +: (0 until 8).map(j =>
-        (h * lit(A(j)) + lit(B(j))).as(s"h$j")): _*)
+        xxhash64(h, lit(j)).as(s"h$j")): _*)
       .groupBy("doc_id")
       .agg(min(col("h0")).as("m0"),
         (1 until 8).map(j => min(col(s"h$j")).as(s"m$j")): _*)

@@ -27,6 +27,33 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs.forall(p => p._1 < p._2), "pairs must be ordered doc_a < doc_b")
   }
 
+  test("production-hash band table: ANSI-safe, 4 bands/doc, exact twins collide") {
+    // the affine-permutation predecessor raised ARITHMETIC_OVERFLOW
+    // under Spark 4's default ANSI mode on the first full-range gram
+    // hash — this spec exists so the production path can never again
+    // reach the 1 GB flagship untested (it is not oracle-gated: DuckDB
+    // has no xxhash64 twin)
+    assert(spark.conf.get("spark.sql.ansi.enabled") == "true",
+      "spec must run under the default ANSI mode to catch overflow")
+    val bands = Dedup.cappedBands(Dedup.wordGrams(docs), Dedup.MaxBandBucket,
+      table = Dedup.fastBandTable)
+    val perDoc = bands.groupBy("doc_id").count().as[(Long, Long)].collect()
+    assert(perDoc.nonEmpty)
+    assert(perDoc.forall(_._2 <= 4), "at most 4 bands per doc")
+    // identical gram sets ⇒ identical signatures ⇒ all 4 bands collide:
+    // a verbatim twin of doc 0 must share every band with it
+    val d0 = docs.filter(col("doc_id") === 0L)
+    val twin = d0.withColumn("doc_id", lit(1000000L))
+    val tb = Dedup.fastBandTable(Dedup.wordGrams(d0.union(twin)))
+    val byDoc = tb.as[(Long, Long)].collect().groupBy(_._1)
+    assert(byDoc(0L).map(_._2).sorted.sameElements(byDoc(1000000L).map(_._2).sorted),
+      "verbatim twin must collide on every band")
+    // determinism across reruns
+    val again = Dedup.fastBandTable(Dedup.wordGrams(d0.union(twin)))
+      .as[(Long, Long)].collect()
+    assert(again.sorted.sameElements(tb.as[(Long, Long)].collect().sorted))
+  }
+
   test("LSH bucket candidates are a subset of brute-force ranking") {
     val bf = Similarity.bruteForceTopK(emb, 4, 50)
       .select("query_id", "cand_id", "cos_sim")
