@@ -100,6 +100,7 @@ object AnnFlagship {
 
     val methods = Seq[(String, () => DataFrame)](
       "lsh" -> (() => Similarity.lshTopK(emb, NQueries, K, n)),
+      "lsh_mp" -> (() => Similarity.lshTopKProbed(emb, NQueries, K, n)),
       "ivf" -> (() => Similarity.ivfTopK(emb, 8, NQueries, K, n)),
       "ivf_mp" -> (() => Similarity.ivfTopKProbed(emb, 8, NQueries, K, 2, n)),
       "ivfpq" -> (() => Similarity.ivfPqTopK(emb, 8, NQueries, K, corpusCount = n)),

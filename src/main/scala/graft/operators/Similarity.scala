@@ -125,6 +125,45 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
+  /** MULTIPROBE sign-LSH top-k: each query searches its home bucket
+    * PLUS every Hamming-1 neighbor (one hyperplane bit flipped) — the
+    * standard recall repair for bucketed LSH (Lv et al. 2007's
+    * multi-probe idea with the deterministic all-distance-1 probe set,
+    * which both engines reproduce without ranking hyperplane margins).
+    * A vector differing from the query by exactly one plane's sign is
+    * invisible to [[lshTopK]] but found here, so candidates are a
+    * strict superset of single-probe's (the home bucket is probe 0) and
+    * recall is monotonically ≥ at (planes+1)× the candidate volume —
+    * still a ~2^planes/(planes+1) reduction over brute force. Plan
+    * shape is IDENTICAL to single-probe: the probe list explodes on the
+    * BROADCAST query side (nQueries·(planes+1) rows), the corpus side
+    * computes one bucket per vector and never shuffles; probe buckets
+    * are distinct by construction, so each (query, candidate) pair
+    * joins at most once and no dedup pass is needed. */
+  def lshTopKProbed(emb: DataFrame, nQueries: Int, k: Int,
+      corpusCount: Option[Long] = None): DataFrame = {
+    val spark = emb.sparkSession
+    val planes = planesFor(corpusCount.getOrElse(emb.count()))
+    val sig = emb.select(col("vec_id"), col("embedding"),
+      lshBucketCol(spark, col("embedding"), planes).as("bucket"))
+    val probes = array(col("bucket") +: (0 until planes).map(j =>
+      col("bucket").bitwiseXOR(lit(1 << j))): _*)
+    val q = sig.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        explode(probes).as("qbucket"))
+    val scored = sig.join(broadcast(q),
+        col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        round(graft.functions.GraftFunctions.cosine_sim(
+          spark, col("qe"), col("embedding")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("cand_id").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("cand_id"), col("cos_sim"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** Centroid-table broadcast cutoff: past this many centroids the
     * probe table stops being force-broadcast and the assignment join is
     * left to runtime stats (AQE still broadcasts when genuinely small).

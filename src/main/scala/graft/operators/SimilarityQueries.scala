@@ -67,6 +67,28 @@ object SimilarityQueries {
        |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, cand_id, cos_sim FROM r
        |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
 
+  /** Multiprobe LSH oracle: the probe set is the home bucket (sentinel
+    * j = MaxPlanes) plus one single-bit flip per ACTIVE plane (j < np,
+    * the CTE-derived count) — mirrors lshTopKProbed's deterministic
+    * all-Hamming-1 probe list; probe buckets are distinct so each
+    * (query, candidate) joins once. */
+  private val annLshMultiprobeSql =
+    s"""WITH pl AS ($planesSql),
+       |s AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings, pl),
+       |q AS (SELECT s.vec_id AS query_id, s.embedding AS qe,
+       |        CASE WHEN r.j = ${Similarity.MaxPlanes} THEN s.bucket
+       |             ELSE xor(s.bucket, (1 << r.j)) END AS qbucket
+       |      FROM s, range(0, ${Similarity.MaxPlanes + 1}) r(j), pl
+       |      WHERE s.vec_id < 16 AND (r.j = ${Similarity.MaxPlanes} OR r.j < np)),
+       |p AS (SELECT query_id, s.vec_id AS cand_id,
+       |        round(${cosSql("qe", "s.embedding")}, 6) AS cos_sim
+       |      FROM s JOIN q ON s.bucket = qbucket AND s.vec_id != query_id),
+       |r AS (SELECT query_id, cand_id, cos_sim,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rnk
+       |      FROM p)
+       |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, cand_id, cos_sim FROM r
+       |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+
   /** CTE chain `pl, s0, s, ep` ending in the thresholded same-bucket
     * embedding pair set (vec_a < vec_b) — shared by the standalone
     * near-dup query and the ensemble dedup oracle. */
@@ -302,6 +324,10 @@ object SimilarityQueries {
       (s, d) => Similarity.lshTopK(Tables.embeddings(s, d), 16, 3,
         Some(Tables.rowCount(s, d, "embeddings"))),
       Some(annLshSql)),
+    QueryDef("ann_lsh_multiprobe",
+      (s, d) => Similarity.lshTopKProbed(Tables.embeddings(s, d), 16, 3,
+        Some(Tables.rowCount(s, d, "embeddings"))),
+      Some(annLshMultiprobeSql)),
     QueryDef("ann_ivf_topk",
       (s, d) => Similarity.ivfTopK(Tables.embeddings(s, d), 8, 16, 3,
         Some(Tables.rowCount(s, d, "embeddings"))),

@@ -395,6 +395,41 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(n2 >= n1, s"multiprobe returned fewer rows ($n2) than nprobe=1 ($n1)")
   }
 
+  test("LSH multiprobe: candidates superset of single-probe, recall >= single-probe") {
+    val k = 3
+    val truth = Similarity.bruteForceTopK(emb, 16, k)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val single = pairsOf(Similarity.lshTopK(emb, 16, k))
+    val multi = pairsOf(Similarity.lshTopKProbed(emb, 16, k))
+    def recallOf(s: Set[(Long, Long)]) =
+      s.count(truth.contains).toDouble / truth.size
+    assert(recallOf(multi) >= recallOf(single),
+      s"multiprobe recall ${recallOf(multi)} < single ${recallOf(single)}")
+    // the home bucket is probe 0, so every query returns at least as
+    // many rows; a top-k re-rank can swap members, so assert on counts
+    // per query, not set containment of the final k
+    val n1 = Similarity.lshTopK(emb, 16, k).groupBy("query_id").count()
+      .as[(Long, Long)].collect().toMap
+    val n2 = Similarity.lshTopKProbed(emb, 16, k).groupBy("query_id").count()
+      .as[(Long, Long)].collect().toMap
+    n1.foreach { case (q, n) =>
+      assert(n2.getOrElse(q, 0L) >= n, s"query $q shrank: $n -> ${n2.get(q)}")
+    }
+    // and the multiprobe top-k cosines are never worse pointwise: the
+    // rank-r cosine under a superset candidate pool is >= single-probe's
+    val c1 = Similarity.lshTopK(emb, 16, k)
+      .select("query_id", "rnk", "cos_sim")
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val c2 = Similarity.lshTopKProbed(emb, 16, k)
+      .select("query_id", "rnk", "cos_sim")
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    c1.foreach { case (key, cos) =>
+      assert(c2(key) >= cos, s"rank ${key._2} cosine worsened for query ${key._1}")
+    }
+  }
+
   test("canonical selection keeps exactly one longest doc per cluster") {
     val clusters = Dedup.nearDupClusters(wordNearDups(0.7))
     val canon = Dedup.canonicalDocs(docs, clusters)
