@@ -778,8 +778,14 @@ object Similarity {
         emb.select(col("vec_id"), col("embedding"))
           .withColumn("max_abs", maxAbs)
           .filter(col("max_abs") > 0)
+          // FLOAT storage: quantized values are integers in [-127, 127],
+          // exactly representable in float32, so the float→double read
+          // in cosine_sim recovers the identical double and the oracle
+          // hash is unchanged — at half the index bytes (the whole point
+          // of quantization is scan volume; tinyint would quarter it
+          // again but needs an int-array cosine expression)
           .withColumn("qv", transform(col("embedding"), x =>
-            floor(x.cast("double") * (lit(127.0) / col("max_abs")) + lit(0.5)).cast("double")))
+            floor(x.cast("double") * (lit(127.0) / col("max_abs")) + lit(0.5)).cast("float")))
           .select(col("vec_id"), col("qv"))
       }))
   }
