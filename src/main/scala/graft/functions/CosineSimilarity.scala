@@ -107,12 +107,36 @@ object GraftFunctions {
   val nfcNormalizeBuilder: Seq[Expression] => Expression =
     exprs => NfcNormalize(exprs(0))
 
+  /** Spark ships a Bloom-filter build/probe pair as Catalyst expressions
+    * (`BloomFilterAggregate` / `BloomFilterMightContain`, the machinery
+    * behind its own runtime-filter join pruning) but does not register
+    * them as SQL-callable functions. Exposing them session-scoped gives
+    * the engine a codegen'd, driver-free Bloom path — build is a
+    * distributed partial-aggregable fold into a bit array, probe is a
+    * map-side bit test against a scalar-subquery result (the exact plan
+    * shape of Spark's InjectRuntimeFilter) — with no UDF anywhere. */
+  val bloomAggBuilder: Seq[Expression] => Expression = {
+    case Seq(c) =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c)
+    case Seq(c, n) =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, n)
+    case exprs =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        exprs(0), exprs(1), exprs(2))
+  }
+
+  val mightContainBuilder: Seq[Expression] => Expression =
+    exprs => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      exprs(0), exprs(1))
+
   /** Idempotent per-session registration (temp functions). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("cosine_sim", cosineSimBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("lsh_bucket", lshBucketBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("nfc_normalize", nfcNormalizeBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("graft_bloom_agg", bloomAggBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("graft_might_contain", mightContainBuilder, "scala_udf")
   }
 
   /** Column API over the registered functions. */
@@ -149,5 +173,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
       GraftFunctions.nfcNormalizeBuilder))
+    e.injectFunction((
+      new FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      GraftFunctions.bloomAggBuilder))
+    e.injectFunction((
+      new FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      GraftFunctions.mightContainBuilder))
   }
 }

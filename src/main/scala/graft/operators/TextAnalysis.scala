@@ -116,6 +116,110 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** BLOOM-PREFILTERED contamination — the 100 TB shape of
+    * [[contamination]], producing the IDENTICAL output. The exact
+    * operator shuffles the corpus's full distinct-gram stream into the
+    * eval join; at 100 TB that is the corpus re-keyed by gram string to
+    * find the ~0.01% of rows that actually hit. Here the eval gram set
+    * is folded into a Bloom filter by a distributed aggregation
+    * (`graft_bloom_agg` — Spark's own `BloomFilterAggregate`, exposed
+    * session-scoped by [[graft.functions.GraftFunctions]]), delivered
+    * to every task as a scalar-subquery result (the plan shape of
+    * Spark's runtime-filter join pruning: one tiny build job, then a
+    * map-side bit test — no driver collect, no UDF, codegen'd probe),
+    * and only grams that PASS the filter reach the exact verify join.
+    * The verify join makes false positives harmless — the Bloom is a
+    * pure prefilter, so the result is exact for ANY filter size (a
+    * property the spec pins by shrinking the filter until it saturates)
+    * — while true-negative corpus grams, the overwhelming majority at
+    * scale, never shuffle at all.
+    *
+    * Sizing: 1M expected items / 8M bits (1 MiB, <1% FP at 1M grams) —
+    * a deployment sizes from the eval-suite gram count, which is known
+    * and small relative to any training corpus. */
+  def contaminationBloom(spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, evalMaxId: Long = 25, n: Int = 8,
+      bloomItems: Long = 1000000L, bloomBits: Long = 8388608L): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val grams = docs.select(col("doc_id"), toks.as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"array_distinct(transform(sequence(1, size(w) - ${n - 1}), i -> concat_ws(' ', slice(w, i, $n))))"))
+        .as("g"))
+    val evalGrams = grams.filter(col("doc_id") < evalMaxId)
+      .select(col("g")).distinct()
+    // the eval gram set feeds BOTH the Bloom build subquery and the
+    // exact verify join; views give the scalar subquery SQL something
+    // to name. Eval suites are tiny relative to the corpus — the double
+    // scan is of the small side only.
+    evalGrams.createOrReplaceTempView("graft_bloom_eval_grams")
+    grams.filter(col("doc_id") >= evalMaxId)
+      .createOrReplaceTempView("graft_bloom_corpus_grams")
+    val cand = spark.sql(
+      s"""SELECT doc_id, g FROM graft_bloom_corpus_grams
+         |WHERE graft_might_contain(
+         |  (SELECT graft_bloom_agg(xxhash64(g), ${bloomItems}L, ${bloomBits}L)
+         |   FROM graft_bloom_eval_grams),
+         |  xxhash64(g))""".stripMargin)
+    val hits = cand.join(evalGrams, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared_grams")) // grams are per-doc distinct
+    docs.filter(col("doc_id") >= evalMaxId).select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_shared_grams"))
+      .withColumn("contaminated", col("n_shared_grams") > 0)
+      .orderBy("doc_id")
+  }
+
+  /** EXACT SUBSTRING-SPAN DEDUP (the ExactSubstr operator of Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better" —
+    * there built on a monolithic in-memory suffix array, here
+    * re-expressed as two shuffles): every maximal token span whose
+    * k-token windows each occur at ≥2 (doc, pos) sites corpus-wide.
+    * Doc-level dedup (MinHash et al.) can never catch a long quoted
+    * passage inside otherwise-distinct documents; span-level dedup is
+    * what removes it.
+    *
+    * Shape: windows explode with their start positions (one Generate,
+    * like [[contamination]]); global window occurrence counts are a
+    * partial-aggregable groupBy on the window text (a viral boilerplate
+    * window contributes one row per map task to the shuffle, not its
+    * full occurrence list); duplicated occurrences join back (skinny
+    * (doc_id, pos) rows) and merge into maximal spans per doc with one
+    * islands pass — lag + running sum over the doc's positions, a
+    * window over doc_id groups. Nothing here materializes per-doc
+    * arrays or touches the corpus more than the two scans. Output: one
+    * row per maximal duplicated span, 1-based inclusive token bounds. */
+  def substringDedup(docs: DataFrame, k: Int = 8): DataFrame = {
+    val wins = docs.select(col("doc_id"), toks.as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(w) - ${k - 1}), i -> concat_ws(' ', slice(w, i, $k)))"))
+        .as(Seq("p", "g")))
+    val dupWins = wins.groupBy("g")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .select(col("g"))
+    val dup = wins.join(dupWins, "g").select(col("doc_id"), col("p"))
+    // islands: a window chains onto the previous one when their starts
+    // are ≤ k apart (overlap or touch); lag is null on the first row →
+    // the comparison is null → otherwise(1) opens a new span
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    dup
+      .withColumn("ns",
+        when(col("p") - lag(col("p"), 1).over(w) <= k, lit(0)).otherwise(lit(1)))
+      .withColumn("sid", sum(col("ns")).over(w))
+      .groupBy(col("doc_id"), col("sid"))
+      .agg(
+        (min(col("p")) + 1).cast("long").as("span_start"),
+        (max(col("p")) + k).cast("long").as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"),
+        col("n_windows"))
+      .orderBy("doc_id", "span_start")
+  }
+
   /** Deterministic train/val/test split: the first two hex nibbles of
     * md5(doc_id) give a uniform 0-255 bucket, split 8/1/1 — the
     * hash-based assignment every training pipeline needs (reproducible

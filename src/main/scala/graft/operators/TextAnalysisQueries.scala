@@ -146,6 +146,54 @@ object TextAnalysisQueries {
            |LEFT JOIN hits USING (doc_id) ORDER BY doc_id""".stripMargin
       }),
 
+    // identical output to `contamination` by construction (the Bloom is
+    // a pure prefilter ahead of the exact verify join), so it shares the
+    // exact oracle — the driver hash-proves prefilter ≡ no-prefilter
+    QueryDef("contamination_bloom",
+      (s, d) => TextAnalysis.contaminationBloom(s, Tables.documents(s, d)), Some {
+        val gram = (1 to 8).map(j => s"w[i+${j - 1}]").mkString(" || ' ' || ")
+        s"""WITH t AS (
+           |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z'']+') AS w
+           |  FROM documents),
+           |g AS (
+           |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 6),
+           |           i -> $gram))) AS g
+           |  FROM t WHERE len(w) >= 8),
+           |ev AS (SELECT DISTINCT g FROM g WHERE doc_id < 25),
+           |hits AS (
+           |  SELECT doc_id, count(*) AS n_shared FROM g JOIN ev USING (g)
+           |  WHERE doc_id >= 25 GROUP BY doc_id)
+           |SELECT d.doc_id, COALESCE(n_shared, 0) AS n_shared_grams,
+           |       COALESCE(n_shared, 0) > 0 AS contaminated
+           |FROM (SELECT doc_id FROM documents WHERE doc_id >= 25) d
+           |LEFT JOIN hits USING (doc_id) ORDER BY doc_id""".stripMargin
+      }),
+
+    QueryDef("substring_dedup",
+      (s, d) => TextAnalysis.substringDedup(Tables.documents(s, d)), Some {
+        val gram = (1 to 8).map(j => s"w[i+${j - 1}]").mkString(" || ' ' || ")
+        s"""WITH t AS (
+           |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z'']+') AS w
+           |  FROM documents),
+           |wins AS (
+           |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 6), i ->
+           |    struct_pack(p := i, g := $gram))) AS u
+           |  FROM t WHERE len(w) >= 8),
+           |wp AS (SELECT doc_id, u.p AS p, u.g AS g FROM wins),
+           |dupg AS (SELECT g FROM wp GROUP BY g HAVING count(*) >= 2),
+           |dup AS (SELECT doc_id, p FROM wp JOIN dupg USING (g)),
+           |d AS (SELECT doc_id, p,
+           |        CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 8
+           |             THEN 0 ELSE 1 END AS ns FROM dup),
+           |s AS (SELECT doc_id, p,
+           |        sum(ns) OVER (PARTITION BY doc_id ORDER BY p) AS sid FROM d)
+           |SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+           |       CAST(max(p) + 7 AS BIGINT) AS span_end,
+           |       CAST(max(p) + 7 - min(p) + 1 AS BIGINT) AS span_tokens,
+           |       count(*) AS n_windows
+           |FROM s GROUP BY doc_id, sid ORDER BY doc_id, span_start""".stripMargin
+      }),
+
     QueryDef("train_val_test_split",
       (s, d) => TextAnalysis.trainValTestSplit(Tables.documents(s, d)), Some(
         """WITH h AS (
