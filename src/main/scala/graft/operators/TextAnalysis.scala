@@ -190,12 +190,24 @@ object TextAnalysis {
     * window over doc_id groups. Nothing here materializes per-doc
     * arrays or touches the corpus more than the two scans. Output: one
     * row per maximal duplicated span, 1-based inclusive token bounds. */
-  def substringDedup(docs: DataFrame, k: Int = 8): DataFrame = {
-    val wins = docs.select(col("doc_id"), toks.as("w"))
+  def substringDedup(docs: DataFrame, k: Int = 8,
+      hashWindows: Boolean = false): DataFrame = {
+    val rawWins = docs.select(col("doc_id"), toks.as("w"))
       .filter(size(col("w")) >= k)
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(1, size(w) - ${k - 1}), i -> concat_ws(' ', slice(w, i, $k)))"))
         .as(Seq("p", "g")))
+    // production path: shuffle 8-byte xxhash64 keys instead of ~40-char
+    // window strings — the window-count groupBy and the dup join move
+    // ~5× fewer shuffle bytes and compare longs, not strings. A hash
+    // collision could mark one non-dup window duplicated (~N²/2⁶⁴ —
+    // about 10⁻³ expected false windows at 10⁹ windows); the oracle
+    // surface keeps the exact string keys (hashWindows=false), the same
+    // split as the md5/xxhash64 band index.
+    val wins =
+      if (hashWindows)
+        rawWins.select(col("doc_id"), col("p"), xxhash64(col("g")).as("g"))
+      else rawWins
     val dupWins = wins.groupBy("g")
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 2)

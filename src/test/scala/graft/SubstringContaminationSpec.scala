@@ -48,6 +48,14 @@ class SubstringContaminationSpec extends SparkSpec {
     assert(spans(1).getLong(1) == 19L && spans(1).getLong(2) == 26L)
   }
 
+  test("hashed-window production path matches the exact string-key path on sf0.001") {
+    val docs = Tables.documents(spark, sf0001)
+    val str = TextAnalysis.substringDedup(docs).collect().toSeq
+    val hashed = TextAnalysis.substringDedup(docs, hashWindows = true).collect().toSeq
+    assert(hashed == str)
+    assert(str.nonEmpty, "fixture should contain duplicated spans")
+  }
+
   test("contamination_bloom equals exact contamination on sf0.001") {
     val docs = Tables.documents(spark, sf0001)
     val exact = TextAnalysis.contamination(docs).collect().toSeq
