@@ -14,7 +14,7 @@ import java.util.concurrent.{FutureTask, TimeUnit, TimeoutException}
   *     `local-cluster` master with executors as separate forked JVMs —
   *     and the canonical result hashes must match pairwise. This is the
   *     reference's "same answer regardless of USE_WORKERS" property
-  *     (reference `README.md:69-76`), upgraded to 125 queries. It
+  *     (reference `README.md:69-76`), upgraded to the full registry. It
   *     proves closure serialization, cross-process shuffle, and
   *     broadcast over the block-transfer service for the entire
   *     operator surface. (The two approx-sketch entries are compared
