@@ -457,18 +457,25 @@ object TextAnalysis {
     // cmsTokenCounts (r7 verdict "what's wrong" #3): at 100 TB the
     // persist is a storage bill, and locally the de-persist measured
     // neutral-to-faster.
-    val grams = docs
+    val base = docs
       .select(col("doc_id"), col("lang"), lower(col("text")).as("t"))
       .filter(length(col("t")) >= 3)
-      .select(col("doc_id"), col("lang"), explode(expr(
-        "transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))")).as("g"))
+    val gramArr = "transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))"
+    val grams = base.select(col("doc_id"), col("lang"),
+      explode(expr(gramArr)).as("g"))
     val profile = grams
       .groupBy(col("lang"), col("g")).agg(count(lit(1)).as("cnt"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("g").asc)))
       .filter(col("rank") <= topK)
       .select(col("lang").as("cand_lang"), col("g"), (lit(topK + 1) - col("rank")).as("w"))
-    val docGrams = grams.select(col("doc_id"), col("lang"), col("g")).distinct()
+    // per-doc DISTINCT grams computed row-locally (array_distinct before
+    // the explode — the contamination shape): a `.distinct()` here would
+    // shuffle the corpus-sized gram stream a second time just to dedup
+    // within each doc; the row-local array is bounded by document size,
+    // not corpus size
+    val docGrams = base.select(col("doc_id"), col("lang"),
+      explode(array_distinct(expr(gramArr))).as("g"))
     val scored = docGrams
       .join(broadcast(profile), "g")
       .groupBy(col("doc_id"), col("lang"), col("cand_lang"))
