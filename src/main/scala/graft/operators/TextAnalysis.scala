@@ -232,6 +232,57 @@ object TextAnalysis {
       .orderBy("doc_id", "span_start")
   }
 
+  /** SUBSTRING-DEDUP CLEANING SUMMARY — the ACT step after
+    * [[substringDedup]]'s find step (Lee et al. remove every duplicated
+    * span except one occurrence): per document, how many tokens are
+    * REDUNDANT — covered by a duplicated k-token window whose
+    * globally-first occurrence (min (doc_id, position)) lives elsewhere.
+    * The canonical occurrence keeps its text; every other occurrence is
+    * removal-eligible, and the per-doc redundant-token count is the
+    * union length of those windows (the islands pass again).
+    *
+    * Scale shape: canonical occurrences come from a partial-aggregable
+    * `groupBy(window).agg(min(struct(doc_id, p)))` — NOT a rank()
+    * window over the window text, which would ship a viral window's
+    * whole occurrence list to one reducer with no partial aggregation.
+    * Everything downstream touches only duplicated occurrences (the
+    * near-dup neighborhood), and the interval-union count never
+    * explodes per-token rows. Output: one row per doc (docs with no
+    * redundant content report 0 — the gate decision is explicit). */
+  def substringDedupClean(docs: DataFrame, k: Int = 8): DataFrame = {
+    val base = docs.select(col("doc_id"), toks.as("w"))
+    val wins = base
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(w) - ${k - 1}), i -> concat_ws(' ', slice(w, i, $k)))"))
+        .as(Seq("p", "g")))
+    // per-window: occurrence count + globally-first occurrence, one
+    // partial-aggregated shuffle on the window text
+    val stats = wins.groupBy("g").agg(
+      count(lit(1)).as("cnt"),
+      min(struct(col("doc_id"), col("p"))).as("first"))
+    // redundant occurrences: duplicated window, not the canonical site
+    val redundant = wins.join(stats.filter(col("cnt") >= 2), "g")
+      .filter(struct(col("doc_id"), col("p")) =!= col("first"))
+      .select(col("doc_id"), col("p"))
+    // union length of the covering windows per doc (islands over starts)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val dupTokens = redundant
+      .withColumn("ns",
+        when(col("p") - lag(col("p"), 1).over(w) <= k, lit(0)).otherwise(lit(1)))
+      .withColumn("sid", sum(col("ns")).over(w))
+      .groupBy(col("doc_id"), col("sid"))
+      .agg((max(col("p")) - min(col("p")) + k).cast("long").as("len"))
+      .groupBy("doc_id").agg(sum(col("len")).as("n_dup_tokens"))
+    base.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+      .join(dupTokens, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_dup_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("n_dup_tokens"),
+        round(lit(1.0) - col("n_dup_tokens").cast("double") /
+          greatest(col("n_tokens"), lit(1L)).cast("double"), 6).as("keep_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic train/val/test split: the first two hex nibbles of
     * md5(doc_id) give a uniform 0-255 bucket, split 8/1/1 — the
     * hash-based assignment every training pipeline needs (reproducible

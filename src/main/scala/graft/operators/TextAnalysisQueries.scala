@@ -194,6 +194,39 @@ object TextAnalysisQueries {
            |FROM s GROUP BY doc_id, sid ORDER BY doc_id, span_start""".stripMargin
       }),
 
+    QueryDef("substring_dedup_clean",
+      (s, d) => TextAnalysis.substringDedupClean(Tables.documents(s, d)), Some {
+        val gram = (1 to 8).map(j => s"w[i+${j - 1}]").mkString(" || ' ' || ")
+        s"""WITH t AS (
+           |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z'']+') AS w
+           |  FROM documents),
+           |wins AS (
+           |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 6), i ->
+           |    struct_pack(p := i, g := $gram))) AS u
+           |  FROM t WHERE len(w) >= 8),
+           |wp AS (SELECT doc_id, u.p AS p, u.g AS g FROM wins),
+           |stats AS (
+           |  SELECT g, count(*) AS cnt,
+           |         min(struct_pack(d := doc_id, p := p)) AS frst
+           |  FROM wp GROUP BY g),
+           |red AS (
+           |  SELECT wp.doc_id, wp.p FROM wp JOIN stats USING (g)
+           |  WHERE cnt >= 2 AND struct_pack(d := wp.doc_id, p := wp.p) != frst),
+           |d AS (SELECT doc_id, p,
+           |        CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 8
+           |             THEN 0 ELSE 1 END AS ns FROM red),
+           |s AS (SELECT doc_id, p,
+           |        sum(ns) OVER (PARTITION BY doc_id ORDER BY p) AS sid FROM d),
+           |dt AS (SELECT doc_id, CAST(sum(len) AS BIGINT) AS n_dup FROM (
+           |  SELECT doc_id, sid, max(p) - min(p) + 8 AS len FROM s
+           |  GROUP BY doc_id, sid) GROUP BY doc_id)
+           |SELECT t.doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+           |       COALESCE(n_dup, 0) AS n_dup_tokens,
+           |       round(1.0 - COALESCE(n_dup, 0)
+           |             / CAST(greatest(len(w), 1) AS DOUBLE), 6) AS keep_ratio
+           |FROM t LEFT JOIN dt USING (doc_id) ORDER BY doc_id""".stripMargin
+      }),
+
     QueryDef("train_val_test_split",
       (s, d) => TextAnalysis.trainValTestSplit(Tables.documents(s, d)), Some(
         """WITH h AS (

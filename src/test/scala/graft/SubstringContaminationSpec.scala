@@ -48,6 +48,26 @@ class SubstringContaminationSpec extends SparkSpec {
     assert(spans(1).getLong(1) == 19L && spans(1).getLong(2) == 26L)
   }
 
+  test("substring_dedup_clean keeps the globally-first occurrence and counts redundant tokens") {
+    // doc 1 holds the canonical passage (first occurrence); doc 2's copy
+    // is fully redundant; doc 3 is untouched
+    val docs = Seq(
+      (1L, s"$passage alpha beta gamma"),
+      (2L, s"one two three $passage"),
+      (3L, "unique words only nothing shared here at all today maybe ok")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.substringDedupClean(docs, k = 8)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r(1L) == (20L, 0L), s"canonical doc must lose nothing: ${r(1L)}")
+    assert(r(2L) == (20L, 17L), s"copy must lose the 17 passage tokens: ${r(2L)}")
+    assert(r(3L)._2 == 0L)
+    // within-doc repeat: first occurrence kept, second redundant
+    val solo = Seq((7L,
+      s"$passage zz ww qq rr tt yy uu ii oo pp $passage")).toDF("doc_id", "text")
+    val s = TextAnalysis.substringDedupClean(solo, k = 8).collect().head
+    assert(s.getLong(1) == 44L && s.getLong(2) == 17L, s"got $s")
+  }
+
   test("hashed-window production path matches the exact string-key path on sf0.001") {
     val docs = Tables.documents(spark, sf0001)
     val str = TextAnalysis.substringDedup(docs).collect().toSeq
