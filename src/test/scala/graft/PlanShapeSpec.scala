@@ -195,4 +195,38 @@ class PlanShapeSpec extends SparkSpec {
       assert(injected.isEmpty, s"spreader ran with the flag off: $injected")
     } finally spark.conf.set("spark.graft.spread.enabled", "true")
   }
+
+  test("substring-span dedup aggregates map-side and never rank()s over the window text") {
+    // the window-occurrence count must partially aggregate (a viral
+    // boilerplate window contributes one row per map task to the
+    // shuffle, not its occurrence list) — both the find and the clean
+    // step
+    for (df <- Seq(TextAnalysis.substringDedup(docs),
+        TextAnalysis.substringDedupClean(docs))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("partial_count") || plan.contains("partial count"),
+        s"window counts must map-side combine:\n$plan")
+    }
+    // the canonical-site choice in clean is an aggregate min(struct),
+    // never a row_number window partitioned by the window TEXT (which
+    // has no partial aggregation and ships a viral window's full
+    // occurrence list to one reducer)
+    val cleanPlan = TextAnalysis.substringDedupClean(docs)
+      .queryExecution.optimizedPlan.toString
+    assert(!cleanPlan.contains("windowspecdefinition(g"),
+      s"canonical site must not be a window over the gram text:\n$cleanPlan")
+  }
+
+  test("language classifier dedups doc grams row-locally, not with a corpus shuffle") {
+    // per-doc distinct trigrams come from array_distinct before the
+    // explode; the old .distinct() formulation re-shuffled the whole
+    // corpus-sized gram stream on (doc_id, lang, g) just to dedup
+    // within each doc
+    val plan = TextAnalysis.charNgramLangConfusion(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.matches("(?s).*hashpartitioning\\(doc_id#\\d+L?, lang#.*"),
+      s"doc-gram dedup must not exchange on (doc_id, lang, g):\n$plan")
+    assert(plan.contains("array_distinct"),
+      s"expected row-local array_distinct in:\n$plan")
+  }
 }
