@@ -238,6 +238,23 @@ object Dedup {
     capped
   }
 
+  /** INCREMENTAL INDEX MAINTENANCE: the maintained band index is a
+    * MERGEABLE structure. Per-doc MinHash signatures depend only on the
+    * doc itself, so the RAW band table of corpus ∪ increment is exactly
+    * the union of the two raw band tables, and only the frequent-band
+    * cap — the single cross-doc step — must be re-derived, from band
+    * counts that are themselves mergeable sums (one partial-aggregated
+    * pass over the stored narrow index rows, not the corpus). A daily
+    * increment therefore maintains the index with |Δ|-cost signature
+    * work plus one count-merge; the old corpus's gram/minhash pipeline
+    * NEVER re-runs, and a band that crosses the cap only AFTER the
+    * merge (boilerplate accumulating across increments) is correctly
+    * dropped, old rows included. IncrementalIndexSpec pins
+    * merge ≡ full-recompute exactly, including that cap boundary. */
+  def mergeCappedBands(rawCorpus: DataFrame, rawIncrement: DataFrame,
+      maxBand: Int = MaxBandBucket): DataFrame =
+    cappedBandsPlan(rawCorpus.union(rawIncrement), maxBand)
+
   /** Exact set-jaccard verification over a candidate pair table,
     * computed GRAM-LEVEL: |A∩B| is a count over the (pair, gram)
     * equi-join of the two docs' distinct gram streams, |A∪B| =
