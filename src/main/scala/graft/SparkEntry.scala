@@ -19,6 +19,8 @@ object SparkEntry {
     RelationalQueries.defs ++
     TpchMoreQueries.defs ++
     DedupQueries.defs ++
+    SimJoinQueries.defs ++
+    SearchQueries.defs ++
     SimilarityQueries.defs ++
     TextAnalysisQueries.defs ++
     PipelineQueries.defs ++

@@ -268,7 +268,7 @@ object Dedup {
     * candidate pair, so cost stays bounded by the near-dup
     * neighborhood, never the corpus. Identical numbers: intersection/
     * union over distinct grams, same double division, same rounding. */
-  private def verifyJaccard(docs: DataFrame, mkGrams: DataFrame => DataFrame,
+  private[operators] def verifyJaccard(docs: DataFrame, mkGrams: DataFrame => DataFrame,
       cand0: DataFrame, threshold: Double): DataFrame = {
     val cand = cand0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -8,7 +8,7 @@ import graft.{QueryDef, Tables}
 object DedupQueries {
 
   /** CTE producing (doc_id, sh) word-3-gram distinct shingles. */
-  private val wordShinglesCte =
+  private[operators] val wordShinglesCte =
     """t AS (
       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z'']+') AS w
       |  FROM documents),

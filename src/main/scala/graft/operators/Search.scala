@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus search served from a POSITIONAL INVERTED INDEX — the
+  * retrieval side of a training-data pipeline (find every occurrence of
+  * an eval passage, audit a leaked phrase, rank documents for a query)
+  * expressed as plans over one maintained postings table instead of
+  * per-query corpus scans.
+  *
+  * The index is the flat postings relation (tok, doc_id, pos) — the
+  * exploded tokenizer output, exactly the reference's tokenize stage
+  * (reference worker/worker.py:7,16-18) persisted WITH positions
+  * instead of aggregated away. Per-term posting lists are its
+  * `tok`-grouped slices; keeping the relation flat (rather than
+  * array-packed per term) keeps every probe a plain equi-join with
+  * partial aggregation, and lets the same index serve phrase queries
+  * (position arithmetic), ranked retrieval (tf/df aggregation), and
+  * vocabulary statistics. [[SharedIntermediates.postings]] materializes
+  * it once per dataset — durable content-keyed parquet in cluster mode,
+  * like the LSH band and IVF centroid indexes.
+  *
+  * Scale shape (100 TB): index build is one map-only explode off the
+  * scan (shuffle-free; writing it is the cost). Every probe below
+  * first restricts to the query's own terms — postings of 3 terms,
+  * never the corpus — so probe cost scales with posting-list length.
+  * The one global structure (vocabulary ranking) is a top-k via
+  * TakeOrderedAndProject, never a full-vocabulary window. */
+object Search {
+
+  /** The positional inverted index: one (tok, doc_id, pos) row per
+    * token occurrence; pos is the 0-based token position within the
+    * document (reported 1-based at query output). */
+  def postings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(regexp_extract_all(lower(col("text")),
+          lit(WordCount.TokenPattern), lit(0))).as(Seq("pos", "tok")))
+      .select(col("tok"), col("doc_id"), col("pos"))
+
+  /** Per-(term, doc) term frequencies from the index. */
+  private def termFreq(idx: DataFrame): DataFrame =
+    idx.groupBy(col("tok").as("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** The corpus's most frequent word 3-gram as a ONE-ROW table
+    * (phrase), derived from the index itself (lead() over posting
+    * positions — the window clusters on doc_id, no extra tokenize
+    * pass), tie-broken to the lexicographically smallest. */
+  def topPhrase(idx: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    idx.select(col("doc_id"),
+        concat(col("tok"), lit(" "), lead(col("tok"), 1).over(w),
+          lit(" "), lead(col("tok"), 2).over(w)).as("g"))
+      .filter(col("g").isNotNull)
+      .groupBy("g").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("g").asc).limit(1)
+      .select(col("g").as("phrase"))
+  }
+
+  /** PHRASE SEARCH: every document containing the corpus's top word
+    * 3-gram, with occurrence count and first/last match position
+    * (1-based position of the phrase's first token). The phrase is a
+    * one-row broadcast scalar; the position-arithmetic join chain
+    * (pos, pos+1, pos+2) ships only the phrase terms' postings. */
+  def phraseSearch(idx: DataFrame): DataFrame = {
+    val ph = broadcast(topPhrase(idx)
+      .select(col("phrase"), split(col("phrase"), " ").as("ts")))
+    // one-row broadcast scalar crossJoin (the bounded pattern), then
+    // each leg keeps a single term's postings
+    val r = idx.crossJoin(ph)
+    val m0 = r.filter(col("tok") === element_at(col("ts"), 1))
+      .select(col("doc_id"), col("pos"), col("phrase"))
+    val m1 = r.filter(col("tok") === element_at(col("ts"), 2))
+      .select(col("doc_id").as("d1"), col("pos").as("p1"))
+    val m2 = r.filter(col("tok") === element_at(col("ts"), 3))
+      .select(col("doc_id").as("d2"), col("pos").as("p2"))
+    m0.join(m1, col("doc_id") === col("d1") && col("p1") === col("pos") + 1)
+      .join(m2, col("doc_id") === col("d2") && col("p2") === col("pos") + 2)
+      .groupBy(col("doc_id"), col("phrase"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        (min(col("pos")) + 1).cast("long").as("first_pos"),
+        (max(col("pos")) + 1).cast("long").as("last_pos"))
+      .orderBy("doc_id")
+  }
+
+  /** RANKED KEYWORD RETRIEVAL: top-k documents for a deterministic
+    * 3-term query (document-frequency ranks loRank..hiRank of the
+    * vocabulary under (df desc, term asc) — mid-frequency terms, the
+    * interesting retrieval case), scored by tf × odds-ratio idf (the
+    * same idf convention as [[TextAnalysis.tfidfTopTerms]]). Per-term
+    * weights are floored to integer MICRO-UNITS before the per-doc sum,
+    * so the aggregate is order-independent (the established
+    * engine-parity pattern for summed doubles).
+    *
+    * The vocabulary ranking is a distributed top-hiRank
+    * (TakeOrderedAndProject), NEVER a global row_number over the full
+    * vocabulary — millions of distinct terms at corpus scale would
+    * serialize through one reducer under an unpartitioned window. The
+    * query-term table is ≤ hiRank rows BY CONSTRUCTION (limit), so its
+    * broadcast is bounded. */
+  def keywordSearch(idx: DataFrame, loRank: Int = 10, hiRank: Int = 12,
+      k: Int = 20): DataFrame = {
+    val tf = termFreq(idx)
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // ranks loRank..hiRank as the DIFFERENCE of two distributed top-k's
+    // (terms are distinct, so set EXCEPT is exact) — no unpartitioned
+    // window anywhere, even over the tiny term table
+    def topK(k: Int) = dft.orderBy(col("df").desc, col("term").asc).limit(k)
+    val q = topK(hiRank).except(topK(loRank - 1))
+    val n = tf.agg(countDistinct(col("doc_id")).as("n_docs"))
+    tf.join(broadcast(q), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("w", floor(
+        (lit(1.0e6) * (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)))
+          / (col("df").cast("double") + lit(0.5))).cast("long"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf") * col("w")).as("score_micro"),
+        count(lit(1)).as("n_terms_matched"),
+        sum(col("tf")).as("total_tf"))
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** Vocabulary statistics of the index: the top-k terms by document
+    * frequency with their df and total term frequency — the index's
+    * own correctness gate (posting-list lengths are directly
+    * oracle-checkable). Top-k via TakeOrderedAndProject. */
+  def indexStats(idx: DataFrame, k: Int = 20): DataFrame =
+    termFreq(idx)
+      .groupBy("term").agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"))
+      .orderBy(col("df").desc, col("term").asc).limit(k)
+}

@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.QueryDef
+
+/** Driver-contract wiring for the inverted-index search family. All
+  * three entries probe the SHARED durable postings index
+  * ([[SharedIntermediates.postings]]); the oracles recompute from the
+  * raw documents table, so hash-green results prove the index serves
+  * exactly what a fresh corpus scan would. */
+object SearchQueries {
+
+  /** Tokenized documents as a positional list — the DuckDB twin of the
+    * postings index (1-based list positions; the Spark side reports
+    * 1-based positions for parity). */
+  private val tokCte =
+    """t AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z'']+') AS w
+      |  FROM documents)""".stripMargin
+
+  private val phraseSql =
+    s"""WITH $tokCte,
+       |g AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+       |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gg
+       |  FROM t WHERE len(w) >= 3),
+       |top AS (
+       |  SELECT gg AS phrase FROM g GROUP BY gg
+       |  ORDER BY count(*) DESC, gg ASC LIMIT 1),
+       |o AS (
+       |  SELECT doc_id, phrase, unnest(list_filter(range(1, len(w) - 1),
+       |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] = phrase)) AS pos
+       |  FROM t, top WHERE len(w) >= 3)
+       |SELECT doc_id, phrase, count(*) AS n_occurrences,
+       |       min(pos) AS first_pos, max(pos) AS last_pos
+       |FROM o GROUP BY doc_id, phrase ORDER BY doc_id""".stripMargin
+
+  private val tfCtes =
+    s"""tok AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2)""".stripMargin
+
+  private val keywordSql =
+    s"""WITH $tfCtes,
+       |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |q AS (SELECT term, df FROM dft ORDER BY df DESC, term ASC LIMIT 3 OFFSET 9),
+       |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+       |wt AS (
+       |  SELECT term,
+       |    CAST(floor((1000000.0 * (n_docs - df + 0.5)) / (df + 0.5)) AS BIGINT) AS w
+       |  FROM q, n),
+       |sc AS (
+       |  SELECT doc_id, CAST(sum(tf * w) AS BIGINT) AS score_micro,
+       |         count(*) AS n_terms_matched, CAST(sum(tf) AS BIGINT) AS total_tf
+       |  FROM tf JOIN wt USING (term) GROUP BY doc_id)
+       |SELECT doc_id, score_micro, n_terms_matched, total_tf
+       |FROM sc ORDER BY score_micro DESC, doc_id ASC LIMIT 20""".stripMargin
+
+  private val indexStatsSql =
+    s"""WITH $tfCtes,
+       |st AS (SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf FROM tf GROUP BY term)
+       |SELECT term, df, total_tf FROM st
+       |ORDER BY df DESC, term ASC LIMIT 20""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("phrase_search",
+      (s, d) => Search.phraseSearch(SharedIntermediates.postings(s, d)),
+      Some(phraseSql)),
+
+    QueryDef("keyword_search",
+      (s, d) => Search.keywordSearch(SharedIntermediates.postings(s, d)),
+      Some(keywordSql)),
+
+    QueryDef("inverted_index_stats",
+      (s, d) => Search.indexStats(SharedIntermediates.postings(s, d)),
+      Some(indexStatsSql)),
+  )
+}

@@ -112,6 +112,20 @@ object SharedIntermediates {
         materialize = t => Materialize.table(s, keyOf(s, "embBuckets", d))(t()))
     }
 
+  /** Canonical-order word-gram index (doc_id, g, n, r) — the AllPairs
+    * prefix-filtering index both EXACT similarity joins (jaccard and
+    * containment, any threshold) and their verification stages serve
+    * from ([[SimJoin.rankedGramIndex]]). */
+  def wordGramIndex(s: SparkSession, d: String): DataFrame =
+    cached(s, keyOf(s, "wordGramIndex", d)) {
+      SimJoin.rankedGramIndex(Tables.documents(s, d), Dedup.wordGrams)
+    }
+
+  /** Positional inverted index (tok, doc_id, pos) over documents — the
+    * maintained SEARCH index every [[Search]] probe runs against. */
+  def postings(s: SparkSession, d: String): DataFrame =
+    cached(s, keyOf(s, "postings", d))(Search.postings(Tables.documents(s, d)))
+
   /** Connected components over [[textPairs]]. */
   def textClusters(s: SparkSession, d: String): DataFrame = {
     val tp = textPairs(s, d)

@@ -1,0 +1,239 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** EXACT set-similarity joins via prefix filtering — the deterministic
+  * counterpart to the MinHash/LSH family in [[Dedup]].
+  *
+  * LSH trades recall for cost: a pair whose signatures never collide in
+  * any band is silently lost. When the pipeline requires EVERY pair over
+  * a threshold (contractual dedup, legal-takedown propagation,
+  * decontamination audits), the tool is the AllPairs/PPJoin family
+  * (Bayardo et al., "Scaling Up All Pairs Similarity Search", WWW'07;
+  * Xiao et al., "Efficient Similarity Joins for Near Duplicate
+  * Detection", WWW'08): order every document's distinct grams by a
+  * global canonical order (ascending document frequency, ties on the
+  * gram), and join only each document's PREFIX — the first
+  * `n − ⌈τ·n⌉ + 1` grams. Any pair with jaccard ≥ τ must share at least
+  * one prefix gram under the shared order, so prefix-filtered candidates
+  * are a provable SUPERSET of the answer and the exact verification
+  * restores precision — zero false negatives BY CONSTRUCTION, which the
+  * oracle checks literally: the DuckDB side is the naive all-pairs gram
+  * join with no prefix filter at all, so a hash-equal result IS a proof
+  * that the pruning lost nothing.
+  *
+  * The algorithm's index structure is [[rankedGramIndex]]: the distinct
+  * (doc_id, g) gram relation annotated with per-doc set size and the
+  * gram's rank under the canonical order. It is built ONCE per dataset
+  * and shared — BOTH joins (either threshold: the prefix is just a rank
+  * filter over the index) and both verification stages serve from it,
+  * the exact analog of the maintained LSH band index
+  * ([[SharedIntermediates.wordGramIndex]] materializes it, durable
+  * content-keyed parquet in cluster mode).
+  *
+  * Scale shape (100 TB): the naive exact join explodes Σ df² over ALL
+  * grams; prefix filtering caps the join input at the ~(1−τ) RAREST
+  * grams of each doc — df-ascending ordering puts every document's
+  * highest-df (boilerplate) grams OUTSIDE its prefix, exactly the grams
+  * that blow up a self-join. The length filter (τ·max(n) ≤ min(n),
+  * an integer join residual) prunes cross-size candidates before
+  * verification. All stages are shuffle-parallel with partial
+  * aggregation; nothing is force-broadcast. The inherent floor: a
+  * corpus with N true duplicates of one doc has an N²-row ANSWER — no
+  * exact operator can beat its own output size (that worst case is what
+  * the LSH band cap deliberately truncates; choosing exact means
+  * choosing to pay it).
+  *
+  * Thresholds are exact rationals (num/den), so prefix lengths and
+  * length filters are pure integer arithmetic — no floating-point ceil
+  * at the pruning layer (the final similarity compare is the same IEEE
+  * double both engines share, as in [[Dedup]]).
+  *
+  * Reference scope note: the reference engine (633-LoC RPyC word count)
+  * has no similarity surface at all; this operator family is part of
+  * the prompt-mandated training-data-pipeline extension.
+  */
+object SimJoin {
+
+  /** ⌈num·n/den⌉ in pure integer arithmetic (ANSI-safe: n is a gram
+    * count ≤ doc length, num/den single digits — no overflow reach). */
+  private def ceilMul(n: Column, num: Int, den: Int): Column =
+    call_function("div", n * num + lit(den - 1), lit(den))
+
+  /** The AllPairs INDEX: distinct (doc_id, g) gram pairs with the
+    * per-doc set size `n` and the gram's rank `r` within its doc under
+    * the global canonical order (df asc, g asc). A τ-prefix is a rank
+    * filter over this table; the verification gram stream is its
+    * (doc_id, g) projection — one build serves every threshold.
+    *
+    * Build cost: the distinct-gram shuffle, one df aggregation, the
+    * size/df join-back, one per-doc window sort. The gram subtree
+    * appears in three branches, but all three hang off the SAME
+    * distinct aggregate, so the exchange is planned once and reused
+    * (ReusedExchange), not recomputed. */
+  def rankedGramIndex(docs: DataFrame,
+      mkGrams: DataFrame => DataFrame): DataFrame = {
+    val grams = mkGrams(docs).distinct()
+    val dft = grams.groupBy("g").agg(count(lit(1)).as("df"))
+    // set size and rank from the SAME doc_id window pass — one
+    // shuffle+sort serves both (no separate size aggregation/join-back)
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("g").asc)
+    val wAll = Window.partitionBy(col("doc_id"))
+    grams.join(dft, "g")
+      .select(col("doc_id"), col("g"),
+        count(lit(1)).over(wAll).as("n"),
+        row_number().over(wOrd).cast("long").as("r"))
+  }
+
+  /** τ-prefix of every doc: the first n − ⌈τ·n⌉ + 1 grams under the
+    * canonical order — a map-only filter over the index (ranks kept for
+    * the positional filter). */
+  private def prefix(ranked: DataFrame, num: Int, den: Int): DataFrame =
+    ranked.filter(col("r") <= col("n") - ceilMul(col("n"), num, den) + 1)
+
+  /** PPJoin POSITIONAL FILTER (Xiao et al., WWW'08 §3.2), relational
+    * form: per candidate pair take the lexicographically FIRST matching
+    * rank pair (i, j) = min(struct(rx, ry)). Every doc's grams follow
+    * the same global order, so any shared gram before rank i in x is
+    * also before rank j in y and (being inside both considered gram
+    * ranges) would itself have matched — contradiction with minimality.
+    * Hence ALL shared grams sit at ranks ≥ (i, j) and
+    * |A∩B| ≤ 1 + min(na − i, nb − j). Pairs whose bound cannot reach
+    * the required overlap `oReq` are dropped BEFORE the expensive
+    * verification join — sound by the argument above, and the naive
+    * oracle (no filters at all) re-proves it hash-equal every run.
+    * The aggregation doubles as the candidate dedup (replaces a
+    * distinct — same shuffle, strictly more pruning). */
+  private def positionalCandidates(matched: DataFrame)
+      (oReqScaled: Column, scale: Int,
+       minMatches: Column = lit(1L)): DataFrame =
+    matched
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(min(struct(col("rx"), col("ry"))).as("m"),
+        count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minMatches &&
+        (lit(1) + least(col("na") - col("m.rx"), col("nb") - col("m.ry"))) * scale
+          >= oReqScaled)
+      .select(col("doc_a"), col("doc_b"))
+
+  /** All document pairs with exact gram-set jaccard ≥ num/den, served
+    * from a prebuilt [[rankedGramIndex]]. Output (doc_a, doc_b,
+    * jaccard), doc_a < doc_b — the same shape as [[Dedup.nearDupPairs]],
+    * but with a completeness guarantee. */
+  def jaccardJoinFromIndex(ranked: DataFrame, num: Int, den: Int): DataFrame = {
+    val pre = prefix(ranked, num, den)
+    // candidates share a prefix gram and pass the integer length filter
+    // (jaccard ≥ τ forces τ·max(na,nb) ≤ min(na,nb)); the positional
+    // filter then drops pairs whose first shared rank proves the
+    // required overlap ⌈num·(na+nb)/(num+den)⌉ unreachable
+    val matched = pre.as("x").join(pre.as("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id") &&
+          col("x.n") * den >= col("y.n") * num &&
+          col("y.n") * den >= col("x.n") * num)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.n").as("na"), col("y.n").as("nb"),
+        col("x.r").as("rx"), col("y.r").as("ry"))
+    val cand = positionalCandidates(matched)(
+      (col("na") + col("nb")) * num, num + den)
+    verify(ranked, cand, num.toDouble / den, containment = false)
+  }
+
+  /** All DIRECTED document pairs where doc_a's gram set is ≥ num/den
+    * contained in doc_b's (|A∩B|/|A| ≥ τ, A ≠ B) — the excerpt/quote/
+    * template detector behind decontamination audits (a short eval
+    * passage embedded in a long training doc has low jaccard but
+    * containment ≈ 1). Output (doc_a, doc_b, containment) with doc_a
+    * the contained side.
+    *
+    * Prefix principle for containment: only A's size bounds the
+    * required overlap (⌈τ·na⌉ ≤ |A∩B|), so A's prefix must hit B
+    * SOMEWHERE — the probe joins A-prefixes against the full index,
+    * pruned by nb ≥ ⌈τ·na⌉ (B must be large enough to hold the required
+    * overlap). Still rare-gram-bounded: df-ascending order keeps
+    * boilerplate grams out of every prefix. */
+  /** k-PREFIX EXTENSION for the asymmetric (prefix × full-index) join:
+    * extending A's prefix to n − ⌈τ·n⌉ + k guarantees a true pair at
+    * least min(k, ⌈τ·na⌉) join matches — at most na − ⌈τ·na⌉ of A's
+    * grams are unshared, so its first na − ⌈τ·na⌉ + k grams hold ≥ k
+    * shared ones, and every shared gram matches the full y side. A
+    * count-≥-k HAVING then prunes brutally: measured at sf0.1, k = 3
+    * cut containment candidates 174k → 564 and verification input
+    * 9.4M → 29k rows for a 27% larger (still linear) candidate join.
+    * (The symmetric prefix × prefix jaccard join gets no such
+    * guarantee — a shared gram can hide in either suffix — so k-prefix
+    * applies only to the containment shape.) */
+  private val PrefixExt = 3
+
+  def containmentJoinFromIndex(ranked: DataFrame, num: Int, den: Int): DataFrame = {
+    val pre = ranked.filter(
+      col("r") <= col("n") - ceilMul(col("n"), num, den) + PrefixExt)
+    val cand0 = pre.as("x").join(ranked.as("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") =!= col("y.doc_id") &&
+          col("y.n") * den >= col("x.n") * num)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.n").as("na"), col("y.n").as("nb"),
+        col("x.r").as("rx"), col("y.r").as("ry"))
+    // required overlap ⌈num·na/den⌉; the first-match positional bound
+    // holds unchanged (the y side is the FULL index, so every shared
+    // gram inside the considered ranks is a join match)
+    val cand = positionalCandidates(cand0)(col("na") * num, den,
+      minMatches = least(lit(PrefixExt.toLong), ceilMul(col("na"), num, den)))
+    verify(ranked, cand, num.toDouble / den, containment = true)
+  }
+
+  /** Convenience builds for spec use: stage the index eagerly (it feeds
+    * both sides of the candidate self-join plus verification — the same
+    * multi-consumer argument as the LSH band table), then join. The
+    * registry path shares a durable index via [[SharedIntermediates]]
+    * instead. */
+  def jaccardJoin(docs: DataFrame, mkGrams: DataFrame => DataFrame,
+      num: Int, den: Int): DataFrame =
+    jaccardJoinFromIndex(Materialize.stage(rankedGramIndex(docs, mkGrams)), num, den)
+
+  def containmentJoin(docs: DataFrame, mkGrams: DataFrame => DataFrame,
+      num: Int, den: Int): DataFrame =
+    containmentJoinFromIndex(Materialize.stage(rankedGramIndex(docs, mkGrams)), num, den)
+
+  /** Exact verification over a candidate pair table, gram-level (the
+    * same skinny-row shape as [[Dedup.verifyJaccard]]: |A∩B| as a
+    * (pair, gram) equi-join count, sizes from per-doc counts —
+    * partial-aggregable end to end, no per-doc arrays), with the gram
+    * streams SERVED FROM THE INDEX (bare scans of the materialized
+    * table restricted to candidate docs) instead of re-tokenizing the
+    * corpus. Denominator is |A∪B| for jaccard, |A| for containment.
+    * The candidate persist is bounded by the candidate-pair
+    * neighborhood, never the corpus. */
+  private def verify(ranked: DataFrame, cand0: DataFrame,
+      threshold: Double, containment: Boolean): DataFrame = {
+    val cand = cand0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candIds = cand.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val grams = ranked.select(col("doc_id"), col("g"))
+      .join(candIds, Seq("doc_id"), "left_semi")
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = grams.select(col("doc_id").as("doc_a"), col("g"))
+      .join(cand, "doc_a")
+      .join(grams.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("ni"))
+    val withNa = inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+    if (containment)
+      withNa.select(col("doc_a"), col("doc_b"),
+          (col("ni").cast("double") / col("na").cast("double")).as("s"))
+        .filter(col("s") >= threshold)
+        .select(col("doc_a"), col("doc_b"), round(col("s"), 6).as("containment"))
+        .orderBy("doc_a", "doc_b")
+    else
+      withNa
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          (col("ni").cast("double") /
+            (col("na") + col("nb") - col("ni")).cast("double")).as("s"))
+        .filter(col("s") >= threshold)
+        .select(col("doc_a"), col("doc_b"), round(col("s"), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+  }
+}

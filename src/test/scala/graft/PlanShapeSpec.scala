@@ -150,7 +150,11 @@ class PlanShapeSpec extends SparkSpec {
       "q22_dormant_balances", "vocab_prune", "gap_fill_counts", "knn_classify",
       "revenue_share", "q11_important_parts", "source_mix_rebalance",
       "heavy_hitter_tokens", "near_dup_graph_stats",
-      "semantic_dedup", "bigram_lm_score", "ann_ivfpq_topk")
+      "semantic_dedup", "bigram_lm_score", "ann_ivfpq_topk",
+      // round-8 search probes: a one-row broadcast scalar (the top
+      // phrase / the corpus doc count) crossJoined onto the postings
+      // probe — the same bounded pattern as tfidf's corpus total
+      "phrase_search", "keyword_search")
     SparkEntry.registry.foreach { q =>
       val plan = q.fn(spark, sf0001).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),

@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Exact set-similarity joins (SimJoin) and the inverted-index search
+  * family (Search). The heart of the suite is the LOSSLESSNESS check:
+  * the prefix-filtered joins must equal an independent naive
+  * implementation computed in plain Scala. */
+class SearchSimJoinSpec extends SparkSpec {
+
+  private def docsDF(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "text").withColumn("n_chars", length(col("text")))
+  }
+
+  /** Independent word-3-gram shingle sets (plain Scala, no Spark). */
+  private def grams3(text: String): Set[String] = {
+    val ws = "[a-z']+".r.findAllIn(text.toLowerCase).toList
+    if (ws.size < 3) Set.empty
+    else ws.sliding(3).map(_.mkString(" ")).toSet
+  }
+
+  private val corpus = Seq(
+    0L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+    1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa", // dup of 0
+    2L -> "alpha beta gamma delta epsilon zeta eta theta iota lambda", // near dup
+    3L -> "one two three four five six seven eight nine ten",
+    4L -> "one two three four five six seven eight nine eleven", // near dup of 3
+    5L -> "wholly unrelated content sits here sharing no grams with anything",
+    6L -> "alpha beta gamma but then it veers off somewhere quite different")
+
+  test("prefix-filtered exact jaccard join equals the naive all-pairs join") {
+    val d = docsDF(corpus: _*)
+    val got = SimJoin.jaccardJoin(d, Dedup.wordGrams, 1, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val sets = corpus.toMap.view.mapValues(grams3).toMap
+    val expected = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      sa = sets(a); sb = sets(b) if sa.nonEmpty && sb.nonEmpty
+      jac = (sa & sb).size.toDouble / (sa | sb).size
+      if jac >= 0.5
+    } yield (a, b) -> jac).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (k, v) =>
+      assert(math.abs(got(k) - v) < 1e-6, s"pair $k jaccard")
+    }
+    // the dup pair must be there at 1.0, the unrelated docs nowhere
+    assert(got((0L, 1L)) === 1.0)
+    assert(!got.keys.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("exact join at the same threshold is a superset of LSH-verified pairs") {
+    // LSH can lose pairs (no band collision); the exact join cannot.
+    // Every minhash pair at j>=0.7 has true jaccard >= 0.7, so it MUST
+    // appear in the exact j>=0.7 join — the exact-recall audit of the
+    // approximate operator, on real test data.
+    val d = Tables.documents(spark, sf0001)
+    val lsh = Dedup.nearDupPairs(d, Dedup.wordGrams(d), Dedup.wordGrams, 0.7)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = SimJoin.jaccardJoin(d, Dedup.wordGrams, 7, 10)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.nonEmpty, "fixture should contain near-dups")
+    assert(lsh.subsetOf(exact),
+      s"exact join lost LSH-confirmed pairs: ${lsh.diff(exact)}")
+  }
+
+  test("containment join finds a planted excerpt, directed the right way") {
+    val container = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the quiet hills before nightfall settles in"
+    val excerpt = "the quick brown fox jumps over the lazy dog"
+    val d = docsDF(
+      10L -> container,
+      11L -> excerpt,
+      12L -> "completely separate text with zero overlapping trigram content")
+    val got = SimJoin.containmentJoin(d, Dedup.wordGrams, 4, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // excerpt ⊂ container: containment(11 → 10) = 1.0
+    assert(got((11L, 10L)) === 1.0)
+    // the container is NOT 80% contained in its own excerpt
+    assert(!got.contains((10L, 11L)))
+    assert(!got.keys.exists(p => p._1 == 12L || p._2 == 12L))
+    // and the naive Scala recompute agrees pair-for-pair
+    val sets = Map(10L -> grams3(container), 11L -> grams3(excerpt),
+      12L -> grams3("completely separate text with zero overlapping trigram content"))
+    val expected = (for {
+      a <- sets.keys; b <- sets.keys if a != b
+      sa = sets(a); sb = sets(b) if sa.nonEmpty
+      c = (sa & sb).size.toDouble / sa.size
+      if c >= 0.8
+    } yield (a, b) -> c).toMap
+    assert(got.keySet === expected.keySet)
+  }
+
+  test("phrase search counts overlapping occurrences with 1-based positions") {
+    val d = docsDF(
+      0L -> "x y z q x y z",   // "x y z" at token positions 1 and 5
+      1L -> "a x y z b",       // at position 2
+      2L -> "no match in this document at all")
+    val idx = Search.postings(d)
+    // "x y z" occurs 3 times — strictly the most frequent trigram
+    val top = Search.topPhrase(idx).collect()
+    assert(top.map(_.getString(0)).toSeq === Seq("x y z"))
+    val rows = Search.phraseSearch(idx).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.toSeq === Seq(
+      (0L, "x y z", 2L, 1L, 5L),
+      (1L, "x y z", 1L, 2L, 2L)))
+  }
+
+  test("keyword ranking matches an independent tf-idf recompute on real data") {
+    val d = Tables.documents(spark, sf0001)
+    val got = Search.keywordSearch(SharedIntermediates.postings(spark, sf0001))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // independent recompute in plain Scala, same IEEE double ops
+    val toks = d.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> "[a-z']+".r.findAllIn(r.getString(1).toLowerCase).toList)
+      .filter(_._2.nonEmpty)
+    val tf = toks.flatMap { case (id, ws) => ws.map(w => (id, w)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val df = tf.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val n = toks.map(_._1).distinct.size.toLong
+    val qTerms = df.toSeq.sortBy { case (t, c) => (-c, t) }.slice(9, 12).map(_._1)
+    val w = qTerms.map(t => t ->
+      math.floor((1.0e6 * (n - df(t) + 0.5)) / (df(t) + 0.5)).toLong).toMap
+    val scored = toks.map(_._1).map { id =>
+      val hits = qTerms.filter(t => tf.contains((id, t)))
+      val score = hits.map(t => tf((id, t)) * w(t)).sum
+      (id, score, hits.size.toLong, hits.map(t => tf((id, t))).sum)
+    }.filter(_._3 > 0)
+    val expected = scored.sortBy { case (id, s, _, _) => (-s, id) }.take(20)
+    assert(got.toSeq === expected.toSeq)
+  }
+
+  test("index stats equal an independent vocabulary recompute") {
+    val d = docsDF(corpus: _*)
+    val got = Search.indexStats(Search.postings(d), k = 5).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val toks = corpus.map { case (id, t) =>
+      id -> "[a-z']+".r.findAllIn(t.toLowerCase).toList }
+    val byTerm = toks.flatMap { case (id, ws) => ws.map(w => (w, id)) }
+      .groupBy(_._1).view
+      .mapValues(oc => (oc.map(_._2).distinct.size.toLong, oc.size.toLong)).toMap
+    val expected = byTerm.toSeq.map { case (t, (df, tot)) => (t, df, tot) }
+      .sortBy { case (t, df, _) => (-df, t) }.take(5)
+    assert(got.toSeq === expected)
+  }
+
+  test("jaccard-join candidate pruning is integer-exact at threshold boundaries") {
+    // n = 10 grams, tau = 1/2: prefix length = 10 - 5 + 1 = 6. A doc
+    // sharing ONLY gram 7..10 of another's canonical order can still
+    // reach jaccard 1/2 only if sets are small — construct the boundary:
+    // two 4-gram docs sharing exactly 2 grams: j = 2/6 < 0.5 (excluded);
+    // sharing 3: j = 3/5 >= 0.5 (included). The join must agree exactly.
+    val d = docsDF(
+      20L -> "a b c d e f",          // grams: abc bcd cde def (4)
+      21L -> "a b c d x y z w",      // shares abc bcd — j = 2/8 no
+      22L -> "a b c d e q",          // shares abc bcd cde — j = 3/5 yes
+      23L -> "a b c d e f")          // dup of 20
+    val got = SimJoin.jaccardJoin(d, Dedup.wordGrams, 1, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((20L, 22L)))
+    assert(got.contains((20L, 23L)))
+    assert(!got.contains((20L, 21L)))
+  }
+}
