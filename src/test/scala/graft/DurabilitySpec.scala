@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Materialize, SharedIntermediates, Similarity}
+import graft.operators.{Dedup, Materialize, Search, SharedIntermediates, SimJoin, Similarity}
 import org.apache.spark.sql.functions.col
 
 /** The durable (cluster-survivable) index path: with
@@ -95,6 +95,40 @@ class DurabilitySpec extends SparkSpec {
     } finally {
       spark.conf.unset(Materialize.ReliableConf)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("similarity-join gram index and postings index survive a new session") {
+    withIndexDir { dir =>
+      val s1 = spark.newSession()
+      s1.conf.set(Materialize.DirConf, dir)
+      val basePairs = SimJoin.jaccardJoinFromIndex(
+        SharedIntermediates.wordGramIndex(s1, sf0001), 7, 10)
+        .collect().map(_.toString).sorted
+      val basePhrase = Search.phraseSearch(SharedIntermediates.postings(s1, sf0001))
+        .collect().map(_.toString).sorted
+      // restarted driver: only the parquet indexes survive
+      val s2 = spark.newSession()
+      s2.conf.set(Materialize.DirConf, dir)
+      val idx2 = SharedIntermediates.wordGramIndex(s2, sf0001)
+      val idxPlan = idx2.queryExecution.optimizedPlan.toString
+      assert(!idxPlan.contains("Aggregate") && !idxPlan.contains("Generate") &&
+        !idxPlan.contains("Join") && !idxPlan.contains("Window"),
+        s"expected a pure gram-index scan, got a rebuild:\n$idxPlan")
+      val post2 = SharedIntermediates.postings(s2, sf0001)
+      val postPlan = post2.queryExecution.optimizedPlan.toString
+      assert(!postPlan.contains("Generate") && !postPlan.contains("Aggregate"),
+        s"expected a pure postings scan, got a rebuild:\n$postPlan")
+      val pairs2 = SimJoin.jaccardJoinFromIndex(idx2, 7, 10)
+        .collect().map(_.toString).sorted
+      assert(pairs2.sameElements(basePairs),
+        "exact-join pairs differ when served from the durable gram index")
+      val phrase2 = Search.phraseSearch(post2).collect().map(_.toString).sorted
+      assert(phrase2.sameElements(basePhrase),
+        "phrase search differs when served from the durable postings index")
+      val names = new java.io.File(dir).listFiles().map(_.getName).toSet
+      assert(names.exists(_.startsWith("wordGramIndex")), s"no gram index in $names")
+      assert(names.exists(_.startsWith("postings")), s"no postings index in $names")
     }
   }
 

@@ -130,6 +130,25 @@ class PlanShapeSpec extends SparkSpec {
       s"scan reads columns the query never touches: $readSchema")
   }
 
+  test("exact similarity joins never re-tokenize — every gram is an index scan") {
+    // both joins and BOTH their verification stages must serve from the
+    // shared rankedGramIndex: the optimized plans carry no Generate
+    // (explode/posexplode of a tokenizer) anywhere — a regression that
+    // re-derives grams from `documents.text` reintroduces corpus
+    // tokenize passes per consumer (measured at 2.4x the query cost)
+    import org.apache.spark.sql.catalyst.plans.logical.Generate
+    Seq("ssjoin_exact", "containment_pairs").foreach { name =>
+      val q = SparkEntry.registry.find(_.name == name).get
+      val gens = q.fn(spark, sf0001).queryExecution.optimizedPlan.collect {
+        // the candidate-id explode in verify is a 2-element array, fine;
+        // tokenizer Generates explode regexp_extract_all/sequence output
+        case g: Generate if g.generator.toString.contains("regexp_extract_all")
+          || g.generator.toString.contains("sequence(") => g
+      }
+      assert(gens.isEmpty, s"$name re-tokenizes instead of scanning the index")
+    }
+  }
+
   test("no registered query plans a cartesian product or accidental nested loop") {
     // blanket scale-killer audit over the whole registry. BNLJ is
     // allowed ONLY where it is the intended shape: a tiny broadcast side
