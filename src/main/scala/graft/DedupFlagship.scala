@@ -63,7 +63,7 @@ object DedupFlagship {
   /** Generate the corpus parquet: (doc_id, text, n_chars, seeded
     * columns for truth derivation are NOT written — truth is derived
     * from ids alone, deterministically). */
-  private def genCorpus(spark: SparkSession, dir: String, nDocs: Long): Unit = {
+  private[graft] def genCorpus(spark: SparkSession, dir: String, nDocs: Long): Unit = {
     val vocab = 50000L
     val nDup = nDocs / DupEvery
     val nBase = nDocs - nDup
@@ -93,7 +93,7 @@ object DedupFlagship {
   }
 
   /** Planted (doc_a, doc_b) pairs with their design class. */
-  private def planted(spark: SparkSession, nDocs: Long): DataFrame = {
+  private[graft] def planted(spark: SparkSession, nDocs: Long): DataFrame = {
     val nDup = nDocs / DupEvery
     val nBase = nDocs - nDup
     spark.range(nDup)

