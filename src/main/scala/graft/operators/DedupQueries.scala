@@ -171,7 +171,43 @@ object DedupQueries {
        |SELECT doc_id, cluster_id, cluster_size FROM lab JOIN sz USING (cluster_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** PageRank oracle: the SAME 10 integer-arithmetic iterations,
+    * unrolled as a CTE chain (recursive CTEs forbid aggregation in the
+    * recursive term, and unrolling keeps every step plain ANSI). All
+    * divisions are BIGINT floor divisions, so ranks match the Spark
+    * side digit-for-digit. */
+  private val pagerankSql: String = {
+    val iters = 10
+    val chain = (1 to iters).map { k =>
+      s"""pr$k AS (
+         |  SELECT e.v AS doc_id,
+         |    CAST((15000000000000 // (100 * nn.n)) + ((85 * sum(p.r // dg.d)) // 100) AS BIGINT) AS r
+         |  FROM ed e
+         |  JOIN pr${k - 1} p ON p.doc_id = e.u
+         |  JOIN deg dg ON dg.u = e.u
+         |  CROSS JOIN nn
+         |  GROUP BY e.v, nn.n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH prs AS (${nearDupSql(wordShinglesCte, 0.7)}),
+       |und AS (
+       |  SELECT DISTINCT least(doc_a, doc_b) AS u, greatest(doc_a, doc_b) AS v
+       |  FROM prs WHERE doc_a <> doc_b),
+       |ed AS (SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und),
+       |deg AS (SELECT u, count(*) AS d FROM ed GROUP BY u),
+       |nn AS (SELECT count(*) AS n FROM deg),
+       |pr0 AS (SELECT u AS doc_id, CAST(1000000000000 // nn.n AS BIGINT) AS r
+       |        FROM deg CROSS JOIN nn),
+       |$chain
+       |SELECT p.doc_id, p.r AS rank_micro, dg.d AS degree
+       |FROM pr$iters p JOIN deg dg ON dg.u = p.doc_id
+       |ORDER BY p.doc_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("pagerank_neardup",
+      (s, d) => Dedup.pagerankNearDup(SharedIntermediates.textPairs(s, d)),
+      Some(pagerankSql)),
+
     QueryDef("dedup_ensemble_clusters",
       (s, d) => Dedup.ensembleDedupClustersFrom(
         SharedIntermediates.textPairs(s, d), SharedIntermediates.embPairs(s, d)),

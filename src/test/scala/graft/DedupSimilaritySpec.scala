@@ -479,6 +479,38 @@ class DedupSimilaritySpec extends SparkSpec {
     val n = st.agg(sum("n_vectors")).as[Long].head()
     assert(n == emb.count())
   }
+
+  test("pagerank matches an independent integer mirror and ranks hubs highest") {
+    // star 0-{1,2,3} plus disconnected pair 10-11: the hub must outrank
+    // its leaves, symmetric nodes must tie EXACTLY, and every rank must
+    // equal a plain-Scala mirror of the same floor-division iterations
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.pagerankNearDup(pairs)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    // independent mirror (adjacency maps, same Scale/base/iterations)
+    val Scale = 1000000000000L
+    val adj = Map(0L -> Seq(1L, 2L, 3L), 1L -> Seq(0L), 2L -> Seq(0L),
+      3L -> Seq(0L), 10L -> Seq(11L), 11L -> Seq(10L))
+    val n = adj.size.toLong
+    val base = 15L * Scale / (100L * n)
+    var r = adj.keys.map(_ -> Scale / n).toMap
+    for (_ <- 1 to 10)
+      r = adj.keys.map { v =>
+        // collect to a Seq of contributions — a keys.map would build a
+        // SET and silently dedup equal contributions
+        val c = adj.toSeq.collect {
+          case (u, ns) if ns.contains(v) => r(u) / ns.size
+        }.sum
+        v -> (base + 85L * c / 100L)
+      }.toMap
+    assert(got.keySet === adj.keySet)
+    adj.keys.foreach(v => assert(got(v)._1 === r(v), s"rank mismatch at $v"))
+    assert(got(0L)._1 > got(1L)._1, "hub must outrank leaf")
+    assert(got(1L) === got(2L) && got(2L) === got(3L), "symmetric leaves tie")
+    assert(got(10L) === got(11L), "symmetric pair ties")
+    assert(got(0L)._2 === 3L && got(1L)._2 === 1L)
+  }
 }
 
 /** Single-shot failure injector for the O16 dedup retry spec — a static
