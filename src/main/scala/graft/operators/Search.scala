@@ -123,6 +123,46 @@ object Search {
       .limit(k)
   }
 
+  /** BM25-RANKED RETRIEVAL (Robertson–Spärck Jones; k1 = 1.2,
+    * b = 0.75) over the same deterministic mid-df 3-term query as
+    * [[keywordSearch]] — the industry-standard scorer beside the
+    * odds-idf one, same query so the two rankings are directly
+    * comparable. Per-(term, doc) scores — idf = ln(odds + 1) times the
+    * saturating tf normalization with document-length penalty — are
+    * floored to integer micro-units BEFORE the per-doc sum (the
+    * engine-parity pattern: the only cross-engine double operations
+    * are a fixed single-expression sequence per row, mirrored
+    * parenthesis-for-parenthesis in the oracle; the aggregate is an
+    * integer sum, immune to partial-aggregation order). Probe cost
+    * scales with the query terms' posting lists; the doc-length join
+    * adds one aggregation over the index and the corpus stats are a
+    * one-row broadcast scalar. */
+  def bm25Search(idx: DataFrame, loRank: Int = 10, hiRank: Int = 12,
+      k: Int = 20): DataFrame = {
+    val tf = termFreq(idx)
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    def topK(kk: Int) = dft.orderBy(col("df").desc, col("term").asc).limit(kk)
+    val q = topK(hiRank).except(topK(loRank - 1))
+    val dl = idx.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val st = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val idf = log(
+      ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)) + lit(1.0))
+    val norm = (col("tf").cast("double") * lit(2.2)) /
+      (col("tf").cast("double") +
+        (lit(1.2) * (lit(0.25) + (lit(0.75) * (col("dl").cast("double") / col("avgdl"))))))
+    tf.join(broadcast(q), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(st))
+      .withColumn("w", floor((lit(1.0e6) * idf) * norm).cast("long"))
+      .groupBy("doc_id")
+      .agg(sum(col("w")).as("score_micro"),
+        count(lit(1)).as("n_terms_matched"),
+        sum(col("tf")).as("total_tf"))
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** Vocabulary statistics of the index: the top-k terms by document
     * frequency with their df and total term frequency — the index's
     * own correctness gate (posting-list lengths are directly

@@ -56,6 +56,25 @@ object SearchQueries {
        |SELECT doc_id, score_micro, n_terms_matched, total_tf
        |FROM sc ORDER BY score_micro DESC, doc_id ASC LIMIT 20""".stripMargin
 
+  private val bm25Sql =
+    s"""WITH $tfCtes,
+       |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |q AS (SELECT term, df FROM dft ORDER BY df DESC, term ASC LIMIT 3 OFFSET 9),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+       |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+       |w AS (
+       |  SELECT t.doc_id, t.tf,
+       |    CAST(floor((1000000.0 * ln(((st.n_docs - q.df + 0.5) / (q.df + 0.5)) + 1.0)) *
+       |         ((t.tf * 2.2) / (t.tf + (1.2 * (0.25 + (0.75 * (d.dl / st.avgdl))))))) AS BIGINT) AS w
+       |  FROM tf t JOIN q USING (term) JOIN dl d ON d.doc_id = t.doc_id
+       |  CROSS JOIN st),
+       |sc AS (
+       |  SELECT doc_id, CAST(sum(w) AS BIGINT) AS score_micro,
+       |         count(*) AS n_terms_matched, CAST(sum(tf) AS BIGINT) AS total_tf
+       |  FROM w GROUP BY doc_id)
+       |SELECT doc_id, score_micro, n_terms_matched, total_tf
+       |FROM sc ORDER BY score_micro DESC, doc_id ASC LIMIT 20""".stripMargin
+
   private val indexStatsSql =
     s"""WITH $tfCtes,
        |st AS (SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf FROM tf GROUP BY term)
@@ -70,6 +89,10 @@ object SearchQueries {
     QueryDef("keyword_search",
       (s, d) => Search.keywordSearch(SharedIntermediates.postings(s, d)),
       Some(keywordSql)),
+
+    QueryDef("bm25_search",
+      (s, d) => Search.bm25Search(SharedIntermediates.postings(s, d)),
+      Some(bm25Sql)),
 
     QueryDef("inverted_index_stats",
       (s, d) => Search.indexStats(SharedIntermediates.postings(s, d)),

@@ -173,7 +173,7 @@ class PlanShapeSpec extends SparkSpec {
       // round-8 search probes: a one-row broadcast scalar (the top
       // phrase / the corpus doc count) crossJoined onto the postings
       // probe — the same bounded pattern as tfidf's corpus total
-      "phrase_search", "keyword_search")
+      "phrase_search", "keyword_search", "bm25_search")
     SparkEntry.registry.foreach { q =>
       val plan = q.fn(spark, sf0001).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),

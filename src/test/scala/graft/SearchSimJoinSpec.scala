@@ -133,6 +133,34 @@ class SearchSimJoinSpec extends SparkSpec {
     assert(got.toSeq === expected.toSeq)
   }
 
+  test("bm25 ranking matches an independent recompute on real data") {
+    val d = Tables.documents(spark, sf0001)
+    val got = Search.bm25Search(SharedIntermediates.postings(spark, sf0001))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val toks = d.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> "[a-z']+".r.findAllIn(r.getString(1).toLowerCase).toList)
+      .filter(_._2.nonEmpty)
+    val tf = toks.flatMap { case (id, ws) => ws.map(w => (id, w)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val df = tf.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val dl = toks.map { case (id, ws) => id -> ws.size.toLong }.toMap
+    val n = toks.length.toLong
+    val avgdl = dl.values.sum.toDouble / n
+    val qTerms = df.toSeq.sortBy { case (t, c) => (-c, t) }.slice(9, 12).map(_._1)
+    def w(id: Long, t: String): Long = {
+      val idf = math.log(((n - df(t) + 0.5) / (df(t) + 0.5)) + 1.0)
+      val norm = (tf((id, t)) * 2.2) /
+        (tf((id, t)) + (1.2 * (0.25 + (0.75 * (dl(id) / avgdl)))))
+      math.floor((1.0e6 * idf) * norm).toLong
+    }
+    val expected = toks.map(_._1).map { id =>
+      val hits = qTerms.filter(t => tf.contains((id, t)))
+      (id, hits.map(t => w(id, t)).sum, hits.size.toLong,
+        hits.map(t => tf((id, t))).sum)
+    }.filter(_._3 > 0).sortBy { case (id, s, _, _) => (-s, id) }.take(20)
+    assert(got.toSeq === expected.toSeq)
+  }
+
   test("index stats equal an independent vocabulary recompute") {
     val d = docsDF(corpus: _*)
     val got = Search.indexStats(Search.postings(d), k = 5).collect()
