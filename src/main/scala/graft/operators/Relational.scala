@@ -393,6 +393,41 @@ object Relational {
       when(col("p_size") >= 25, lit("large")).otherwise(lit("small")).as("size_class"))
       .orderBy("p_partkey")
 
+  /** Inherently-iterative SQL via Spark 4's recursive CTE (UnionLoopExec):
+    * an exponential moving average of monthly revenue where every step
+    * floors to integer cents — the floor makes each month's value depend
+    * on the previous month's ALREADY-ROUNDED value, so no closed-form
+    * window rewrite exists and the recursion is genuinely required
+    * (unlike a plain EMA, which a sum of weighted terms could express).
+    *
+    * Scale shape: the corpus-sized work is the one monthly aggregate
+    * (partial-aggregated scan of orders); the recursion then runs over
+    * the MONTH table — one tiny row per step, depth = number of months,
+    * each iteration a 1-row frontier joined to an ~80-row broadcast
+    * side. At 100 TB the month table is still measured in hundreds of
+    * rows, so the loop cost is independent of corpus size. The
+    * row_number() window is over that same bounded month table, never
+    * the fact table. Arithmetic is pure BIGINT (cents; 9/10 decay via
+    * integer DIV), so the oracle matches digit-for-digit. */
+  def recursiveMonthlyEma(s: SparkSession, d: String): DataFrame = {
+    // depth = months (~80 at every sf); default limit 100 is too close
+    s.conf.set("spark.sql.cteRecursionLevelLimit", "500")
+    Tables.orders(s, d).createOrReplaceTempView("orders_ema_v")
+    s.sql(
+      """WITH RECURSIVE months AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY m) AS BIGINT) AS i, m, rev
+        |  FROM (SELECT date_trunc('month', o_orderdate) AS m,
+        |               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS rev
+        |        FROM orders_ema_v GROUP BY 1)),
+        |ema(i, m, rev, ema_cents) AS (
+        |  SELECT i, m, rev, rev FROM months WHERE i = 1
+        |  UNION ALL
+        |  SELECT mo.i, mo.m, mo.rev, (e.ema_cents * 9 + mo.rev) DIV 10
+        |  FROM ema e JOIN months mo ON mo.i = e.i + 1)
+        |SELECT i AS month_idx, m AS month, rev AS revenue_cents, ema_cents
+        |FROM ema ORDER BY month_idx""".stripMargin)
+  }
+
   /** Scalar date-function battery over orders. */
   def dateFuncsOrders(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d).select(

@@ -258,5 +258,24 @@ object RelationalQueries {
         |  CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS BIGINT) AS days_since_epoch,
         |  o_orderdate + INTERVAL 30 DAY AS deadline
         |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // Iterative SQL: the integer-floored EMA is order-R recursive by
+    // construction (each month consumes the previous month's rounded
+    // value), so both engines must actually run the recursion — Spark
+    // through UnionLoopExec, DuckDB through its recursive CTE executor —
+    // and the BIGINT cents arithmetic makes the match digit-exact.
+    QueryDef("recursive_monthly_ema", Relational.recursiveMonthlyEma, Some(
+      """WITH RECURSIVE months AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY m) AS BIGINT) AS i, m, rev
+        |  FROM (SELECT date_trunc('month', o_orderdate) AS m,
+        |               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS rev
+        |        FROM orders GROUP BY 1)),
+        |ema(i, m, rev, ema_cents) AS (
+        |  SELECT i, m, rev, rev FROM months WHERE i = 1
+        |  UNION ALL
+        |  SELECT mo.i, mo.m, mo.rev, (e.ema_cents * 9 + mo.rev) // 10
+        |  FROM ema e JOIN months mo ON mo.i = e.i + 1)
+        |SELECT i AS month_idx, m AS month, rev AS revenue_cents, ema_cents
+        |FROM ema ORDER BY month_idx""".stripMargin)),
   )
 }

@@ -155,6 +155,28 @@ object Temporal {
       .agg(count(lit(1)).as("n"), sumD(col("value")).as("sum_value"))
       .orderBy("k_bucket")
 
+  /** VARIANT semi-structured path (Spark 4's open-format binary JSON —
+    * the type Parquet shredding and the lakehouse formats standardize
+    * on): props parsed ONCE to a variant value, fields then extracted
+    * with variant_get path expressions — at 100 TB this is the
+    * parse-once/extract-many shape (the binary encoding skips
+    * re-tokenizing the JSON text per field, and shredded storage would
+    * push the path reads down to column chunks). Aggregation mirrors the
+    * string-JSON path so the two surfaces are cross-checkable; the
+    * oracle reproduces it with DuckDB's JSON extraction. */
+  def variantProps(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        expr("cast(variant_get(parse_json(props), '$.k') as long)").as("k"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        countDistinct(col("k")).as("n_distinct_k"))
+      .orderBy("event_type")
+
   /** Map-typed semi-structured path: props parsed to MapType with
     * from_json, exploded to key/value rows by the map generator, then
     * aggregated per key. (get_json_object covers single-key extraction —

@@ -106,6 +106,19 @@ object TemporalQueries {
            |SELECT k % 10 AS k_bucket, count(*) AS n, $sumValue AS sum_value
            |FROM t GROUP BY 1 ORDER BY k_bucket""".stripMargin)),
 
+    // VARIANT (Spark 4 binary semi-structured type): parse-once typed
+    // path extraction; DuckDB mirrors via its JSON extraction
+    QueryDef("variant_props",
+      (s, d) => Temporal.variantProps(Tables.events(s, d)), Some(
+        """WITH t AS (
+          |  SELECT event_type,
+          |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          |  FROM events)
+          |SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+          |  min(k) AS min_k, max(k) AS max_k,
+          |  CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k
+          |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     QueryDef("props_map_stats",
       (s, d) => Temporal.propsMapStats(Tables.events(s, d)), Some(
         """WITH kv AS (
