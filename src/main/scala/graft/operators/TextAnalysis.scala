@@ -491,6 +491,111 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** TEMPERATURE-BASED source mixing (α = 0.5): sampling weight per
+    * source ∝ n_s^α — the standard multilingual/multi-domain rebalance
+    * (softens the head, boosts the tail; α=1 is natural sampling, α=0 is
+    * the equal-share [[sourceMixRebalance]]). Target total is half the
+    * corpus; per-source keep probability = K·q_s/n_s with
+    * q_s = √n_s / Σ√n_t, realized as a deterministic md5-uniform
+    * threshold test. All cross-source arithmetic is BIGINT — each √n_s
+    * is floored to 2^20-scaled units FIRST and the normalizer is an
+    * integer sum, so no double summation order can perturb the result
+    * and the oracle matches hash-exact. Plan shape: source histogram →
+    * one tiny broadcast; keep decision map-side; one audit groupBy.
+    * (The BIGINT threshold product k·w_s·2^20 bounds the corpus at
+    * ~2^42 docs per source before overflow — beyond any real corpus;
+    * DECIMAL(38,0) is the escape hatch.) */
+  def temperatureMix(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val weights = counts.select(col("source"), col("n_docs"),
+      floor(sqrt(col("n_docs").cast("double")) * lit(1048576.0)).cast("long").as("w"))
+    val tot = weights.agg(sum(col("w")).as("w_total"),
+      expr("sum(n_docs) DIV 2").as("k_target"))
+    val rates = weights.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        expr("(1048576 * k_target * w) DIV (w_total * n_docs)").as("keep_thresh"))
+    val hex = md5(col("doc_id").cast("string"))
+    def nibble(i: Int): Column = {
+      val a = ascii(substring(hex, i + 1, 1))
+      a - when(a >= 97, lit(87)).otherwise(lit(48))
+    }
+    // 20-bit md5-uniform draw: five hex nibbles
+    val u = (0 until 5).map(i => nibble(i) * (1 << (4 * (4 - i))))
+      .reduce(_ + _).cast("long")
+    docs.select(col("doc_id"), col("source"))
+      .join(broadcast(rates), "source")
+      .withColumn("kept", u < col("keep_thresh"))
+      .groupBy(col("source"), col("n_docs"), col("keep_thresh"))
+      .agg(sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("source")
+  }
+
+  /** SPLIT-DRIFT detection: KL(split ‖ corpus) over token unigram
+    * distributions, per train/val/test split (the held-out-set sanity
+    * check a training pipeline runs — a val set whose token mix diverges
+    * from train measures the wrong loss). Exactly the
+    * [[trainValTestSplit]] assignment; per-(split, token) counts partial-
+    * aggregate before the one shuffle on the token key; the global
+    * token distribution is a vocabulary-sized re-aggregate of the same
+    * table (no second corpus scan), and the per-split totals are a
+    * broadcast scalar row. Each token's log-ratio ln(p/q) is quantized
+    * to integer 1e-4 units (round-half-up) BEFORE the weighted sum —
+    * the [[bigramLmScore]] portability trick — so the per-split KL is
+    * an order-independent BIGINT sum and hash-exact cross-engine. */
+  def tokenKlDrift(docs: DataFrame): DataFrame = {
+    val hex = md5(col("doc_id").cast("string"))
+    def nibble(i: Int): Column = {
+      val a = ascii(substring(hex, i + 1, 1))
+      a - when(a >= 97, lit(87)).otherwise(lit(48))
+    }
+    val bucket = (nibble(0) * 16 + nibble(1)).cast("long")
+    val split = when(bucket < 204, lit("train"))
+      .when(bucket < 230, lit("val")).otherwise(lit("test"))
+    val tokSplit = docs.select(split.as("split"), explode(toks).as("tok"))
+      .groupBy(col("split"), col("tok")).agg(count(lit(1)).as("c"))
+    val globalTok = tokSplit.groupBy(col("tok")).agg(sum(col("c")).as("c_all"))
+    val splitTotals = tokSplit.groupBy(col("split")).agg(sum(col("c")).as("n_split"))
+    val grand = splitTotals.agg(sum(col("n_split")).as("n_all"))
+    val terms = tokSplit
+      .join(globalTok, "tok")
+      .join(broadcast(splitTotals), "split")
+      .crossJoin(broadcast(grand))
+      .withColumn("lp4",
+        floor(log(col("c").cast("double") * col("n_all").cast("double") /
+          (col("n_split").cast("double") * col("c_all").cast("double"))) *
+          lit(10000.0) + lit(0.5)).cast("long"))
+    terms
+      .groupBy(col("split"), col("n_split"))
+      .agg(
+        count(lit(1)).as("n_distinct_tokens"),
+        sum(col("c") * col("lp4")).as("kl_units"))
+      .select(col("split"), col("n_split").as("n_tokens"),
+        col("n_distinct_tokens"),
+        round(col("kl_units").cast("double") / col("n_split").cast("double")
+          / lit(10000.0), 6).as("kl_nats"))
+      .orderBy("split")
+  }
+
+  /** Dataset-card summary: the one-row corpus rollup (docs, tokens,
+    * chars, language/source cardinalities, length extremes) a data
+    * release documents. One scan, one partial-aggregated global
+    * aggregate — the cheapest query in the registry by design; its
+    * value is completeness of the pipeline surface. */
+  def corpusSummary(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"), col("source"),
+        size(toks).cast("long").as("n_toks"),
+        length(col("text")).cast("long").as("n_chars"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        min(col("n_toks")).as("min_doc_tokens"),
+        max(col("n_toks")).as("max_doc_tokens"))
+      .withColumn("avg_doc_tokens",
+        round(col("total_tokens").cast("double") / col("n_docs").cast("double"), 6))
+
   /** Char-trigram language classifier, fit AND applied as one dataflow
     * (the Cavnar–Trenkle n-gram-profile method): per-language top-30
     * trigram profiles by corpus frequency (fit = one shuffle on

@@ -7,6 +7,18 @@ object TextAnalysisQueries {
 
   private val stopList = TextAnalysis.EnStopwords.map(w => s"'$w'").mkString(", ")
 
+  /** SQL for hex-nibble i (0-based) of md5(doc_id) as an integer —
+    * the ascii-arithmetic trick shared with the split/sampling oracles. */
+  private def nibSql(i: Int, idCol: String = "doc_id"): String = {
+    val a = s"ascii(substr(md5(CAST($idCol AS VARCHAR)), ${i + 1}, 1))"
+    s"($a - CASE WHEN $a >= 97 THEN 87 ELSE 48 END)"
+  }
+
+  /** 20-bit md5-uniform draw (five nibbles) — mirror of the Spark side. */
+  private def u20Sql(idCol: String): String =
+    (0 until 5).map(i => s"${nibSql(i, idCol)} * ${1 << (4 * (4 - i))}")
+      .mkString("(", " + ", ")")
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("lang_id",
       (s, d) => TextAnalysis.langId(Tables.documents(s, d)), Some(
@@ -367,6 +379,68 @@ object TextAnalysisQueries {
           |SELECT source, n_docs, keep_rate,
           |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
           |FROM k GROUP BY 1, 2, 3 ORDER BY source""".stripMargin)),
+
+    // α=0.5 temperature mixing — integer-thresholded so the keep
+    // decisions (not just the rates) are hash-exact cross-engine
+    QueryDef("temperature_mix",
+      (s, d) => TextAnalysis.temperatureMix(Tables.documents(s, d)), Some(
+        s"""WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+           |w AS (SELECT source, n_docs,
+           |        CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1048576.0) AS BIGINT) AS w
+           |      FROM c),
+           |t AS (SELECT CAST(sum(w) AS BIGINT) AS w_total,
+           |             CAST(sum(n_docs) AS BIGINT) // 2 AS k_target FROM w),
+           |r AS (SELECT source, n_docs,
+           |        (1048576 * k_target * w) // (w_total * n_docs) AS keep_thresh
+           |      FROM w, t),
+           |k AS (SELECT d.source, r.n_docs, r.keep_thresh,
+           |        ${u20Sql("d.doc_id")} < r.keep_thresh AS kept
+           |      FROM documents d JOIN r USING (source))
+           |SELECT source, n_docs, keep_thresh,
+           |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+           |FROM k GROUP BY 1, 2, 3 ORDER BY source""".stripMargin)),
+
+    // KL(split ‖ corpus) with ln quantized to integer 1e-4 units before
+    // the weighted sum (the bigram_lm_score portability pattern)
+    QueryDef("token_kl_drift",
+      (s, d) => TextAnalysis.tokenKlDrift(Tables.documents(s, d)), Some(
+        s"""WITH sp AS (
+           |  SELECT CASE WHEN ${nibSql(0)} * 16 + ${nibSql(1)} < 204 THEN 'train'
+           |              WHEN ${nibSql(0)} * 16 + ${nibSql(1)} < 230 THEN 'val'
+           |              ELSE 'test' END AS split,
+           |         text
+           |  FROM documents),
+           |tok AS (SELECT split, unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS tok FROM sp),
+           |ts AS (SELECT split, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+           |g AS (SELECT tok, CAST(sum(c) AS BIGINT) AS c_all FROM ts GROUP BY tok),
+           |st AS (SELECT split, CAST(sum(c) AS BIGINT) AS n_split FROM ts GROUP BY split),
+           |ga AS (SELECT CAST(sum(n_split) AS BIGINT) AS n_all FROM st),
+           |terms AS (
+           |  SELECT ts.split, ts.c, st.n_split,
+           |    CAST(floor(ln(CAST(ts.c AS DOUBLE) * CAST(n_all AS DOUBLE) /
+           |      (CAST(st.n_split AS DOUBLE) * CAST(g.c_all AS DOUBLE))) * 10000.0 + 0.5) AS BIGINT) AS lp4
+           |  FROM ts JOIN g USING (tok) JOIN st USING (split), ga)
+           |SELECT split, n_split AS n_tokens, count(*) AS n_distinct_tokens,
+           |  round(CAST(CAST(sum(c * lp4) AS BIGINT) AS DOUBLE)
+           |        / CAST(n_split AS DOUBLE) / 10000.0, 6) AS kl_nats
+           |FROM terms GROUP BY split, n_split ORDER BY split""".stripMargin)),
+
+    QueryDef("corpus_summary",
+      (s, d) => TextAnalysis.corpusSummary(Tables.documents(s, d)), Some(
+        """WITH t AS (
+          |  SELECT doc_id, lang, source,
+          |         CAST(len(regexp_extract_all(lower(text), '[a-z'']+')) AS BIGINT) AS n_toks,
+          |         CAST(length(text) AS BIGINT) AS n_chars
+          |  FROM documents)
+          |SELECT count(*) AS n_docs,
+          |  CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+          |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+          |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+          |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+          |  min(n_toks) AS min_doc_tokens,
+          |  max(n_toks) AS max_doc_tokens,
+          |  round(CAST(sum(n_toks) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS avg_doc_tokens
+          |FROM t""".stripMargin)),
 
     QueryDef("pii_redact",
       (s, d) => TextAnalysis.redactPii(TextAnalysis.seedPii(Tables.documents(s, d))),
