@@ -158,7 +158,7 @@ object SimJoin {
       // restore the registry's id ordering (probe orientation is by size)
       .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
         greatest(col("doc_a"), col("doc_b")).as("doc_b"))
-    verify(ranked, cand, num.toDouble / den, containment = false)
+    verify(ranked, cand, num.toDouble / den, "jaccard")
   }
 
   /** All DIRECTED document pairs where doc_a's gram set is ≥ num/den
@@ -203,7 +203,50 @@ object SimJoin {
     // gram inside the considered ranks is a join match)
     val cand = positionalCandidates(cand0)(col("na") * num, den,
       minMatches = least(lit(PrefixExt.toLong), ceilMul(col("na"), num, den)))
-    verify(ranked, cand, num.toDouble / den, containment = true)
+    verify(ranked, cand, num.toDouble / den, "containment")
+  }
+
+  /** All pairs with exact BINARY-COSINE similarity ≥ num/den over the
+    * gram sets: cos(A,B) = |A∩B| / √(|A|·|B|) — the set-similarity
+    * measure retrieval stacks quote (and the τ an embedding pipeline's
+    * sparse lexical leg uses). Same asymmetric AllPairs shape as
+    * [[jaccardJoinFromIndex]], but every pruning bound is derived from
+    * the cosine inequality and stays in INTEGER arithmetic by squaring
+    * (τ = num/den rational ⇒ cos ≥ τ ⇔ den²·|A∩B|² ≥ num²·na·nb — no
+    * square root anywhere in the pruning or the accept decision):
+    *  - probe = smaller doc: na ≤ nb ⇒ √(na·nb) ≥ na ⇒ required overlap
+    *    ≥ ⌈τ·na⌉ — the same k-prefix multi-match guarantee transfers
+    *    verbatim (≥ min(k, ⌈τ·na⌉) join matches for a true pair);
+    *  - length filter: |A∩B| ≤ na ⇒ τ·√(na·nb) ≤ na ⇒ na·den² ≥ nb·num²;
+    *  - positional filter: the first-shared-rank overlap bound must
+    *    satisfy the SQUARED inequality — exact, no sqrt-rounding risk.
+    * The oracle is again the naive full gram join with the identical
+    * integer accept predicate, so hash-green proves the pruning
+    * lossless for the cosine geometry too. */
+  def cosineJoinFromIndex(ranked: DataFrame, num: Int, den: Int): DataFrame = {
+    val (n2, d2) = (num * num, den * den)
+    val pre = ranked.filter(
+      col("r") <= col("n") - ceilMul(col("n"), num, den) + PrefixExt)
+    val matched = pre.as("x").join(ranked.as("y"),
+        col("x.g") === col("y.g") &&
+          (col("x.n") < col("y.n") ||
+            (col("x.n") === col("y.n") && col("x.doc_id") < col("y.doc_id"))) &&
+          col("x.n") * d2 >= col("y.n") * n2)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.n").as("na"), col("y.n").as("nb"),
+        col("x.r").as("rx"), col("y.r").as("ry"))
+    // positional candidates with the SQUARED bound (the linear helper
+    // serves jaccard/containment; cosine's required overlap τ·√(na·nb)
+    // is irrational, so the sound integer test squares both sides)
+    val bound = lit(1L) + least(col("na") - col("m.rx"), col("nb") - col("m.ry"))
+    val cand = matched
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(min(struct(col("rx"), col("ry"))).as("m"), count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= least(lit(PrefixExt.toLong), ceilMul(col("na"), num, den)) &&
+        bound * bound * d2 >= col("na") * col("nb") * n2)
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+    verify(ranked, cand, num.toDouble / den, "cosine", num, den)
   }
 
   /** Convenience builds for spec use: stage the index eagerly (it feeds
@@ -229,7 +272,8 @@ object SimJoin {
     * The candidate persist is bounded by the candidate-pair
     * neighborhood, never the corpus. */
   private def verify(ranked: DataFrame, cand0: DataFrame,
-      threshold: Double, containment: Boolean): DataFrame = {
+      threshold: Double, mode: String,
+      num: Int = 0, den: Int = 0): DataFrame = {
     val cand = cand0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candIds = cand.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
@@ -243,20 +287,34 @@ object SimJoin {
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("ni"))
     val withNa = inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-    if (containment)
-      withNa.select(col("doc_a"), col("doc_b"),
-          (col("ni").cast("double") / col("na").cast("double")).as("s"))
-        .filter(col("s") >= threshold)
-        .select(col("doc_a"), col("doc_b"), round(col("s"), 6).as("containment"))
-        .orderBy("doc_a", "doc_b")
-    else
-      withNa
-        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-        .select(col("doc_a"), col("doc_b"),
-          (col("ni").cast("double") /
-            (col("na") + col("nb") - col("ni")).cast("double")).as("s"))
-        .filter(col("s") >= threshold)
-        .select(col("doc_a"), col("doc_b"), round(col("s"), 6).as("jaccard"))
-        .orderBy("doc_a", "doc_b")
+    def withNb = withNa
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+    mode match {
+      case "containment" =>
+        withNa.select(col("doc_a"), col("doc_b"),
+            (col("ni").cast("double") / col("na").cast("double")).as("s"))
+          .filter(col("s") >= threshold)
+          .select(col("doc_a"), col("doc_b"), round(col("s"), 6).as("containment"))
+          .orderBy("doc_a", "doc_b")
+      case "jaccard" =>
+        withNb
+          .select(col("doc_a"), col("doc_b"),
+            (col("ni").cast("double") /
+              (col("na") + col("nb") - col("ni")).cast("double")).as("s"))
+          .filter(col("s") >= threshold)
+          .select(col("doc_a"), col("doc_b"), round(col("s"), 6).as("jaccard"))
+          .orderBy("doc_a", "doc_b")
+      case "cosine" =>
+        // accept decision in exact integers (squared inequality); the
+        // reported similarity is the one place a double appears, and it
+        // is the same IEEE sqrt+divide+round both engines compute
+        withNb
+          .filter(col("ni") * col("ni") * (den * den) >=
+            col("na") * col("nb") * (num * num))
+          .select(col("doc_a"), col("doc_b"),
+            round(col("ni").cast("double") /
+              sqrt((col("na") * col("nb")).cast("double")), 6).as("cosine"))
+          .orderBy("doc_a", "doc_b")
+    }
   }
 }

@@ -192,4 +192,32 @@ class SearchSimJoinSpec extends SparkSpec {
     assert(got.contains((20L, 23L)))
     assert(!got.contains((20L, 21L)))
   }
+
+  test("cosine join equals the naive recompute and contains the jaccard join") {
+    val d = docsDF(corpus: _*)
+    def cosJoin(num: Int, den: Int) =
+      SimJoin.cosineJoinFromIndex(
+        operators.Materialize.stage(SimJoin.rankedGramIndex(d, Dedup.wordGrams)),
+        num, den).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val got = cosJoin(7, 10)
+    val sets = corpus.toMap.view.mapValues(grams3).toMap
+    val expected = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      sa = sets(a); sb = sets(b) if sa.nonEmpty && sb.nonEmpty
+      ni = (sa & sb).size.toLong
+      // the integer accept predicate, exactly as the operator computes it
+      if ni * ni * 100 >= sa.size.toLong * sb.size * 49
+    } yield (a, b) -> ni / math.sqrt(sa.size.toLong * sb.size)).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (k, v) =>
+      assert(math.abs(got(k) - v) < 1e-6, s"pair $k cosine")
+    }
+    // cosine >= jaccard pointwise, so at equal tau the cosine join is a
+    // superset of the jaccard join (the registry comment's claim)
+    val jac = SimJoin.jaccardJoin(d, Dedup.wordGrams, 7, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jac.subsetOf(got.keySet))
+    assert(got((0L, 1L)) === 1.0)
+  }
 }
