@@ -23,6 +23,7 @@ object SparkEntry {
     SearchQueries.defs ++
     SimilarityQueries.defs ++
     TextAnalysisQueries.defs ++
+    TokenizerQueries.defs ++
     PipelineQueries.defs ++
     TemporalQueries.defs ++
     MultimodalQueries.defs

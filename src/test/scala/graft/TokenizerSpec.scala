@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators._
+import scala.collection.mutable
+
+/** BPE trainer: the distributed greedy merge loop must match an
+  * independent plain-Scala implementation (same tie-breaks, same greedy
+  * left-to-right merge), including the consecutive-occurrence case the
+  * wrapped-symbol encoding exists for. */
+class TokenizerSpec extends SparkSpec {
+
+  private def docsDF(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  /** Plain-Scala BPE mirror: word-freq dict, greedy merges, engine
+    * tie-break (weight desc, then WRAPPED pair string asc). */
+  private def refBpe(words: Map[String, Long], rounds: Int)
+      : (List[(String, String, Long)], Map[String, List[String]]) = {
+    var syms: Map[String, List[String]] =
+      words.map { case (w, _) => w -> w.toList.map(_.toString) }
+    def wrap(p: (String, String)) = s"(${p._1})(${p._2})"
+    val merges = mutable.ListBuffer[(String, String, Long)]()
+    for (_ <- 1 to rounds) {
+      val counts = mutable.Map[(String, String), Long]().withDefaultValue(0L)
+      for ((w, f) <- words; s = syms(w); i <- 0 until s.length - 1)
+        counts((s(i), s(i + 1))) += f
+      val (pair, weight) = counts.toSeq.minBy { case (p, c) => (-c, wrap(p)) }
+      merges += ((wrap(pair), pair._1 + pair._2, weight))
+      syms = syms.map { case (w, s) =>
+        val out = mutable.ListBuffer[String]()
+        var i = 0
+        while (i < s.length) {
+          if (i + 1 < s.length && s(i) == pair._1 && s(i + 1) == pair._2) {
+            out += pair._1 + pair._2; i += 2
+          } else { out += s(i); i += 1 }
+        }
+        w -> out.toList
+      }
+    }
+    (merges.toList, syms)
+  }
+
+  private def wordFreqs(texts: Seq[String]): Map[String, Long] =
+    texts.flatMap(t => "[a-z']+".r.findAllIn(t.toLowerCase))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+
+  test("learned merges and final vocabulary match the plain-Scala mirror") {
+    val texts = Seq(
+      "the theme there then the other lather",
+      "banana bandana ban banana and sand hand",
+      "low lower lowest slow slower slowly",
+      "it's don't it's can't it's")
+    val d = docsDF(texts.zipWithIndex.map { case (t, i) => i.toLong -> t }: _*)
+    val st = Tokenizer.learnBpe(d, rounds = 8)
+    val gotMerges = st.merges.orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toList
+    val (expMerges, expSyms) = refBpe(wordFreqs(texts), 8)
+    // engine merged symbol is wrapped: '(ab)' — unwrap for compare
+    assert(gotMerges.map { case (p, m, c) =>
+      (p, m.stripPrefix("(").stripSuffix(")"), c) } === expMerges)
+    val gotSyms = st.vocab.collect().map { r =>
+      r.getString(0) ->
+        "\\(([^)]*)\\)".r.findAllMatchIn(r.getString(2)).map(_.group(1)).toList
+    }.toMap
+    assert(gotSyms === expSyms)
+  }
+
+  test("consecutive identical pairs merge greedily left-to-right") {
+    // 'aaaa' must become (aa)(aa) after merging (a)(a) — the case where
+    // a space-separated encoding silently misses the second occurrence
+    val d = docsDF(0L -> "aaaa aaa aaaa")
+    val st = Tokenizer.learnBpe(d, rounds = 2)
+    val merges = st.merges.orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toList
+    assert(merges.head === ("(a)(a)", "(aa)"))
+    // round 2's top pair must be ((aa),(aa)) — i.e. both occurrences in
+    // 'aaaa' merged in round 1
+    assert(merges(1) === ("(aa)(aa)", "(aaaa)"))
+    val syms = st.vocab.collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(syms("aaaa") === "(aaaa)")
+    assert(syms("aaa") === "(aa)(a)")
+  }
+
+  test("encode stats are consistent with the learned vocabulary") {
+    val d = Tables.documents(spark, sf0001)
+    val st = Tokenizer.learnBpe(d, rounds = 4)
+    val nsym = st.vocab.collect().map { r =>
+      r.getString(0) -> "\\([^)]*\\)".r.findAllIn(r.getString(2)).size.toLong
+    }.toMap
+    // every corpus word type must be in the vocab, and symbols per word
+    // strictly between 1 merge floor and the char count
+    val words = d.collect().flatMap(r =>
+      "[a-z']+".r.findAllIn(r.getAs[String]("text").toLowerCase))
+    words.foreach { w =>
+      val n = nsym(w)
+      assert(n >= 1 && n <= w.length, s"word $w")
+    }
+  }
+}
