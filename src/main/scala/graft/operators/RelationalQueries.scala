@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.QueryDef
+import graft.{QueryDef, Tables}
 
 /** Driver-contract wiring for the relational suite (SURVEY.md §2.2). */
 object RelationalQueries {
@@ -258,6 +258,24 @@ object RelationalQueries {
         |  CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS BIGINT) AS days_since_epoch,
         |  o_orderdate + INTERVAL 30 DAY AS deadline
         |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // Z-order key audit: every bit of the 32-bit Morton interleave is
+    // load-bearing in the min/max/sum columns (the layout operator
+    // itself is write-side — ZorderSpec measures its row-group skip)
+    QueryDef("zorder_curve",
+      (s, d) => Zorder.zorderCurve(Tables.lineitem(s, d)), Some {
+        val terms = (0 until 16).map { i =>
+          s"((x // ${1L << i}) % 2) * ${1L << (2 * i)} + ((y // ${1L << i}) % 2) * ${1L << (2 * i + 1)}"
+        }.mkString(" + ")
+        s"""WITH t AS (
+           |  SELECT ((l_partkey * 48271) % 65536) AS x,
+           |         ((l_suppkey * 16807) % 65536) AS y FROM lineitem),
+           |z AS (SELECT ($terms) AS zkey FROM t)
+           |SELECT zkey // 536870912 AS octant, count(*) AS n,
+           |  min(zkey) AS z_min, max(zkey) AS z_max,
+           |  CAST(sum(zkey) AS BIGINT) AS z_sum
+           |FROM z GROUP BY 1 ORDER BY octant""".stripMargin
+      }),
 
     // Iterative SQL: the integer-floored EMA is order-R recursive by
     // construction (each month consumes the previous month's rounded
