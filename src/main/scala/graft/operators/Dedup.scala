@@ -671,4 +671,28 @@ object Dedup {
         count(lit(1)).over(Window.partitionBy(col("simhash"))).as("n_same"))
       .orderBy("doc_id")
   }
+
+  /** TRAIN/TEST LEAKAGE AUDIT — the query the near-dup machinery
+    * ultimately exists for (Lee et al. 2022 measure exactly this:
+    * near-duplicate train/eval overlap inflates benchmark scores): a
+    * near-dup cluster whose members land in DIFFERENT splits of the
+    * deterministic 8/1/1 assignment leaks eval content into training.
+    * Emits every leaking cluster with its per-split membership. Scale
+    * shape: the cluster table is already tiny relative to the corpus
+    * (clustered docs only), the split label is a map-side md5 of the
+    * id ([[TextAnalysis.splitOf]] — no corpus scan, no join), and the
+    * audit is one cluster-keyed partial-aggregated groupBy. The fix-up
+    * this feeds (move whole clusters into one split) is the standard
+    * remedy: split by CLUSTER id, not doc id. */
+  def splitLeakage(clusters: DataFrame): DataFrame =
+    clusters
+      .withColumn("split", TextAnalysis.splitOf)
+      .groupBy(col("cluster_id"), col("cluster_size"))
+      .agg(
+        countDistinct(col("split")).as("n_splits"),
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+      .filter(col("n_splits") >= 2)
+      .orderBy("cluster_id")
 }

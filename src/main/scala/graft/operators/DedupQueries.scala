@@ -260,5 +260,28 @@ object DedupQueries {
       (s, d) => Dedup.canonicalDocs(
         Tables.documents(s, d), SharedIntermediates.textClusters(s, d)),
       Some(canonicalSql)),
+
+    // the audit the dedup machinery exists for: near-dup clusters whose
+    // members straddle the 8/1/1 split assignment (train/eval leakage)
+    QueryDef("split_leakage",
+      (s, d) => Dedup.splitLeakage(SharedIntermediates.textClusters(s, d)),
+      Some {
+        val bucket = s"(${TextAnalysisQueries.nibSql(0)} * 16 + ${TextAnalysisQueries.nibSql(1)})"
+        s"""WITH RECURSIVE $clustersCtes,
+           |cl AS (SELECT doc_id, cluster_id, cluster_size
+           |       FROM lab JOIN sz USING (cluster_id)),
+           |sp AS (SELECT cluster_id, cluster_size,
+           |         CASE WHEN $bucket < 204 THEN 'train'
+           |              WHEN $bucket < 230 THEN 'val' ELSE 'test' END AS split
+           |       FROM cl)
+           |SELECT cluster_id, cluster_size,
+           |  CAST(count(DISTINCT split) AS BIGINT) AS n_splits,
+           |  CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+           |  CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+           |  CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+           |FROM sp GROUP BY 1, 2
+           |HAVING count(DISTINCT split) >= 2
+           |ORDER BY cluster_id""".stripMargin
+      }),
   )
 }

@@ -21,6 +21,24 @@ object TextAnalysis {
   private def toks: Column =
     regexp_extract_all(lower(col("text")), lit(WordCount.TokenPattern), lit(0))
 
+  /** Hex nibble `i` (0-based) of md5(doc_id) as an integer — the shared
+    * engine-portable uniform-hash building block behind every
+    * deterministic split/sampling decision here (the oracles mirror it
+    * with the same ascii arithmetic). */
+  private[operators] def md5Nibble(i: Int): Column = {
+    val a = ascii(substring(md5(col("doc_id").cast("string")), i + 1, 1))
+    a - when(a >= 97, lit(87)).otherwise(lit(48))
+  }
+
+  /** Uniform 0-255 md5 bucket of doc_id. */
+  private[operators] def md5Bucket: Column =
+    (md5Nibble(0) * 16 + md5Nibble(1)).cast("long")
+
+  /** The deterministic 8/1/1 train/val/test label (204/26/26 of 256). */
+  private[operators] def splitOf: Column =
+    when(md5Bucket < 204, lit("train"))
+      .when(md5Bucket < 230, lit("val")).otherwise(lit("test"))
+
   /** N-gram-heuristic language ID: stopword hit ratio → {en, other}. */
   def langId(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), toks.as("w"))
@@ -290,12 +308,7 @@ object TextAnalysis {
     * append, trivially parallel). ascii-nibble math keeps the oracle
     * bit-identical (same trick as SimHash). */
   def trainValTestSplit(docs: DataFrame): DataFrame = {
-    val hex = md5(col("doc_id").cast("string"))
-    def nibble(i: Int): Column = {
-      val a = ascii(substring(hex, i + 1, 1))
-      a - when(a >= 97, lit(87)).otherwise(lit(48))
-    }
-    val bucket = (nibble(0) * 16 + nibble(1)).cast("long")
+    val bucket = md5Bucket
     docs.select(col("doc_id"), bucket.as("bucket"))
       .withColumn("split",
         when(col("bucket") < 204, lit("train"))        // 204/256 ≈ 80%
@@ -371,12 +384,7 @@ object TextAnalysis {
     * per-stratum audit row (totals, sampled count, id range) — one
     * map-side-combined groupBy, no second pass. */
   def stratifiedSample(docs: DataFrame, rate256: Int = 51): DataFrame = {
-    val hex = md5(col("doc_id").cast("string"))
-    def nibble(i: Int): Column = {
-      val a = ascii(substring(hex, i + 1, 1))
-      a - when(a >= 97, lit(87)).otherwise(lit(48))
-    }
-    val sampled = (nibble(0) * 16 + nibble(1)).cast("long") < rate256
+    val sampled = md5Bucket < rate256
     docs.select(col("lang"), col("doc_id"), sampled.as("s"))
       .groupBy("lang")
       .agg(
@@ -396,12 +404,7 @@ object TextAnalysis {
     * join, one for the audit groupBy. */
   def qualityWeightedSample(docs: DataFrame): DataFrame = {
     val q = qualityScore(docs).select(col("doc_id"), col("quality"))
-    val hex = md5(col("doc_id").cast("string"))
-    def nibble(i: Int): Column = {
-      val a = ascii(substring(hex, i + 1, 1))
-      a - when(a >= 97, lit(87)).otherwise(lit(48))
-    }
-    val u = (nibble(0) * 16 + nibble(1)).cast("double")
+    val u = md5Bucket.cast("double")
     docs.select(col("doc_id"), col("lang")).join(q, "doc_id")
       .withColumn("kept", u < col("quality") * 256.0)
       .groupBy(col("lang"))
@@ -477,12 +480,7 @@ object TextAnalysis {
       .select(col("source"), col("n_docs"),
         least(lit(1.0), col("total").cast("double") / col("n_sources").cast("double")
           / col("n_docs").cast("double")).as("keep_rate"))
-    val hex = md5(col("doc_id").cast("string"))
-    def nibble(i: Int): Column = {
-      val a = ascii(substring(hex, i + 1, 1))
-      a - when(a >= 97, lit(87)).otherwise(lit(48))
-    }
-    val u = (nibble(0) * 16 + nibble(1)).cast("double")
+    val u = md5Bucket.cast("double")
     docs.select(col("doc_id"), col("source"))
       .join(broadcast(rates), "source")
       .withColumn("kept", u < col("keep_rate") * 256.0)
@@ -514,13 +512,8 @@ object TextAnalysis {
     val rates = weights.crossJoin(broadcast(tot))
       .select(col("source"), col("n_docs"),
         expr("(1048576 * k_target * w) DIV (w_total * n_docs)").as("keep_thresh"))
-    val hex = md5(col("doc_id").cast("string"))
-    def nibble(i: Int): Column = {
-      val a = ascii(substring(hex, i + 1, 1))
-      a - when(a >= 97, lit(87)).otherwise(lit(48))
-    }
     // 20-bit md5-uniform draw: five hex nibbles
-    val u = (0 until 5).map(i => nibble(i) * (1 << (4 * (4 - i))))
+    val u = (0 until 5).map(i => md5Nibble(i) * (1 << (4 * (4 - i))))
       .reduce(_ + _).cast("long")
     docs.select(col("doc_id"), col("source"))
       .join(broadcast(rates), "source")
@@ -543,12 +536,7 @@ object TextAnalysis {
     * the [[bigramLmScore]] portability trick — so the per-split KL is
     * an order-independent BIGINT sum and hash-exact cross-engine. */
   def tokenKlDrift(docs: DataFrame): DataFrame = {
-    val hex = md5(col("doc_id").cast("string"))
-    def nibble(i: Int): Column = {
-      val a = ascii(substring(hex, i + 1, 1))
-      a - when(a >= 97, lit(87)).otherwise(lit(48))
-    }
-    val bucket = (nibble(0) * 16 + nibble(1)).cast("long")
+    val bucket = md5Bucket
     val split = when(bucket < 204, lit("train"))
       .when(bucket < 230, lit("val")).otherwise(lit("test"))
     val tokSplit = docs.select(split.as("split"), explode(toks).as("tok"))

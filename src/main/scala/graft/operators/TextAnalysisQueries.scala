@@ -9,7 +9,7 @@ object TextAnalysisQueries {
 
   /** SQL for hex-nibble i (0-based) of md5(doc_id) as an integer —
     * the ascii-arithmetic trick shared with the split/sampling oracles. */
-  private def nibSql(i: Int, idCol: String = "doc_id"): String = {
+  private[operators] def nibSql(i: Int, idCol: String = "doc_id"): String = {
     val a = s"ascii(substr(md5(CAST($idCol AS VARCHAR)), ${i + 1}, 1))"
     s"($a - CASE WHEN $a >= 97 THEN 87 ELSE 48 END)"
   }
