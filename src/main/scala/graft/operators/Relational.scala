@@ -199,6 +199,32 @@ object Relational {
         round(expr("percentile(l_extendedprice, 0.99D)"), 6).as("p99_price"))
       .orderBy("l_returnflag")
 
+  /** EQUI-DEPTH histogram (the statistics a cost-based optimizer and a
+    * data-profiling pass both want): exact quartile boundaries from one
+    * distributed percentile aggregate (a single broadcast row — never a
+    * global sort or an unpartitioned ntile window, which would ship the
+    * fact table to one task), then a map-side bucket assignment and a
+    * partial-aggregated count per bucket. Boundaries are rounded to 1e-6
+    * before comparison so both engines bucket against bit-identical
+    * cutoffs (the [[percentilesByFlag]] parity trick). */
+  def equidepthHistogram(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val bounds = li.agg(
+      round(expr("percentile(l_extendedprice, 0.25D)"), 6).as("q1"),
+      round(expr("percentile(l_extendedprice, 0.5D)"), 6).as("q2"),
+      round(expr("percentile(l_extendedprice, 0.75D)"), 6).as("q3"))
+    li.select(col("l_extendedprice").as("v"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        (when(col("v") > col("q1"), 1).otherwise(0) +
+          when(col("v") > col("q2"), 1).otherwise(0) +
+          when(col("v") > col("q3"), 1).otherwise(0)).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .orderBy("bucket")
+  }
+
   /** GROUPING SETS ((returnflag), (linestatus)) with grouping_id — the
     * grouping-set surface beyond rollup/cube (which are its sugar). */
   def groupingSetsRevenue(s: SparkSession, d: String): DataFrame =

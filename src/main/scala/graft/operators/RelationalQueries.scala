@@ -157,6 +157,22 @@ object RelationalQueries {
         |  round(quantile_cont(l_extendedprice, 0.99), 6) AS p99_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    QueryDef("equidepth_histogram", Relational.equidepthHistogram, Some(
+      """WITH b AS (
+        |  SELECT round(quantile_cont(l_extendedprice, 0.25), 6) AS q1,
+        |         round(quantile_cont(l_extendedprice, 0.5), 6) AS q2,
+        |         round(quantile_cont(l_extendedprice, 0.75), 6) AS q3
+        |  FROM lineitem),
+        |k AS (
+        |  SELECT l_extendedprice AS v,
+        |    (CASE WHEN l_extendedprice > q1 THEN 1 ELSE 0 END +
+        |     CASE WHEN l_extendedprice > q2 THEN 1 ELSE 0 END +
+        |     CASE WHEN l_extendedprice > q3 THEN 1 ELSE 0 END) AS bucket
+        |  FROM lineitem, b)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n,
+        |  min(v) AS lo, max(v) AS hi
+        |FROM k GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
     QueryDef("grouping_sets_revenue", Relational.groupingSetsRevenue, Some(
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         |  coalesce(l_linestatus, 'ALL') AS linestatus,

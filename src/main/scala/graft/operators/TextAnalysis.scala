@@ -489,6 +489,21 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** EXACT-SIZE deterministic uniform sample: the k docs with the
+    * smallest md5(doc_id) — reservoir-sampling semantics (every doc
+    * equally likely under the hash's uniformity) with none of its
+    * sequential state, as a distributed top-k: TakeOrderedAndProject
+    * keeps k rows per partition then merges k at the driver — no global
+    * sort, no rate-vs-size slop (the rate-based samplers above return
+    * BINOMIAL counts; audits and eval-set carving need exactly k). */
+  def fixedSizeSample(docs: DataFrame, k: Int = 64): DataFrame =
+    docs
+      .select(col("doc_id"), col("lang"), col("source"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .orderBy(col("h"), col("doc_id")).limit(k)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+
   /** TEMPERATURE-BASED source mixing (α = 0.5): sampling weight per
     * source ∝ n_s^α — the standard multilingual/multi-domain rebalance
     * (softens the head, boosts the tail; α=1 is natural sampling, α=0 is

@@ -380,6 +380,13 @@ object TextAnalysisQueries {
           |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
           |FROM k GROUP BY 1, 2, 3 ORDER BY source""".stripMargin)),
 
+    QueryDef("fixed_size_sample",
+      (s, d) => TextAnalysis.fixedSizeSample(Tables.documents(s, d)), Some(
+        """SELECT doc_id, lang, source FROM (
+          |  SELECT doc_id, lang, source FROM documents
+          |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 64)
+          |ORDER BY doc_id""".stripMargin)),
+
     // α=0.5 temperature mixing — integer-thresholded so the keep
     // decisions (not just the rates) are hash-exact cross-engine
     QueryDef("temperature_mix",
