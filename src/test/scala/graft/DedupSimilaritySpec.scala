@@ -511,6 +511,31 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got(10L) === got(11L), "symmetric pair ties")
     assert(got(0L)._2 === 3L && got(1L)._2 === 1L)
   }
+
+  test("split leakage flags exactly the clusters straddling splits") {
+    // compute the real split of small ids with a plain-Scala md5 mirror,
+    // then build one straddling and one single-split cluster
+    def split(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes).map("%02x".format(_)).mkString
+      val b = Integer.parseInt(hex.take(2), 16)
+      if (b < 204) "train" else if (b < 230) "val" else "test"
+    }
+    val ids = (0L until 200L)
+    val trainIds = ids.filter(split(_) == "train").take(3)
+    val evalId = ids.find(id => split(id) != "train").get
+    val clusters =
+      ((trainIds.take(2) :+ evalId).map(id => (id, 1L)) ++
+        trainIds.map(id => (id, 2L)))
+        .map { case (id, c) => (id, c, 3L) }
+        .toDF("doc_id", "cluster_id", "cluster_size")
+    val got = Dedup.splitLeakage(clusters).collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(1L), "only cluster 1 leaks")
+    val r = got.head
+    assert(r.getLong(2) === 2L) // n_splits
+    assert(r.getLong(3) === 2L) // n_train
+    assert(r.getLong(4) + r.getLong(5) === 1L) // the eval member
+  }
 }
 
 /** Single-shot failure injector for the O16 dedup retry spec — a static

@@ -432,6 +432,79 @@ class PipelineSpec extends SparkSpec {
     assert(diff.count() == expected)
   }
 
+  test("temperature mix flattens the source distribution (alpha = 0.5)") {
+    // skewed sources: per-doc keep threshold must DECREASE with source
+    // size (sub-linear sampling), and per-source kept <= n_docs
+    val docs = (0 until 129).map { i =>
+      val src = if (i < 100) "big" else if (i < 125) "mid" else "tiny"
+      (i.toLong, s"doc number $i content", src)
+    }.toDF("doc_id", "text", "source")
+    val rows = TextAnalysis.temperatureMix(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (nB, tB, kB) = rows("big")
+    val (nM, tM, kM) = rows("mid")
+    val (nT, tT, kT) = rows("tiny")
+    assert(nB == 100 && nM == 25 && nT == 4)
+    assert(tB < tM && tM < tT, s"thresholds not monotone: $tB $tM $tT")
+    assert(kB <= nB && kM <= nM && kT <= nT)
+    // alpha=0.5 keeps the big source's EXPECTED share sub-proportional:
+    // threshold ratio big/tiny = sqrt(tiny/big) = 1/5
+    assert(math.abs(tB.toDouble / tT - math.sqrt(4.0 / 100)) < 0.01)
+  }
+
+  test("token KL drift: non-negative up to quantization, totals conserved") {
+    val rows = TextAnalysis.tokenKlDrift(Tables.documents(spark, sf0001)).collect()
+    assert(rows.map(_.getString(0)).toSet === Set("train", "val", "test"))
+    // true KL >= 0; the 1e-4 log quantization can dip a hair below
+    rows.foreach(r => assert(r.getDouble(3) >= -1e-4, r.toString))
+    val totalToks = rows.map(_.getLong(1)).sum
+    val direct = Tables.documents(spark, sf0001)
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z'']+', 0)")))
+      .count()
+    assert(totalToks === direct)
+  }
+
+  test("fixed-size sample is exactly k, stable under repartitioning") {
+    val d = Tables.documents(spark, sf0001)
+    val a = TextAnalysis.fixedSizeSample(d, 64).collect().map(_.getLong(0)).toSeq
+    val b = TextAnalysis.fixedSizeSample(d.repartition(13), 64)
+      .collect().map(_.getLong(0)).toSeq
+    assert(a.size == 64 && a == b)
+    // and it is the true hash-order prefix: every sampled id's md5 is
+    // <= every unsampled id's md5 (plain-Scala recompute)
+    def h(id: Long) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(id.toString.getBytes).map("%02x".format(_)).mkString
+    }
+    val all = d.select("doc_id").collect().map(_.getLong(0))
+    val maxIn = a.map(h).max
+    assert(all.filterNot(a.contains(_)).forall(h(_) >= maxIn))
+  }
+
+  test("recursive EMA equals a plain-Scala fold over monthly revenue") {
+    val got = operators.Relational.recursiveMonthlyEma(spark, sf0001).collect()
+    val monthly = got.map(r => r.getLong(2)) // revenue_cents, ordered by idx
+    val ema = monthly.tail.scanLeft(monthly.head) { (e, rev) =>
+      Math.floorDiv(e * 9 + rev, 10)
+    }
+    assert(got.map(_.getLong(3)).toSeq === ema.toSeq)
+    assert(got.length >= 12) // multiple years of months — real recursion depth
+  }
+
+  test("equi-depth histogram: buckets balanced, boundaries ordered") {
+    val rows = operators.Relational.equidepthHistogram(spark, sf0001).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L, 3L))
+    val n = rows.map(_.getLong(1)).sum
+    rows.foreach { r =>
+      val share = r.getLong(1).toDouble / n
+      assert(share > 0.2 && share < 0.3, s"bucket ${r.getLong(0)} share $share")
+    }
+    // contiguous: each bucket's hi <= next bucket's lo
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getDouble(3) <= b.getDouble(2))
+    }
+  }
+
   test("doc_chunks plan stays shuffle-free up to the final sort") {
     // One exchange may come from Tables.spread (input layout) and one
     // from the deterministic orderBy; the chunking itself must not add
