@@ -173,7 +173,15 @@ class PlanShapeSpec extends SparkSpec {
       // round-8 search probes: a one-row broadcast scalar (the top
       // phrase / the corpus doc count) crossJoined onto the postings
       // probe — the same bounded pattern as tfidf's corpus total
-      "phrase_search", "keyword_search", "bm25_search")
+      "phrase_search", "keyword_search", "bm25_search",
+      // round-8 continuation: equidepth's quartile-boundary row — a
+      // one-row broadcast scalar crossJoined onto the fact scan (the
+      // q11/revenue_share pattern)
+      "equidepth_histogram",
+      // temperature_mix's integer normalizer row onto the source
+      // histogram (both broadcast-tiny), token_kl_drift's one-row
+      // corpus total onto the vocabulary aggregate
+      "temperature_mix", "token_kl_drift")
     SparkEntry.registry.foreach { q =>
       val plan = q.fn(spark, sf0001).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
@@ -198,7 +206,11 @@ class PlanShapeSpec extends SparkSpec {
     // value_histogram's CDF window runs over the aggregated bin table —
     // cardinality is the bin count, not N (guard-commented at the
     // definition), so a single task is the correct shape.
-    val allowedGlobal = Set("window_monthly_lag", "value_histogram", "cumulative_users")
+    // recursive_monthly_ema's row_number orders the pre-aggregated
+    // month table (~80 rows at any sf — guard-commented at the
+    // definition), the same bounded-aggregate class as monthly_lag.
+    val allowedGlobal = Set("window_monthly_lag", "value_histogram",
+      "cumulative_users", "recursive_monthly_ema")
     assert(offenders.forall(allowedGlobal),
       s"unpartitioned windows outside the allowed exceptions: $offenders")
   }
