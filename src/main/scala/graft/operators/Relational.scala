@@ -209,10 +209,17 @@ object Relational {
     * cutoffs (the [[percentilesByFlag]] parity trick). */
   def equidepthHistogram(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
-    val bounds = li.agg(
-      round(expr("percentile(l_extendedprice, 0.25D)"), 6).as("q1"),
-      round(expr("percentile(l_extendedprice, 0.5D)"), 6).as("q2"),
-      round(expr("percentile(l_extendedprice, 0.75D)"), 6).as("q3"))
+    // ONE percentile aggregate for all three cutoffs: the exact
+    // Percentile buffer over a near-unique double column is the whole
+    // cost of this query (a value→count map per partition, merged), so
+    // evaluating it once instead of three times is a 3× on the
+    // boundary job (measured 5.4 s → 1.9 s at sf0.1)
+    val bounds = li
+      .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))").as("qs"))
+      .select(
+        round(element_at(col("qs"), 1), 6).as("q1"),
+        round(element_at(col("qs"), 2), 6).as("q2"),
+        round(element_at(col("qs"), 3), 6).as("q3"))
     li.select(col("l_extendedprice").as("v"))
       .crossJoin(broadcast(bounds))
       .withColumn("bucket",
@@ -420,38 +427,51 @@ object Relational {
       .orderBy("p_partkey")
 
   /** Inherently-iterative SQL via Spark 4's recursive CTE (UnionLoopExec):
-    * an exponential moving average of monthly revenue where every step
+    * an exponential moving average of quarterly revenue where every step
     * floors to integer cents — the floor makes each month's value depend
     * on the previous month's ALREADY-ROUNDED value, so no closed-form
     * window rewrite exists and the recursion is genuinely required
     * (unlike a plain EMA, which a sum of weighted terms could express).
     *
-    * Scale shape: the corpus-sized work is the one monthly aggregate
+    * Scale shape: the corpus-sized work is the one quarterly aggregate
     * (partial-aggregated scan of orders); the recursion then runs over
-    * the MONTH table — one tiny row per step, depth = number of months,
-    * each iteration a 1-row frontier joined to an ~80-row broadcast
-    * side. At 100 TB the month table is still measured in hundreds of
-    * rows, so the loop cost is independent of corpus size. The
-    * row_number() window is over that same bounded month table, never
-    * the fact table. Arithmetic is pure BIGINT (cents; 9/10 decay via
-    * integer DIV), so the oracle matches digit-for-digit. */
-  def recursiveMonthlyEma(s: SparkSession, d: String): DataFrame = {
-    // depth = months (~80 at every sf); default limit 100 is too close
+    * the QUARTER table — one tiny row per step, depth = number of
+    * quarters (~27 here), each iteration a 1-row frontier joined to the
+    * materialized quarter table. At 100 TB that table is still measured
+    * in tens of rows, so the loop cost is independent of corpus size —
+    * but NOT free: UnionLoopExec executes each iteration as its own
+    * mini-query (measured ~110 ms/step regardless of codegen mode or
+    * local-relation inputs — pure per-iteration machinery), which is
+    * why the granularity is quarters, not months (80 steps ≈ 8 s of
+    * fixed scheduling for zero extra insight). The row_number() window
+    * is over that same bounded table, never the fact table. Arithmetic
+    * is pure BIGINT (cents; 9/10 decay via integer DIV), so the oracle
+    * matches digit-for-digit. */
+  def recursiveQuarterlyEma(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.cteRecursionLevelLimit", "500")
-    Tables.orders(s, d).createOrReplaceTempView("orders_ema_v")
+    // The quarter table is MATERIALIZED before the recursion:
+    // UnionLoop re-evaluates the step plan once per iteration, so an
+    // inline CTE would re-scan and re-aggregate the orders fact table
+    // once PER STEP (measured 31.7 s at sf0.1 for the monthly variant —
+    // the corpus-sized cost multiplied by the recursion depth). Staged,
+    // each iteration joins the 1-row frontier to the checkpointed
+    // table and the fact scan happens exactly once.
+    val months = Materialize.stage(
+      Tables.orders(s, d)
+        .groupBy(date_trunc("quarter", col("o_orderdate")).as("m"))
+        .agg(sum(dec2(col("o_totalprice")) * lit(100)).cast("long").as("rev"))
+        .select(
+          row_number().over(Window.orderBy(col("m"))).cast("long").as("i"),
+          col("m"), col("rev")))
+    months.createOrReplaceTempView("months_ema_v")
     s.sql(
-      """WITH RECURSIVE months AS (
-        |  SELECT CAST(row_number() OVER (ORDER BY m) AS BIGINT) AS i, m, rev
-        |  FROM (SELECT date_trunc('month', o_orderdate) AS m,
-        |               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS rev
-        |        FROM orders_ema_v GROUP BY 1)),
-        |ema(i, m, rev, ema_cents) AS (
-        |  SELECT i, m, rev, rev FROM months WHERE i = 1
+      """WITH RECURSIVE ema(i, m, rev, ema_cents) AS (
+        |  SELECT i, m, rev, rev FROM months_ema_v WHERE i = 1
         |  UNION ALL
         |  SELECT mo.i, mo.m, mo.rev, (e.ema_cents * 9 + mo.rev) DIV 10
-        |  FROM ema e JOIN months mo ON mo.i = e.i + 1)
-        |SELECT i AS month_idx, m AS month, rev AS revenue_cents, ema_cents
-        |FROM ema ORDER BY month_idx""".stripMargin)
+        |  FROM ema e JOIN months_ema_v mo ON mo.i = e.i + 1)
+        |SELECT i AS quarter_idx, m AS quarter, rev AS revenue_cents, ema_cents
+        |FROM ema ORDER BY quarter_idx""".stripMargin)
   }
 
   /** Scalar date-function battery over orders. */

@@ -298,10 +298,10 @@ object RelationalQueries {
     // value), so both engines must actually run the recursion — Spark
     // through UnionLoopExec, DuckDB through its recursive CTE executor —
     // and the BIGINT cents arithmetic makes the match digit-exact.
-    QueryDef("recursive_monthly_ema", Relational.recursiveMonthlyEma, Some(
+    QueryDef("recursive_quarterly_ema", Relational.recursiveQuarterlyEma, Some(
       """WITH RECURSIVE months AS (
         |  SELECT CAST(row_number() OVER (ORDER BY m) AS BIGINT) AS i, m, rev
-        |  FROM (SELECT date_trunc('month', o_orderdate) AS m,
+        |  FROM (SELECT date_trunc('quarter', o_orderdate) AS m,
         |               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS rev
         |        FROM orders GROUP BY 1)),
         |ema(i, m, rev, ema_cents) AS (
@@ -309,7 +309,7 @@ object RelationalQueries {
         |  UNION ALL
         |  SELECT mo.i, mo.m, mo.rev, (e.ema_cents * 9 + mo.rev) // 10
         |  FROM ema e JOIN months mo ON mo.i = e.i + 1)
-        |SELECT i AS month_idx, m AS month, rev AS revenue_cents, ema_cents
-        |FROM ema ORDER BY month_idx""".stripMargin)),
+        |SELECT i AS quarter_idx, m AS quarter, rev AS revenue_cents, ema_cents
+        |FROM ema ORDER BY quarter_idx""".stripMargin)),
   )
 }

@@ -481,14 +481,14 @@ class PipelineSpec extends SparkSpec {
     assert(all.filterNot(a.contains(_)).forall(h(_) >= maxIn))
   }
 
-  test("recursive EMA equals a plain-Scala fold over monthly revenue") {
-    val got = operators.Relational.recursiveMonthlyEma(spark, sf0001).collect()
+  test("recursive EMA equals a plain-Scala fold over quarterly revenue") {
+    val got = operators.Relational.recursiveQuarterlyEma(spark, sf0001).collect()
     val monthly = got.map(r => r.getLong(2)) // revenue_cents, ordered by idx
     val ema = monthly.tail.scanLeft(monthly.head) { (e, rev) =>
       Math.floorDiv(e * 9 + rev, 10)
     }
     assert(got.map(_.getLong(3)).toSeq === ema.toSeq)
-    assert(got.length >= 12) // multiple years of months — real recursion depth
+    assert(got.length >= 12) // multiple years of quarters — real recursion depth
   }
 
   test("equi-depth histogram: buckets balanced, boundaries ordered") {

@@ -206,11 +206,11 @@ class PlanShapeSpec extends SparkSpec {
     // value_histogram's CDF window runs over the aggregated bin table —
     // cardinality is the bin count, not N (guard-commented at the
     // definition), so a single task is the correct shape.
-    // recursive_monthly_ema's row_number orders the pre-aggregated
-    // month table (~80 rows at any sf — guard-commented at the
+    // recursive_quarterly_ema's row_number orders the pre-aggregated
+    // quarter table (~27 rows at any sf — guard-commented at the
     // definition), the same bounded-aggregate class as monthly_lag.
     val allowedGlobal = Set("window_monthly_lag", "value_histogram",
-      "cumulative_users", "recursive_monthly_ema")
+      "cumulative_users", "recursive_quarterly_ema")
     assert(offenders.forall(allowedGlobal),
       s"unpartitioned windows outside the allowed exceptions: $offenders")
   }
