@@ -158,4 +158,37 @@ class DurabilitySpec extends SparkSpec {
       assert(names.exists(_.startsWith("ivfCentroids")), s"no centroid table in $names")
     }
   }
+
+  test("trained BPE artifacts survive a new session without retraining") {
+    withIndexDir { dir =>
+      val s1 = spark.newSession()
+      s1.conf.set(Materialize.DirConf, dir)
+      val baseMerges = operators.Tokenizer.bpeVocabQuery(s1, sf0001)
+        .collect().map(_.toString)
+      val baseStats = operators.Tokenizer.bpeEncodeStats(s1, sf0001)
+        .collect().map(_.toString).sorted
+      // restarted driver: the in-JVM trained-state memo is keyed by
+      // session, so s2 must resolve purely from the parquet artifacts
+      val s2 = spark.newSession()
+      s2.conf.set(Materialize.DirConf, dir)
+      val merges2Df = operators.Tokenizer.trained(s2, sf0001).merges
+      val mergesPlan = merges2Df.queryExecution.optimizedPlan.toString
+      assert(!mergesPlan.contains("Aggregate") && !mergesPlan.contains("Union") &&
+        !mergesPlan.contains("Generate"),
+        s"expected a bare merge-table scan, got a retrain:\n$mergesPlan")
+      val vocabPlan = operators.Tokenizer.trained(s2, sf0001).vocab
+        .queryExecution.optimizedPlan.toString
+      assert(!vocabPlan.contains("Aggregate") && !vocabPlan.contains("Join"),
+        s"expected a bare vocab scan, got a retrain:\n$vocabPlan")
+      assert(operators.Tokenizer.bpeVocabQuery(s2, sf0001)
+        .collect().map(_.toString).sameElements(baseMerges),
+        "merge list differs when served from the durable artifact")
+      assert(operators.Tokenizer.bpeEncodeStats(s2, sf0001)
+        .collect().map(_.toString).sorted.sameElements(baseStats),
+        "encode stats differ when served from the durable vocabulary")
+      val names = new java.io.File(dir).listFiles().map(_.getName).toSet
+      assert(names.exists(_.startsWith("bpeMerges")), s"no merge table in $names")
+      assert(names.exists(_.startsWith("bpeVocab")), s"no vocab table in $names")
+    }
+  }
 }
