@@ -163,6 +163,37 @@ object Search {
       .limit(k)
   }
 
+  /** HYBRID RETRIEVAL via reciprocal-rank fusion (Cormack et al.,
+    * SIGIR'09): fuse the odds-idf and BM25 rankings of the SAME query
+    * with RRF(d) = Σ_legs 1/(K + rank_leg(d)), K = 60 — the standard
+    * score-free fusion every hybrid (lexical + semantic) retrieval
+    * stack ships, here over the two lexical legs so the whole fusion
+    * is integer-exact: each contribution is 10⁶ DIV (K + rank), no
+    * doubles anywhere. Ranks come from row_number over each leg's
+    * top-k result — a ≤ k-row bounded table BY CONSTRUCTION (the
+    * TakeOrderedAndProject output), so the unpartitioned window is the
+    * correct shape, like value_histogram's bin table. Absent-leg ranks
+    * surface as the sentinel 999 (never NULL — cross-engine NULL
+    * aggregation is a hash hazard the sentinel sidesteps). */
+  def hybridSearchRrf(idx: DataFrame, rrfK: Int = 60, k: Int = 20): DataFrame = {
+    def leg(df: DataFrame, name: String) = df
+      .select(col("doc_id"),
+        row_number().over(
+          Window.orderBy(col("score_micro").desc, col("doc_id").asc))
+          .cast("long").as("r"),
+        lit(name).as("leg"))
+    leg(keywordSearch(idx, k = k), "kw")
+      .unionByName(leg(bm25Search(idx, k = k), "bm25"))
+      .withColumn("c", expr(s"1000000 DIV ($rrfK + r)"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("rrf_micro"),
+        count(lit(1)).as("n_legs"),
+        coalesce(min(when(col("leg") === "kw", col("r"))), lit(999L)).as("kw_rank"),
+        coalesce(min(when(col("leg") === "bm25", col("r"))), lit(999L)).as("bm25_rank"))
+      .orderBy(col("rrf_micro").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** Vocabulary statistics of the index: the top-k terms by document
     * frequency with their df and total term frequency — the index's
     * own correctness gate (posting-list lengths are directly

@@ -81,6 +81,29 @@ object SearchQueries {
        |SELECT term, df, total_tf FROM st
        |ORDER BY df DESC, term ASC LIMIT 20""".stripMargin
 
+  /** RRF fusion of the two ranked legs — each leg's full oracle nests
+    * as a subquery (its own WITH scope), ranks from the identical
+    * deterministic (score DESC, doc_id ASC) order, contributions in
+    * pure integer division. */
+  private val hybridSql =
+    s"""WITH ka AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS r
+       |  FROM ($keywordSql)),
+       |kb AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS r
+       |  FROM ($bm25Sql)),
+       |u AS (
+       |  SELECT doc_id, r, 'kw' AS leg FROM ka
+       |  UNION ALL
+       |  SELECT doc_id, r, 'bm25' AS leg FROM kb)
+       |SELECT doc_id,
+       |  CAST(sum(1000000 // (60 + r)) AS BIGINT) AS rrf_micro,
+       |  count(*) AS n_legs,
+       |  CAST(coalesce(min(CASE WHEN leg = 'kw' THEN r END), 999) AS BIGINT) AS kw_rank,
+       |  CAST(coalesce(min(CASE WHEN leg = 'bm25' THEN r END), 999) AS BIGINT) AS bm25_rank
+       |FROM u GROUP BY doc_id
+       |ORDER BY rrf_micro DESC, doc_id ASC LIMIT 20""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("phrase_search",
       (s, d) => Search.phraseSearch(SharedIntermediates.postings(s, d)),
@@ -97,5 +120,9 @@ object SearchQueries {
     QueryDef("inverted_index_stats",
       (s, d) => Search.indexStats(SharedIntermediates.postings(s, d)),
       Some(indexStatsSql)),
+
+    QueryDef("hybrid_search_rrf",
+      (s, d) => Search.hybridSearchRrf(SharedIntermediates.postings(s, d)),
+      Some(hybridSql)),
   )
 }

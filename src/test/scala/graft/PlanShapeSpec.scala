@@ -181,7 +181,10 @@ class PlanShapeSpec extends SparkSpec {
       // temperature_mix's integer normalizer row onto the source
       // histogram (both broadcast-tiny), token_kl_drift's one-row
       // corpus total onto the vocabulary aggregate
-      "temperature_mix", "token_kl_drift")
+      "temperature_mix", "token_kl_drift",
+      // hybrid fusion embeds both ranked legs (each carries the bounded
+      // one-row broadcast scalars already allowed above)
+      "hybrid_search_rrf")
     SparkEntry.registry.foreach { q =>
       val plan = q.fn(spark, sf0001).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
@@ -209,8 +212,10 @@ class PlanShapeSpec extends SparkSpec {
     // recursive_quarterly_ema's row_number orders the pre-aggregated
     // quarter table (~27 rows at any sf — guard-commented at the
     // definition), the same bounded-aggregate class as monthly_lag.
+    // hybrid_search_rrf ranks each leg's ≤20-row top-k output — the
+    // same bounded-by-construction class as value_histogram's bins.
     val allowedGlobal = Set("window_monthly_lag", "value_histogram",
-      "cumulative_users", "recursive_quarterly_ema")
+      "cumulative_users", "recursive_quarterly_ema", "hybrid_search_rrf")
     assert(offenders.forall(allowedGlobal),
       s"unpartitioned windows outside the allowed exceptions: $offenders")
   }

@@ -193,6 +193,25 @@ class SearchSimJoinSpec extends SparkSpec {
     assert(!got.contains((20L, 21L)))
   }
 
+  test("RRF fusion matches an independent recompute from the two legs") {
+    val idx = operators.SharedIntermediates.postings(spark, sf0001)
+    def ranks(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect()
+        .map(r => (r.getLong(0), r.getLong(1)))   // doc_id, score_micro
+        .sortBy { case (id, s) => (-s, id) }
+        .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val kw = ranks(operators.Search.keywordSearch(idx))
+    val bm = ranks(operators.Search.bm25Search(idx))
+    val expected = (kw.keySet ++ bm.keySet).map { id =>
+      val c = kw.get(id).map(r => 1000000L / (60 + r)).getOrElse(0L) +
+        bm.get(id).map(r => 1000000L / (60 + r)).getOrElse(0L)
+      id -> c
+    }.toSeq.sortBy { case (id, c) => (-c, id) }.take(20)
+    val got = operators.Search.hybridSearchRrf(idx).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === expected)
+  }
+
   test("cosine join equals the naive recompute and contains the jaccard join") {
     val d = docsDF(corpus: _*)
     def cosJoin(num: Int, den: Int) =
