@@ -81,7 +81,7 @@ object DedupQueries {
   /** Connected components over the word-gram near-dup pairs via a
     * recursive transitive closure: every clustered doc labeled with the
     * min doc_id it can reach (= Spark's min-label fixpoint). */
-  private val clustersCtes =
+  private[operators] val clustersCtes =
     s"""prs AS (
        |  SELECT doc_a, doc_b FROM (${nearDupSql(wordShinglesCte, 0.7)}) nd),
        |ed AS (SELECT doc_a AS u, doc_b AS v FROM prs

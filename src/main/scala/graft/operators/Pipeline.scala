@@ -592,4 +592,68 @@ object Pipeline {
         .as("corr_r"),
       round((n * sxy - sx * sy) / (n * sx2 - sx * sx), 6).as("slope"))
   }
+
+  /** DISTRIBUTED GLOBAL RANKING without a global sort (the relational
+    * zipWithIndex): dense 1..N ranks in md5 order, computed as
+    * per-bucket ranks plus bucket-offset cumsum. The md5 bucket is the
+    * hash's own first byte, so (bucket, hash) order IS hash order —
+    * each bucket ranks independently under a PARTITIONED window
+    * (~N/256 rows per task), and the offsets come from a 256-row
+    * bucket-count aggregate (the only unpartitioned step, bounded by
+    * construction). An unpartitioned row_number over the corpus — the
+    * naive formulation — would ship every row through one task; this
+    * shape is how a 100 TB corpus gets a stable total order. */
+  def md5GlobalRank(docs: DataFrame): DataFrame = {
+    val hashed = docs.select(col("doc_id"),
+      md5(col("doc_id").cast("string")).as("h"),
+      TextAnalysis.md5Bucket.as("bkt"))
+    val ranked = hashed.withColumn("rb",
+      row_number().over(
+        Window.partitionBy(col("bkt")).orderBy(col("h"), col("doc_id"))).cast("long"))
+    val offsets = hashed.groupBy("bkt").agg(count(lit(1)).as("bn"))
+      .withColumn("off",
+        coalesce(sum(col("bn")).over(
+          Window.orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("bkt"), col("off"))
+    ranked.join(broadcast(offsets), "bkt")
+      .select(col("doc_id"), (col("off") + col("rb")).as("rank"))
+      .orderBy("rank")
+  }
+
+  /** CONTRASTIVE NEGATIVE SAMPLING: for every near-duplicate-clustered
+    * document, k deterministic "random" negatives — the training-pair
+    * miner behind contrastive/embedding objectives (positives come from
+    * the dup clusters; negatives must be drawn uniformly and
+    * REPRODUCIBLY, never from the same cluster). The draw walks the
+    * [[md5GlobalRank]] order: negative j of a doc at rank r is the doc
+    * at rank ((r − 1 + (j+1)·step) mod N) + 1 with step ≈ N/(k+1) —
+    * uniform-by-hash, collision-free with the probe, and an EQUI-join
+    * on rank (no random shuffles, no rejection loop). Same-cluster
+    * collisions are flagged, not silently dropped, so the output is
+    * audit-complete; downstream filters on the flag. */
+  def negativeSamples(docs: DataFrame, clusters: DataFrame,
+      k: Int = 3): DataFrame = {
+    val ranks = Materialize.stage(md5GlobalRank(docs))
+    val n = ranks.agg(count(lit(1)).as("n_corpus"))
+    val probes = clusters.select(col("doc_id"), col("cluster_id"))
+      .join(ranks, "doc_id")
+      .crossJoin(broadcast(n))
+    val slotted = probes.select(
+        col("doc_id"), col("cluster_id"), col("rank"), col("n_corpus"),
+        explode(array((0 until k).map(lit): _*)).as("slot"))
+      .withColumn("step", expr("n_corpus DIV " + (k + 1) + " + 1"))
+      .withColumn("neg_rank",
+        expr("((rank - 1 + (slot + 1) * step) % n_corpus) + 1"))
+    slotted
+      .join(ranks.select(col("rank").as("neg_rank"), col("doc_id").as("neg_id")),
+        "neg_rank")
+      .join(clusters.select(col("doc_id").as("neg_id"),
+          col("cluster_id").as("neg_cluster")),
+        Seq("neg_id"), "left")
+      .select(col("doc_id"), col("slot").cast("long").as("slot"), col("neg_id"),
+        coalesce(col("neg_cluster") === col("cluster_id"), lit(false))
+          .as("same_cluster"))
+      .orderBy("doc_id", "slot")
+  }
 }

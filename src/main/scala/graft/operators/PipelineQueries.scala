@@ -390,6 +390,41 @@ object PipelineQueries {
           |                       ORDER BY cnt DESC, l_quantity) AS rn
           |  FROM c)
           |SELECT l_returnflag, mode_qty, mode_count
-          |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin))
+          |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin)),
+
+    // the distributed zipWithIndex: bucket-partitioned ranks + 256-row
+    // offset cumsum ≡ the oracle's single global row_number
+    QueryDef("md5_global_rank",
+      (s, d) => Pipeline.md5GlobalRank(Tables.documents(s, d)), Some(
+        """SELECT doc_id,
+          |  CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+          |       AS BIGINT) AS rank
+          |FROM documents ORDER BY rank""".stripMargin)),
+
+    QueryDef("negative_samples",
+      (s, d) => Pipeline.negativeSamples(
+        Tables.documents(s, d), SharedIntermediates.textClusters(s, d)),
+      Some(
+        s"""WITH RECURSIVE ${DedupQueries.clustersCtes},
+           |cl AS (SELECT doc_id, cluster_id FROM lab),
+           |rk AS (SELECT doc_id,
+           |         CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           |              AS BIGINT) AS rank
+           |       FROM documents),
+           |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM rk),
+           |pr AS (SELECT cl.doc_id, cl.cluster_id, rk.rank, n_corpus
+           |       FROM cl JOIN rk USING (doc_id), nn),
+           |sl AS (SELECT doc_id, cluster_id, rank, n_corpus,
+           |         CAST(unnest([0, 1, 2]) AS BIGINT) AS slot
+           |       FROM pr),
+           |nr AS (SELECT doc_id, cluster_id, slot,
+           |         ((rank - 1 + (slot + 1) * (n_corpus // 4 + 1)) % n_corpus) + 1 AS neg_rank
+           |       FROM sl),
+           |j AS (SELECT nr.doc_id, nr.slot, rk2.doc_id AS neg_id, nr.cluster_id
+           |      FROM nr JOIN rk rk2 ON rk2.rank = nr.neg_rank)
+           |SELECT j.doc_id, j.slot, j.neg_id,
+           |  coalesce(c2.cluster_id = j.cluster_id, false) AS same_cluster
+           |FROM j LEFT JOIN cl c2 ON c2.doc_id = j.neg_id
+           |ORDER BY j.doc_id, j.slot""".stripMargin)),
   )
 }

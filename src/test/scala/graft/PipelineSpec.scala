@@ -505,6 +505,40 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("bucketed global rank equals a single-sort mirror") {
+    val d = Tables.documents(spark, sf0001)
+    val got = Pipeline.md5GlobalRank(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def h(id: Long) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(id.toString.getBytes).map("%02x".format(_)).mkString
+    }
+    val expected = d.select("doc_id").collect().map(_.getLong(0))
+      .sortBy(id => (h(id), id)).zipWithIndex
+      .map { case (id, i) => id -> (i + 1L) }.toMap
+    assert(got === expected)
+  }
+
+  test("negative samples: k per probe, never the probe itself, flags exact") {
+    val d = Tables.documents(spark, sf0001)
+    val clusters = operators.SharedIntermediates.textClusters(spark, sf0001)
+    val clusterOf = clusters.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = Pipeline.negativeSamples(d, clusters).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val perProbe = rows.groupBy(_._1)
+    assert(perProbe.keySet === clusterOf.keySet)
+    perProbe.foreach { case (doc, ss) =>
+      assert(ss.length == 3 && ss.map(_._2).sorted.sameElements(Seq(0L, 1L, 2L)))
+      assert(ss.forall(_._3 != doc), s"doc $doc sampled itself")
+      assert(ss.map(_._3).distinct.length == 3, s"doc $doc repeated a negative")
+    }
+    rows.foreach { case (doc, _, neg, flag) =>
+      val same = clusterOf.get(neg).contains(clusterOf(doc))
+      assert(flag == same, s"flag wrong for ($doc, $neg)")
+    }
+  }
+
   test("doc_chunks plan stays shuffle-free up to the final sort") {
     // One exchange may come from Tables.spread (input layout) and one
     // from the deterministic orderBy; the chunking itself must not add
