@@ -207,19 +207,22 @@ object Relational {
     * partial-aggregated count per bucket. Boundaries are rounded to 1e-6
     * before comparison so both engines bucket against bit-identical
     * cutoffs (the [[percentilesByFlag]] parity trick). */
-  def equidepthHistogram(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
-    // ONE percentile aggregate for all three cutoffs: the exact
-    // Percentile buffer over a near-unique double column is the whole
-    // cost of this query (a value→count map per partition, merged), so
-    // evaluating it once instead of three times is a 3× on the
-    // boundary job (measured 5.4 s → 1.9 s at sf0.1)
-    val bounds = li
-      .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))").as("qs"))
+  /** Exact price quartiles as a one-row bounds table. ONE percentile
+    * aggregate for all three cutoffs: the exact Percentile buffer over
+    * a near-unique double column is the whole cost (a value→count map
+    * per partition, merged), so evaluating it once instead of three
+    * times is a 3× on the boundary job (measured 5.4 s → 1.9 s at
+    * sf0.1). Cutoffs rounded to 1e-6 for cross-engine bit-parity. */
+  private def priceQuartiles(li: DataFrame): DataFrame =
+    li.agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))").as("qs"))
       .select(
         round(element_at(col("qs"), 1), 6).as("q1"),
         round(element_at(col("qs"), 2), 6).as("q2"),
         round(element_at(col("qs"), 3), 6).as("q3"))
+
+  def equidepthHistogram(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val bounds = priceQuartiles(li)
     li.select(col("l_extendedprice").as("v"))
       .crossJoin(broadcast(bounds))
       .withColumn("bucket",
@@ -230,6 +233,35 @@ object Relational {
       .agg(count(lit(1)).as("n"),
         min(col("v")).as("lo"), max(col("v")).as("hi"))
       .orderBy("bucket")
+  }
+
+  /** IQR OUTLIER GATE (Tukey fences): per event type, how many event
+    * values fall outside [q1 − 1.5·IQR, q3 + 1.5·IQR] of the GLOBAL
+    * exact quartiles — the numeric-column quality filter of a
+    * data-profiling pass, same broadcast-bounds + map-side-test shape
+    * as the histogram (the fence arithmetic runs on the 1e-6-rounded
+    * cutoffs, so both engines test against bit-identical fences).
+    * events.value is the right-skewed column of the schema — the gate
+    * is non-vacuous (hundreds of high outliers at every sf). */
+  def iqrOutliers(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val fences = ev
+      .agg(expr("percentile(value, array(0.25D, 0.75D))").as("qs"))
+      .select(round(element_at(col("qs"), 1), 6).as("q1"),
+        round(element_at(col("qs"), 2), 6).as("q3"))
+      .select(
+        (col("q1") - (col("q3") - col("q1")) * lit(1.5)).as("lo_fence"),
+        (col("q3") + (col("q3") - col("q1")) * lit(1.5)).as("hi_fence"))
+    ev.select(col("event_type"), col("value").as("v"))
+      .crossJoin(broadcast(fences))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("v") < col("lo_fence"), 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("v") > col("hi_fence"), 1L).otherwise(0L)).as("n_high"))
+      .withColumn("outlier_ratio",
+        round((col("n_low") + col("n_high")).cast("double") / col("n").cast("double"), 6))
+      .orderBy("event_type")
   }
 
   /** GROUPING SETS ((returnflag), (linestatus)) with grouping_id — the

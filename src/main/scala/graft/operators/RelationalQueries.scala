@@ -173,6 +173,21 @@ object RelationalQueries {
         |  min(v) AS lo, max(v) AS hi
         |FROM k GROUP BY bucket ORDER BY bucket""".stripMargin)),
 
+    QueryDef("iqr_outliers", Relational.iqrOutliers, Some(
+      """WITH b AS (
+        |  SELECT round(quantile_cont(value, 0.25), 6) AS q1,
+        |         round(quantile_cont(value, 0.75), 6) AS q3
+        |  FROM events),
+        |f AS (SELECT q1 - (q3 - q1) * 1.5 AS lo_fence,
+        |             q3 + (q3 - q1) * 1.5 AS hi_fence FROM b)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN value < lo_fence THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |  CAST(sum(CASE WHEN value > hi_fence THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        |  round(CAST(sum(CASE WHEN value < lo_fence THEN 1 ELSE 0 END)
+        |           + sum(CASE WHEN value > hi_fence THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / CAST(count(*) AS DOUBLE), 6) AS outlier_ratio
+        |FROM events, f GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     QueryDef("grouping_sets_revenue", Relational.groupingSetsRevenue, Some(
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         |  coalesce(l_linestatus, 'ALL') AS linestatus,

@@ -43,6 +43,28 @@ object Temporal {
 
   /** Gap-based sessionization (30-minute inactivity gap): classic
     * lag → new-session flag → cumulative-sum session id → per-session agg. */
+  /** EVENT-TRANSITION MINING: the per-user first-order Markov table
+    * (from_type → to_type counts + transition probability) behind
+    * next-action models and funnel diagnostics. One shuffle on user_id
+    * serves the lag window; the transition aggregate partial-combines;
+    * probabilities are exact integer ratios rounded at the edge.
+    * Tie-stable ordering: (ts, event_id) is a total order per user. */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val trans = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = trans.groupBy("from_type").agg(sum(col("n")).as("n_from"))
+    trans.join(totals, "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("n_from").cast("double"), 6).as("p"))
+      .orderBy("from_type", "to_type")
+  }
+
   def sessionize(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
     val flagged = events.select(col("user_id"), col("ts"), col("value"))

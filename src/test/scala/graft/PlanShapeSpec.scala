@@ -184,7 +184,9 @@ class PlanShapeSpec extends SparkSpec {
       "temperature_mix", "token_kl_drift",
       // hybrid fusion embeds both ranked legs (each carries the bounded
       // one-row broadcast scalars already allowed above)
-      "hybrid_search_rrf")
+      "hybrid_search_rrf",
+      // iqr_outliers: the same one-row broadcast fence row as equidepth
+      "iqr_outliers")
     SparkEntry.registry.foreach { q =>
       val plan = q.fn(spark, sf0001).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
@@ -215,7 +217,9 @@ class PlanShapeSpec extends SparkSpec {
     // hybrid_search_rrf ranks each leg's ≤20-row top-k output — the
     // same bounded-by-construction class as value_histogram's bins.
     val allowedGlobal = Set("window_monthly_lag", "value_histogram",
-      "cumulative_users", "recursive_quarterly_ema", "hybrid_search_rrf")
+      "cumulative_users", "recursive_quarterly_ema", "hybrid_search_rrf",
+      // iqr_outliers: the same one-row broadcast fence row as equidepth
+      "iqr_outliers")
     assert(offenders.forall(allowedGlobal),
       s"unpartitioned windows outside the allowed exceptions: $offenders")
   }
