@@ -367,4 +367,49 @@ object EventsStream {
           }
       }.toDF()
   }
+
+  /** Streaming twin of Temporal.eventTransitions: per-user first-order
+    * transitions emitted AT INGESTION — state is only each user's last
+    * event (type + its (ts, event_id) order key), evicted by event-time
+    * idle timeout like [[runningUserTotals]], so state tracks the
+    * active-user set, never history. Within a batch the group's rows
+    * sort by the same (ts, event_id) total order the batch operator
+    * uses; parity with the batch Markov table holds whenever per-user
+    * order is preserved across batch boundaries (the replay/no-late
+    * case the parity spec drives). Downstream counts are a plain
+    * streaming aggregation over the emitted pairs. */
+  case class TransEvent(user_id: Long, ts: java.sql.Timestamp,
+      event_id: Long, event_type: String)
+  case class LastEvent(ms: Long, event_id: Long, event_type: String)
+  case class TransitionRow(user_id: Long, from_type: String, to_type: String)
+
+  def transitionsStream(spark: SparkSession, events: DataFrame,
+      idleMs: Long = 60L * 60 * 1000): DataFrame = {
+    import spark.implicits._
+    events.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[TransEvent]
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[TransEvent], state: GroupState[LastEvent]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+            val out = Seq.newBuilder[TransitionRow]
+            var last = state.getOption
+            sorted.foreach { e =>
+              last.foreach(l => out += TransitionRow(uid, l.event_type, e.event_type))
+              last = Some(LastEvent(e.ts.getTime, e.event_id, e.event_type))
+            }
+            last.foreach { l =>
+              state.update(l)
+              state.setTimeoutTimestamp(
+                math.max(l.ms + idleMs, state.getCurrentWatermarkMs() + 1))
+            }
+            out.result().iterator
+          }
+      }.toDF()
+  }
 }

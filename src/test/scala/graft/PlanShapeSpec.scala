@@ -186,7 +186,9 @@ class PlanShapeSpec extends SparkSpec {
       // one-row broadcast scalars already allowed above)
       "hybrid_search_rrf",
       // iqr_outliers: the same one-row broadcast fence row as equidepth
-      "iqr_outliers")
+      "iqr_outliers",
+      // negative_samples: one-row corpus-count broadcast onto the probes
+      "negative_samples")
     SparkEntry.registry.foreach { q =>
       val plan = q.fn(spark, sf0001).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
@@ -216,10 +218,12 @@ class PlanShapeSpec extends SparkSpec {
     // definition), the same bounded-aggregate class as monthly_lag.
     // hybrid_search_rrf ranks each leg's ≤20-row top-k output — the
     // same bounded-by-construction class as value_histogram's bins.
+    // md5_global_rank (and negative_samples, which embeds it) windows
+    // only the 256-row bucket-count aggregate for the offset cumsum;
+    // the corpus itself ranks under PARTITIONED per-bucket windows.
     val allowedGlobal = Set("window_monthly_lag", "value_histogram",
       "cumulative_users", "recursive_quarterly_ema", "hybrid_search_rrf",
-      // iqr_outliers: the same one-row broadcast fence row as equidepth
-      "iqr_outliers")
+      "md5_global_rank", "negative_samples")
     assert(offenders.forall(allowedGlobal),
       s"unpartitioned windows outside the allowed exceptions: $offenders")
   }

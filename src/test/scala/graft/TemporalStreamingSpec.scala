@@ -505,4 +505,41 @@ class TemporalStreamingSpec extends SparkSpec {
       assert(got.map(_._1).forall(eventDays), "emitted day outside event domain")
     } finally q.stop()
   }
+
+  test("stateful transition stream equals the batch Markov table") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String)]
+    val df = mem.toDF().toDF("user_id", "ts", "event_id", "event_type")
+    // idle timeout lifted above the corpus timespan: the 1h production
+    // default evicts idle users mid-timeline BY DESIGN (state tracks the
+    // active set), which batch — seeing all history at once — cannot
+    // mirror; parity is defined over the no-eviction regime
+    val q = EventsStream.transitionsStream(spark, df,
+        idleMs = 365L * 24 * 3600 * 1000)
+      .writeStream.outputMode("append").format("memory").queryName("trans").start()
+    try {
+      val rows = events.select($"user_id", $"ts", $"event_id", $"event_type")
+        .as[(Long, Timestamp, Long, String)].collect()
+        .sortBy(r => (r._2.getTime, r._3))
+      // two batches split mid-timeline: transitions spanning the
+      // boundary must come from the carried per-user state
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      mem.addData(b1.toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(b2.toSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("trans")
+        .groupBy($"from_type", $"to_type").count()
+        .as[(String, String, Long)].collect()
+        .map { case (f, t, n) => (f, t) -> n }.toMap
+      val expect = operators.Temporal.eventTransitions(events)
+        .select($"from_type", $"to_type", $"n")
+        .as[(String, String, Long)].collect()
+        .map { case (f, t, n) => (f, t) -> n }.toMap
+      assert(got === expect)
+      assert(got.values.sum ==
+        events.count() - events.select($"user_id").distinct().count(),
+        "every user contributes (events - 1) transitions")
+    } finally q.stop()
+  }
 }
