@@ -55,7 +55,7 @@ object Tokenizer {
   final case class BpeState(merges: DataFrame, vocab: DataFrame)
 
   /** Word-frequency table with initial per-character symbol strings. */
-  private def initWords(docs: DataFrame): DataFrame =
+  private[graft] def initWords(docs: DataFrame): DataFrame =
     docs
       .select(explode(regexp_extract_all(lower(col("text")),
         lit(WordCount.TokenPattern), lit(0))).as("word"))
@@ -65,8 +65,14 @@ object Tokenizer {
   /** Run `rounds` greedy merge rounds. Returns the merge table
     * (rank, pair, merged, weight) and the final vocabulary
     * (word, freq, sym). */
-  def learnBpe(docs: DataFrame, rounds: Int = Rounds): BpeState = {
-    var words = Materialize.stage(initWords(docs))
+  def learnBpe(docs: DataFrame, rounds: Int = Rounds): BpeState =
+    learnBpeFrom(Materialize.stage(initWords(docs)), rounds)
+
+  /** The merge loop alone, over an already-staged word table (the
+    * flagship times the corpus pass and the vocabulary-sized loop
+    * separately — their scaling regimes differ). */
+  private[graft] def learnBpeFrom(words0: DataFrame, rounds: Int): BpeState = {
+    var words = words0
     val merges = Seq.newBuilder[DataFrame]
     for (r <- 1 to rounds) {
       val pairs = words
