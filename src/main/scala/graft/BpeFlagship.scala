@@ -38,8 +38,11 @@ object BpeFlagship {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // ---- untimed setup: the DedupFlagship corpus, cached across runs
-    val corpusDir = s"$work/corpus"
+    // ---- untimed setup: the DedupFlagship corpus, cached across runs.
+    // The cache key includes nDocs — a rerun at a different size must
+    // regenerate, not silently reuse the old corpus while reporting the
+    // requested count (caught in review).
+    val corpusDir = s"$work/corpus_$nDocs"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$corpusDir/_SUCCESS"))) {
       val t0 = System.nanoTime()
       DedupFlagship.genCorpus(spark, corpusDir, nDocs)

@@ -603,7 +603,9 @@ object Pipeline {
     * construction). An unpartitioned row_number over the corpus — the
     * naive formulation — would ship every row through one task; this
     * shape is how a 100 TB corpus gets a stable total order. */
-  def md5GlobalRank(docs: DataFrame): DataFrame = {
+  /** The sort-free rank computation — what a production consumer (and
+    * [[negativeSamples]]) uses. */
+  private[operators] def md5RankUnsorted(docs: DataFrame): DataFrame = {
     val hashed = docs.select(col("doc_id"),
       md5(col("doc_id").cast("string")).as("h"),
       TextAnalysis.md5Bucket.as("bkt"))
@@ -618,11 +620,13 @@ object Pipeline {
       .select(col("bkt"), col("off"))
     ranked.join(broadcast(offsets), "bkt")
       .select(col("doc_id"), (col("off") + col("rb")).as("rank"))
-      // presentation order for the oracle's row compare — the rank
-      // COMPUTATION above is sort-free; a production caller consuming
-      // (doc_id, rank) drops this final exchange
-      .orderBy("rank")
   }
+
+  def md5GlobalRank(docs: DataFrame): DataFrame =
+    // presentation order for the oracle's row compare only — the rank
+    // COMPUTATION is sort-free; callers consuming (doc_id, rank) use
+    // md5RankUnsorted and skip this final exchange
+    md5RankUnsorted(docs).orderBy("rank")
 
   /** CONTRASTIVE NEGATIVE SAMPLING: for every near-duplicate-clustered
     * document, k deterministic "random" negatives — the training-pair
@@ -637,7 +641,7 @@ object Pipeline {
     * audit-complete; downstream filters on the flag. */
   def negativeSamples(docs: DataFrame, clusters: DataFrame,
       k: Int = 3): DataFrame = {
-    val ranks = Materialize.stage(md5GlobalRank(docs))
+    val ranks = Materialize.stage(md5RankUnsorted(docs))
     val n = ranks.agg(count(lit(1)).as("n_corpus"))
     val probes = clusters.select(col("doc_id"), col("cluster_id"))
       .join(ranks, "doc_id")
@@ -646,8 +650,16 @@ object Pipeline {
         col("doc_id"), col("cluster_id"), col("rank"), col("n_corpus"),
         explode(array((0 until k).map(lit): _*)).as("slot"))
       .withColumn("step", expr("n_corpus DIV " + (k + 1) + " + 1"))
+      // self-collision guard: for tiny corpora (n ∈ {4, 9, 12} with
+      // k = 3) a slot's stride can be ≡ 0 (mod n), which would sample
+      // the probe itself; shift that slot by (slot + 1) — nonzero mod n
+      // for any n > k (caught in review; at corpus scale the strides
+      // are never degenerate, but the guarantee should not depend on n)
+      .withColumn("stride",
+        expr("CASE WHEN ((slot + 1) * step) % n_corpus = 0 " +
+          "THEN (slot + 1) * step + slot + 1 ELSE (slot + 1) * step END"))
       .withColumn("neg_rank",
-        expr("((rank - 1 + (slot + 1) * step) % n_corpus) + 1"))
+        expr("((rank - 1 + stride) % n_corpus) + 1"))
     slotted
       .join(ranks.select(col("rank").as("neg_rank"), col("doc_id").as("neg_id")),
         "neg_rank")

@@ -199,14 +199,6 @@ object Relational {
         round(expr("percentile(l_extendedprice, 0.99D)"), 6).as("p99_price"))
       .orderBy("l_returnflag")
 
-  /** EQUI-DEPTH histogram (the statistics a cost-based optimizer and a
-    * data-profiling pass both want): exact quartile boundaries from one
-    * distributed percentile aggregate (a single broadcast row — never a
-    * global sort or an unpartitioned ntile window, which would ship the
-    * fact table to one task), then a map-side bucket assignment and a
-    * partial-aggregated count per bucket. Boundaries are rounded to 1e-6
-    * before comparison so both engines bucket against bit-identical
-    * cutoffs (the [[percentilesByFlag]] parity trick). */
   /** Exact price quartiles as a one-row bounds table. ONE percentile
     * aggregate for all three cutoffs: the exact Percentile buffer over
     * a near-unique double column is the whole cost (a value→count map
@@ -220,6 +212,14 @@ object Relational {
         round(element_at(col("qs"), 2), 6).as("q2"),
         round(element_at(col("qs"), 3), 6).as("q3"))
 
+  /** EQUI-DEPTH histogram (the statistics a cost-based optimizer and a
+    * data-profiling pass both want): exact quartile boundaries from one
+    * distributed percentile aggregate (a single broadcast row — never a
+    * global sort or an unpartitioned ntile window, which would ship the
+    * fact table to one task), then a map-side bucket assignment and a
+    * partial-aggregated count per bucket. Boundaries are rounded to 1e-6
+    * before comparison so both engines bucket against bit-identical
+    * cutoffs (the [[percentilesByFlag]] parity trick). */
   def equidepthHistogram(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
     val bounds = priceQuartiles(li)
@@ -480,6 +480,9 @@ object Relational {
     * is pure BIGINT (cents; 9/10 decay via integer DIV), so the oracle
     * matches digit-for-digit. */
   def recursiveQuarterlyEma(s: SparkSession, d: String): DataFrame = {
+    // raised (not restored) for the session: the recursion executes
+    // lazily at action time, so the limit must still hold then; 500 is
+    // a safe superset of the default everywhere in this engine
     s.conf.set("spark.sql.cteRecursionLevelLimit", "500")
     // The quarter table is MATERIALIZED before the recursion:
     // UnionLoop re-evaluates the step plan once per iteration, so an
@@ -495,15 +498,18 @@ object Relational {
         .select(
           row_number().over(Window.orderBy(col("m"))).cast("long").as("i"),
           col("m"), col("rev")))
-    months.createOrReplaceTempView("months_ema_v")
+    // view name keyed by dataset path: two datasets evaluated on one
+    // session must not race on a shared global temp-view name
+    val view = "quarters_ema_" + Integer.toHexString(d.hashCode).takeWhile(_ != '-')
+    months.createOrReplaceTempView(view)
     s.sql(
-      """WITH RECURSIVE ema(i, m, rev, ema_cents) AS (
-        |  SELECT i, m, rev, rev FROM months_ema_v WHERE i = 1
-        |  UNION ALL
-        |  SELECT mo.i, mo.m, mo.rev, (e.ema_cents * 9 + mo.rev) DIV 10
-        |  FROM ema e JOIN months_ema_v mo ON mo.i = e.i + 1)
-        |SELECT i AS quarter_idx, m AS quarter, rev AS revenue_cents, ema_cents
-        |FROM ema ORDER BY quarter_idx""".stripMargin)
+      s"""WITH RECURSIVE ema(i, m, rev, ema_cents) AS (
+         |  SELECT i, m, rev, rev FROM $view WHERE i = 1
+         |  UNION ALL
+         |  SELECT mo.i, mo.m, mo.rev, (e.ema_cents * 9 + mo.rev) DIV 10
+         |  FROM ema e JOIN $view mo ON mo.i = e.i + 1)
+         |SELECT i AS quarter_idx, m AS quarter, rev AS revenue_cents, ema_cents
+         |FROM ema ORDER BY quarter_idx""".stripMargin)
   }
 
   /** Scalar date-function battery over orders. */

@@ -115,15 +115,14 @@ object SimJoin {
     * The aggregation doubles as the candidate dedup (replaces a
     * distinct — same shuffle, strictly more pruning). */
   private def positionalCandidates(matched: DataFrame)
-      (oReqScaled: Column, scale: Int,
+      (accept: Column => Column,
        minMatches: Column = lit(1L)): DataFrame =
     matched
       .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
       .agg(min(struct(col("rx"), col("ry"))).as("m"),
         count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minMatches &&
-        (lit(1) + least(col("na") - col("m.rx"), col("nb") - col("m.ry"))) * scale
-          >= oReqScaled)
+        accept(lit(1) + least(col("na") - col("m.rx"), col("nb") - col("m.ry"))))
       .select(col("doc_a"), col("doc_b"))
 
   /** All document pairs with exact gram-set jaccard ≥ num/den, served
@@ -153,7 +152,7 @@ object SimJoin {
         col("x.n").as("na"), col("y.n").as("nb"),
         col("x.r").as("rx"), col("y.r").as("ry"))
     val cand = positionalCandidates(matched)(
-      (col("na") + col("nb")) * num, num + den,
+      bound => bound * (num + den) >= (col("na") + col("nb")) * num,
       minMatches = least(lit(PrefixExt.toLong), ceilMul(col("na"), num, den)))
       // restore the registry's id ordering (probe orientation is by size)
       .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
@@ -201,7 +200,8 @@ object SimJoin {
     // required overlap ⌈num·na/den⌉; the first-match positional bound
     // holds unchanged (the y side is the FULL index, so every shared
     // gram inside the considered ranks is a join match)
-    val cand = positionalCandidates(cand0)(col("na") * num, den,
+    val cand = positionalCandidates(cand0)(
+      bound => bound * den >= col("na") * num,
       minMatches = least(lit(PrefixExt.toLong), ceilMul(col("na"), num, den)))
     verify(ranked, cand, num.toDouble / den, "containment")
   }
@@ -235,15 +235,12 @@ object SimJoin {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         col("x.n").as("na"), col("y.n").as("nb"),
         col("x.r").as("rx"), col("y.r").as("ry"))
-    // positional candidates with the SQUARED bound (the linear helper
-    // serves jaccard/containment; cosine's required overlap τ·√(na·nb)
-    // is irrational, so the sound integer test squares both sides)
-    val bound = lit(1L) + least(col("na") - col("m.rx"), col("nb") - col("m.ry"))
-    val cand = matched
-      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
-      .agg(min(struct(col("rx"), col("ry"))).as("m"), count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= least(lit(PrefixExt.toLong), ceilMul(col("na"), num, den)) &&
-        bound * bound * d2 >= col("na") * col("nb") * n2)
+    // the shared positional stage with the SQUARED acceptance bound
+    // (cosine's required overlap τ·√(na·nb) is irrational, so the
+    // sound integer test squares both sides)
+    val cand = positionalCandidates(matched)(
+      bound => bound * bound * d2 >= col("na") * col("nb") * n2,
+      minMatches = least(lit(PrefixExt.toLong), ceilMul(col("na"), num, den)))
       .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
         greatest(col("doc_a"), col("doc_b")).as("doc_b"))
     verify(ranked, cand, num.toDouble / den, "cosine", num, den)

@@ -510,14 +510,18 @@ object TextAnalysis {
     * the equal-share [[sourceMixRebalance]]). Target total is half the
     * corpus; per-source keep probability = K·q_s/n_s with
     * q_s = √n_s / Σ√n_t, realized as a deterministic md5-uniform
-    * threshold test. All cross-source arithmetic is BIGINT — each √n_s
-    * is floored to 2^20-scaled units FIRST and the normalizer is an
-    * integer sum, so no double summation order can perturb the result
-    * and the oracle matches hash-exact. Plan shape: source histogram →
-    * one tiny broadcast; keep decision map-side; one audit groupBy.
-    * (The BIGINT threshold product k·w_s·2^20 bounds the corpus at
-    * ~2^42 docs per source before overflow — beyond any real corpus;
-    * DECIMAL(38,0) is the escape hatch.) */
+    * threshold test. The weight quantization and normalizer stay
+    * BIGINT — each √n_s is floored to 2^20-scaled units FIRST and the
+    * normalizer is an integer sum, so no double summation order can
+    * perturb them — and the final per-source threshold is ONE fixed
+    * left-to-right IEEE double expression over those integers, mirrored
+    * literally in the oracle (the [[sourceMixRebalance]] pattern). An
+    * all-BIGINT threshold product was the first cut; it overflows 63
+    * bits near 1e5 docs per source once the k·w·2^20 factors stack
+    * (caught in review against the 500k-doc flagship corpus), while
+    * the double form is deterministic cross-engine at any scale. Plan
+    * shape: source histogram → one tiny broadcast; keep decision
+    * map-side; one audit groupBy. */
   def temperatureMix(docs: DataFrame): DataFrame = {
     val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
     val weights = counts.select(col("source"), col("n_docs"),
@@ -526,7 +530,9 @@ object TextAnalysis {
       expr("sum(n_docs) DIV 2").as("k_target"))
     val rates = weights.crossJoin(broadcast(tot))
       .select(col("source"), col("n_docs"),
-        expr("(1048576 * k_target * w) DIV (w_total * n_docs)").as("keep_thresh"))
+        floor(lit(1048576.0) * col("k_target").cast("double") * col("w").cast("double")
+          / (col("w_total").cast("double") * col("n_docs").cast("double")))
+          .cast("long").as("keep_thresh"))
     // 20-bit md5-uniform draw: five hex nibbles
     val u = (0 until 5).map(i => md5Nibble(i) * (1 << (4 * (4 - i))))
       .reduce(_ + _).cast("long")
@@ -551,10 +557,7 @@ object TextAnalysis {
     * the [[bigramLmScore]] portability trick — so the per-split KL is
     * an order-independent BIGINT sum and hash-exact cross-engine. */
   def tokenKlDrift(docs: DataFrame): DataFrame = {
-    val bucket = md5Bucket
-    val split = when(bucket < 204, lit("train"))
-      .when(bucket < 230, lit("val")).otherwise(lit("test"))
-    val tokSplit = docs.select(split.as("split"), explode(toks).as("tok"))
+    val tokSplit = docs.select(splitOf.as("split"), explode(toks).as("tok"))
       .groupBy(col("split"), col("tok")).agg(count(lit(1)).as("c"))
     val globalTok = tokSplit.groupBy(col("tok")).agg(sum(col("c")).as("c_all"))
     val splitTotals = tokSplit.groupBy(col("split")).agg(sum(col("c")).as("n_split"))

@@ -398,7 +398,8 @@ object TextAnalysisQueries {
            |t AS (SELECT CAST(sum(w) AS BIGINT) AS w_total,
            |             CAST(sum(n_docs) AS BIGINT) // 2 AS k_target FROM w),
            |r AS (SELECT source, n_docs,
-           |        (1048576 * k_target * w) // (w_total * n_docs) AS keep_thresh
+           |        CAST(floor(1048576.0 * CAST(k_target AS DOUBLE) * CAST(w AS DOUBLE)
+           |             / (CAST(w_total AS DOUBLE) * CAST(n_docs AS DOUBLE))) AS BIGINT) AS keep_thresh
            |      FROM w, t),
            |k AS (SELECT d.source, r.n_docs, r.keep_thresh,
            |        ${u20Sql("d.doc_id")} < r.keep_thresh AS kept

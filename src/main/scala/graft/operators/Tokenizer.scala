@@ -74,7 +74,10 @@ object Tokenizer {
   private[graft] def learnBpeFrom(words0: DataFrame, rounds: Int): BpeState = {
     var words = words0
     val merges = Seq.newBuilder[DataFrame]
-    for (r <- 1 to rounds) {
+    var r = 0
+    var exhausted = false
+    while (r < rounds && !exhausted) {
+      r += 1
       val pairs = words
         .select(col("freq"),
           regexp_extract_all(col("sym"), lit("\\([^)]*\\)"), lit(0)).as("ss"))
@@ -90,14 +93,28 @@ object Tokenizer {
           .select(lit(r.toLong).as("rank"), col("pair"),
             regexp_replace(col("pair"), "\\)\\(", "").as("merged"),
             col("weight")))
-      merges += best
-      words = Materialize.stage(
-        words.crossJoin(broadcast(
-            best.select(col("pair").as("_p"), col("merged").as("_m"))))
-          .withColumn("sym", expr("replace(sym, _p, _m)"))
-          .select("word", "freq", "sym"))
+      // a fully-collapsed vocabulary (every word one symbol) yields an
+      // EMPTY pair table before `rounds` runs out; without this guard
+      // the crossJoin with the empty argmax row would annihilate the
+      // whole word table (caught in review). `best` is staged, so the
+      // emptiness check is a metadata-cheap count of one small table.
+      if (best.isEmpty) {
+        exhausted = true
+      } else {
+        merges += best
+        words = Materialize.stage(
+          words.crossJoin(broadcast(
+              best.select(col("pair").as("_p"), col("merged").as("_m"))))
+            .withColumn("sym", expr("replace(sym, _p, _m)"))
+            .select("word", "freq", "sym"))
+      }
     }
-    BpeState(merges.result().reduce(_ union _), words)
+    val ms = merges.result()
+    val mergesDf =
+      if (ms.nonEmpty) ms.reduce(_ union _)
+      else words.sparkSession.range(0).select(col("id").as("rank"),
+        lit("").as("pair"), lit("").as("merged"), col("id").as("weight"))
+    BpeState(mergesDf, words)
   }
 
   // ---- trained-artifact cache (the SharedIntermediates pattern, kept

@@ -85,6 +85,18 @@ class TokenizerSpec extends SparkSpec {
     assert(syms("aaa") === "(aa)(a)")
   }
 
+  test("merge loop stops early when the vocabulary fully collapses") {
+    // one word type: 'aa' merges to a single symbol in round 1; round 2
+    // has NO pairs — the loop must stop with the vocab intact, not
+    // annihilate the word table via a crossJoin with an empty argmax
+    val st = Tokenizer.learnBpe(docsDF(0L -> "aa aa aa"), rounds = 5)
+    val merges = st.merges.orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toList
+    assert(merges === List((1L, "(a)(a)")))
+    val vocab = st.vocab.collect().map(r => r.getString(0) -> r.getString(2))
+    assert(vocab.toSeq === Seq("aa" -> "(aa)"))
+  }
+
   test("encode stats are consistent with the learned vocabulary") {
     val d = Tables.documents(spark, sf0001)
     val st = Tokenizer.learnBpe(d, rounds = 4)
