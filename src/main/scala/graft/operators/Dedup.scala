@@ -684,6 +684,34 @@ object Dedup {
     * audit is one cluster-keyed partial-aggregated groupBy. The fix-up
     * this feeds (move whole clusters into one split) is the standard
     * remedy: split by CLUSTER id, not doc id. */
+  /** DEDUP-SAVINGS REPORT: the one-row corpus-impact rollup the dedup
+    * pipeline feeds to its operators' dashboard — how many documents
+    * and how many bytes the keep-longest canonical policy removes.
+    * Pure combination of already-built artifacts (the cluster table and
+    * [[canonicalDocs]]) with three tiny aggregates crossJoined into one
+    * row; nothing here rescans text. chars_dropped is clustered chars
+    * minus keeper chars — exact integers, so the row is hash-exact. */
+  def dedupSavings(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val corpus = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("chars_total"))
+    val clustered = clusters
+      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+      .agg(count(lit(1)).as("n_clustered"),
+        sum(col("n_chars")).as("chars_clustered"))
+    val keepers = canonicalDocs(docs, clusters)
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("keeper_chars")).as("chars_kept"))
+    corpus.crossJoin(clustered).crossJoin(keepers)
+      .select(
+        col("n_docs"), col("n_clustered"), col("n_clusters"),
+        (col("n_clustered") - col("n_clusters")).as("n_dropped"),
+        col("chars_total"),
+        (col("chars_clustered") - col("chars_kept")).as("chars_dropped"),
+        round((col("chars_clustered") - col("chars_kept")).cast("double") /
+          col("chars_total").cast("double"), 6).as("savings_ratio"))
+  }
+
   def splitLeakage(clusters: DataFrame): DataFrame =
     clusters
       .withColumn("split", TextAnalysis.splitOf)

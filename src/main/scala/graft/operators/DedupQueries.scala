@@ -261,6 +261,36 @@ object DedupQueries {
         Tables.documents(s, d), SharedIntermediates.textClusters(s, d)),
       Some(canonicalSql)),
 
+    // corpus-impact rollup of the dedup family: docs/chars removed by
+    // the keep-longest policy, exact integers + one rounded ratio
+    QueryDef("dedup_savings",
+      (s, d) => Dedup.dedupSavings(
+        Tables.documents(s, d), SharedIntermediates.textClusters(s, d)),
+      Some(
+        s"""WITH RECURSIVE $clustersCtes,
+           |cl AS (SELECT doc_id, cluster_id, cluster_size
+           |       FROM lab JOIN sz USING (cluster_id)),
+           |corpus AS (SELECT count(*) AS n_docs,
+           |                  CAST(sum(n_chars) AS BIGINT) AS chars_total
+           |           FROM documents),
+           |cj AS (SELECT cl.cluster_id, cl.cluster_size, d.doc_id, d.n_chars
+           |       FROM cl JOIN documents d USING (doc_id)),
+           |cstat AS (SELECT count(*) AS n_clustered,
+           |                 CAST(sum(n_chars) AS BIGINT) AS chars_clustered
+           |          FROM cj),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+           |        ORDER BY n_chars DESC, doc_id ASC) AS rn FROM cj),
+           |k AS (SELECT count(*) AS n_clusters,
+           |             CAST(sum(n_chars) AS BIGINT) AS chars_kept
+           |      FROM r WHERE rn = 1)
+           |SELECT n_docs, n_clustered, n_clusters,
+           |  n_clustered - n_clusters AS n_dropped,
+           |  chars_total,
+           |  chars_clustered - chars_kept AS chars_dropped,
+           |  round(CAST(chars_clustered - chars_kept AS DOUBLE)
+           |        / CAST(chars_total AS DOUBLE), 6) AS savings_ratio
+           |FROM corpus, cstat, k""".stripMargin)),
+
     // the audit the dedup machinery exists for: near-dup clusters whose
     // members straddle the 8/1/1 split assignment (train/eval leakage)
     QueryDef("split_leakage",

@@ -188,7 +188,10 @@ class PlanShapeSpec extends SparkSpec {
       // iqr_outliers: the same one-row broadcast fence row as equidepth
       "iqr_outliers",
       // negative_samples: one-row corpus-count broadcast onto the probes
-      "negative_samples")
+      "negative_samples",
+      // dedup_savings: three ONE-ROW aggregates crossJoined into the
+      // report row — bounded by construction
+      "dedup_savings")
     SparkEntry.registry.foreach { q =>
       val plan = q.fn(spark, sf0001).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
