@@ -634,7 +634,8 @@ object Pipeline {
     * the dup clusters; negatives must be drawn uniformly and
     * REPRODUCIBLY, never from the same cluster). The draw walks the
     * [[md5GlobalRank]] order: negative j of a doc at rank r is the doc
-    * at rank ((r − 1 + (j+1)·step) mod N) + 1 with step ≈ N/(k+1) —
+    * at rank ((r − 1 + j·q + 1) mod N) + 1 with q = (N−1) DIV k — k
+    * provably-distinct offsets spread ≈ N/k apart around the hash ring,
     * uniform-by-hash, collision-free with the probe, and an EQUI-join
     * on rank (no random shuffles, no rejection loop). Same-cluster
     * collisions are flagged, not silently dropped, so the output is
@@ -649,15 +650,16 @@ object Pipeline {
     val slotted = probes.select(
         col("doc_id"), col("cluster_id"), col("rank"), col("n_corpus"),
         explode(array((0 until k).map(lit): _*)).as("slot"))
-      .withColumn("step", expr("n_corpus DIV " + (k + 1) + " + 1"))
-      // self-collision guard: for tiny corpora (n ∈ {4, 9, 12} with
-      // k = 3) a slot's stride can be ≡ 0 (mod n), which would sample
-      // the probe itself; shift that slot by (slot + 1) — nonzero mod n
-      // for any n > k (caught in review; at corpus scale the strides
-      // are never degenerate, but the guarantee should not depend on n)
+      // stride_j = j·q + 1 with q = (n−1) DIV k: for any n > k these
+      // are k DISTINCT integers in [1, n−1] (q ≥ 1 so they strictly
+      // increase; max = (k−1)·q + 1 ≤ (k−1)(n−1)/k + 1 < n), hence
+      // k distinct nonzero residues mod n — the probe is never sampled
+      // AND no two slots collide, with no degenerate-n special cases
+      // (the previous CASE guard only prevented self-collision; two
+      // slots could still coincide mod n on tiny corpora). Spacing is
+      // ≈ n/k around the md5-rank ring, so the draw stays uniform.
       .withColumn("stride",
-        expr("CASE WHEN ((slot + 1) * step) % n_corpus = 0 " +
-          "THEN (slot + 1) * step + slot + 1 ELSE (slot + 1) * step END"))
+        expr("slot * ((n_corpus - 1) DIV " + k + ") + 1"))
       .withColumn("neg_rank",
         expr("((rank - 1 + stride) % n_corpus) + 1"))
     slotted

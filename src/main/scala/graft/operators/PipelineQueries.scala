@@ -417,11 +417,9 @@ object PipelineQueries {
            |sl AS (SELECT doc_id, cluster_id, rank, n_corpus,
            |         CAST(unnest([0, 1, 2]) AS BIGINT) AS slot
            |       FROM pr),
-           |st AS (SELECT *, (slot + 1) * (n_corpus // 4 + 1) AS stride0 FROM sl),
+           |st AS (SELECT *, slot * ((n_corpus - 1) // 3) + 1 AS stride FROM sl),
            |nr AS (SELECT doc_id, cluster_id, slot,
-           |         ((rank - 1 +
-           |           CASE WHEN stride0 % n_corpus = 0 THEN stride0 + slot + 1
-           |                ELSE stride0 END) % n_corpus) + 1 AS neg_rank
+           |         ((rank - 1 + stride) % n_corpus) + 1 AS neg_rank
            |       FROM st),
            |j AS (SELECT nr.doc_id, nr.slot, rk2.doc_id AS neg_id, nr.cluster_id
            |      FROM nr JOIN rk rk2 ON rk2.rank = nr.neg_rank)

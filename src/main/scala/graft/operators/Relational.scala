@@ -480,10 +480,6 @@ object Relational {
     * is pure BIGINT (cents; 9/10 decay via integer DIV), so the oracle
     * matches digit-for-digit. */
   def recursiveQuarterlyEma(s: SparkSession, d: String): DataFrame = {
-    // raised (not restored) for the session: the recursion executes
-    // lazily at action time, so the limit must still hold then; 500 is
-    // a safe superset of the default everywhere in this engine
-    s.conf.set("spark.sql.cteRecursionLevelLimit", "500")
     // The quarter table is MATERIALIZED before the recursion:
     // UnionLoop re-evaluates the step plan once per iteration, so an
     // inline CTE would re-scan and re-aggregate the orders fact table
@@ -499,17 +495,36 @@ object Relational {
           row_number().over(Window.orderBy(col("m"))).cast("long").as("i"),
           col("m"), col("rev")))
     // view name keyed by dataset path: two datasets evaluated on one
-    // session must not race on a shared global temp-view name
-    val view = "quarters_ema_" + Integer.toHexString(d.hashCode).takeWhile(_ != '-')
+    // session must not race on a shared global temp-view name. Full
+    // md5 hex of the path — collision-free, unlike String.hashCode.
+    val view = "quarters_ema_" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
     months.createOrReplaceTempView(view)
-    s.sql(
-      s"""WITH RECURSIVE ema(i, m, rev, ema_cents) AS (
-         |  SELECT i, m, rev, rev FROM $view WHERE i = 1
-         |  UNION ALL
-         |  SELECT mo.i, mo.m, mo.rev, (e.ema_cents * 9 + mo.rev) DIV 10
-         |  FROM ema e JOIN $view mo ON mo.i = e.i + 1)
-         |SELECT i AS quarter_idx, m AS quarter, rev AS revenue_cents, ema_cents
-         |FROM ema ORDER BY quarter_idx""".stripMargin)
+    // The recursion-level limit must hold while the recursion EXECUTES
+    // (lazily, at action time), so the result is eagerly staged inside
+    // the raised-limit scope and the session conf restored afterwards —
+    // no session-global side effect leaks out. The staged table is the
+    // quarter-count-sized final answer (tens of rows at any corpus
+    // size), so the extra materialization is free.
+    val limitKey = "spark.sql.cteRecursionLevelLimit"
+    val prevLimit = s.conf.getOption(limitKey)
+    s.conf.set(limitKey, "500")
+    try {
+      Materialize.stage(s.sql(
+        s"""WITH RECURSIVE ema(i, m, rev, ema_cents) AS (
+           |  SELECT i, m, rev, rev FROM $view WHERE i = 1
+           |  UNION ALL
+           |  SELECT mo.i, mo.m, mo.rev, (e.ema_cents * 9 + mo.rev) DIV 10
+           |  FROM ema e JOIN $view mo ON mo.i = e.i + 1)
+           |SELECT i AS quarter_idx, m AS quarter, rev AS revenue_cents, ema_cents
+           |FROM ema ORDER BY quarter_idx""".stripMargin))
+    } finally {
+      prevLimit match {
+        case Some(v) => s.conf.set(limitKey, v)
+        case None    => s.conf.unset(limitKey)
+      }
+    }
   }
 
   /** Scalar date-function battery over orders. */

@@ -539,6 +539,26 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("negative samples: distinct negatives on every degenerate corpus n in 4..12") {
+    // The stride construction (j·((n−1) DIV k) + 1) must yield k
+    // pairwise-distinct non-self negatives for ALL n > k — including
+    // the tiny corpora where the previous formula's residues could
+    // coincide mod n (review finding: n=4, k=3 duplicated a negative).
+    import spark.implicits._
+    for (n <- 4 to 12) {
+      val d = (1L to n).toDF("doc_id")
+        .withColumn("text", concat(lit("doc "), col("doc_id")))
+      val clusters = (1L to n).map(i => (i, i % 2)).toDF("doc_id", "cluster_id")
+      val rows = Pipeline.negativeSamples(d, clusters).collect()
+        .map(r => (r.getLong(0), r.getLong(2)))
+      rows.groupBy(_._1).foreach { case (doc, ss) =>
+        val negs = ss.map(_._2)
+        assert(negs.distinct.length == 3, s"n=$n doc $doc repeated: ${negs.toList}")
+        assert(!negs.contains(doc), s"n=$n doc $doc sampled itself")
+      }
+    }
+  }
+
   test("doc_chunks plan stays shuffle-free up to the final sort") {
     // One exchange may come from Tables.spread (input layout) and one
     // from the deterministic orderBy; the chunking itself must not add
