@@ -104,7 +104,23 @@ object AnnFlagship {
       "ivf" -> (() => Similarity.ivfTopK(emb, 8, NQueries, K, n)),
       "ivf_mp" -> (() => Similarity.ivfTopKProbed(emb, 8, NQueries, K, 2, n)),
       "ivfpq" -> (() => Similarity.ivfPqTopK(emb, 8, NQueries, K, corpusCount = n)),
-      "int8" -> (() => Similarity.quantizedTopK(emb, NQueries, K)))
+      // the round-9 recall levers, swept: nprobe (candidate recall
+      // insurance) × refine (ADC-ordering repair breadth)
+      "ivfpq_p2" -> (() => Similarity.ivfPqTopK(emb, 8, NQueries, K,
+        corpusCount = n, nprobe = 2)),
+      "ivfpq_r16" -> (() => Similarity.ivfPqTopK(emb, 8, NQueries, K,
+        corpusCount = n, refine = 16)),
+      "ivfpq_p2r16" -> (() => Similarity.ivfPqTopK(emb, 8, NQueries, K,
+        corpusCount = n, nprobe = 2, refine = 16)),
+      "ivfpq_r32" -> (() => Similarity.ivfPqTopK(emb, 8, NQueries, K,
+        corpusCount = n, refine = 32)),
+      "int8" -> (() => Similarity.quantizedTopK(emb, NQueries, K)),
+      // int8 folded inside IVF cells (IVF,SQ8 + refine): the variant
+      // that makes the quantized corpus build pay for itself at scale
+      "ivf_int8" -> (() => Similarity.ivfInt8TopK(emb, 8, NQueries, K,
+        nprobe = 2, refine = 4, corpusCount = n)),
+      "ivf_int8_p4" -> (() => Similarity.ivfInt8TopK(emb, 8, NQueries, K,
+        nprobe = 4, refine = 4, corpusCount = n)))
     val results = methods.map { case (name, f) =>
       val (df, dt) = timed(name)(f())
       name -> (recallOf(df), dt)

@@ -462,16 +462,17 @@ object Similarity {
     * distances stay exact integer arithmetic — no float-sum ordering or
     * libm variance anywhere in the index, so the oracle reproduces
     * every distance bit-for-bit. */
-  private def residualSubvecs(embWithCent: DataFrame): DataFrame = {
+  private def residualSubvecs(embWithCent: DataFrame,
+      keyCols: Seq[String] = Seq("vec_id")): DataFrame = {
     val qas = (1 to PqSubDim).map(j =>
       (floor(element_at(col("embedding"), col("sub") * PqSubDim + j).cast("double")
         * lit(1000000.0) + lit(0.5)).cast("long")
         - floor(element_at(col("ce"), col("sub") * PqSubDim + j).cast("double")
         * lit(1000000.0) + lit(0.5)).cast("long")).as(s"qa$j"))
-    embWithCent.select(col("vec_id"),
+    embWithCent.select(keyCols.map(col) ++ Seq(
         explode(sequence(lit(0), lit(PqSub - 1))).as("sub"),
-        col("embedding"), col("ce"))
-      .select(col("vec_id") +: col("sub") +: qas: _*)
+        col("embedding"), col("ce")): _*)
+      .select(keyCols.map(col) ++ (col("sub") +: qas): _*)
   }
 
   /** (vec_id, embedding, ce): each vector paired with its home cell's
@@ -572,7 +573,8 @@ object Similarity {
 
   /** IVF-PQ top-k with refine — the production ANN index shape (FAISS
     * `IVFx,PQy` + refine; Jégou et al. 2011): the IVF coarse quantizer
-    * restricts candidates to the query's cell; candidates are scored by
+    * restricts candidates to the query's `nprobe` best cells (nprobe=1 =
+    * home cell only); candidates are scored by
     * ASYMMETRIC DISTANCE COMPUTATION over RESIDUALS — the query
     * precomputes its residual's distance to every codebook centroid (a
     * [[PqSub]]×[[PqCodes]] table), and a candidate's approximate
@@ -590,42 +592,59 @@ object Similarity {
     * break identically everywhere; the refined cosines reuse the
     * round-6 chain the other ANN paths pin. */
   def ivfPqTopK(emb: DataFrame, minCentroids: Int, nQueries: Int, k: Int,
-      corpusCount: Option[Long] = None): DataFrame = {
+      corpusCount: Option[Long] = None, nprobe: Int = 1,
+      refine: Int = RefineFactor): DataFrame = {
     val spark = emb.sparkSession
+    val (cents1, kc) = ivfCentroids(emb, minCentroids, corpusCount)
     val assigned = ivfAssignIndex(emb, minCentroids, corpusCount)
       .select(col("vec_id"), col("cell"))
     val cb = pqCodebook(emb, minCentroids, corpusCount)
     val codes = pqCodesIndex(emb, minCentroids, corpusCount)
-    val q = assigned.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("cell").as("qcell"))
-    val cand = assigned.join(broadcast(q),
+    // probe cells: the query slice ranks every centroid in its own tiny
+    // plan (nQueries × K rows) and keeps the top `nprobe`. Rank 1 IS the
+    // home cell (same rounded-cosine/cent-id argmax as the assignment
+    // index), so nprobe=1 reproduces the original home-cell-only search
+    // bit-for-bit and recall grows monotonically with nprobe — the
+    // standard recall repair for queries whose true neighbors sit just
+    // across a cell boundary.
+    val wp = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cent_id").asc)
+    val probes0 = scoreAgainst(emb.filter(col("vec_id") < nQueries), cents1, kc, "ce1")
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("qcell"))
+    val cand = assigned.join(broadcast(
+        probes0.select(col("vec_id").as("query_id"), col("qcell"))),
         col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("cand_id"))
-    // query distance table against the QUERY's home-cell residual: the
-    // query and its same-cell candidates share one coarse centroid, so
-    // ADC over residuals is exact in the centroid term (classic per-cell
-    // lookup tables). nQueries × PqSub × PqCodes rows — broadcast.
-    val qdt = residualSubvecs(
-        withCentroid(emb, minCentroids, corpusCount)
-          .filter(col("vec_id") < nQueries))
+      .select(col("query_id"), col("vec_id").as("cand_id"), col("qcell"))
+    // query distance tables PER PROBED CELL: a probed cell's candidates
+    // are coded as residuals against THAT cell's centroid, so the query
+    // must be quantized in the same frame — its residual is recomputed
+    // against each probe cell's centroid (classic per-cell lookup
+    // tables; the nprobe=1 case degenerates to the query's own home
+    // cell). nQueries × nprobe × PqSub × PqCodes rows — broadcast.
+    val centSide = cents1.select(col("cent_id").as("qcell"), col("ce1").as("ce"))
+    val probeCent = probes0.join(
+      if (kc <= MaxBroadcastCentroids) broadcast(centSide) else centSide, "qcell")
+    val qdt = residualSubvecs(probeCent, Seq("vec_id", "qcell"))
       .join(broadcast(cb), "sub")
-      .select(col("vec_id").as("query_id"), col("sub"), col("code"),
+      .select(col("vec_id").as("query_id"), col("qcell"), col("sub"), col("code"),
         pqDist.as("dpart"))
     val adc = cand
       .join(codes.select(col("vec_id").as("cand_id"), col("sub"), col("code")),
         "cand_id")
-      .join(broadcast(qdt), Seq("query_id", "sub", "code"))
+      .join(broadcast(qdt), Seq("query_id", "qcell", "sub", "code"))
       .groupBy(col("query_id"), col("cand_id"))
       .agg(sum(col("dpart")).as("adc_dist"))
     // ADC shortlist → EXACT re-rank (the refine stage): quantized
-    // distance picks RefineFactor·k candidates per query, true cosines
+    // distance picks refine·k candidates per query, true cosines
     // over the original vectors decide the final k — bounded exact
-    // work (RefineFactor·k·nQueries pairs) repairing quantization
+    // work (refine·k·nQueries pairs) repairing quantization
     // error in the final ranking
     val ws = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_dist").asc, col("cand_id").asc)
     val short = adc.withColumn("srnk", row_number().over(ws))
-      .filter(col("srnk") <= RefineFactor * k)
+      .filter(col("srnk") <= refine * k)
       .select(col("query_id"), col("cand_id"))
     val qe = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
@@ -812,6 +831,87 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("cand_id"), col("qcos"))
+      .orderBy("query_id", "rnk")
+  }
+
+  private val int8IvfMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** The int8-in-IVF serving index: the quantized corpus CO-LOCATED
+    * with its inverted-file cell — (vec_id, cell, qv), the table a
+    * production store lays out cell-clustered so a probe reads only its
+    * cells' byte rows. Built once per (session, corpus, params) by
+    * joining the two existing narrow indexes; without this the
+    * corpus-sized assignment⋈quantized join would re-run per serve. */
+  private def int8IvfIndex(emb: DataFrame, minCentroids: Int,
+      corpusCount: Option[Long]): DataFrame = {
+    val spark = emb.sparkSession
+    val contentKey = s"int8Ivf:v1:${emb.queryExecution.logical.semanticHash()}:" +
+      s"$minCentroids:${corpusCount.getOrElse(-1L)}" +
+      s"@${Materialize.sourceFingerprint(spark, emb.inputFiles.toSeq)}"
+    int8IvfMemo.computeIfAbsent(s"${Materialize.sessionKey(spark)}:$contentKey",
+      _ => Materialize.timedBuild(contentKey)(Materialize.table(spark, contentKey)(
+        quantizedCorpus(emb).join(
+          ivfAssignIndex(emb, minCentroids, corpusCount)
+            .select(col("vec_id"), col("cell")), "vec_id"))))
+  }
+
+  /** Int8 scoring INSIDE IVF cells with exact re-rank — the standard
+    * composition (FAISS `IVFx,SQ8` + refine): the coarse quantizer
+    * restricts candidates to the query's `nprobe` best cells, the
+    * within-cell ranking runs over 4×-smaller int8 vectors (integer
+    * dots, exact in double — same quantizer as [[quantizedTopK]]), and
+    * the top refine·k shortlist is re-ranked with true float cosines.
+    * Standalone int8 brute force keeps the linear corpus scan (it only
+    * shrinks the bytes); composed with IVF the scan drops to
+    * nprobe/√N of the corpus AND those rows are 4× smaller — this is
+    * the variant that earns the quantization build at scale. Unlike
+    * PQ's residual codes, an int8 vector is frame-independent, so one
+    * quantized query scores in every probed cell with no per-cell
+    * tables. */
+  def ivfInt8TopK(emb: DataFrame, minCentroids: Int, nQueries: Int, k: Int,
+      nprobe: Int = 2, refine: Int = 4,
+      corpusCount: Option[Long] = None): DataFrame = {
+    val spark = emb.sparkSession
+    val (cents1, kc) = ivfCentroids(emb, minCentroids, corpusCount)
+    val corpus = int8IvfIndex(emb, minCentroids, corpusCount)
+    // probe ranking on the query slice only — same construction (and
+    // the same rank-1 = home-cell identity) as [[ivfPqTopK]]
+    val wp = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cent_id").asc)
+    val probes = scoreAgainst(emb.filter(col("vec_id") < nQueries), cents1, kc, "ce1")
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("cent_id").as("qcell"))
+    val q = corpus.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("qv").as("qa"))
+      .join(probes, "query_id")
+    val scored = corpus.join(broadcast(q),
+        col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        round(graft.functions.GraftFunctions.cosine_sim(
+          spark, col("qa"), col("qv")), 6).as("qcos"))
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("cand_id").asc)
+    val short = scored.withColumn("srnk", row_number().over(ws))
+      .filter(col("srnk") <= refine * k)
+      .select(col("query_id"), col("cand_id"))
+    // exact refine: true float cosines decide the final k — bounded at
+    // refine·k·nQueries vector reads, repairing quantization error
+    val qe = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val refined = short
+      .join(emb.select(col("vec_id").as("cand_id"), col("embedding").as("cemb")),
+        "cand_id")
+      .join(broadcast(qe), "query_id")
+      .select(col("query_id"), col("cand_id"),
+        round(graft.functions.GraftFunctions.cosine_sim(
+          spark, col("qe"), col("cemb")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("cand_id").asc)
+    refined.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("cand_id"), col("cos_sim"))
       .orderBy("query_id", "rnk")
   }
 

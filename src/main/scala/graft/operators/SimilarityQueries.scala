@@ -210,23 +210,31 @@ object SimilarityQueries {
        |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, cand_id, qcos FROM r
        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
-  /** IVF-PQ oracle (residual PQ + refine). Every PQ quantity is exact
-    * BIGINT arithmetic (micro-unit RESIDUAL subvectors — per-element
-    * floors of vector and home-cell centroid subtracted as integers —
-    * integer L2², integer ADC sums), so the whole index — codebook,
-    * codes, distance tables, shortlist — is reproduced bit-for-bit from
-    * the same CTE algebra; the refine stage re-ranks the shortlist with
-    * the shared exact-cosine chain. */
+  /** IVF-PQ oracle (residual PQ + nprobe=2 multiprobe + refine). Every
+    * PQ quantity is exact BIGINT arithmetic (micro-unit RESIDUAL
+    * subvectors — per-element floors of vector and centroid subtracted
+    * as integers — integer L2², integer ADC sums), so the whole index —
+    * codebook, codes, per-probe-cell distance tables, shortlist — is
+    * reproduced bit-for-bit from the same CTE algebra; the refine stage
+    * re-ranks the shortlist with the shared exact-cosine chain. The
+    * query side quantizes against EACH probed cell's centroid (qsv/qdt
+    * carry qcell), mirroring the engine's per-cell lookup tables. */
   private def pqd(a: String, b: String): String =
     (1 to Similarity.PqSubDim)
       .map(j => s"($a.qa$j - $b.qc$j)*($a.qa$j - $b.qc$j)").mkString(" + ")
 
-  private val annIvfPqSql: String = {
-    val qaCols = (1 to Similarity.PqSubDim).map(j =>
-      s"CAST(floor(CAST(a.embedding[r.sub*${Similarity.PqSubDim}+$j] AS DOUBLE)" +
+  /** Residual micro-unit subvector columns for a (vector alias,
+    * centroid alias) pair — shared by the corpus-side and the
+    * per-probe-cell query-side residual CTEs. */
+  private def qaColsFor(vec: String, cent: String): String =
+    (1 to Similarity.PqSubDim).map(j =>
+      s"CAST(floor(CAST($vec.embedding[r.sub*${Similarity.PqSubDim}+$j] AS DOUBLE)" +
         s"*1000000.0 + 0.5) AS BIGINT)" +
-        s" - CAST(floor(CAST(c.ce[r.sub*${Similarity.PqSubDim}+$j] AS DOUBLE)" +
+        s" - CAST(floor(CAST($cent.ce[r.sub*${Similarity.PqSubDim}+$j] AS DOUBLE)" +
         s"*1000000.0 + 0.5) AS BIGINT) AS qa$j").mkString(",\n       |         ")
+
+  private val annIvfPqSql: String = {
+    val qaCols = qaColsFor("a", "c")
     val qcSeed = (1 to Similarity.PqSubDim).map(j => s"qa$j AS qc$j").mkString(", ")
     val qcMean = (1 to Similarity.PqSubDim).map(j =>
       s"CAST(floor(CAST(CAST(sum(qa$j) AS BIGINT) AS DOUBLE)" +
@@ -259,19 +267,29 @@ object SimilarityQueries {
        |        ORDER BY ${pqd("v", "c")} ASC, c.code ASC) AS rn
        |    FROM sv v JOIN pcb c USING (sub))
        |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cent_id AS qcell
+       |  FROM ranked WHERE vec_id < 16 AND rn <= 2),
+       |qsv AS (
+       |  SELECT p.query_id, p.qcell, r.sub AS sub,
+       |         ${qaColsFor("e", "c")}
+       |  FROM probes p
+       |  JOIN embeddings e ON e.vec_id = p.query_id
+       |  JOIN cent c ON c.cent_id = p.qcell,
+       |       range(0, ${Similarity.PqSub}) r(sub)),
        |qdt AS (
-       |  SELECT v.vec_id AS query_id, v.sub, c.code, ${pqd("v", "c")} AS dpart
-       |  FROM sv v JOIN pcb c USING (sub) WHERE v.vec_id < 16),
+       |  SELECT v.query_id, v.qcell, v.sub, c.code, ${pqd("v", "c")} AS dpart
+       |  FROM qsv v JOIN pcb c USING (sub)),
        |pcand AS (
-       |  SELECT q.vec_id AS query_id, a.vec_id AS cand_id
-       |  FROM asg a JOIN (SELECT vec_id, cell FROM asg WHERE vec_id < 16) q
-       |    ON a.cell = q.cell AND a.vec_id != q.vec_id),
+       |  SELECT p.query_id, a.vec_id AS cand_id, p.qcell
+       |  FROM asg a JOIN probes p
+       |    ON a.cell = p.qcell AND a.vec_id != p.query_id),
        |adc AS (
        |  SELECT c.query_id, c.cand_id, CAST(sum(qdt.dpart) AS BIGINT) AS adc_dist
        |  FROM pcand c
        |  JOIN pcodes pc ON pc.vec_id = c.cand_id
-       |  JOIN qdt ON qdt.query_id = c.query_id AND qdt.sub = pc.sub
-       |          AND qdt.code = pc.code
+       |  JOIN qdt ON qdt.query_id = c.query_id AND qdt.qcell = c.qcell
+       |          AND qdt.sub = pc.sub AND qdt.code = pc.code
        |  GROUP BY 1, 2),
        |shortl AS (
        |  SELECT query_id, cand_id FROM (
@@ -291,6 +309,50 @@ object SimilarityQueries {
       .replace("ptrainsv",
         s"(SELECT * FROM sv WHERE vec_id < ${Similarity.PqCodes.toLong * Similarity.PqCodes})")
   }
+
+  /** Int8-in-IVF oracle (`IVF,SQ8` + refine, nprobe=2): the quantized
+    * corpus (the [[annQuantizedSql]] b CTE) restricted to each query's
+    * two best cells, ranked by int8 cosine (exact small-integer dots in
+    * double — the proven quantized chain), shortlist refine·k = 12
+    * re-ranked with the shared exact float-cosine chain. */
+  private val annIvfInt8Sql =
+    s"""WITH $ivfRankedCtes,
+       |m AS (
+       |  SELECT vec_id,
+       |    list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) AS max_abs,
+       |    embedding
+       |  FROM embeddings),
+       |b AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> floor(CAST(x AS DOUBLE) * (127.0 / max_abs) + 0.5)) AS qv
+       |  FROM m WHERE max_abs > 0),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cent_id AS qcell
+       |  FROM ranked WHERE vec_id < 16 AND rn <= 2),
+       |q AS (SELECT p.query_id, p.qcell, b.qv AS qa
+       |      FROM probes p JOIN b ON b.vec_id = p.query_id),
+       |c8 AS (SELECT b.vec_id, a.cell, b.qv
+       |       FROM b JOIN asg a ON a.vec_id = b.vec_id),
+       |p AS (SELECT q.query_id, c.vec_id AS cand_id,
+       |        round((${qdotSql("qa", "qv")})
+       |          / (sqrt(${qnorm2Sql("qa")}) * sqrt(${qnorm2Sql("qv")})), 6) AS qcos
+       |      FROM c8 c JOIN q ON c.cell = q.qcell AND c.vec_id != q.query_id),
+       |shortl AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |             ORDER BY qcos DESC, cand_id ASC) AS srnk FROM p)
+       |  WHERE srnk <= 12),
+       |ref AS (
+       |  SELECT s.query_id, s.cand_id,
+       |         round(${cosSql("qq.embedding", "cc.embedding")}, 6) AS cos_sim
+       |  FROM shortl s
+       |  JOIN embeddings qq ON qq.vec_id = s.query_id
+       |  JOIN embeddings cc ON cc.vec_id = s.cand_id)
+       |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, cand_id, cos_sim FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |           ORDER BY cos_sim DESC, cand_id ASC) AS rnk FROM ref)
+       |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
 
   /** SemDeDup oracle: same IVF assignment CTEs; representative = max
     * (ccos, -vec_id) per cell via a window, members scored against the
@@ -344,8 +406,13 @@ object SimilarityQueries {
       Some(nearDupEmbSql)),
     QueryDef("ann_ivfpq_topk",
       (s, d) => Similarity.ivfPqTopK(Tables.embeddings(s, d), 8, 16, 3,
-        corpusCount = Some(Tables.rowCount(s, d, "embeddings"))),
+        corpusCount = Some(Tables.rowCount(s, d, "embeddings")), nprobe = 2),
       Some(annIvfPqSql)),
+    QueryDef("ann_ivf_int8",
+      (s, d) => Similarity.ivfInt8TopK(Tables.embeddings(s, d), 8, 16, 3,
+        nprobe = 2, refine = 4,
+        corpusCount = Some(Tables.rowCount(s, d, "embeddings"))),
+      Some(annIvfInt8Sql)),
     QueryDef("semantic_dedup",
       (s, d) => Similarity.semanticDedup(Tables.embeddings(s, d), 8, 0.35,
         corpusCount = Some(Tables.rowCount(s, d, "embeddings"))),

@@ -227,6 +227,63 @@ class DedupSimilaritySpec extends SparkSpec {
       s"twin not refined to rank 1 at cosine 1.0: ${q0.toSeq}")
   }
 
+  test("ivf-pq multiprobe: dense ranks, deterministic, twin at rank 1, home cell = rank-1 probe") {
+    // nprobe=2 battery mirroring the nprobe=1 test: the probe list is
+    // built from the same rounded-cosine/cent-id ranking whose rank 1
+    // is the assignment argmax, so the nprobe=1 call through the NEW
+    // generalized path must equal the registry's historical results
+    // (the sf0.01 oracle pins this; here we pin the invariants at 2).
+    val pq2 = Similarity.ivfPqTopK(emb, 8, 16, 3, nprobe = 2)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(pq2.nonEmpty)
+    pq2.groupBy(_._1).foreach { case (q, rows) =>
+      val rnks = rows.map(_._2).sorted
+      assert(rnks.sameElements(1L to rnks.length), s"ranks not dense for query $q")
+      val byRank = rows.sortBy(_._2).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        s"refined cosines not descending for query $q")
+    }
+    val again = Similarity.ivfPqTopK(emb, 8, 16, 3, nprobe = 2)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(pq2.sorted.sameElements(again.sorted), "non-deterministic result")
+    // identical-embedding twin: shares the query's home cell (= rank-1
+    // probe cell), codes, and ADC minimum → refine puts it at rank 1
+    val twin = emb.filter(col("vec_id") === 0L)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"), col("label"))
+    val t = Similarity.ivfPqTopK(emb.union(twin), 8, 1, 3, nprobe = 2)
+      .as[(Long, Long, Long, Double)].collect()
+    val twinRow = t.filter(_._1 == 0L).find(_._3 == 1000000L)
+    assert(twinRow.exists(r => r._2 == 1L && r._4 == 1.0),
+      s"twin not at rank 1 cosine 1.0 under multiprobe: ${t.toSeq}")
+  }
+
+  test("ivf-int8: dense ranks, true-cosine ordering, deterministic, twin at rank 1") {
+    val i8 = Similarity.ivfInt8TopK(emb, 8, 16, 3)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(i8.nonEmpty)
+    i8.groupBy(_._1).foreach { case (q, rows) =>
+      val rnks = rows.map(_._2).sorted
+      assert(rnks.sameElements(1L to rnks.length), s"ranks not dense for query $q")
+      // the refine stage orders by TRUE cosine, not the int8 proxy
+      val byRank = rows.sortBy(_._2).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        s"refined cosines not descending for query $q")
+    }
+    assert(i8.forall(r => r._4 >= -1.0 && r._4 <= 1.0), "cosine out of range")
+    val again = Similarity.ivfInt8TopK(emb, 8, 16, 3)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(i8.sorted.sameElements(again.sorted), "non-deterministic result")
+    // identical-embedding twin: same home cell, identical int8 vector →
+    // quantized cosine 1.0 tops the shortlist, exact refine rank 1
+    val twin = emb.filter(col("vec_id") === 0L)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"), col("label"))
+    val t = Similarity.ivfInt8TopK(emb.union(twin), 8, 1, 3)
+      .as[(Long, Long, Long, Double)].collect()
+    val twinRow = t.filter(_._1 == 0L).find(_._3 == 1000000L)
+    assert(twinRow.exists(r => r._2 == 1L && r._4 == 1.0),
+      s"twin not at rank 1 cosine 1.0: ${t.toSeq}")
+  }
+
   test("semantic dedup: total partition, one self-similar rep per cell, dups cleared") {
     val sd = Similarity.semanticDedup(emb, 8, 0.35)
       .as[(Long, Long, Long, Double, Boolean)].collect()

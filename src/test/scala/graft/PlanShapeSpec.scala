@@ -191,7 +191,11 @@ class PlanShapeSpec extends SparkSpec {
       "negative_samples",
       // dedup_savings: three ONE-ROW aggregates crossJoined into the
       // report row — bounded by construction
-      "dedup_savings")
+      "dedup_savings",
+      // ann_ivf_int8: the same broadcast K-row centroid table as the
+      // other IVF consumers (probe ranking on the query slice) — the
+      // inherent, size-gated scoreAgainst crossJoin
+      "ann_ivf_int8")
     SparkEntry.registry.foreach { q =>
       val plan = q.fn(spark, sf0001).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
