@@ -103,15 +103,14 @@ object AnnFlagship {
       "lsh_mp" -> (() => Similarity.lshTopKProbed(emb, NQueries, K, n)),
       "ivf" -> (() => Similarity.ivfTopK(emb, 8, NQueries, K, n)),
       "ivf_mp" -> (() => Similarity.ivfTopKProbed(emb, 8, NQueries, K, 2, n)),
+      // default = the committed operating point (refine=16 since round
+      // 9); the sweep brackets it with the old r8 point, the nprobe=2
+      // insurance, and the r32 headroom row
       "ivfpq" -> (() => Similarity.ivfPqTopK(emb, 8, NQueries, K, corpusCount = n)),
-      // the round-9 recall levers, swept: nprobe (candidate recall
-      // insurance) × refine (ADC-ordering repair breadth)
+      "ivfpq_r8" -> (() => Similarity.ivfPqTopK(emb, 8, NQueries, K,
+        corpusCount = n, refine = 8)),
       "ivfpq_p2" -> (() => Similarity.ivfPqTopK(emb, 8, NQueries, K,
         corpusCount = n, nprobe = 2)),
-      "ivfpq_r16" -> (() => Similarity.ivfPqTopK(emb, 8, NQueries, K,
-        corpusCount = n, refine = 16)),
-      "ivfpq_p2r16" -> (() => Similarity.ivfPqTopK(emb, 8, NQueries, K,
-        corpusCount = n, nprobe = 2, refine = 16)),
       "ivfpq_r32" -> (() => Similarity.ivfPqTopK(emb, 8, NQueries, K,
         corpusCount = n, refine = 32)),
       "int8" -> (() => Similarity.quantizedTopK(emb, NQueries, K)),

@@ -85,6 +85,35 @@ object Search {
       .orderBy("doc_id")
   }
 
+  /** [[phraseSearch]] for an EXPLICIT phrase of ANY length ≥ 1 — the
+    * audit-a-leaked-passage form. The phrase is tokenized with the
+    * index's own token pattern; each token contributes one
+    * posting-list leg joined at pos+j (the n=3 chain of the registry
+    * probe, generalized by a fold). A phrase containing any
+    * out-of-vocabulary token matches nothing and returns the empty
+    * result shape. */
+  def phraseSearchFor(idx: DataFrame, phrase: String): DataFrame = {
+    val ts = WordCount.TokenPattern.r
+      .findAllIn(phrase.toLowerCase).toList
+    require(ts.nonEmpty, "phrase needs at least one token")
+    val m0 = idx.filter(col("tok") === ts.head)
+      .select(col("doc_id"), col("pos"))
+    val joined = ts.zipWithIndex.tail.foldLeft(m0) { case (acc, (t, j)) =>
+      acc.join(idx.filter(col("tok") === t)
+          .select(col("doc_id").as(s"d$j"), col("pos").as(s"p$j")),
+        col("doc_id") === col(s"d$j") && col(s"p$j") === col("pos") + j)
+        .select(col("doc_id"), col("pos"))
+    }
+    joined
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        (min(col("pos")) + 1).cast("long").as("first_pos"),
+        (max(col("pos")) + 1).cast("long").as("last_pos"))
+      .select(col("doc_id"), lit(ts.mkString(" ")).as("phrase"),
+        col("n_occurrences"), col("first_pos"), col("last_pos"))
+      .orderBy("doc_id")
+  }
+
   /** RANKED KEYWORD RETRIEVAL: top-k documents for a deterministic
     * 3-term query (document-frequency ranks loRank..hiRank of the
     * vocabulary under (df desc, term asc) — mid-frequency terms, the
@@ -108,7 +137,27 @@ object Search {
     // (terms are distinct, so set EXCEPT is exact) — no unpartitioned
     // window anywhere, even over the tiny term table
     def topK(k: Int) = dft.orderBy(col("df").desc, col("term").asc).limit(k)
-    val q = topK(hiRank).except(topK(loRank - 1))
+    scoreOddsIdf(tf, topK(hiRank).except(topK(loRank - 1)), k)
+  }
+
+  /** [[keywordSearch]] for an EXPLICIT query-term list — the form a
+    * caller with an actual query uses; the registry entry keeps the
+    * corpus-derived deterministic query for the oracle. An
+    * out-of-vocabulary term has no df row and contributes nothing; a
+    * query of only OOV terms returns the empty result (correct shape,
+    * zero rows), never an error. */
+  def keywordSearchFor(idx: DataFrame, terms: Seq[String],
+      k: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "query needs at least one term")
+    val tf = termFreq(idx)
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    scoreOddsIdf(tf, dft.filter(col("term").isin(terms.map(_.toLowerCase): _*)), k)
+  }
+
+  /** Shared odds-idf scorer over a bounded query-term table `q`
+    * (term, df): tf × odds-ratio idf in floored integer micro-units,
+    * per-doc integer sum, deterministic top-k. */
+  private def scoreOddsIdf(tf: DataFrame, q: DataFrame, k: Int): DataFrame = {
     val n = tf.agg(countDistinct(col("doc_id")).as("n_docs"))
     tf.join(broadcast(q), "term")
       .crossJoin(broadcast(n))
@@ -142,7 +191,23 @@ object Search {
     val tf = termFreq(idx)
     val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
     def topK(kk: Int) = dft.orderBy(col("df").desc, col("term").asc).limit(kk)
-    val q = topK(hiRank).except(topK(loRank - 1))
+    scoreBm25(idx, tf, topK(hiRank).except(topK(loRank - 1)), k)
+  }
+
+  /** [[bm25Search]] for an EXPLICIT query-term list — same OOV
+    * semantics as [[keywordSearchFor]] (unknown terms contribute
+    * nothing; all-OOV → empty result). */
+  def bm25SearchFor(idx: DataFrame, terms: Seq[String],
+      k: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "query needs at least one term")
+    val tf = termFreq(idx)
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    scoreBm25(idx, tf,
+      dft.filter(col("term").isin(terms.map(_.toLowerCase): _*)), k)
+  }
+
+  private def scoreBm25(idx: DataFrame, tf: DataFrame, q: DataFrame,
+      k: Int): DataFrame = {
     val dl = idx.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val st = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     val idf = log(

@@ -447,8 +447,11 @@ object Similarity {
     * standard refine stage (FAISS IVFPQR; Jégou et al. 2011 §V). The
     * exact pass touches RefineFactor·k·nQueries vectors — negligible —
     * while repairing the quantization error that otherwise decides the
-    * final ranking. */
-  val RefineFactor = 8
+    * final ranking. 16 is the measured 1M operating point (ANN_1M.md
+    * round 9: recall@10 0.778 at 8 → 0.914 at 16 → 0.978 at 32, serve
+    * cost still far under brute; refine, not nprobe, is the recall
+    * lever once the coarse cells already contain the true neighbors). */
+  val RefineFactor = 16
 
   /** RESIDUAL subvector stream in EXACT micro-units over
     * (vec_id, embedding, ce) where `ce` is the assigned cell's

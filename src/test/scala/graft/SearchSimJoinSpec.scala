@@ -161,6 +161,58 @@ class SearchSimJoinSpec extends SparkSpec {
     assert(got.toSeq === expected.toSeq)
   }
 
+  test("parameterized probes: OOV empty shape, single term, stopword query, long phrase") {
+    val d = docsDF(
+      0L -> "the cat sat on the mat while the dog slept",
+      1L -> "the dog chased the cat around the red mat",
+      2L -> "birds fly south in the winter every single year",
+      3L -> "the the the the repeated stopword document text here")
+    val idx = operators.Materialize.stage(Search.postings(d))
+
+    // OOV-only queries: empty RESULT, correct SCHEMA, no error
+    val oovK = Search.keywordSearchFor(idx, Seq("zzzzz", "qqqqq"))
+    assert(oovK.count() == 0)
+    assert(oovK.columns.toSeq ===
+      Seq("doc_id", "score_micro", "n_terms_matched", "total_tf"))
+    val oovB = Search.bm25SearchFor(idx, Seq("zzzzz"))
+    assert(oovB.count() == 0)
+    val oovP = Search.phraseSearchFor(idx, "totally unseen phrase")
+    assert(oovP.count() == 0)
+    assert(oovP.columns.toSeq ===
+      Seq("doc_id", "phrase", "n_occurrences", "first_pos", "last_pos"))
+    // a mixed known+OOV keyword query degrades to the known terms
+    val mixed = Search.keywordSearchFor(idx, Seq("cat", "zzzzz")).collect()
+    assert(mixed.map(_.getLong(0)).toSet === Set(0L, 1L))
+
+    // single-term query: ranking is pure tf (one shared idf weight)
+    val single = Search.keywordSearchFor(idx, Seq("dog")).collect()
+      .map(r => r.getLong(0) -> r.getLong(3))
+    assert(single.toMap === Map(0L -> 1L, 1L -> 1L))
+    val singleB = Search.bm25SearchFor(idx, Seq("the")).collect()
+    assert(singleB.map(_.getLong(0)).toSet === Set(0L, 1L, 2L, 3L))
+
+    // all-stopword query ("the" is in every doc): still well-defined —
+    // every doc matches, the odds-idf weight collapses toward the floor
+    // (odds = 0.5/(df+0.5) when df = n_docs) and pure tf decides the
+    // deterministic ranking
+    val stop = Search.keywordSearchFor(idx, Seq("the")).collect()
+    assert(stop.length == 4)
+    assert(stop.map(_.getLong(0)).toSeq ==
+      stop.sortBy(r => (-r.getLong(1), r.getLong(0))).map(_.getLong(0)).toSeq,
+      "deterministic (score desc, doc_id) order")
+
+    // phrase lengths 1, 2 and 4: the generalized fold joins each leg
+    val p1 = Search.phraseSearchFor(idx, "the").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(p1 === Map(0L -> 3L, 1L -> 3L, 2L -> 1L, 3L -> 4L))
+    val p2 = Search.phraseSearchFor(idx, "the cat").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(p2.toSet === Set((0L, 1L, 1L), (1L, 1L, 4L)))
+    val p4 = Search.phraseSearchFor(idx, "cat sat on the").collect()
+    assert(p4.length == 1 && p4(0).getLong(0) == 0L &&
+      p4(0).getLong(3) == 2L, s"got ${p4.toSeq}")
+  }
+
   test("index stats equal an independent vocabulary recompute") {
     val d = docsDF(corpus: _*)
     val got = Search.indexStats(Search.postings(d), k = 5).collect()
@@ -210,6 +262,70 @@ class SearchSimJoinSpec extends SparkSpec {
     val got = operators.Search.hybridSearchRrf(idx).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got === expected)
+  }
+
+  test("threshold property sweep: all three joins equal the naive recompute " +
+      "for random corpora across tau in 0.5..0.9") {
+    // The shipped registry entries prove losslessness at fixed
+    // operating points (0.7/0.8); this pins the PRUNING THEOREMS
+    // themselves — prefix bound, length filter, positional filter,
+    // k-prefix count-HAVING — across the threshold range on random
+    // corpora with planted dups/excerpts. One ranked index per corpus
+    // serves every (tau, mode) probe, like the production shape.
+    val taus = Seq((1, 2), (3, 5), (7, 10), (4, 5), (9, 10))
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = (0 until 12).map(i => s"w$i")
+      def randDoc() =
+        (0 until (3 + rnd.nextInt(13))).map(_ => vocab(rnd.nextInt(vocab.size)))
+          .mkString(" ")
+      val base = (0L until 8L).map(i => i -> randDoc())
+      val planted = Seq(
+        8L -> base(0)._2,                                   // exact dup
+        9L -> base(1)._2.split(" ").take(
+          math.max(4, base(1)._2.split(" ").length / 2)).mkString(" ")) // excerpt
+      val rows = base ++ planted
+      val d = docsDF(rows: _*)
+      val idx = operators.Materialize.stage(
+        SimJoin.rankedGramIndex(d, Dedup.wordGrams))
+      val sets = rows.toMap.view.mapValues(grams3).toMap
+      for ((num, den) <- taus) {
+        val tau = num.toDouble / den
+        // jaccard: undirected pairs, double compare exactly as verify()
+        val gotJ = SimJoin.jaccardJoinFromIndex(idx, num, den).collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+        val expJ = (for {
+          a <- sets.keys; b <- sets.keys if a < b
+          sa = sets(a); sb = sets(b) if sa.nonEmpty && sb.nonEmpty
+          s = (sa & sb).size.toDouble / (sa ++ sb).size if s >= tau
+        } yield (a, b) -> s).toMap
+        assert(gotJ.keySet === expJ.keySet,
+          s"jaccard seed=$seed tau=$num/$den: got=${gotJ.keySet} exp=${expJ.keySet}")
+        expJ.foreach { case (k, v) =>
+          assert(math.abs(gotJ(k) - v) < 1e-6, s"jaccard value $k seed=$seed") }
+        // containment: directed (contained -> container)
+        val gotC = SimJoin.containmentJoinFromIndex(idx, num, den).collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+        val expC = (for {
+          a <- sets.keys; b <- sets.keys if a != b
+          sa = sets(a); sb = sets(b) if sa.nonEmpty && sb.nonEmpty
+          s = (sa & sb).size.toDouble / sa.size if s >= tau
+        } yield (a, b) -> s).toMap
+        assert(gotC.keySet === expC.keySet,
+          s"containment seed=$seed tau=$num/$den: got=${gotC.keySet} exp=${expC.keySet}")
+        // cosine: undirected, integer squared accept predicate
+        val gotX = SimJoin.cosineJoinFromIndex(idx, num, den).collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+        val expX = (for {
+          a <- sets.keys; b <- sets.keys if a < b
+          sa = sets(a); sb = sets(b) if sa.nonEmpty && sb.nonEmpty
+          ni = (sa & sb).size.toLong
+          if ni * ni * den * den >= sa.size.toLong * sb.size * num * num
+        } yield (a, b) -> ni / math.sqrt(sa.size.toLong * sb.size)).toMap
+        assert(gotX.keySet === expX.keySet,
+          s"cosine seed=$seed tau=$num/$den: got=${gotX.keySet} exp=${expX.keySet}")
+      }
+    }
   }
 
   test("cosine join equals the naive recompute and contains the jaccard join") {
