@@ -75,6 +75,59 @@ object SearchQueries {
        |SELECT doc_id, score_micro, n_terms_matched, total_tf
        |FROM sc ORDER BY score_micro DESC, doc_id ASC LIMIT 20""".stripMargin
 
+  /** Explicit-query twins (round 9): the same scorers over a CALLER
+    * query — three in-vocabulary terms plus one OOV term, pinning the
+    * graceful-degradation semantics (OOV contributes nothing) in the
+    * oracle, not just the spec. */
+  private val explicitTerms = "('data', 'query', 'spark', 'nosuchword')"
+
+  private val keywordExplicitSql =
+    s"""WITH $tfCtes,
+       |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |q AS (SELECT term, df FROM dft WHERE term IN $explicitTerms),
+       |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+       |wt AS (
+       |  SELECT term,
+       |    CAST(floor((1000000.0 * (n_docs - df + 0.5)) / (df + 0.5)) AS BIGINT) AS w
+       |  FROM q, n),
+       |sc AS (
+       |  SELECT doc_id, CAST(sum(tf * w) AS BIGINT) AS score_micro,
+       |         count(*) AS n_terms_matched, CAST(sum(tf) AS BIGINT) AS total_tf
+       |  FROM tf JOIN wt USING (term) GROUP BY doc_id)
+       |SELECT doc_id, score_micro, n_terms_matched, total_tf
+       |FROM sc ORDER BY score_micro DESC, doc_id ASC LIMIT 20""".stripMargin
+
+  private val bm25ExplicitSql =
+    s"""WITH $tfCtes,
+       |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |q AS (SELECT term, df FROM dft WHERE term IN $explicitTerms),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+       |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+       |w AS (
+       |  SELECT t.doc_id, t.tf,
+       |    CAST(floor((1000000.0 * ln(((st.n_docs - q.df + 0.5) / (q.df + 0.5)) + 1.0)) *
+       |         ((t.tf * 2.2) / (t.tf + (1.2 * (0.25 + (0.75 * (d.dl / st.avgdl))))))) AS BIGINT) AS w
+       |  FROM tf t JOIN q USING (term) JOIN dl d ON d.doc_id = t.doc_id
+       |  CROSS JOIN st),
+       |sc AS (
+       |  SELECT doc_id, CAST(sum(w) AS BIGINT) AS score_micro,
+       |         count(*) AS n_terms_matched, CAST(sum(tf) AS BIGINT) AS total_tf
+       |  FROM w GROUP BY doc_id)
+       |SELECT doc_id, score_micro, n_terms_matched, total_tf
+       |FROM sc ORDER BY score_micro DESC, doc_id ASC LIMIT 20""".stripMargin
+
+  /** 2-token explicit phrase — exercises the generalized posting-leg
+    * fold at n=2 (the corpus-derived probe covers n=3). */
+  private val phraseExplicitSql =
+    s"""WITH $tokCte,
+       |o AS (
+       |  SELECT doc_id, unnest(list_filter(range(1, len(w)),
+       |         i -> w[i] = 'data' AND w[i+1] = 'stream')) AS pos
+       |  FROM t WHERE len(w) >= 2)
+       |SELECT doc_id, 'data stream' AS phrase, count(*) AS n_occurrences,
+       |       min(pos) AS first_pos, max(pos) AS last_pos
+       |FROM o GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   private val indexStatsSql =
     s"""WITH $tfCtes,
        |st AS (SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf FROM tf GROUP BY term)
@@ -116,6 +169,21 @@ object SearchQueries {
     QueryDef("bm25_search",
       (s, d) => Search.bm25Search(SharedIntermediates.postings(s, d)),
       Some(bm25Sql)),
+
+    QueryDef("keyword_search_explicit",
+      (s, d) => Search.keywordSearchFor(SharedIntermediates.postings(s, d),
+        Seq("data", "query", "spark", "nosuchword")),
+      Some(keywordExplicitSql)),
+
+    QueryDef("bm25_search_explicit",
+      (s, d) => Search.bm25SearchFor(SharedIntermediates.postings(s, d),
+        Seq("data", "query", "spark", "nosuchword")),
+      Some(bm25ExplicitSql)),
+
+    QueryDef("phrase_search_explicit",
+      (s, d) => Search.phraseSearchFor(SharedIntermediates.postings(s, d),
+        "data stream"),
+      Some(phraseExplicitSql)),
 
     QueryDef("inverted_index_stats",
       (s, d) => Search.indexStats(SharedIntermediates.postings(s, d)),

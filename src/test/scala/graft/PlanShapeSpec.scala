@@ -174,6 +174,9 @@ class PlanShapeSpec extends SparkSpec {
       // phrase / the corpus doc count) crossJoined onto the postings
       // probe — the same bounded pattern as tfidf's corpus total
       "phrase_search", "keyword_search", "bm25_search",
+      // round-9 explicit-query twins share the identical scorer (and
+      // its one-row corpus-stat broadcast scalar)
+      "keyword_search_explicit", "bm25_search_explicit",
       // round-8 continuation: equidepth's quartile-boundary row — a
       // one-row broadcast scalar crossJoined onto the fact scan (the
       // q11/revenue_share pattern)
