@@ -35,19 +35,25 @@ import graft.operators.{Materialize, Similarity}
   * (centroid/codebook training); [[Materialize.buildTimes]] is
   * reported separately so build vs serve cost is attributable.
   * Results recorded in ANN_1M.md. Usage:
-  *   scripts/run.sh graft.AnnFlagship [nVecs] [workDir]
+  *   scripts/run.sh graft.AnnFlagship [nVecs] [workDir] [nClusters]
   */
 object AnnFlagship {
   val K = 10
   val NQueries = 64
-  val NClusters = 1000
 
-  private def genVectors(spark: SparkSession, dir: String, n: Long): Unit = {
+  /** Latent-center count. The default 1,000 aligns with the √N = 1,000
+    * IVF cells at 1M vectors — the regime where nprobe=1 already
+    * captures every true neighbor. Passing a larger value (3rd CLI
+    * arg) makes clusters STRADDLE cells (more centers than cells), the
+    * regime where multiprobe is the recall lever — both regimes are
+    * measured in ANN_1M.md. */
+  private def genVectors(spark: SparkSession, dir: String, n: Long,
+      nClusters: Int): Unit = {
     val noise = 0.25
     spark.range(n)
       .select(col("id").as("vec_id"), expr(
         s"""transform(sequence(1, ${Similarity.Dim}), i -> CAST(
-           |  (pmod(xxhash64(id % $NClusters, i, 1), 1000000) / 500000.0 - 1.0)
+           |  (pmod(xxhash64(id % $nClusters, i, 1), 1000000) / 500000.0 - 1.0)
            |  + $noise * (pmod(xxhash64(id, i, 2), 1000000) / 500000.0 - 1.0)
            |AS FLOAT))""".stripMargin).as("embedding"))
       .repartition(64)
@@ -57,6 +63,7 @@ object AnnFlagship {
   def main(args: Array[String]): Unit = {
     val nVecs = args.headOption.map(_.toLong).getOrElse(1000000L)
     val work = if (args.length > 1) args(1) else "/tmp/graft_ann1m"
+    val nClusters = if (args.length > 2) args(2).toInt else 1000
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -78,7 +85,7 @@ object AnnFlagship {
     val vecDir = s"$work/vectors"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$vecDir/_SUCCESS"))) {
       val t0 = System.nanoTime()
-      genVectors(spark, vecDir, nVecs)
+      genVectors(spark, vecDir, nVecs, nClusters)
       println(f"setup: vectors generated in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
     val emb = spark.read.parquet(vecDir)

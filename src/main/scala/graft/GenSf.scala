@@ -20,7 +20,10 @@ import org.apache.spark.sql.functions._
   * driver's data at the oracle scales — correctness stays gated on
   * /root/testdata; this exists for scaling measurements only.
   *
-  * Usage: scripts/run.sh graft.GenSf /tmp/sf1 10
+  * Usage: scripts/run.sh graft.GenSf /tmp/sf1 10 [vocabN]
+  * (vocabN > 0 switches documents to an N-word synthetic vocabulary —
+  * the Heaps'-law lever for the similarity-join scaling experiment;
+  * 0/absent = the driver-matching fixed 31-word list.)
   */
 object GenSf {
 
@@ -147,10 +150,27 @@ object GenSf {
     // members each at any sf (matching the sf0.1 structure of small
     // dup clusters, organically grown).
     val nBase = math.max(50L, nDocs / 100)
+    // Optional 3rd arg = synthetic vocabulary size (0 = the driver's
+    // fixed 31-word list). A growing vocabulary is the Heaps'-law
+    // experiment lever for the exact similarity joins: with the fixed
+    // list, gram document frequency grows linearly with the corpus and
+    // candidate generation approaches its Σdf² worst case; real
+    // corpora grow vocabulary with size, spreading df. Synthetic words
+    // are 3 base-26 letters (all alphabetic — the tokenizer keeps only
+    // [a-z']+ runs), vocabN ≤ 17,576.
+    val vocabN = if (args.length > 2) args(2).toInt else 0
+    def word(idxExpr: String): String =
+      if (vocabN <= 0)
+        s"element_at(array(${Vocab.map("'" + _ + "'").mkString(",")}), " +
+          s"CAST(pmod($idxExpr, ${Vocab.size}) + 1 AS INT))"
+      else {
+        val w = s"pmod($idxExpr, $vocabN)"
+        s"concat(char(97 + pmod($w, 26)), char(97 + pmod($w DIV 26, 26)), " +
+          s"char(97 + pmod($w DIV 676, 26)))"
+      }
     val wordsOf = (seedCol: String, nwCol: String) =>
       s"""array_join(transform(sequence(1, $nwCol), i ->
-         |  element_at(array(${Vocab.map("'" + _ + "'").mkString(",")}),
-         |    CAST(pmod(xxhash64($seedCol, i, 91), ${Vocab.size}) + 1 AS INT))), ' ')""".stripMargin
+         |  ${word(s"xxhash64($seedCol, i, 91)")}), ' ')""".stripMargin
     val docs = spark.range(nDocs)
       .selectExpr("id AS doc_id", s"${u("id", 92)} AS udup",
         s"pmod(xxhash64(id, 93), $nBase) AS base_id")
@@ -165,8 +185,7 @@ object GenSf {
       .selectExpr("doc_id",
         s"""CASE WHEN near_of >= 0
            |  THEN concat(${wordsOf("tseed", "nw")}, ' ',
-           |    element_at(array(${Vocab.map("'" + _ + "'").mkString(",")}),
-           |      CAST(pmod(xxhash64(doc_id, 95), ${Vocab.size}) + 1 AS INT)))
+           |    ${word("xxhash64(doc_id, 95)")})
            |  ELSE ${wordsOf("tseed", "nw")} END AS text""".stripMargin,
         s"""CASE WHEN ${u("doc_id", 96)} < 0.41 THEN 'en'
            |     WHEN ${u("doc_id", 96)} < 0.56 THEN 'zh'
