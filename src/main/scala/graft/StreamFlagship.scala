@@ -91,6 +91,15 @@ object StreamFlagship {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "false") // streaming plans
       .config("spark.ui.enabled", "false")
+      // GRAFT_STATE_STORE=rocksdb switches to the RocksDB provider —
+      // the production backend for large state (state lives off-heap
+      // on local disk with changelog checkpointing instead of JVM-heap
+      // hashmaps + full snapshot uploads). Default = HDFS-backed.
+      .config("spark.sql.streaming.stateStore.providerClass",
+        if (sys.env.get("GRAFT_STATE_STORE").contains("rocksdb"))
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        else
+          "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val recorder = new Recorder
