@@ -120,6 +120,11 @@ object AnnFlagship {
         corpusCount = n, nprobe = 2)),
       "ivfpq_r32" -> (() => Similarity.ivfPqTopK(emb, 8, NQueries, K,
         corpusCount = n, refine = 32)),
+      // deep-probe rows: the straddle-regime repair path (nprobe
+      // recovers cross-cell candidates, refine re-ranks them exactly)
+      "ivf_p4" -> (() => Similarity.ivfTopKProbed(emb, 8, NQueries, K, 4, n)),
+      "ivfpq_p4r32" -> (() => Similarity.ivfPqTopK(emb, 8, NQueries, K,
+        corpusCount = n, nprobe = 4, refine = 32)),
       "int8" -> (() => Similarity.quantizedTopK(emb, NQueries, K)),
       // int8 folded inside IVF cells (IVF,SQ8 + refine): the variant
       // that makes the quantized corpus build pay for itself at scale
