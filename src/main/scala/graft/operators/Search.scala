@@ -228,6 +228,67 @@ object Search {
       .limit(k)
   }
 
+  /** RETRIEVAL EVALUATION: NDCG@k of the BM25 ranking for an explicit
+    * query, scored against a deterministic binary relevance oracle —
+    * a document is relevant iff it contains ALL query terms (the
+    * standard pseudo-relevance proxy when no human labels exist; it is
+    * a proxy the ranker does NOT directly optimize, since BM25 scores
+    * partial matches too). The evaluation-harness operator of a
+    * retrieval stack, expressed relationally and integer-exact:
+    * per-position gains floor(10⁶ / log2(pos+1)) are PRECOMPUTED into
+    * a k-element literal table ([[ndcgGains]]) embedded identically in
+    * the plan and the oracle — no engine transcendental anywhere, so
+    * parity is by construction — DCG/IDCG are integer sums of those,
+    * and NDCG is reported in integer permille. IDCG uses min(k, total
+    * relevant) ideal positions. One-row output: (n_relevant,
+    * n_retrieved_relevant, dcg_micro, idcg_micro, ndcg_permille).
+    *
+    * Scale shape: the ranking leg is the existing bounded BM25 probe;
+    * relevance is a semi-join-shaped aggregate over the query terms'
+    * posting lists only (HAVING count(distinct term) = |q|), never the
+    * corpus; both reduce to one-row aggregates crossJoined — the
+    * bounded scalar pattern. */
+  /** floor(10⁶ / log2(pos+1)) for pos = 1..k, computed once in Scala —
+    * the shared literal gain table (plan AND oracle embed these exact
+    * longs, so the transcendental never runs in either engine). */
+  def ndcgGains(k: Int): Seq[Long] =
+    (1 to k).map(i =>
+      math.floor(1000000.0 / (math.log(i + 1.0) / math.log(2.0))).toLong)
+
+  def searchEvalNdcg(idx: DataFrame, terms: Seq[String],
+      k: Int = 20): DataFrame = {
+    val q = terms.map(_.toLowerCase).distinct
+    val tf = termFreq(idx)
+    // binary relevance: docs containing ALL query terms
+    val rel = tf.filter(col("term").isin(q: _*))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("term")).as("nt"))
+      .filter(col("nt") === q.size)
+      .select(col("doc_id"))
+    val gainArr = array(ndcgGains(k).map(lit): _*)
+    val ranked = bm25SearchFor(idx, q, k)
+      .select(col("doc_id"),
+        row_number().over(
+          Window.orderBy(col("score_micro").desc, col("doc_id").asc))
+          .cast("long").as("pos"))
+    val dcg = ranked.join(rel, "doc_id")
+      .agg(coalesce(sum(element_at(gainArr, col("pos").cast("int"))), lit(0L))
+          .as("dcg_micro"),
+        count(lit(1)).as("n_retrieved_relevant"))
+    val nRel = rel.agg(count(lit(1)).as("n_relevant"))
+    // ideal DCG: the first min(k, max(n_relevant, 1)) positions all
+    // relevant — a prefix sum of the same literal gain table
+    val idcg = nRel.select(col("n_relevant"),
+      aggregate(
+        slice(gainArr, lit(1),
+          least(lit(k), greatest(col("n_relevant"), lit(1L))).cast("int")),
+        lit(0L), (acc, x) => acc + x).as("idcg_micro"))
+    dcg.crossJoin(idcg)
+      .select(col("n_relevant"), col("n_retrieved_relevant"),
+        col("dcg_micro"), col("idcg_micro"),
+        expr("dcg_micro * 1000 DIV idcg_micro").as("ndcg_permille"))
+  }
+
   /** HYBRID RETRIEVAL via reciprocal-rank fusion (Cormack et al.,
     * SIGIR'09): fuse the odds-idf and BM25 rankings of the SAME query
     * with RRF(d) = Σ_legs 1/(K + rank_leg(d)), K = 60 — the standard

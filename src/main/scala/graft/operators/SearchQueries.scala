@@ -97,10 +97,12 @@ object SearchQueries {
        |SELECT doc_id, score_micro, n_terms_matched, total_tf
        |FROM sc ORDER BY score_micro DESC, doc_id ASC LIMIT 20""".stripMargin
 
-  private val bm25ExplicitSql =
+  /** BM25 over an explicit IN-list of terms (shared by the explicit
+    * probe and the NDCG evaluation oracle). */
+  private def bm25SqlFor(termsIn: String): String =
     s"""WITH $tfCtes,
        |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-       |q AS (SELECT term, df FROM dft WHERE term IN $explicitTerms),
+       |q AS (SELECT term, df FROM dft WHERE term IN $termsIn),
        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
        |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
        |w AS (
@@ -115,6 +117,35 @@ object SearchQueries {
        |  FROM w GROUP BY doc_id)
        |SELECT doc_id, score_micro, n_terms_matched, total_tf
        |FROM sc ORDER BY score_micro DESC, doc_id ASC LIMIT 20""".stripMargin
+
+  private val bm25ExplicitSql = bm25SqlFor(explicitTerms)
+
+  /** NDCG@20 oracle: same literal gain table as the plan (generated
+    * from the one Scala source [[Search.ndcgGains]]), relevance = docs
+    * containing ALL three terms, ranking = the BM25 leg above. */
+  private val ndcgSql: String = {
+    val gainRows = Search.ndcgGains(20).zipWithIndex
+      .map { case (g, i) => s"(${i + 1}, $g)" }.mkString(", ")
+    s"""WITH ranked AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS pos
+       |  FROM (${bm25SqlFor("('dup', 'vector', 'key')")})),
+       |$tfCtes,
+       |rel AS (
+       |  SELECT doc_id FROM tf WHERE term IN ('dup', 'vector', 'key')
+       |  GROUP BY doc_id HAVING count(DISTINCT term) = 3),
+       |gains(pos, g) AS (VALUES $gainRows),
+       |nrel AS (SELECT CAST(count(*) AS BIGINT) AS n_relevant FROM rel),
+       |dcg AS (
+       |  SELECT CAST(coalesce(sum(g), 0) AS BIGINT) AS dcg_micro,
+       |         CAST(count(*) AS BIGINT) AS n_retrieved_relevant
+       |  FROM ranked JOIN rel USING (doc_id) JOIN gains ON gains.pos = ranked.pos),
+       |idcg AS (
+       |  SELECT CAST(sum(g) AS BIGINT) AS idcg_micro
+       |  FROM gains, nrel WHERE pos <= least(20, greatest(n_relevant, 1)))
+       |SELECT n_relevant, n_retrieved_relevant, dcg_micro, idcg_micro,
+       |       dcg_micro * 1000 // idcg_micro AS ndcg_permille
+       |FROM dcg, idcg, nrel""".stripMargin
+  }
 
   /** 2-token explicit phrase — exercises the generalized posting-leg
     * fold at n=2 (the corpus-derived probe covers n=3). */
@@ -184,6 +215,14 @@ object SearchQueries {
       (s, d) => Search.phraseSearchFor(SharedIntermediates.postings(s, d),
         "data stream"),
       Some(phraseExplicitSql)),
+
+    QueryDef("search_eval_ndcg",
+      (s, d) => Search.searchEvalNdcg(SharedIntermediates.postings(s, d),
+        // 'dup' is the rare discriminative term (df 25 of 500 at
+        // sf0.01): relevance does not saturate the top-20, so the
+        // metric measures ranking quality, not term ubiquity
+        Seq("dup", "vector", "key")),
+      Some(ndcgSql)),
 
     QueryDef("inverted_index_stats",
       (s, d) => Search.indexStats(SharedIntermediates.postings(s, d)),

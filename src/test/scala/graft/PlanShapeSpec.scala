@@ -175,8 +175,10 @@ class PlanShapeSpec extends SparkSpec {
       // probe — the same bounded pattern as tfidf's corpus total
       "phrase_search", "keyword_search", "bm25_search",
       // round-9 explicit-query twins share the identical scorer (and
-      // its one-row corpus-stat broadcast scalar)
-      "keyword_search_explicit", "bm25_search_explicit",
+      // its one-row corpus-stat broadcast scalar); the NDCG evaluator
+      // additionally crossJoins its two ONE-ROW aggregate legs
+      // (dcg × idcg — bounded by construction)
+      "keyword_search_explicit", "bm25_search_explicit", "search_eval_ndcg",
       // round-8 continuation: equidepth's quartile-boundary row — a
       // one-row broadcast scalar crossJoined onto the fact scan (the
       // q11/revenue_share pattern)
@@ -231,9 +233,11 @@ class PlanShapeSpec extends SparkSpec {
     // md5_global_rank (and negative_samples, which embeds it) windows
     // only the 256-row bucket-count aggregate for the offset cumsum;
     // the corpus itself ranks under PARTITIONED per-bucket windows.
+    // search_eval_ndcg ranks the BM25 leg's ≤20-row top-k output —
+    // the same bounded-by-construction class as hybrid_search_rrf.
     val allowedGlobal = Set("window_monthly_lag", "value_histogram",
       "cumulative_users", "recursive_quarterly_ema", "hybrid_search_rrf",
-      "md5_global_rank", "negative_samples")
+      "md5_global_rank", "negative_samples", "search_eval_ndcg")
     assert(offenders.forall(allowedGlobal),
       s"unpartitioned windows outside the allowed exceptions: $offenders")
   }
