@@ -82,7 +82,11 @@ object AnnFlagship {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val vecDir = s"$work/vectors"
+    // corpus geometry is part of the directory name: a run with a
+    // different nVecs/nClusters against an existing workDir must never
+    // silently reuse a corpus generated with the old geometry (review
+    // finding — a bare `vectors` guard would have).
+    val vecDir = s"$work/vectors_n${nVecs}_c$nClusters"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$vecDir/_SUCCESS"))) {
       val t0 = System.nanoTime()
       genVectors(spark, vecDir, nVecs, nClusters)

@@ -64,7 +64,11 @@ object GenSf {
     val nEvents = 100000L * mult
     val nUsers = 1500L * mult
     val nDocs = 5000L * mult
-    val nVecs = if (mult == 10) 8000L else 2000L * mult
+    // embeddings follow the driver's ×4-per-decade trend AS A RULE
+    // (nVecs = 2000·mult^log10(4) — exactly 8000 at mult=10, ~32k at
+    // mult=100), not a single hard-coded point (review finding)
+    val nVecs = math.round(2000.0 *
+      math.pow(mult.toDouble, math.log(4.0) / math.log(10.0)))
 
     def write(name: String, df: DataFrame, parts: Int = 32): Unit = {
       val t0 = System.nanoTime()

@@ -501,30 +501,25 @@ object Relational {
       java.security.MessageDigest.getInstance("MD5")
         .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
     months.createOrReplaceTempView(view)
-    // The recursion-level limit must hold while the recursion EXECUTES
-    // (lazily, at action time), so the result is eagerly staged inside
-    // the raised-limit scope and the session conf restored afterwards —
-    // no session-global side effect leaks out. The staged table is the
-    // quarter-count-sized final answer (tens of rows at any corpus
-    // size), so the extra materialization is free.
-    val limitKey = "spark.sql.cteRecursionLevelLimit"
-    val prevLimit = s.conf.getOption(limitKey)
-    s.conf.set(limitKey, "500")
-    try {
-      Materialize.stage(s.sql(
-        s"""WITH RECURSIVE ema(i, m, rev, ema_cents) AS (
-           |  SELECT i, m, rev, rev FROM $view WHERE i = 1
-           |  UNION ALL
-           |  SELECT mo.i, mo.m, mo.rev, (e.ema_cents * 9 + mo.rev) DIV 10
-           |  FROM ema e JOIN $view mo ON mo.i = e.i + 1)
-           |SELECT i AS quarter_idx, m AS quarter, rev AS revenue_cents, ema_cents
-           |FROM ema ORDER BY quarter_idx""".stripMargin))
-    } finally {
-      prevLimit match {
-        case Some(v) => s.conf.set(limitKey, v)
-        case None    => s.conf.unset(limitKey)
-      }
-    }
+    // No recursion-limit conf manipulation: depth = the quarter count
+    // (~27 — the orders date range spans 1995–2001 at every SF, and
+    // even a century-long calendar is 400 quarters), comfortably under
+    // Spark's default spark.sql.cteRecursionLevelLimit. Leaving the
+    // session conf untouched keeps the query fn side-effect-free AND
+    // keeps the returned plan lazy, so the registry-wide plan audits
+    // inspect the real UnionLoop subtree instead of a checkpointed-RDD
+    // scan (an earlier eager-staging variant executed the whole query
+    // on every plan-only construction and blinded those audits).
+    // RelationalSpec pins the depth assumption: a recursion deeper
+    // than the default limit would fail loudly there, not silently.
+    s.sql(
+      s"""WITH RECURSIVE ema(i, m, rev, ema_cents) AS (
+         |  SELECT i, m, rev, rev FROM $view WHERE i = 1
+         |  UNION ALL
+         |  SELECT mo.i, mo.m, mo.rev, (e.ema_cents * 9 + mo.rev) DIV 10
+         |  FROM ema e JOIN $view mo ON mo.i = e.i + 1)
+         |SELECT i AS quarter_idx, m AS quarter, rev AS revenue_cents, ema_cents
+         |FROM ema ORDER BY quarter_idx""".stripMargin)
   }
 
   /** Scalar date-function battery over orders. */

@@ -266,7 +266,12 @@ object Search {
       .filter(col("nt") === q.size)
       .select(col("doc_id"))
     val gainArr = array(ndcgGains(k).map(lit): _*)
-    val ranked = bm25SearchFor(idx, q, k)
+    // the ranking leg SHARES this tf subtree (scoreBm25 takes it as a
+    // parameter) instead of re-aggregating the postings index a second
+    // time through bm25SearchFor — the per-(term,doc) aggregate is the
+    // dominant cost of the evaluation
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val ranked = scoreBm25(idx, tf, dft.filter(col("term").isin(q: _*)), k)
       .select(col("doc_id"),
         row_number().over(
           Window.orderBy(col("score_micro").desc, col("doc_id").asc))

@@ -489,6 +489,13 @@ class PipelineSpec extends SparkSpec {
     }
     assert(got.map(_.getLong(3)).toSeq === ema.toSeq)
     assert(got.length >= 12) // multiple years of quarters — real recursion depth
+    // depth-bound pin: the operator relies on Spark's DEFAULT
+    // cteRecursionLevelLimit (it deliberately leaves the session conf
+    // untouched); the quarter count must stay far under it, and the
+    // default must not have been lowered somewhere
+    val limit = spark.conf.get("spark.sql.cteRecursionLevelLimit").toInt
+    assert(got.length + 1 <= limit,
+      s"recursion depth ${got.length} would exceed limit $limit")
   }
 
   test("equi-depth histogram: buckets balanced, boundaries ordered") {
