@@ -622,6 +622,57 @@ object Pipeline {
       .select(col("doc_id"), (col("off") + col("rb")).as("rank"))
   }
 
+  /** SEQUENCE PACKING — the concat-and-chunk training-data layout
+    * (concatenate every document in a deterministic order with one
+    * end-of-document separator each, slice the token stream into
+    * fixed-capacity training sequences; documents spanning a boundary
+    * are split across the two sequences). This is how GPT-style
+    * pretraining pipelines lay out their token stream — zero padding
+    * waste by construction — and the operator reports the layout's
+    * audit table: per training sequence, how many documents
+    * contribute, how many tokens fill it (= capacity everywhere but
+    * the tail), and the first/last contributing document.
+    *
+    * Scale shape: the global token offset is an EXCLUSIVE PREFIX SUM
+    * computed like [[md5RankUnsorted]]'s ranks — per-md5-bucket
+    * partitioned running sums plus a 256-row bucket-total cumsum (the
+    * only unpartitioned window, bounded by construction) — never a
+    * corpus-wide sort. Each document then explodes over the ≤
+    * 1 + n/capacity sequence windows it spans (an equi-key groupBy,
+    * partial-aggregable). At 100 TB the layout is one shuffle-light
+    * pass, which is why the pattern scales to trillion-token runs. */
+  def packedSequences(docs: DataFrame, capacity: Long = 256L): DataFrame = {
+    val lens = docs.select(col("doc_id"),
+      md5(col("doc_id").cast("string")).as("h"),
+      TextAnalysis.md5Bucket.as("bkt"),
+      (size(regexp_extract_all(lower(col("text")),
+        lit(WordCount.TokenPattern), lit(0))) + 1).cast("long").as("n"))
+    val inBkt = lens.withColumn("run",
+      coalesce(sum(col("n")).over(
+        Window.partitionBy(col("bkt")).orderBy(col("h"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // 256-row bucket token totals → bucket-offset cumsum (the
+    // md5_global_rank shape; guard: bounded input by construction)
+    val offsets = lens.groupBy("bkt").agg(sum(col("n")).as("bn"))
+      .withColumn("boff",
+        coalesce(sum(col("bn")).over(
+          Window.orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("bkt"), col("boff"))
+    val placed = inBkt.join(broadcast(offsets), "bkt")
+      .select(col("doc_id"), (col("boff") + col("run")).as("off"), col("n"))
+    val spanned = placed.select(col("doc_id"), col("off"), col("n"),
+      explode(expr(s"sequence(off DIV $capacity, (off + n - 1) DIV $capacity)"))
+        .as("seq_id"))
+    spanned.groupBy("seq_id").agg(
+        count(lit(1)).as("n_docs"),
+        sum(least(col("off") + col("n"), (col("seq_id") + 1) * capacity)
+          - greatest(col("off"), col("seq_id") * capacity)).as("n_tokens"),
+        min_by(col("doc_id"), col("off")).as("first_doc"),
+        max_by(col("doc_id"), col("off")).as("last_doc"))
+      .orderBy("seq_id")
+  }
+
   def md5GlobalRank(docs: DataFrame): DataFrame =
     // presentation order for the oracle's row compare only — the rank
     // COMPUTATION is sort-free; callers consuming (doc_id, rank) use

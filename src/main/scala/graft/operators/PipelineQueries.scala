@@ -401,6 +401,28 @@ object PipelineQueries {
           |       AS BIGINT) AS rank
           |FROM documents ORDER BY rank""".stripMargin)),
 
+    QueryDef("sequence_packing",
+      (s, d) => Pipeline.packedSequences(Tables.documents(s, d)),
+      Some(
+        s"""WITH lens AS (
+           |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+           |    CAST(len(regexp_extract_all(lower(text), '[a-z'']+')) + 1 AS BIGINT) AS n
+           |  FROM documents),
+           |o AS (
+           |  SELECT doc_id, n,
+           |    CAST(coalesce(sum(n) OVER (ORDER BY h, doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+           |  FROM lens),
+           |sp AS (
+           |  SELECT doc_id, off, n,
+           |    unnest(generate_series(off // 256, (off + n - 1) // 256)) AS seq_id
+           |  FROM o)
+           |SELECT seq_id, count(*) AS n_docs,
+           |  CAST(sum(least(off + n, (seq_id + 1) * 256)
+           |           - greatest(off, seq_id * 256)) AS BIGINT) AS n_tokens,
+           |  arg_min(doc_id, off) AS first_doc, arg_max(doc_id, off) AS last_doc
+           |FROM sp GROUP BY seq_id ORDER BY seq_id""".stripMargin)),
+
     QueryDef("negative_samples",
       (s, d) => Pipeline.negativeSamples(
         Tables.documents(s, d), SharedIntermediates.textClusters(s, d)),

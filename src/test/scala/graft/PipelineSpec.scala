@@ -566,6 +566,33 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("sequence packing: token conservation, full sequences, dense ids") {
+    val d = Tables.documents(spark, sf0001)
+    val rows = Pipeline.packedSequences(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    val cap = 256L
+    // dense sequence ids 0..max (no empty windows in a packed stream)
+    assert(rows.map(_._1).toSeq === (0L until rows.length).toSeq)
+    // every sequence except the tail is exactly full; tail is partial
+    rows.init.foreach { case (sid, _, nt, _, _) =>
+      assert(nt == cap, s"seq $sid not full: $nt") }
+    assert(rows.last._3 <= cap && rows.last._3 > 0)
+    // conservation: packed tokens = corpus tokens + one separator/doc
+    val totalToks = d.select(
+        (size(regexp_extract_all(lower(col("text")),
+          lit(operators.WordCount.TokenPattern), lit(0))) + 1).cast("long"))
+      .collect().map(_.getLong(0)).sum
+    assert(rows.map(_._3).sum == totalToks, "token conservation")
+    // doc containment: sum of per-seq doc memberships counts each doc
+    // once per spanned window; a doc spans ceil over its offset range,
+    // so memberships >= nDocs with equality iff nothing ever splits
+    val nDocs = d.count()
+    assert(rows.map(_._2).sum >= nDocs)
+    // boundary-splitting really happens on this corpus (non-vacuous)
+    assert(rows.map(_._2).sum > nDocs, "expected at least one split doc")
+  }
+
   test("doc_chunks plan stays shuffle-free up to the final sort") {
     // One exchange may come from Tables.spread (input layout) and one
     // from the deterministic orderBy; the chunking itself must not add

@@ -233,11 +233,15 @@ class PlanShapeSpec extends SparkSpec {
     // md5_global_rank (and negative_samples, which embeds it) windows
     // only the 256-row bucket-count aggregate for the offset cumsum;
     // the corpus itself ranks under PARTITIONED per-bucket windows.
+    // sequence_packing uses the identical 256-row bucket-total cumsum
+    // for its global token offsets (per-doc running sums are
+    // partitioned per bucket).
     // search_eval_ndcg ranks the BM25 leg's ≤20-row top-k output —
     // the same bounded-by-construction class as hybrid_search_rrf.
     val allowedGlobal = Set("window_monthly_lag", "value_histogram",
       "cumulative_users", "recursive_quarterly_ema", "hybrid_search_rrf",
-      "md5_global_rank", "negative_samples", "search_eval_ndcg")
+      "md5_global_rank", "negative_samples", "search_eval_ndcg",
+      "sequence_packing")
     assert(offenders.forall(allowedGlobal),
       s"unpartitioned windows outside the allowed exceptions: $offenders")
   }
