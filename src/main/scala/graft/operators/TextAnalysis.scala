@@ -953,4 +953,65 @@ object TextAnalysis {
           .as("avg_logp"))
       .orderBy("doc_id")
   }
+
+  /** Distinct word-3-gram vocabulary per SOURCE — the shared input of
+    * the two collection-overlap operators below. One partial-aggregable
+    * distinct over (source, gram); never a per-pair recompute. */
+  private def sourceGrams(docs: DataFrame): DataFrame =
+    Dedup.wordGrams(docs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), col("g")).distinct()
+
+  /** SOURCE-OVERLAP ESTIMATION (k-MinHash): pairwise Jaccard estimates
+    * between every two sources' distinct-gram VOCABULARIES from k
+    * per-source min-hashes — the collection-level contamination screen
+    * a pipeline runs before mixing data sources ("how much of source B
+    * is already in source A?") at sketch cost: one corpus pass builds k
+    * mins per source, and the pairwise stage touches only the
+    * |sources| × k signature table, never the gram sets. The estimator
+    * is the classic P[min_a = min_b] = J(A,B), averaged over k
+    * independent md5-derived hash functions; [[sourceOverlapExact]] is
+    * the exact twin the estimate is audited against (spec-pinned MAE).
+    * All md5, so the oracle reproduces every signature. */
+  def sourceOverlapMinhash(docs: DataFrame, k: Int = 32): DataFrame = {
+    require(1000000 % k == 0, "k must divide 1e6 for exact ppm arithmetic")
+    val sigCols = (0 until k).map(j =>
+      min(md5(concat(col("g"), lit(s":$j")))).as(s"m$j"))
+    val sigs = sourceGrams(docs).groupBy("source")
+      .agg(sigCols.head, sigCols.tail: _*)
+    val matches = (0 until k).map(j =>
+      when(col(s"a.m$j") === col(s"b.m$j"), 1L).otherwise(0L)).reduce(_ + _)
+    // |sources|-row signature table squared — bounded by the source
+    // count (a data-model constant), broadcast by construction
+    sigs.as("a").join(broadcast(sigs.as("b")),
+        col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+        matches.as("n_matches"),
+        (matches * lit(1000000L / k)).as("jaccard_est_ppm"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** Exact pairwise source-vocabulary overlap — |A∩B| via one gram
+    * equi-join (partial-aggregated), sizes from the per-source counts,
+    * Jaccard in integer ppm. The ground truth for the MinHash screen;
+    * at corpus scale you run the sketch everywhere and this audit on
+    * the pairs the sketch flags. */
+  def sourceOverlapExact(docs: DataFrame): DataFrame = {
+    val grams = sourceGrams(docs)
+    val sizes = grams.groupBy("source").agg(count(lit(1)).as("n"))
+    val pairs = sizes.as("a").join(broadcast(sizes.as("b")),
+        col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+    val inter = grams.as("x").join(grams.as("y"),
+        col("x.g") === col("y.g") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
+      .agg(count(lit(1)).as("ni0"))
+    pairs.join(inter, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        coalesce(col("ni0"), lit(0L)).as("n_inter"),
+        (col("na") + col("nb") - coalesce(col("ni0"), lit(0L))).as("n_union"))
+      .withColumn("jaccard_ppm", expr("n_inter * 1000000 DIV n_union"))
+      .orderBy("source_a", "source_b")
+  }
 }

@@ -586,5 +586,60 @@ object TextAnalysisQueries {
           |  round(CAST(CAST(sum(lp4) AS BIGINT) AS DOUBLE)
           |        / CAST(count(*) AS DOUBLE) / 10000.0, 6) AS avg_logp
           |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("source_overlap_minhash",
+      (s, d) => TextAnalysis.sourceOverlapMinhash(Tables.documents(s, d)),
+      Some {
+        val k = 32
+        val mins = (0 until k)
+          .map(j => s"min(md5(g || ':$j')) AS m$j").mkString(",\n          |    ")
+        val cases = (0 until k)
+          .map(j => s"(CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END)")
+          .mkString(" +\n          |    ")
+        s"""WITH t AS (
+          |  SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z'']+') AS w
+          |  FROM documents),
+          |g0 AS (
+          |  SELECT DISTINCT source,
+          |    unnest(list_transform(range(1, len(w) - 1),
+          |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+          |  FROM t WHERE len(w) >= 3),
+          |sig AS (
+          |  SELECT source,
+          |    $mins
+          |  FROM g0 GROUP BY source)
+          |SELECT a.source AS source_a, b.source AS source_b,
+          |  CAST($cases AS BIGINT) AS n_matches,
+          |  CAST(($cases) * ${1000000 / k} AS BIGINT) AS jaccard_est_ppm
+          |FROM sig a JOIN sig b ON a.source < b.source
+          |ORDER BY source_a, source_b""".stripMargin
+      }),
+
+    QueryDef("source_overlap_exact",
+      (s, d) => TextAnalysis.sourceOverlapExact(Tables.documents(s, d)),
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z'']+') AS w
+          |  FROM documents),
+          |g0 AS (
+          |  SELECT DISTINCT source,
+          |    unnest(list_transform(range(1, len(w) - 1),
+          |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+          |  FROM t WHERE len(w) >= 3),
+          |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM g0 GROUP BY source),
+          |pairs AS (
+          |  SELECT a.source AS source_a, b.source AS source_b, a.n AS na, b.n AS nb
+          |  FROM sizes a JOIN sizes b ON a.source < b.source),
+          |inter AS (
+          |  SELECT x.source AS source_a, y.source AS source_b,
+          |         CAST(count(*) AS BIGINT) AS ni0
+          |  FROM g0 x JOIN g0 y ON x.g = y.g AND x.source < y.source
+          |  GROUP BY 1, 2)
+          |SELECT source_a, source_b,
+          |  coalesce(ni0, 0) AS n_inter,
+          |  na + nb - coalesce(ni0, 0) AS n_union,
+          |  coalesce(ni0, 0) * 1000000 // (na + nb - coalesce(ni0, 0)) AS jaccard_ppm
+          |FROM pairs LEFT JOIN inter USING (source_a, source_b)
+          |ORDER BY source_a, source_b""".stripMargin)),
   )
 }

@@ -593,6 +593,32 @@ class PipelineSpec extends SparkSpec {
     assert(rows.map(_._2).sum > nDocs, "expected at least one split doc")
   }
 
+  test("source-overlap MinHash estimator tracks the exact Jaccard (MAE + identity)") {
+    val d = Tables.documents(spark, sf0001)
+    val est = TextAnalysis.sourceOverlapMinhash(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    val exact = TextAnalysis.sourceOverlapExact(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
+    assert(est.keySet === exact.keySet)
+    assert(est.nonEmpty)
+    // k = 32 hashes → std error ≈ √(J(1−J)/32) ≤ 0.09; mean absolute
+    // error across the 190 pairs must sit well inside a few σ
+    val mae = est.keys.map(p =>
+      math.abs(est(p) - exact(p)) / 1e6).sum / est.size
+    assert(mae < 0.12, s"estimator MAE $mae too high vs exact")
+    // identity control: duplicating a source's docs as a new source
+    // must estimate ≈ 1.0 (every min-hash matches on identical sets)
+    import spark.implicits._
+    val twin = d.filter(col("source") === "src0")
+      .withColumn("source", lit("zsrc_twin"))
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    val withTwin = d.unionByName(twin)
+    val self = TextAnalysis.sourceOverlapMinhash(withTwin).collect()
+      .find(r => r.getString(0) == "src0" && r.getString(1) == "zsrc_twin")
+    assert(self.exists(_.getLong(3) == 1000000L),
+      s"identical source pair must estimate exactly 1.0: ${self.map(_.toString)}")
+  }
+
   test("doc_chunks plan stays shuffle-free up to the final sort") {
     // One exchange may come from Tables.spread (input layout) and one
     // from the deterministic orderBy; the chunking itself must not add

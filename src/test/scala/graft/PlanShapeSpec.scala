@@ -200,7 +200,11 @@ class PlanShapeSpec extends SparkSpec {
       // ann_ivf_int8: the same broadcast K-row centroid table as the
       // other IVF consumers (probe ranking on the query slice) — the
       // inherent, size-gated scoreAgainst crossJoin
-      "ann_ivf_int8")
+      "ann_ivf_int8",
+      // source-overlap pair stages: |sources|-row signature/size tables
+      // self-joined on a < b — bounded by the source count (a
+      // data-model constant), broadcast-hinted by construction
+      "source_overlap_minhash", "source_overlap_exact")
     SparkEntry.registry.foreach { q =>
       val plan = q.fn(spark, sf0001).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
