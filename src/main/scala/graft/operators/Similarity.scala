@@ -918,6 +918,46 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
+  /** EMBEDDING SPLIT DRIFT: pairwise cosine between the train/val/test
+    * CENTROIDS of the embedding corpus — the representation-space twin
+    * of the token-level KL drift audit (a hash split should leave the
+    * three splits' mean vectors nearly colinear; a low cross-split
+    * centroid cosine flags a leaked ordering or a non-uniform split
+    * upstream of training). Split = the same md5-nibble 8/1/1
+    * assignment as the document split, keyed on vec_id. Centroids
+    * accumulate in exact integer micro-units (order-independent BIGINT
+    * sums — the trainCentroids pattern) and divide back in a fixed
+    * double sequence, so the oracle reproduces the three vectors and
+    * their cosines bit-for-bit. One partial-aggregable pass; the
+    * pairwise stage is a 3-row self-join. */
+  def embeddingSplitDrift(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    def nib(i: Int) = {
+      val a = ascii(substring(md5(col("vec_id").cast("string")), i + 1, 1))
+      a - when(a >= 97, lit(87)).otherwise(lit(48))
+    }
+    val bucket = (nib(0) * 16 + nib(1)).cast("long")
+    val split = when(bucket < 204, lit("train"))
+      .when(bucket < 230, lit("val")).otherwise(lit("test"))
+    val sums = (1 to Dim).map(i =>
+      sum(floor(element_at(col("embedding"), i).cast("double") * lit(1000000.0)
+        + lit(0.5)).cast("long")).as(s"s$i"))
+    val cents = emb.select(split.as("split"), col("embedding"))
+      .groupBy("split")
+      .agg(sums.head, (sums.tail :+ count(lit(1)).as("cnt")): _*)
+      .select(col("split"), col("cnt"),
+        array((1 to Dim).map(i =>
+          col(s"s$i").cast("double") / col("cnt").cast("double") / lit(1000000.0)): _*)
+          .as("ce"))
+    cents.as("a").join(broadcast(cents.as("b")),
+        col("a.split") < col("b.split"))
+      .select(col("a.split").as("split_a"), col("b.split").as("split_b"),
+        col("a.cnt").as("n_a"), col("b.cnt").as("n_b"),
+        round(graft.functions.GraftFunctions.cosine_sim(
+          spark, col("a.ce"), col("b.ce")), 6).as("centroid_cos"))
+      .orderBy("split_a", "split_b")
+  }
+
   /** Per-label embedding stats; the per-vector norm is rounded to 6
     * digits and summed in DECIMAL so the cross-row aggregation is
     * order-independent (portable across engines). */

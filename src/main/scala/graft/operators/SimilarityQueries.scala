@@ -378,6 +378,42 @@ object SimilarityQueries {
        |    / CAST(count(*) AS DOUBLE) AS avg_norm
        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
 
+  /** Split-drift oracle: md5-nibble split (the train_val_test formula
+    * on vec_id), per-split integer micro-unit centroids (the
+    * [[centMeanSql]] arithmetic), pairwise cosine via the shared exact
+    * chain. */
+  private val embSplitDriftSql = {
+    val ceCols = (1 to Dim).map(centMeanSql)
+      .zipWithIndex.map { case (e, i) => s"$e AS c${i + 1}" }
+      .mkString(",\n       |    ")
+    def ceList(a: String) =
+      s"list_value(${(1 to Dim).map(i => s"$a.c$i").mkString(", ")})"
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding,
+       |    (ascii(substr(md5(CAST(vec_id AS VARCHAR)), 1, 1))
+       |      - CASE WHEN ascii(substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)) >= 97
+       |             THEN 87 ELSE 48 END) * 16 +
+       |    (ascii(substr(md5(CAST(vec_id AS VARCHAR)), 2, 1))
+       |      - CASE WHEN ascii(substr(md5(CAST(vec_id AS VARCHAR)), 2, 1)) >= 97
+       |             THEN 87 ELSE 48 END) AS bucket
+       |  FROM embeddings),
+       |sp AS (
+       |  SELECT CASE WHEN bucket < 204 THEN 'train'
+       |              WHEN bucket < 230 THEN 'val' ELSE 'test' END AS split,
+       |         embedding
+       |  FROM b),
+       |cents AS (
+       |  SELECT split, CAST(count(*) AS BIGINT) AS cnt,
+       |    $ceCols
+       |  FROM sp GROUP BY split),
+       |cl AS (SELECT split, cnt, ${ceList("cents")} AS ce FROM cents)
+       |SELECT a.split AS split_a, b.split AS split_b,
+       |  a.cnt AS n_a, b.cnt AS n_b,
+       |  round(${cosSql("a.ce", "b.ce")}, 6) AS centroid_cos
+       |FROM cl a JOIN cl b ON a.split < b.split
+       |ORDER BY split_a, split_b""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("ann_topk",
       (s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d), 8, 5),
@@ -420,5 +456,8 @@ object SimilarityQueries {
     QueryDef("embedding_stats",
       (s, d) => Similarity.embeddingStats(Tables.embeddings(s, d)),
       Some(embStatsSql)),
+    QueryDef("embedding_split_drift",
+      (s, d) => Similarity.embeddingSplitDrift(Tables.embeddings(s, d)),
+      Some(embSplitDriftSql)),
   )
 }

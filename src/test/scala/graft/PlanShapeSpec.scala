@@ -204,7 +204,10 @@ class PlanShapeSpec extends SparkSpec {
       // source-overlap pair stages: |sources|-row signature/size tables
       // self-joined on a < b — bounded by the source count (a
       // data-model constant), broadcast-hinted by construction
-      "source_overlap_minhash", "source_overlap_exact")
+      "source_overlap_minhash", "source_overlap_exact",
+      // embedding_split_drift: the 3-row split-centroid table
+      // self-joined on a < b — bounded by the split count
+      "embedding_split_drift")
     SparkEntry.registry.foreach { q =>
       val plan = q.fn(spark, sf0001).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
