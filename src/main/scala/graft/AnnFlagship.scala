@@ -85,7 +85,10 @@ object AnnFlagship {
     // corpus geometry is part of the directory name: a run with a
     // different nVecs/nClusters against an existing workDir must never
     // silently reuse a corpus generated with the old geometry (review
-    // finding — a bare `vectors` guard would have).
+    // finding — a bare `vectors` guard would have). NB superseded
+    // geometries are left on disk by design — a sweep across
+    // geometries reuses each corpus across its own runs; the caller
+    // owns workDir cleanup between campaigns.
     val vecDir = s"$work/vectors_n${nVecs}_c$nClusters"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$vecDir/_SUCCESS"))) {
       val t0 = System.nanoTime()

@@ -155,7 +155,11 @@ object StreamFlagship {
       }
 
     // ---- stage 1: sessionizeStateful over ~1 GB of events ----------
-    val evDir = s"$work/events_in"
+    // row count is part of the dir name (the AnnFlagship geometry-key
+    // pattern): a rerun with different nEvents/nDocs must never reuse
+    // an old-size backlog — and it also retires any partial dir a
+    // pre-rename-fix run left behind under the old bare names
+    val evDir = s"$work/events_in_n$nEvents"
     sentinelFree(evDir, "user_id")
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(evDir))) {
       val sec = sliceWrite(evDir, nEvents, (lo, hi) =>
@@ -218,7 +222,7 @@ object StreamFlagship {
     val sessParity = csStream == csBatch
 
     // ---- stage 2: nearDupGate over ~1 GB of docs -------------------
-    val docDir = s"$work/docs_in"
+    val docDir = s"$work/docs_in_n$nDocs"
     val docSpanMs = 10L * 3600 * 1000 // 10 simulated hours
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(docDir))) {
       val sec = sliceWrite(docDir, nDocs, (lo, hi) =>

@@ -642,11 +642,16 @@ object Pipeline {
     * partial-aggregable). At 100 TB the layout is one shuffle-light
     * pass, which is why the pattern scales to trillion-token runs. */
   def packedSequences(docs: DataFrame, capacity: Long = 256L): DataFrame = {
+    // greatest(size, 0): size() is -1 on a null text column — without
+    // the clamp a null doc would get n = 0 and Spark's sequence(k, k-1)
+    // explodes DESCENDING (two windows) where the oracle's
+    // generate_series is empty. Null/empty docs contribute exactly
+    // their EOD separator (n = 1), same as an empty-token doc.
     val lens = docs.select(col("doc_id"),
       md5(col("doc_id").cast("string")).as("h"),
       TextAnalysis.md5Bucket.as("bkt"),
-      (size(regexp_extract_all(lower(col("text")),
-        lit(WordCount.TokenPattern), lit(0))) + 1).cast("long").as("n"))
+      (greatest(size(regexp_extract_all(lower(col("text")),
+        lit(WordCount.TokenPattern), lit(0))), lit(0)) + 1).cast("long").as("n"))
     val inBkt = lens.withColumn("run",
       coalesce(sum(col("n")).over(
         Window.partitionBy(col("bkt")).orderBy(col("h"), col("doc_id"))

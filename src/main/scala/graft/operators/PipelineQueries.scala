@@ -406,7 +406,8 @@ object PipelineQueries {
       Some(
         s"""WITH lens AS (
            |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
-           |    CAST(len(regexp_extract_all(lower(text), '[a-z'']+')) + 1 AS BIGINT) AS n
+           |    CAST(greatest(coalesce(len(regexp_extract_all(lower(text), '[a-z'']+')), 0), 0)
+           |         + 1 AS BIGINT) AS n
            |  FROM documents),
            |o AS (
            |  SELECT doc_id, n,

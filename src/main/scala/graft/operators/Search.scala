@@ -257,6 +257,7 @@ object Search {
 
   def searchEvalNdcg(idx: DataFrame, terms: Seq[String],
       k: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "query needs at least one term")
     val q = terms.map(_.toLowerCase).distinct
     val tf = termFreq(idx)
     // binary relevance: docs containing ALL query terms

@@ -932,13 +932,10 @@ object Similarity {
     * pairwise stage is a 3-row self-join. */
   def embeddingSplitDrift(emb: DataFrame): DataFrame = {
     val spark = emb.sparkSession
-    def nib(i: Int) = {
-      val a = ascii(substring(md5(col("vec_id").cast("string")), i + 1, 1))
-      a - when(a >= 97, lit(87)).otherwise(lit(48))
-    }
-    val bucket = (nib(0) * 16 + nib(1)).cast("long")
-    val split = when(bucket < 204, lit("train"))
-      .when(bucket < 230, lit("val")).otherwise(lit("test"))
+    // the ONE shared split definition, keyed on vec_id (review finding:
+    // an inline copy of the nibble/threshold arithmetic could silently
+    // diverge from the document split if either changed)
+    val split = TextAnalysis.splitOfKey(col("vec_id"))
     val sums = (1 to Dim).map(i =>
       sum(floor(element_at(col("embedding"), i).cast("double") * lit(1000000.0)
         + lit(0.5)).cast("long")).as(s"s$i"))

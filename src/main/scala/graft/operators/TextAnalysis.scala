@@ -25,19 +25,26 @@ object TextAnalysis {
     * engine-portable uniform-hash building block behind every
     * deterministic split/sampling decision here (the oracles mirror it
     * with the same ascii arithmetic). */
-  private[operators] def md5Nibble(i: Int): Column = {
-    val a = ascii(substring(md5(col("doc_id").cast("string")), i + 1, 1))
+  private[operators] def md5Nibble(i: Int, key: Column = col("doc_id")): Column = {
+    val a = ascii(substring(md5(key.cast("string")), i + 1, 1))
     a - when(a >= 97, lit(87)).otherwise(lit(48))
   }
 
-  /** Uniform 0-255 md5 bucket of doc_id. */
-  private[operators] def md5Bucket: Column =
-    (md5Nibble(0) * 16 + md5Nibble(1)).cast("long")
+  /** Uniform 0-255 md5 bucket of the key (doc_id by default — pass the
+    * key column so non-document tables share ONE copy of the nibble
+    * arithmetic and the 8/1/1 thresholds). */
+  private[operators] def md5Bucket: Column = md5BucketOf(col("doc_id"))
+
+  private[operators] def md5BucketOf(key: Column): Column =
+    (md5Nibble(0, key) * 16 + md5Nibble(1, key)).cast("long")
 
   /** The deterministic 8/1/1 train/val/test label (204/26/26 of 256). */
-  private[operators] def splitOf: Column =
-    when(md5Bucket < 204, lit("train"))
-      .when(md5Bucket < 230, lit("val")).otherwise(lit("test"))
+  private[operators] def splitOf: Column = splitOfKey(col("doc_id"))
+
+  private[operators] def splitOfKey(key: Column): Column = {
+    val b = md5BucketOf(key)
+    when(b < 204, lit("train")).when(b < 230, lit("val")).otherwise(lit("test"))
+  }
 
   /** N-gram-heuristic language ID: stopword hit ratio → {en, other}. */
   def langId(docs: DataFrame): DataFrame =
