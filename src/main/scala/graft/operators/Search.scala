@@ -137,7 +137,8 @@ object Search {
     // (terms are distinct, so set EXCEPT is exact) — no unpartitioned
     // window anywhere, even over the tiny term table
     def topK(k: Int) = dft.orderBy(col("df").desc, col("term").asc).limit(k)
-    scoreOddsIdf(tf, topK(hiRank).except(topK(loRank - 1)), k)
+    scoreOddsIdf(tf, topK(hiRank).except(topK(loRank - 1)), k,
+      tf.agg(countDistinct(col("doc_id")).as("n_docs")))
   }
 
   /** [[keywordSearch]] for an EXPLICIT query-term list — the form a
@@ -149,16 +150,29 @@ object Search {
   def keywordSearchFor(idx: DataFrame, terms: Seq[String],
       k: Int = 20): DataFrame = {
     require(terms.nonEmpty, "query needs at least one term")
-    val tf = termFreq(idx)
+    // STATIC query terms filter the index BEFORE the per-(term, doc)
+    // aggregate — the isin predicate reaches the postings scan, so the
+    // dominant tf aggregation shuffles only the query terms' posting
+    // lists, never the corpus gram stream (the corpus-derived probes
+    // cannot do this: their query terms come from the full-vocabulary
+    // df ranking). df values are identical — a term's df counted over
+    // its own postings equals its df in the full table. The one
+    // corpus-wide piece left is the narrow doc-count scalar.
+    val sub = idx.filter(col("tok").isin(terms.map(_.toLowerCase): _*))
+    val tf = termFreq(sub)
     val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    scoreOddsIdf(tf, dft.filter(col("term").isin(terms.map(_.toLowerCase): _*)), k)
+    scoreOddsIdf(tf, dft, k,
+      idx.agg(countDistinct(col("doc_id")).as("n_docs")))
   }
 
   /** Shared odds-idf scorer over a bounded query-term table `q`
     * (term, df): tf × odds-ratio idf in floored integer micro-units,
-    * per-doc integer sum, deterministic top-k. */
-  private def scoreOddsIdf(tf: DataFrame, q: DataFrame, k: Int): DataFrame = {
-    val n = tf.agg(countDistinct(col("doc_id")).as("n_docs"))
+    * per-doc integer sum, deterministic top-k. `nDocs` is the ONE-ROW
+    * corpus doc count (passed in so a pre-filtered tf can still score
+    * with the corpus-wide idf denominator). */
+  private def scoreOddsIdf(tf: DataFrame, q: DataFrame, k: Int,
+      nDocs: DataFrame): DataFrame = {
+    val n = nDocs
     tf.join(broadcast(q), "term")
       .crossJoin(broadcast(n))
       .withColumn("w", floor(
@@ -200,10 +214,14 @@ object Search {
   def bm25SearchFor(idx: DataFrame, terms: Seq[String],
       k: Int = 20): DataFrame = {
     require(terms.nonEmpty, "query needs at least one term")
-    val tf = termFreq(idx)
-    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    scoreBm25(idx, tf,
-      dft.filter(col("term").isin(terms.map(_.toLowerCase): _*)), k)
+    // same posting-list-bounded probe shape as [[keywordSearchFor]]:
+    // the static isin reaches the scan; the only corpus-wide pieces are
+    // the narrow doc-length aggregate and the one-row corpus stats
+    // (which a deployment precomputes into the index — values are
+    // identical either way)
+    val sub = idx.filter(col("tok").isin(terms.map(_.toLowerCase): _*))
+    val tf = termFreq(sub)
+    scoreBm25(idx, tf, tf.groupBy("term").agg(count(lit(1)).as("df")), k)
   }
 
   private def scoreBm25(idx: DataFrame, tf: DataFrame, q: DataFrame,
@@ -259,20 +277,20 @@ object Search {
       k: Int = 20): DataFrame = {
     require(terms.nonEmpty, "query needs at least one term")
     val q = terms.map(_.toLowerCase).distinct
-    val tf = termFreq(idx)
+    // ONE posting-list-bounded tf subtree (the static isin reaches the
+    // scan) feeds both the relevance leg and the BM25 ranking leg —
+    // the per-(term,doc) aggregate covers only the query terms'
+    // postings, never the corpus gram stream
+    val sub = idx.filter(col("tok").isin(q: _*))
+    val tf = termFreq(sub)
     // binary relevance: docs containing ALL query terms
-    val rel = tf.filter(col("term").isin(q: _*))
-      .groupBy("doc_id")
+    val rel = tf.groupBy("doc_id")
       .agg(countDistinct(col("term")).as("nt"))
       .filter(col("nt") === q.size)
       .select(col("doc_id"))
     val gainArr = array(ndcgGains(k).map(lit): _*)
-    // the ranking leg SHARES this tf subtree (scoreBm25 takes it as a
-    // parameter) instead of re-aggregating the postings index a second
-    // time through bm25SearchFor — the per-(term,doc) aggregate is the
-    // dominant cost of the evaluation
-    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val ranked = scoreBm25(idx, tf, dft.filter(col("term").isin(q: _*)), k)
+    val ranked = scoreBm25(idx, tf,
+        tf.groupBy("term").agg(count(lit(1)).as("df")), k)
       .select(col("doc_id"),
         row_number().over(
           Window.orderBy(col("score_micro").desc, col("doc_id").asc))
