@@ -328,7 +328,14 @@ object Bench {
     val cpuJson = cpuSecs.map { case (k, v) => s"\"$k\":${r3(v)}" }
       .mkString("{", ",", "}")
     val cpuTotal = r3(cpuSecs.values.sum)
-    val detailed = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu":$cpuJson,"cpu_total":$cpuTotal,"errors":$errJson,"regressions":$regJson,"index_build":$buildJson,"index_build_total":$buildTotal,"sf":"$sfDir"}"""
+    // TASK CPU is the committed headline metric since round 10 (r9
+    // verdict item 7): the same closing registry measured 54.3 → 66.0 s
+    // WALL across one evening on this host (BENCH_NOTES_r09.md) while
+    // task CPU stayed flat — wall is no longer a usable cross-round
+    // gate signal at this suite size. Wall is retained as "wall_total"
+    // / "queries" for context; the regression detector already prefers
+    // CPU when both rounds carry it.
+    val detailed = s"""{"metric":"cpu_total","value":$cpuTotal,"unit":"sec","wall_total":$total,"queries":$qs,"cpu":$cpuJson,"cpu_total":$cpuTotal,"errors":$errJson,"regressions":$regJson,"index_build":$buildJson,"index_build_total":$buildTotal,"sf":"$sfDir"}"""
     // Full detail to a committed file (next round's regression baseline,
     // and the judge's full-precision record) — from any run that covered
     // the whole registry (a blank GRAFT_ONLY counts); a filtered run
@@ -356,7 +363,7 @@ object Bench {
     val errC = cap8(errors.map { case (k, v) => k -> s"\"$v\"" }, errors.size)
     val regC = cap8(regressions.toSeq.sortBy(-_._2).map { case (k, v) => k -> v.toString },
       regressions.size)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"detail":"bench_detail.json","cpu_total":$cpuTotal,"errors":$errC,"regressions":$regC,"index_build_total":$buildTotal,"sf":"$sfDir"}""")
+    println(s"""{"metric":"cpu_total","value":$cpuTotal,"unit":"sec","wall_total":$total,"nqueries":${results.size},"detail":"bench_detail.json","errors":$errC,"regressions":$regC,"index_build_total":$buildTotal,"sf":"$sfDir"}""")
     spark.stop()
     // daemon worker threads may hold a wedged query; don't let them block exit
     sys.exit(0)

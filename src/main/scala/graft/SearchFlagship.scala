@@ -73,23 +73,33 @@ object SearchFlagship {
 
     // ---- index build (the corpus-sized cost, paid once) ------------
     val idxDir = s"$work/postings_n$nDocs"
-    val (_, buildSec) =
-      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$idxDir/_SUCCESS")))
-        timed("index_build")(
-          Search.postings(docs).write.mode("overwrite").parquet(idxDir))
-      else ((), 0.0)
+    // a rerun against a warm workDir reuses the committed index; its
+    // build cost is reported as null + reused flag, never a misleading
+    // 0.0 s "build" (advisor finding)
+    val reused =
+      java.nio.file.Files.exists(java.nio.file.Paths.get(s"$idxDir/_SUCCESS"))
+    val buildSec: Option[Double] =
+      if (reused) None
+      else Some(timed("index_build")(
+        Search.postings(docs).write.mode("overwrite").parquet(idxDir))._2)
     val idx = spark.read.parquet(idxDir)
     val nPost = idx.count()
 
+    // the per-doc length table is PART OF THE INDEX (a pure function of
+    // it, precomputed once like the centroid tables) — its build cost is
+    // reported separately; probes below pay only posting-list work
+    val (dl, tDl) = timed("doc_lengths")(
+      Search.docLengths(idx).localCheckpoint())
+
     // ---- probes (must be posting-list-bounded) ---------------------
     val (nBm, tBm) = timed("bm25")(
-      Search.bm25SearchFor(idx, terms).count())
+      Search.bm25SearchFor(idx, terms, dl = Some(dl)).count())
     val (nKw, tKw) = timed("keyword")(
       Search.keywordSearchFor(idx, terms).count())
     val (nPh, tPh) = timed("phrase")(
       Search.phraseSearchFor(idx, phrase).count())
     val (ndcgRow, tNd) = timed("ndcg")(
-      Search.searchEvalNdcg(idx, terms).head())
+      Search.searchEvalNdcg(idx, terms, dl = Some(dl)).head())
 
     // ---- sequence packing over the same corpus ---------------------
     val (packStats, tPack) = timed("packing") {
@@ -100,7 +110,8 @@ object SearchFlagship {
 
     def r2(v: Double) = math.round(v * 100) / 100.0
     println(s"""{"metric":"search_1g","n_docs":$nDocs,"n_postings":$nPost,""" +
-      s""""index_build_sec":${r2(buildSec)},""" +
+      s""""index_build_sec":${buildSec.map(r2).map(_.toString).getOrElse("null")},""" +
+      s""""index_reused":$reused,"doc_lengths_sec":${r2(tDl)},""" +
       s""""bm25":{"rows":$nBm,"sec":${r2(tBm)}},""" +
       s""""keyword":{"rows":$nKw,"sec":${r2(tKw)}},""" +
       s""""phrase":{"rows":$nPh,"sec":${r2(tPh)}},""" +

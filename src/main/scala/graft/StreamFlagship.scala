@@ -105,6 +105,19 @@ object StreamFlagship {
     val recorder = new Recorder
     spark.streams.addListener(recorder)
 
+    /** Listener delivery is async with NO flush guarantee: a fixed
+      * sleep can miss trailing QueryProgress events on a loaded host,
+      * silently undercounting batches / max_state_rows (advisor
+      * finding). Poll until the recorder has seen the query's final
+      * batchId (bounded fallback for the no-batch edge). */
+    def drainStats(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      val last = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
+      val deadline = System.nanoTime() + 10L * 1000000000L
+      while (last >= 0 && System.nanoTime() < deadline &&
+          recorder.stats.synchronized(!recorder.stats.exists(_.batchId >= last)))
+        Thread.sleep(50)
+    }
+
     val nUsers = 50000L
     val spanMs = 30L * 86400 * 1000 // 30 simulated days
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
@@ -188,8 +201,8 @@ object StreamFlagship {
       .trigger(Trigger.AvailableNow()).start()
     q1.awaitTermination()
     val sessMainSec = (System.nanoTime() - tS) / 1e9
-    Thread.sleep(2000) // listener delivery is async; drain before snapshot
-    val mainStats = recorder.stats.toSeq
+    drainStats(q1)
+    val mainStats = recorder.stats.synchronized(recorder.stats.toSeq)
 
     // flush the open tail: one far-future sentinel event, second
     // AvailableNow run on the same checkpoint fires every timeout
@@ -259,8 +272,8 @@ object StreamFlagship {
       .trigger(Trigger.AvailableNow()).start()
     q2.awaitTermination()
     val gateSec = (System.nanoTime() - tG) / 1e9
-    Thread.sleep(2000)
-    val gateStats = recorder.stats.toSeq
+    drainStats(q2)
+    val gateStats = recorder.stats.synchronized(recorder.stats.toSeq)
 
     val survivors = spark.read.parquet(gateOut)
     val batchKept = operators.Dedup.sigDedupBatch(spark.read.parquet(docDir))

@@ -44,6 +44,16 @@ object Search {
     idx.groupBy(col("tok").as("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
 
+  /** Per-document token counts (doc_id, dl) — the ONE corpus-wide
+    * aggregate a BM25 probe needs. A deployment precomputes this into
+    * the index (it is a pure function of the postings table);
+    * [[SharedIntermediates.postingsDocLengths]] materializes it once
+    * per dataset so repeated probes pay only posting-list work instead
+    * of one full-index groupBy per call (the residual 1.8–3× probe
+    * growth SEARCH_1GB.md measured before memoization). */
+  def docLengths(idx: DataFrame): DataFrame =
+    idx.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+
   /** The corpus's most frequent word 3-gram as a ONE-ROW table
     * (phrase), derived from the index itself (lead() over posting
     * positions — the window clusters on doc_id, no extra tokenize
@@ -201,32 +211,32 @@ object Search {
     * adds one aggregation over the index and the corpus stats are a
     * one-row broadcast scalar. */
   def bm25Search(idx: DataFrame, loRank: Int = 10, hiRank: Int = 12,
-      k: Int = 20): DataFrame = {
+      k: Int = 20, dl: Option[DataFrame] = None): DataFrame = {
     val tf = termFreq(idx)
     val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
     def topK(kk: Int) = dft.orderBy(col("df").desc, col("term").asc).limit(kk)
-    scoreBm25(idx, tf, topK(hiRank).except(topK(loRank - 1)), k)
+    scoreBm25(idx, tf, topK(hiRank).except(topK(loRank - 1)), k, dl)
   }
 
   /** [[bm25Search]] for an EXPLICIT query-term list — same OOV
     * semantics as [[keywordSearchFor]] (unknown terms contribute
     * nothing; all-OOV → empty result). */
   def bm25SearchFor(idx: DataFrame, terms: Seq[String],
-      k: Int = 20): DataFrame = {
+      k: Int = 20, dl: Option[DataFrame] = None): DataFrame = {
     require(terms.nonEmpty, "query needs at least one term")
     // same posting-list-bounded probe shape as [[keywordSearchFor]]:
-    // the static isin reaches the scan; the only corpus-wide pieces are
-    // the narrow doc-length aggregate and the one-row corpus stats
-    // (which a deployment precomputes into the index — values are
-    // identical either way)
+    // the static isin reaches the scan; the only corpus-wide piece left
+    // is the narrow doc-length aggregate — pass a precomputed `dl`
+    // (SharedIntermediates.postingsDocLengths) to amortize it away
+    // (values are identical either way)
     val sub = idx.filter(col("tok").isin(terms.map(_.toLowerCase): _*))
     val tf = termFreq(sub)
-    scoreBm25(idx, tf, tf.groupBy("term").agg(count(lit(1)).as("df")), k)
+    scoreBm25(idx, tf, tf.groupBy("term").agg(count(lit(1)).as("df")), k, dl)
   }
 
   private def scoreBm25(idx: DataFrame, tf: DataFrame, q: DataFrame,
-      k: Int): DataFrame = {
-    val dl = idx.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      k: Int, dlOpt: Option[DataFrame] = None): DataFrame = {
+    val dl = dlOpt.getOrElse(docLengths(idx))
     val st = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     val idf = log(
       ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
@@ -274,7 +284,7 @@ object Search {
       math.floor(1000000.0 / (math.log(i + 1.0) / math.log(2.0))).toLong)
 
   def searchEvalNdcg(idx: DataFrame, terms: Seq[String],
-      k: Int = 20): DataFrame = {
+      k: Int = 20, dl: Option[DataFrame] = None): DataFrame = {
     require(terms.nonEmpty, "query needs at least one term")
     val q = terms.map(_.toLowerCase).distinct
     // ONE posting-list-bounded tf subtree (the static isin reaches the
@@ -290,7 +300,7 @@ object Search {
       .select(col("doc_id"))
     val gainArr = array(ndcgGains(k).map(lit): _*)
     val ranked = scoreBm25(idx, tf,
-        tf.groupBy("term").agg(count(lit(1)).as("df")), k)
+        tf.groupBy("term").agg(count(lit(1)).as("df")), k, dl)
       .select(col("doc_id"),
         row_number().over(
           Window.orderBy(col("score_micro").desc, col("doc_id").asc))
@@ -325,7 +335,8 @@ object Search {
     * correct shape, like value_histogram's bin table. Absent-leg ranks
     * surface as the sentinel 999 (never NULL — cross-engine NULL
     * aggregation is a hash hazard the sentinel sidesteps). */
-  def hybridSearchRrf(idx: DataFrame, rrfK: Int = 60, k: Int = 20): DataFrame = {
+  def hybridSearchRrf(idx: DataFrame, rrfK: Int = 60, k: Int = 20,
+      dl: Option[DataFrame] = None): DataFrame = {
     def leg(df: DataFrame, name: String) = df
       .select(col("doc_id"),
         row_number().over(
@@ -333,7 +344,7 @@ object Search {
           .cast("long").as("r"),
         lit(name).as("leg"))
     leg(keywordSearch(idx, k = k), "kw")
-      .unionByName(leg(bm25Search(idx, k = k), "bm25"))
+      .unionByName(leg(bm25Search(idx, k = k, dl = dl), "bm25"))
       .withColumn("c", expr(s"1000000 DIV ($rrfK + r)"))
       .groupBy("doc_id")
       .agg(sum(col("c")).as("rrf_micro"),
@@ -352,4 +363,44 @@ object Search {
     termFreq(idx)
       .groupBy("term").agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"))
       .orderBy(col("df").desc, col("term").asc).limit(k)
+
+  // ---- incremental index maintenance --------------------------------
+  //
+  // The postings relation is a PURE PER-DOCUMENT map: every (tok,
+  // doc_id, pos) row depends only on its own document's text, never on
+  // cross-document state. So for disjoint document sets A and B,
+  //   postings(A ∪ B) = postings(A) ∪ postings(B)
+  // as a relational identity — which makes maintenance trivial-by-
+  // construction in exactly the way a production index wants: new
+  // documents are indexed ALONE (a delta sized by the ingest batch,
+  // never the corpus), and probes serve from union(base, delta). At
+  // 100 TB this is the difference between a nightly corpus-sized
+  // rebuild and a per-batch map-only explode. SearchIncrementalSpec
+  // proves the identity on real data (probe over base+delta hash-equals
+  // probe over a full rebuild), and the bm25_search_incremental registry
+  // entry pins it against the DuckDB full-corpus oracle.
+
+  /** Index ONLY the new documents — the per-ingest-batch delta build.
+    * Cost is one map-only explode over the batch (shuffle-free). */
+  def postingsDelta(newDocs: DataFrame): DataFrame = postings(newDocs)
+
+  /** Serve probes over the base index plus any number of deltas. The
+    * union is a zero-shuffle plan prefix: every probe's `tok` filter
+    * pushes through UNION into each child's scan, so probe cost is
+    * still posting-list-bounded across all generations.
+    *
+    * COMPACTION POLICY (size-tiered, the LSM convention): rewrite
+    * union(base, deltas) as the new durable base once Σ|delta| exceeds
+    * ~20% of |base| — compaction cost is one corpus-sized write (the
+    * same price as the original build), amortized over the ~5 ingest
+    * batches that triggered it. [[compactPostings]] is that rewrite;
+    * callers own the trigger because delta sizes are theirs to track. */
+  def servePostings(base: DataFrame, deltas: DataFrame*): DataFrame =
+    deltas.foldLeft(base)(_ unionByName _)
+
+  /** The compaction rewrite: one relation containing every generation,
+    * ready to be written back as the new durable base (via
+    * Materialize.table under a fresh content key). */
+  def compactPostings(base: DataFrame, deltas: DataFrame*): DataFrame =
+    servePostings(base, deltas: _*)
 }

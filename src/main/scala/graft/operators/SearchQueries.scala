@@ -198,7 +198,8 @@ object SearchQueries {
       Some(keywordSql)),
 
     QueryDef("bm25_search",
-      (s, d) => Search.bm25Search(SharedIntermediates.postings(s, d)),
+      (s, d) => Search.bm25Search(SharedIntermediates.postings(s, d),
+        dl = Some(SharedIntermediates.postingsDocLengths(s, d))),
       Some(bm25Sql)),
 
     QueryDef("keyword_search_explicit",
@@ -208,8 +209,19 @@ object SearchQueries {
 
     QueryDef("bm25_search_explicit",
       (s, d) => Search.bm25SearchFor(SharedIntermediates.postings(s, d),
-        Seq("data", "query", "spark", "nosuchword")),
+        Seq("data", "query", "spark", "nosuchword"),
+        dl = Some(SharedIntermediates.postingsDocLengths(s, d))),
       Some(bm25ExplicitSql)),
+
+    // probe over base+delta union vs a FULL-CORPUS rebuild oracle: the
+    // driver gate itself proves the incremental-maintenance identity
+    // (dl deliberately recomputed from the served view — the fresh-delta
+    // path where the precomputed table hasn't been compacted in yet)
+    QueryDef("bm25_search_incremental",
+      (s, d) => Search.bm25SearchFor(
+        SharedIntermediates.postingsIncremental(s, d),
+        Seq("data", "stream", "key")),
+      Some(bm25SqlFor("('data', 'stream', 'key')"))),
 
     QueryDef("phrase_search_explicit",
       (s, d) => Search.phraseSearchFor(SharedIntermediates.postings(s, d),
@@ -221,7 +233,8 @@ object SearchQueries {
         // 'dup' is the rare discriminative term (df 25 of 500 at
         // sf0.01): relevance does not saturate the top-20, so the
         // metric measures ranking quality, not term ubiquity
-        Seq("dup", "vector", "key")),
+        Seq("dup", "vector", "key"),
+        dl = Some(SharedIntermediates.postingsDocLengths(s, d))),
       Some(ndcgSql)),
 
     QueryDef("inverted_index_stats",
@@ -229,7 +242,8 @@ object SearchQueries {
       Some(indexStatsSql)),
 
     QueryDef("hybrid_search_rrf",
-      (s, d) => Search.hybridSearchRrf(SharedIntermediates.postings(s, d)),
+      (s, d) => Search.hybridSearchRrf(SharedIntermediates.postings(s, d),
+        dl = Some(SharedIntermediates.postingsDocLengths(s, d))),
       Some(hybridSql)),
   )
 }

@@ -126,6 +126,33 @@ object SharedIntermediates {
   def postings(s: SparkSession, d: String): DataFrame =
     cached(s, keyOf(s, "postings", d))(Search.postings(Tables.documents(s, d)))
 
+  /** Per-document token counts of [[postings]] — the one corpus-wide
+    * aggregate a BM25 probe needs, precomputed into the index like the
+    * centroid/assignment tables so repeated probes pay only
+    * posting-list work (advisor finding: before this, every
+    * bm25SearchFor/searchEvalNdcg call re-ran a full-index groupBy). */
+  def postingsDocLengths(s: SparkSession, d: String): DataFrame = {
+    val idx = postings(s, d) // resolve BEFORE cached() — no nesting
+    cached(s, keyOf(s, "postingsDl", d))(Search.docLengths(idx))
+  }
+
+  /** Incremental postings serving view: a durable BASE index over the
+    * stable ~90% of the corpus (pmod(doc_id, 10) < 9 — the stand-in for
+    * "everything ingested before today") unioned with a DELTA indexed
+    * fresh over the newest ~10%. Probes over this view are
+    * oracle-gated against the full-corpus rebuild
+    * (bm25_search_incremental), which pins the maintenance identity
+    * postings(A ∪ B) = postings(A) ∪ postings(B) in the driver gate
+    * itself; [[Search.servePostings]] documents the compaction policy. */
+  def postingsIncremental(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val docs = Tables.documents(s, d)
+    val base = cached(s, keyOf(s, "postingsBase", d))(
+      Search.postings(docs.filter(pmod(col("doc_id"), lit(10)) < 9)))
+    Search.servePostings(base,
+      Search.postingsDelta(docs.filter(pmod(col("doc_id"), lit(10)) === 9)))
+  }
+
   /** Connected components over [[textPairs]]. */
   def textClusters(s: SparkSession, d: String): DataFrame = {
     val tp = textPairs(s, d)

@@ -1,12 +1,14 @@
 package graft
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, Search}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** The maintained band index is mergeable: corpus ∪ increment raw band
   * tables + one recap ≡ the index rebuilt from scratch — so daily
-  * increments never re-run the old corpus's gram/minhash pipeline. */
+  * increments never re-run the old corpus's gram/minhash pipeline.
+  * Likewise the positional postings index: per-batch deltas union into
+  * a serving view identical to a full rebuild. */
 class IncrementalIndexSpec extends SparkSpec {
 
   import spark.implicits._
@@ -60,5 +62,50 @@ class IncrementalIndexSpec extends SparkSpec {
       .collect().toSeq
     assert(viaMerged == viaFull)
     assert(viaFull.nonEmpty, "fixture should contain near-dup pairs")
+  }
+
+  // ---- incremental postings (Search.postingsDelta) ------------------
+
+  private def postingSet(df: DataFrame): Set[(String, Long, Int)] =
+    df.select(col("tok"), col("doc_id"), col("pos").cast("int"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+
+  test("postings(A ∪ B) = postings(A) ∪ postings(B) — the maintenance identity, on real data") {
+    val all = Tables.documents(spark, sf0001)
+    val split = 300L
+    val base = Search.postings(all.filter(col("doc_id") < split))
+    val delta = Search.postingsDelta(all.filter(col("doc_id") >= split))
+    val served = Search.servePostings(base, delta)
+    assert(postingSet(served) == postingSet(Search.postings(all)))
+    assert(postingSet(delta).nonEmpty && postingSet(base).nonEmpty)
+    // the delta indexed ONLY the new docs — never the old corpus
+    assert(postingSet(delta).forall(_._2 >= split))
+  }
+
+  test("every probe over base+delta equals the same probe over a full rebuild") {
+    val all = Tables.documents(spark, sf0001)
+    val split = 300L
+    val served = Search.servePostings(
+      Search.postings(all.filter(col("doc_id") < split)),
+      Search.postingsDelta(all.filter(col("doc_id") >= split)))
+    val full = Search.postings(all)
+    def rows(df: DataFrame) = df.collect().map(_.toSeq).toSeq
+    assert(rows(Search.bm25SearchFor(served, Seq("data", "stream", "key"))) ==
+      rows(Search.bm25SearchFor(full, Seq("data", "stream", "key"))))
+    assert(rows(Search.keywordSearchFor(served, Seq("data", "query", "spark"))) ==
+      rows(Search.keywordSearchFor(full, Seq("data", "query", "spark"))))
+    assert(rows(Search.phraseSearchFor(served, "data stream")) ==
+      rows(Search.phraseSearchFor(full, "data stream")))
+    assert(Search.bm25SearchFor(full, Seq("data", "stream", "key")).count() > 0)
+  }
+
+  test("compaction rewrite carries every generation (multi-delta)") {
+    val all = Tables.documents(spark, sf0001)
+    val g0 = all.filter(col("doc_id") < 200L)
+    val g1 = all.filter(col("doc_id") >= 200L && col("doc_id") < 400L)
+    val g2 = all.filter(col("doc_id") >= 400L)
+    val compacted = Search.compactPostings(Search.postings(g0),
+      Search.postingsDelta(g1), Search.postingsDelta(g2))
+    assert(postingSet(compacted) == postingSet(Search.postings(all)))
   }
 }

@@ -179,6 +179,10 @@ class PlanShapeSpec extends SparkSpec {
       // additionally crossJoins its two ONE-ROW aggregate legs
       // (dcg × idcg — bounded by construction)
       "keyword_search_explicit", "bm25_search_explicit", "search_eval_ndcg",
+      // round-10 incremental-serving twin: identical scorer over the
+      // union(base, delta) postings view — same one-row corpus-stat
+      // broadcast scalar as bm25_search_explicit
+      "bm25_search_incremental",
       // round-8 continuation: equidepth's quartile-boundary row — a
       // one-row broadcast scalar crossJoined onto the fact scan (the
       // q11/revenue_share pattern)
