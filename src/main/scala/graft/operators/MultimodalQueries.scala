@@ -6,8 +6,19 @@ import graft.{QueryDef, Tables}
   * deterministic features are reproduced in SQL (the corpus is pure
   * ASCII, so byte iteration == char iteration; list_reduce folds the
   * same (sum*31+byte) & 0xffffff rolling checksum), making even the
-  * mapPartitions path hash-gated. */
+  * mapPartitions path hash-gated. media_decode_stats goes further: the
+  * payloads are REAL PNGs and the decode is the JDK's actual codec —
+  * the oracle recomputes the per-channel sums from the planted pixel
+  * formula, so a hash-green result proves a lossless real decode. */
 object MultimodalQueries {
+
+  /** Σ over the w×h grid of a per-pixel channel formula, in DuckDB
+    * list arithmetic (the corpus's images are ≤ 8×6, so the per-row
+    * list stays tiny). */
+  private def chanSumSql(a: Int, bx: Int, cy: Int): String =
+    s"""CAST(list_sum(flatten(list_transform(range(0, 3 + doc_id % 4), y ->
+       |  list_transform(range(0, 4 + doc_id % 5), x ->
+       |    ($a * doc_id + $bx * x + $cy * y) % 256)))) AS BIGINT)""".stripMargin
 
   private val checksumSql =
     """CAST(list_reduce(list_prepend(0,
@@ -41,6 +52,16 @@ object MultimodalQueries {
            |  $checksumSql AS checksum,
            |  CASE WHEN length(text) > 0 THEN ascii(substr(text, 1, 1)) + 1 ELSE 1 END AS fake_width,
            |  CASE WHEN length(text) > 1 THEN ascii(substr(text, 2, 1)) + 1 ELSE 1 END AS fake_height
+           |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("media_decode_stats",
+      (s, d) => Multimodal.mediaDecodeStats(s, Tables.documents(s, d)), Some(
+        s"""SELECT doc_id,
+           |  CAST(4 + doc_id % 5 AS INT) AS width,
+           |  CAST(3 + doc_id % 4 AS INT) AS height,
+           |  ${chanSumSql(7, 13, 31)} AS sum_r,
+           |  ${chanSumSql(11, 17, 5)} AS sum_g,
+           |  ${chanSumSql(3, 23, 29)} AS sum_b
            |FROM documents ORDER BY doc_id""".stripMargin)),
   )
 }
