@@ -557,21 +557,38 @@ object Similarity {
   private val pqCodesMemo =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  /** The PQ CODE TABLE as a built-once index: (vec_id, sub, code) for
-    * the whole corpus — the 8-byte-per-vector structure a production
-    * IVFPQ deployment stores and serves. Encoding touches every corpus
-    * vector × [[PqCodes]] codes, so like the assignment index it must
-    * run once per (session, corpus, params), not once per query call. */
+  /** The PQ CODE TABLE as a built-once index, stored PACKED: all
+    * [[PqSub]]=16 4-bit codes of a vector in ONE BIGINT (bit_or of
+    * disjoint shifts — exactly 64 bits), so the durable structure is
+    * genuinely ~8 B/vec + key, the footprint that justifies PQ at 10⁹
+    * vectors. Round 10 finding (AnnPqRegime at 200k): the previous
+    * flat (vec_id, sub, code) layout cost ~90 B/vec on disk — MORE
+    * than the int8 corpus it was supposed to undercut; packing is
+    * lossless (codes identical, byte-for-byte) and restores the 8×
+    * advantage. Serving unpacks lazily — explode over the 16 subspace
+    * slots + shift/mask, a map-only view over the packed scan; every
+    * downstream consumer still sees (vec_id, sub, code). Encoding
+    * touches every corpus vector × [[PqCodes]] codes, so like the
+    * assignment index it runs once per (session, corpus, params).
+    * Key tag v3 = packed layout (a v2 flat dir is never reused). */
   private def pqCodesIndex(emb: DataFrame, minCentroids: Int,
       corpusCount: Option[Long]): DataFrame = {
     val spark = emb.sparkSession
-    val contentKey = s"pqCodes:v2:${emb.queryExecution.logical.semanticHash()}:" +
+    val contentKey = s"pqCodes:v3:${emb.queryExecution.logical.semanticHash()}:" +
       s"$minCentroids:${corpusCount.getOrElse(-1L)}" +
       s"@${Materialize.sourceFingerprint(spark, emb.inputFiles.toSeq)}"
     pqCodesMemo.computeIfAbsent(s"${Materialize.sessionKey(spark)}:$contentKey",
-      _ => Materialize.timedBuild(contentKey)(Materialize.table(spark, contentKey)(
-        pqEncode(residualSubvecs(withCentroid(emb, minCentroids, corpusCount)),
-          pqCodebook(emb, minCentroids, corpusCount)))))
+      _ => Materialize.timedBuild(contentKey) {
+        val packed = Materialize.table(spark, contentKey)(
+          pqEncode(residualSubvecs(withCentroid(emb, minCentroids, corpusCount)),
+            pqCodebook(emb, minCentroids, corpusCount))
+            .groupBy(col("vec_id"))
+            .agg(expr("bit_or(shiftleft(code, sub * 4))").as("packed")))
+        packed.select(col("vec_id"), col("packed"),
+            explode(sequence(lit(0), lit(PqSub - 1))).as("sub"))
+          .select(col("vec_id"), col("sub"),
+            expr("shiftright(packed, sub * 4) & CAST(15 AS BIGINT)").as("code"))
+      })
   }
 
   /** IVF-PQ top-k with refine — the production ANN index shape (FAISS
