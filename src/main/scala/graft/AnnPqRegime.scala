@@ -42,6 +42,13 @@ object AnnPqRegime {
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("GRAFT_AQE", "true"))
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
+      // struct-buffer aggregates (the assignment argmax) run through
+      // ObjectHashAggregate, whose sort-based fallback triggers at 128
+      // in-memory keys by default — absurdly conservative for ~50 B
+      // buffers: at 10M vectors the fallback sorted (and spilled) the
+      // whole N×K scored stream. ~300k keys/task × 50 B ≈ 16 MB —
+      // keep it hashed.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4000000")
       .config(Materialize.DirConf, sys.env.getOrElse("GRAFT_INDEX_DIR", ""))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

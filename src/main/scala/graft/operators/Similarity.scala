@@ -91,9 +91,23 @@ object Similarity {
       .select(col("query_id"), col("cand_id"),
         round(graft.functions.GraftFunctions.cosine_sim(
           emb.sparkSession, col("qe"), col("ce")), 6).as("cos_sim"))
+    // TWO-STAGE top-k (the md5-bucket global-rank shape): stage 1 keeps
+    // k per (query, cand-id bucket) — each sort sees ~N/256 rows —
+    // stage 2 ranks the ≤ 256·k survivors per query. Identical result
+    // to a single per-query window (top-k of a union = top-k of the
+    // per-bucket top-k's), but the sort spill shrinks 256×: at 10M
+    // vectors the single-stage window spilled past a 64 GB disk
+    // (AnnPqRegime, round 10) — nQueries·N rows through 64 sorts —
+    // while the bucketed shape streams in memory.
+    val wb = Window.partitionBy(col("query_id"), col("bkt"))
+      .orderBy(col("cos_sim").desc, col("cand_id").asc)
+    val perBucket = scored
+      .withColumn("bkt", pmod(col("cand_id"), lit(256)))
+      .withColumn("rb", row_number().over(wb))
+      .filter(col("rb") <= k)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("cand_id").asc)
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
+    perBucket.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("cand_id"), col("cos_sim"))
       .orderBy("query_id", "rnk")
@@ -241,6 +255,30 @@ object Similarity {
       .select(col("vec_id"), col("w.embedding").as("embedding"),
         col("w.cent_id").as("cell"), col("w.ccos").as("ccos"))
 
+  /** [[argmaxCell]] for the FULL-CORPUS assignment build: identical
+    * argmax semantics (max ccos, min cent_id on ties — ccos is already
+    * rounded to 6 dp, so its micro-unit integer is a faithful total
+    * order), but the (ccos, cent_id) pair is PACKED into one BIGINT and
+    * reduced with plain max(). Why it matters: any struct-buffer
+    * aggregate (max_by) plans as SortAggregate — Spark sorts the entire
+    * N×K scored stream by key before aggregating, which at 10M vectors
+    * × 3162 centroids spilled 24 GB/task past a 64 GB disk (the
+    * round-10 AnnPqRegime failure). A LONG buffer runs through
+    * HashAggregate inside whole-stage codegen: the 3·10¹⁰-row stream
+    * folds into 10M partial rows with no sort anywhere. Layout:
+    * (ccos_micro + 10⁶)·2²¹ + (2²¹−1 − cent_id); supports K < 2²¹
+    * centroids (√N rule: corpora to ~4·10¹², far past any single
+    * machine). Consumers re-attach vectors via equi-join on vec_id
+    * (the narrow-index contract [[ivfAssignIndex]] documents). */
+  private def argmaxCellNarrow(scored: DataFrame): DataFrame =
+    scored.select(col("vec_id"),
+        expr("(CAST(round(ccos * 1000000, 0) AS BIGINT) + 1000000) * 2097152" +
+          " + (2097151 - cent_id)").as("packed"))
+      .groupBy("vec_id").agg(max(col("packed")).as("p"))
+      .select(col("vec_id"),
+        expr("2097151 - (p % 2097152)").as("cell"),
+        expr("CAST(p DIV 2097152 - 1000000 AS DOUBLE) / 1000000.0").as("ccos"))
+
   /** Lloyd-iterated centroid table (cent_id, ce1), K rows — an ANN
     * INDEX structure, built once per (session, corpus, parameters) and
     * memoized, exactly like a production IVF deployment trains its
@@ -320,8 +358,12 @@ object Similarity {
       s"@${Materialize.sourceFingerprint(spark, emb.inputFiles.toSeq)}"
     assignMemo.computeIfAbsent(s"${Materialize.sessionKey(spark)}:$contentKey",
       _ => Materialize.timedBuild(contentKey)(Materialize.table(spark, contentKey)(
-        argmaxCell(ivfScored(emb, minCentroids, corpusCount))
-          .select(col("vec_id"), col("cell"), col("ccos")))))
+        // narrow end-to-end: score WITHOUT carrying the vector and
+        // argmax over (cent_id, ccos) only — same winners, 10× smaller
+        // rows through the N×K stream (see [[argmaxCellNarrow]])
+        argmaxCellNarrow(
+          ivfScored(emb, minCentroids, corpusCount)
+            .select(col("vec_id"), col("cent_id"), col("ccos"))))))
   }
 
   /** Assignment with embeddings re-attached — (vec_id, embedding, cell,
