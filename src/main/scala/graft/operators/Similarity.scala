@@ -589,12 +589,25 @@ object Similarity {
   }
 
   /** Corpus PQ codes: per (vector, subspace) the argmin-distance code
-    * (ties → lower code id), a partial-aggregable max_by — no window. */
+    * (ties → lower code id). Like [[argmaxCellNarrow]], the argmin is
+    * PACKED into one BIGINT and reduced with plain min(): pqDist is
+    * already an exact integer (micro-unit L2², ≤ ~10¹⁴), so
+    * dist·[[PqCodes]] + code is a faithful total order on
+    * (dist ASC, code ASC) with no precision loss. The struct-keyed
+    * max_by it replaces planned as SortAggregate, which sorted the
+    * full N×[[PqSub]]×[[PqCodes]] encode stream — at 10M vectors that
+    * is 2.6·10⁹ rows (~120 GB of sort spill, past this host's disk;
+    * the second round-10 AnnPqRegime failure). The LONG min() runs
+    * through HashAggregate codegen and folds map-side to one row per
+    * (vector, subspace). */
   private def pqEncode(sv: DataFrame, cb: DataFrame): DataFrame =
     sv.join(broadcast(cb), "sub")
+      .select(col("vec_id"), col("sub"),
+        (pqDist * lit(PqCodes.toLong) + col("code")).as("pk"))
       .groupBy(col("vec_id"), col("sub"))
-      .agg(max_by(col("code"),
-        struct((-pqDist).as("nd"), (-col("code")).as("nc"))).as("code"))
+      .agg(min(col("pk")).as("pk"))
+      .select(col("vec_id"), col("sub"),
+        (col("pk") % lit(PqCodes.toLong)).as("code"))
 
   private val pqCodesMemo =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
