@@ -88,6 +88,16 @@ object AnnPqRegime {
       "ivfpq" -> (() => Similarity.ivfPqTopK(emb, 8, NQueries, K, corpusCount = n)),
       "ivfpq_p2" -> (() => Similarity.ivfPqTopK(emb, 8, NQueries, K,
         corpusCount = n, nprobe = 2)),
+      // refine must scale with cell occupancy: at 10M the same 1,000 cells
+      // hold 10× the vectors, so refine=16 re-ranks only the top 1.6% of a
+      // probed cell by ADC score (vs 16% at 1M) — sweep it to find where
+      // PQ recall recovers. Serve-time knob: the codes index is reused.
+      "ivfpq_r64" -> (() => Similarity.ivfPqTopK(emb, 8, NQueries, K,
+        corpusCount = n, refine = 64)),
+      "ivfpq_p2_r64" -> (() => Similarity.ivfPqTopK(emb, 8, NQueries, K,
+        corpusCount = n, nprobe = 2, refine = 64)),
+      "ivfpq_p2_r160" -> (() => Similarity.ivfPqTopK(emb, 8, NQueries, K,
+        corpusCount = n, nprobe = 2, refine = 160)),
       "ivf_int8" -> (() => Similarity.ivfInt8TopK(emb, 8, NQueries, K,
         nprobe = 2, refine = 4, corpusCount = n)),
       "ivf_int8_p4" -> (() => Similarity.ivfInt8TopK(emb, 8, NQueries, K,

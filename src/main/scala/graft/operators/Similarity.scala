@@ -665,7 +665,19 @@ object Similarity {
     * RefineFactor·k·nQueries vector reads — no corpus-scale float math
     * per query. All ADC distances are exact BIGINTs, so shortlist ties
     * break identically everywhere; the refined cosines reuse the
-    * round-6 chain the other ANN paths pin. */
+    * round-6 chain the other ANN paths pin.
+    *
+    * Sizing `refine` (measured, ANN_1M.md 10M section): refine is a
+    * FRACTION-OF-CELL knob, not a constant — it must scale with cell
+    * occupancy N/cells. refine=16 re-ranks the ADC-top-16% of a ~1k-row
+    * cell (recall 0.914 at 1M) but only the top 1.6% once the same cells
+    * hold 10M vectors (recall 0.644); refine=160 restores 0.928 there at
+    * serve cost still 7× under brute, because the exact re-rank reads
+    * refine·k·nQueries vectors regardless of corpus size. Rule:
+    * refine ≈ 0.16·N/cells, with cells grown as √N so both stay bounded.
+    * When to prefer this path over [[ivfInt8TopK]]: bytes-bound serving —
+    * the packed code table is 12.2 B/vec on disk vs 70.6 B/vec for the
+    * int8 index (5.8× smaller serving set, 21.5× under raw float). */
   def ivfPqTopK(emb: DataFrame, minCentroids: Int, nQueries: Int, k: Int,
       corpusCount: Option[Long] = None, nprobe: Int = 1,
       refine: Int = RefineFactor): DataFrame = {
