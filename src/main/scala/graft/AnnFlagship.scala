@@ -47,7 +47,7 @@ object AnnFlagship {
     * arg) makes clusters STRADDLE cells (more centers than cells), the
     * regime where multiprobe is the recall lever — both regimes are
     * measured in ANN_1M.md. */
-  private def genVectors(spark: SparkSession, dir: String, n: Long,
+  private[graft] def genVectors(spark: SparkSession, dir: String, n: Long,
       nClusters: Int): Unit = {
     val noise = 0.25
     spark.range(n)

@@ -53,18 +53,13 @@ object AnnPqRegime {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // the AnnFlagship corpus recipe (1,000 latent centers + 0.25 noise)
+    // the AnnFlagship corpus recipe — THE SAME generator, not a copy:
+    // the cross-scale recall comparison in ANN_1M.md is only valid while
+    // the two corpora share one formula (review finding)
     val vecDir = s"$work/vectors_n${nVecs}_c$nClusters"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$vecDir/_SUCCESS"))) {
       val t0 = System.nanoTime()
-      spark.range(nVecs)
-        .select(col("id").as("vec_id"), expr(
-          s"""transform(sequence(1, ${Similarity.Dim}), i -> CAST(
-             |  (pmod(xxhash64(id % $nClusters, i, 1), 1000000) / 500000.0 - 1.0)
-             |  + 0.25 * (pmod(xxhash64(id, i, 2), 1000000) / 500000.0 - 1.0)
-             |AS FLOAT))""".stripMargin).as("embedding"))
-        .repartition(64)
-        .write.mode("overwrite").parquet(vecDir)
+      AnnFlagship.genVectors(spark, vecDir, nVecs, nClusters)
       println(f"setup: vectors generated in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
     val emb = spark.read.parquet(vecDir)
@@ -118,9 +113,14 @@ object AnnPqRegime {
           val fs = Option(d.listFiles()).getOrElse(Array.empty)
           fs.map(f => if (f.isDirectory) dirSize(f) else f.length()).sum
         }
+        // Materialize.table sanitizes ':' in keys to '_', so the
+        // on-disk name is e.g. pqCodes_v3_<hash>_... — the structure
+        // name is the first '_'-segment (none of the structure names
+        // contain '_'). Splitting on ':' here was a no-op (review
+        // finding): the JSON reported full hashed keys, not structures.
         Option(root.listFiles()).getOrElse(Array.empty)
           .filter(f => f.isDirectory && !f.getName.startsWith("."))
-          .map(f => f.getName.takeWhile(_ != ':') -> dirSize(f))
+          .map(f => f.getName.takeWhile(_ != '_') -> dirSize(f))
           .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
       }
     // raw corpus bytes, for the 256 B/vec reference row

@@ -4,7 +4,11 @@ import java.util.concurrent.{FutureTask, TimeUnit, TimeoutException}
 
 /** Headline benchmark: runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line
-  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}.
+  * {"metric":"cpu_total","value":<task CPU sec>,"unit":"sec",
+  *  "wall_total":<sec>,...} — task CPU is the committed gate signal
+  * (wall drifts ±20% with host load on this box, BENCH_NOTES_r10.md);
+  * per-query wall ("queries") and CPU ("cpu") live in the
+  * bench_detail.json sidecar.
   *
   * Hardened so one bad query (or a contaminated host) cannot zero the
   * whole measurement:
@@ -335,7 +339,7 @@ object Bench {
     // gate signal at this suite size. Wall is retained as "wall_total"
     // / "queries" for context; the regression detector already prefers
     // CPU when both rounds carry it.
-    val detailed = s"""{"metric":"cpu_total","value":$cpuTotal,"unit":"sec","wall_total":$total,"queries":$qs,"cpu":$cpuJson,"cpu_total":$cpuTotal,"errors":$errJson,"regressions":$regJson,"index_build":$buildJson,"index_build_total":$buildTotal,"sf":"$sfDir"}"""
+    val detailed = s"""{"metric":"cpu_total","value":$cpuTotal,"unit":"sec","wall_total":$total,"queries":$qs,"cpu":$cpuJson,"errors":$errJson,"regressions":$regJson,"index_build":$buildJson,"index_build_total":$buildTotal,"sf":"$sfDir"}"""
     // Full detail to a committed file (next round's regression baseline,
     // and the judge's full-precision record) — from any run that covered
     // the whole registry (a blank GRAFT_ONLY counts); a filtered run

@@ -47,6 +47,49 @@ import scala.collection.mutable.ArrayBuffer
 object StreamFlagship {
   val Slices = 64
 
+  // ---- shared with StreamResume (the crash-resume twin) -------------
+  // One event formula, one sentinel, one parity projection: the two
+  // streaming flagships' results are only comparable while these are
+  // literally the same code (review finding — they were copies).
+  private[graft] val EvUsers = 50000L
+  private[graft] val EvSpanMs = 30L * 86400 * 1000 // 30 simulated days
+  private[graft] val EvT0 =
+    java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+  private[graft] val EvSchema = "user_id LONG, ts TIMESTAMP, value DOUBLE"
+
+  /** One generator slice [lo, hi): event time strictly increasing with
+    * id → slice order = event-time order → watermark-safe replay. */
+  private[graft] def eventSlice(spark: SparkSession, lo: Long, hi: Long,
+      nEvents: Long): DataFrame =
+    spark.range(lo, hi).selectExpr(
+      s"pmod(xxhash64(id, 1), $EvUsers) AS user_id",
+      s"timestamp_millis($EvT0 + CAST(id * ${EvSpanMs.toDouble} / $nEvents AS BIGINT)) AS ts",
+      "CAST(pmod(xxhash64(id, 2), 10000) AS DOUBLE) / 100.0 AS value")
+
+  /** One far-future event (user −1): appended after the backlog so a
+    * second AvailableNow run fires every open session's timeout. */
+  private[graft] def flushSentinel(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq((-1L, new java.sql.Timestamp(EvT0 + EvSpanMs + 2L * 86400000), 0.0))
+      .toDF("user_id", "ts", "value")
+  }
+
+  /** Canonical session-table parity projection: drop the sentinel
+    * user, epoch-millis timestamps, sum_value quantized to integer
+    * thousandths (exact across engines/orders). */
+  private[graft] def sessionKey(df: DataFrame): DataFrame =
+    df.filter(col("user_id") >= 0)
+      .select(col("user_id"), unix_millis(col("session_start")).as("s"),
+        unix_millis(col("session_end")).as("e"), col("n_events"),
+        round(col("sum_value") * 1000).cast("long").as("v"))
+
+  /** [[sessionKey]] + [[checksum]] in one step, for callers comparing
+    * whole session tables. */
+  private[graft] def sessionChecksum(df: DataFrame): (Long, String) = {
+    val keyed = sessionKey(df)
+    checksum(keyed, keyed.columns.toIndexedSeq)
+  }
+
   case class BatchStat(batchId: Long, rows: Long, triggerMs: Long,
       stateRows: Long)
 
@@ -71,7 +114,7 @@ object StreamFlagship {
   /** Order-independent table checksum: (row count, exact DECIMAL sum
     * of xxhash64 over the key columns — a LONG sum would overflow
     * under ANSI arithmetic). */
-  private def checksum(df: DataFrame, cols: Seq[String]): (Long, String) = {
+  private[graft] def checksum(df: DataFrame, cols: Seq[String]): (Long, String) = {
     val r = df.select(xxhash64(cols.map(col): _*).as("h"))
       .agg(count(lit(1)),
         sum(col("h").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
@@ -117,10 +160,6 @@ object StreamFlagship {
           recorder.stats.synchronized(!recorder.stats.exists(_.batchId >= last)))
         Thread.sleep(50)
     }
-
-    val nUsers = 50000L
-    val spanMs = 30L * 86400 * 1000 // 30 simulated days
-    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
 
     /** Generate `total` rows as [[Slices]] sequential time-ordered
       * slice writes — into a temp dir, atomically renamed into place
@@ -175,16 +214,11 @@ object StreamFlagship {
     val evDir = s"$work/events_in_n$nEvents"
     sentinelFree(evDir, "user_id")
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(evDir))) {
-      val sec = sliceWrite(evDir, nEvents, (lo, hi) =>
-        spark.range(lo, hi).selectExpr(
-          s"pmod(xxhash64(id, 1), $nUsers) AS user_id",
-          // event time strictly increasing with id → slice order =
-          // event-time order → watermark-safe replay
-          s"timestamp_millis($t0 + CAST(id * ${spanMs.toDouble} / $nEvents AS BIGINT)) AS ts",
-          "CAST(pmod(xxhash64(id, 2), 10000) AS DOUBLE) / 100.0 AS value"))
+      val sec = sliceWrite(evDir, nEvents,
+        (lo, hi) => eventSlice(spark, lo, hi, nEvents))
       println(f"setup: $nEvents events written in $sec%.1f s")
     }
-    val evSchema = "user_id LONG, ts TIMESTAMP, value DOUBLE"
+    val evSchema = EvSchema
     val sessOut = s"$work/sessions_out"
     val sessCkpt = s"$work/sessions_ckpt"
     wipe(sessOut, sessCkpt)
@@ -206,10 +240,7 @@ object StreamFlagship {
 
     // flush the open tail: one far-future sentinel event, second
     // AvailableNow run on the same checkpoint fires every timeout
-    import spark.implicits._
-    Seq((-1L, new java.sql.Timestamp(t0 + spanMs + 2L * 86400000), 0.0))
-      .toDF("user_id", "ts", "value").coalesce(1)
-      .write.mode("append").parquet(evDir)
+    flushSentinel(spark).coalesce(1).write.mode("append").parquet(evDir)
     val q1b = EventsStream.sessionizeStateful(spark,
         spark.readStream.schema(evSchema).parquet(evDir))
       .writeStream.outputMode("append").format("parquet")
@@ -218,20 +249,11 @@ object StreamFlagship {
     q1b.awaitTermination()
 
     // parity vs the batch twin, at full scale, order-independent
-    val streamed = spark.read.parquet(sessOut).filter(col("user_id") >= 0)
-      .select(col("user_id"), unix_millis(col("session_start")).as("s"),
-        unix_millis(col("session_end")).as("e"), col("n_events"),
-        round(col("sum_value") * 1000).cast("long").as("v"))
-    val batchTwin = operators.Temporal.sessionize(
-        spark.read.parquet(evDir).filter(col("user_id") >= 0))
-      .select(col("user_id"), unix_millis(col("session_start")).as("s"),
-        unix_millis(col("session_end")).as("e"), col("n_events"),
-        round(col("sum_value") * 1000).cast("long").as("v"))
-    val key = Seq("user_id", "s", "e", "n_events", "v")
     val tB = System.nanoTime()
-    val csBatch = checksum(batchTwin, key)
+    val csBatch = sessionChecksum(operators.Temporal.sessionize(
+      spark.read.parquet(evDir).filter(col("user_id") >= 0)))
     val batchSec = (System.nanoTime() - tB) / 1e9
-    val csStream = checksum(streamed, key)
+    val csStream = sessionChecksum(spark.read.parquet(sessOut))
     val sessParity = csStream == csBatch
 
     // ---- stage 2: nearDupGate over ~1 GB of docs -------------------
@@ -246,7 +268,7 @@ object StreamFlagship {
             s"CASE WHEN pmod(xxhash64(id, 5), 100) < 3 AND id >= 1000 " +
               s"THEN id - 1 - pmod(xxhash64(id, 6), 1000) ELSE id END AS tseed")
           .selectExpr("id AS doc_id",
-            s"timestamp_millis($t0 + CAST(id * ${docSpanMs.toDouble} / $nDocs AS BIGINT)) AS ts",
+            s"timestamp_millis($EvT0 + CAST(id * ${docSpanMs.toDouble} / $nDocs AS BIGINT)) AS ts",
             // 15..60 words from a 17,576-word ALPHABETIC vocab (3
             // base-26 letters — the index tokenizer keeps only
             // [a-z']+ runs, so digit-suffixed words would all collapse
@@ -297,7 +319,7 @@ object StreamFlagship {
       val maxState = if (ss.isEmpty) 0L else ss.map(_.stateRows).max
       f""""$name":{"rows":$rows,"sec":${math.round(totalSec * 100) / 100.0},"rows_per_sec":${math.round(rows / totalSec)},"batches":${ss.size},"batch_ms_p50":$p50,"batch_ms_max":$pMax,"max_state_rows":$maxState}"""
     }
-    val nSess = streamed.count()
+    val nSess = csStream._1 // checksum row count = sessionKey'd output rows
     val json = "{\"metric\":\"stream_1g\"," +
       stats("sessionize", mainStats, sessMainSec, nEvents) + "," +
       s""""sessionize_out_rows":$nSess,"sessionize_parity":$sessParity,"batch_twin_sec":${math.round(batchSec * 100) / 100.0},""" +

@@ -42,10 +42,10 @@ import graft.streaming.EventsStream
   */
 object StreamResume {
   val Slices = 64
-  private val nUsers = 50000L
-  private val spanMs = 30L * 86400 * 1000
-  private val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
-  private val evSchema = "user_id LONG, ts TIMESTAMP, value DOUBLE"
+  // generator formula, sentinel, schema, and parity projection are
+  // StreamFlagship's OWN members (not copies) — the two flagships'
+  // results stay comparable by construction (review finding)
+  import StreamFlagship.{EvSchema, eventSlice, flushSentinel, sessionChecksum}
 
   private def session(app: String): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -64,7 +64,7 @@ object StreamResume {
   private def runMain(spark: SparkSession, evDir: String, out: String,
       ckpt: String): Unit = {
     val q = EventsStream.sessionizeStateful(spark,
-        spark.readStream.schema(evSchema)
+        spark.readStream.schema(EvSchema)
           .option("maxFilesPerTrigger", 8).parquet(evDir))
       .writeStream.outputMode("append").format("parquet")
       .option("path", out).option("checkpointLocation", ckpt)
@@ -76,23 +76,8 @@ object StreamResume {
     * the same checkpoint fires every open session's timeout. */
   private def flush(spark: SparkSession, evDir: String, out: String,
       ckpt: String): Unit = {
-    import spark.implicits._
-    Seq((-1L, new java.sql.Timestamp(t0 + spanMs + 2L * 86400000), 0.0))
-      .toDF("user_id", "ts", "value").coalesce(1)
-      .write.mode("append").parquet(evDir)
+    flushSentinel(spark).coalesce(1).write.mode("append").parquet(evDir)
     runMain(spark, evDir, out, ckpt)
-  }
-
-  private def checksum(df: DataFrame): (Long, String) = {
-    val keyed = df.filter(col("user_id") >= 0)
-      .select(col("user_id"), unix_millis(col("session_start")).as("s"),
-        unix_millis(col("session_end")).as("e"), col("n_events"),
-        round(col("sum_value") * 1000).cast("long").as("v"))
-    val r = keyed.select(xxhash64(keyed.columns.map(col).toIndexedSeq: _*).as("h"))
-      .agg(count(lit(1)),
-        sum(col("h").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
-      .head()
-    (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toBigInteger.toString)
   }
 
   private def wipe(paths: String*): Unit = paths.foreach { p =>
@@ -101,15 +86,17 @@ object StreamResume {
   }
 
   /** Hardlink view of the generated backlog, so each run appends its
-    * own sentinel without touching the shared source. */
+    * own sentinel without touching the shared source. (listFiles, not
+    * Files.list — the stream variant leaks a directory fd unless
+    * closed; review finding.) */
   private def linkDir(src: String, dst: String): Unit = {
     wipe(dst)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dst))
-    java.nio.file.Files.list(java.nio.file.Paths.get(src)).forEach { p =>
-      if (!java.nio.file.Files.isDirectory(p))
+    Option(new java.io.File(src).listFiles()).getOrElse(Array.empty)
+      .filter(_.isFile).foreach { f =>
         java.nio.file.Files.createLink(
-          java.nio.file.Paths.get(dst, p.getFileName.toString), p)
-    }
+          java.nio.file.Paths.get(dst, f.getName), f.toPath)
+      }
   }
 
   private def commitCount(ckpt: String): Int = {
@@ -145,10 +132,7 @@ object StreamResume {
       for (i <- 0 until Slices) {
         val lo = i * per
         val hi = if (i == Slices - 1) nEvents else (i + 1) * per
-        spark.range(lo, hi).selectExpr(
-            s"pmod(xxhash64(id, 1), $nUsers) AS user_id",
-            s"timestamp_millis($t0 + CAST(id * ${spanMs.toDouble} / $nEvents AS BIGINT)) AS ts",
-            "CAST(pmod(xxhash64(id, 2), 10000) AS DOUBLE) / 100.0 AS value")
+        eventSlice(spark, lo, hi, nEvents)
           .coalesce(4).write.mode(if (i == 0) "overwrite" else "append")
           .parquet(tmp.getPath)
       }
@@ -168,14 +152,10 @@ object StreamResume {
     // ---- run B: child JVM SIGKILLed mid-replay, then resumed ---------
     val (evB, outB, ckptB) = (s"$work/ev_b", s"$work/out_b", s"$work/ckpt_b")
     linkDir(base, evB); wipe(outB, ckptB)
-    val addOpens = Seq("java.lang", "java.lang.invoke", "java.lang.reflect",
-      "java.io", "java.net", "java.nio", "java.util", "java.util.concurrent",
-      "java.util.concurrent.atomic")
-      .map(m => s"--add-opens=java.base/$m=ALL-UNNAMED") ++
-      Seq("--add-opens=java.base/sun.nio.ch=ALL-UNNAMED",
-        "--add-opens=java.base/sun.nio.cs=ALL-UNNAMED",
-        "--add-opens=java.base/sun.security.action=ALL-UNNAMED",
-        "--add-opens=java.base/sun.util.calendar=ALL-UNNAMED")
+    // the child gets the SAME JDK17 --add-opens set every other forked
+    // JVM in this repo gets — one maintained list (review finding: an
+    // inline copy would drift when a Spark upgrade adds a module)
+    val addOpens = Cluster.execOpts.split(" ").toSeq
     val cmd = (Seq(s"${System.getProperty("java.home")}/bin/java") ++ addOpens ++
       Seq("-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
         "-Xmx12g", "-cp", System.getProperty("java.class.path"),
@@ -208,8 +188,8 @@ object StreamResume {
     val batchesB = commitCount(ckptB)
 
     // ---- parity -------------------------------------------------------
-    val csA = checksum(spark.read.parquet(outA))
-    val csB = checksum(spark.read.parquet(outB))
+    val csA = sessionChecksum(spark.read.parquet(outA))
+    val csB = sessionChecksum(spark.read.parquet(outB))
     // the killed attempt's orphan part-files exist on disk but must be
     // invisible through the sink manifest — report the physical count
     val physB = new java.io.File(outB).listFiles()

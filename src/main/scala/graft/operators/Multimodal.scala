@@ -149,6 +149,10 @@ object Multimodal {
   def pngMedia(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      // per-partition decoder init: ImageIO's default stream cache is a
+      // DISK-backed temp file per image — pure syscall overhead for
+      // blobs this small (review finding); keep it in memory
+      javax.imageio.ImageIO.setUseCache(false)
       ids.map(id => MediaRow(id, "image", encodePng(id)))
     }.toDF()
   }
@@ -163,6 +167,7 @@ object Multimodal {
   def decodePngStats(spark: SparkSession, media: DataFrame): Dataset[PngStats] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // in-memory stream cache
       rows.map { m =>
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(m.payload))
