@@ -16,9 +16,15 @@ import org.apache.spark.sql.functions._
   *    aggregates per-channel pixel sums. PNG is lossless 8-bit RGB, so
   *    the decoded stats equal the planted formula exactly — which is
   *    what makes a REAL decode oracle-checkable in SQL.
+  *  - [[decodeWavStats]] is a REAL audio decode — `javax.sound.sampled`
+  *    ships a RIFF/WAVE PCM codec in every stock JDK: [[wavMedia]]
+  *    renders one genuine WAV clip per document (deterministic planted
+  *    16-bit samples) and the decoder parses the container back and
+  *    aggregates amplitude stats. PCM is lossless, so this too is
+  *    oracle-checkable in SQL.
   *  - [[stubDecode]] keeps the text-payload feature extractor for the
-  *    audio/video half of the media table, where the container has no
-  *    codec (declared stand-in; same partition-batched shape).
+  *    VIDEO half of the media table, the one format the JDK ships no
+  *    codec for (declared stand-in; same partition-batched shape).
   *
   * The surrounding plumbing is the real pattern for 100 TB media
   * pipelines either way:
@@ -191,4 +197,88 @@ object Multimodal {
   /** encode → REAL decode → per-image stats, as a registry entry. */
   def mediaDecodeStats(spark: SparkSession, docs: DataFrame): DataFrame =
     decodePngStats(spark, pngMedia(spark, docs)).toDF().orderBy("doc_id")
+
+  // ---- real audio decode (JDK javax.sound.sampled, no ext codecs) ---
+
+  /** Deterministic planted-PCM geometry: short 16-bit mono clips whose
+    * sample values are an integer formula of (doc_id, i) — the known
+    * ground truth the DECODED stats are oracle-checked against. The
+    * formula spans negative and positive amplitudes so the decoder's
+    * signed little-endian handling is exercised, not just byte sums. */
+  def wavSamples(id: Long): Int = (16 + id % 17).toInt
+  def wavSample(id: Long, i: Int): Int = ((13 * id + 7 * i) % 4001).toInt - 2000
+
+  /** Render one REAL WAV for a document id — a genuine RIFF/WAVE
+    * container (fmt + data chunks, 16-bit signed little-endian PCM)
+    * written by the JDK's own `javax.sound.sampled` encoder. Runs on
+    * executors inside [[wavMedia]]. */
+  def encodeWav(id: Long): Array[Byte] = {
+    val n = wavSamples(id)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = wavSample(id, i)
+      pcm(2 * i) = (s & 0xff).toByte // little-endian 16-bit signed
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  case class WavStats(doc_id: Long, n_samples: Long, sum_amp: Long,
+      sum_abs: Long, peak: Int)
+
+  /** Audio media table with REAL WAV payloads (one clip per document,
+    * rendered on executors — at 100 TB the blobs come from object
+    * storage instead, same schema). */
+  def wavMedia(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map(id => MediaRow(id, "audio", encodeWav(id)))
+    }.toDF()
+  }
+
+  /** REAL decode: `AudioSystem.getAudioInputStream` parses each WAV
+    * blob through the JDK's actual RIFF/WAVE reader (chunk walk, format
+    * negotiation) and the PCM samples are re-signed and aggregated —
+    * the feature-extraction stage of an audio pipeline (amplitude sum,
+    * absolute energy, peak). PCM is lossless, so the stats equal the
+    * planted formula exactly (hash-gated by the audio_decode_stats
+    * oracle). Only video remains a declared stand-in — the JDK ships no
+    * video codec. */
+  def decodeWavStats(spark: SparkSession, media: DataFrame): Dataset[WavStats] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { m =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(m.payload))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+          !fmt.isBigEndian && fmt.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          s"unexpected WAV format for doc ${m.doc_id}: $fmt")
+        val bytes = ais.readAllBytes()
+        val n = bytes.length / 2
+        var sum = 0L; var sabs = 0L; var peak = 0
+        var i = 0
+        while (i < n) {
+          val s = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toInt
+          sum += s; val a = math.abs(s)
+          sabs += a; if (a > peak) peak = a
+          i += 1
+        }
+        WavStats(m.doc_id, n.toLong, sum, sabs, peak)
+      }
+    }
+  }
+
+  /** encode → REAL decode → per-clip stats, as a registry entry. */
+  def audioDecodeStats(spark: SparkSession, docs: DataFrame): DataFrame =
+    decodeWavStats(spark, wavMedia(spark, docs)).toDF().orderBy("doc_id")
 }

@@ -54,6 +54,18 @@ object MultimodalQueries {
            |  CASE WHEN length(text) > 1 THEN ascii(substr(text, 2, 1)) + 1 ELSE 1 END AS fake_height
            |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("audio_decode_stats",
+      (s, d) => Multimodal.audioDecodeStats(s, Tables.documents(s, d)), Some(
+        """SELECT doc_id,
+          |  CAST(16 + doc_id % 17 AS BIGINT) AS n_samples,
+          |  CAST(list_sum(list_transform(range(0, 16 + doc_id % 17),
+          |    i -> (13 * doc_id + 7 * i) % 4001 - 2000)) AS BIGINT) AS sum_amp,
+          |  CAST(list_sum(list_transform(range(0, 16 + doc_id % 17),
+          |    i -> abs((13 * doc_id + 7 * i) % 4001 - 2000))) AS BIGINT) AS sum_abs,
+          |  CAST(list_max(list_transform(range(0, 16 + doc_id % 17),
+          |    i -> abs((13 * doc_id + 7 * i) % 4001 - 2000))) AS INT) AS peak
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+
     QueryDef("media_decode_stats",
       (s, d) => Multimodal.mediaDecodeStats(s, Tables.documents(s, d)), Some(
         s"""SELECT doc_id,

@@ -50,6 +50,49 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("encodeWav produces a genuine RIFF/WAVE container the JDK parses back") {
+    val bytes = Multimodal.encodeWav(42L)
+    assert(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
+      bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'A' &&
+      bytes(10) == 'V' && bytes(11) == 'E', "payload is not a real WAV")
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val fmt = ais.getFormat
+    assert(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+      !fmt.isBigEndian)
+    val pcm = ais.readAllBytes()
+    // doc 42: n = 16 + 42%17 = 24 samples; s(i) = (546 + 7i) % 4001 - 2000
+    assert(pcm.length == 48)
+    def sampleAt(i: Int): Int =
+      ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort.toInt
+    assert(sampleAt(0) == -1454, s"s(0) = ${sampleAt(0)}") // 546 - 2000
+    assert(sampleAt(23) == -1293, s"s(23) = ${sampleAt(23)}") // 707 - 2000
+    // a doc whose formula wraps past the modulus (signed round-trip both
+    // sides of zero): doc 300, s(0) = 3900-2000 = 1900, s(15) = 4005%4001
+    // - 2000 = -1996
+    val pcm300 = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(Multimodal.encodeWav(300L))).readAllBytes()
+    def s300(i: Int): Int =
+      ((pcm300(2 * i) & 0xff) | (pcm300(2 * i + 1) << 8)).toShort.toInt
+    assert(s300(0) == 1900 && s300(15) == -1996)
+  }
+
+  test("decodeWavStats equals the planted formula for every document") {
+    val docs = Tables.documents(spark, sf0001).select("doc_id")
+    val got = Multimodal.audioDecodeStats(spark, docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4))).toMap
+    assert(got.nonEmpty)
+    // independent Scala recomputation from the formulas, never AudioSystem
+    got.foreach { case (id, (n, sum, sabs, peak)) =>
+      val ss = (0 until Multimodal.wavSamples(id)).map(Multimodal.wavSample(id, _))
+      assert(n == ss.size.toLong)
+      assert(sum == ss.map(_.toLong).sum, s"sum_amp mismatch for doc $id")
+      assert(sabs == ss.map(s => math.abs(s).toLong).sum)
+      assert(peak == ss.map(math.abs).max)
+    }
+  }
+
   test("metadata queries over a parquet media table never read the payload bytes") {
     // write a real media table (binary payload column), then scan only
     // the metadata columns: the parquet ReadSchema must exclude payload
