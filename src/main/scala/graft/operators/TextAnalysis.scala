@@ -82,6 +82,55 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Closed-form distributed OLS: fit `length(text) ~ feature` for each
+    * of three integer document features (space count ≈ word count, and
+    * two letter frequencies) via the normal equations, entirely in EXACT
+    * integer arithmetic — the quality-classifier-fitting primitive a
+    * curation pipeline runs over its labeled pool.
+    *
+    * Shape at scale: ONE partial-aggregable pass over the corpus (the
+    * 3×N stacked (feature, x, y) rows combine map-side into 6 running
+    * sums per feature), a 3-group shuffle, O(1) result — the same plan
+    * at 100 TB, no iteration, no driver-side data. Slope/intercept come
+    * out of Cramer's rule on the aggregated sums; all products stay in
+    * DECIMAL(38,0) (exact, order-independent), and the final micro-unit
+    * quantization uses sign-split truncating division so Spark's `div`
+    * and DuckDB's `//` agree on negative numerators by construction.
+    * Overflow headroom: |1e6·(sy·den − num·sx)| ≲ n³·f²·y²·1e6 — safe
+    * past sf10 (5×10⁵ docs, ~10³² of the 10³⁸ budget); a corpus 10³×
+    * larger would re-quantize to milli-units first. */
+  def qualityRegression(docs: DataFrame): DataFrame = {
+    val base = docs.selectExpr(
+      "CAST(length(text) AS DECIMAL(38,0)) AS y",
+      "CAST(length(text) - length(replace(text, ' ', '')) AS DECIMAL(38,0)) AS f_words",
+      "CAST(length(text) - length(replace(text, 'e', '')) AS DECIMAL(38,0)) AS f_e",
+      "CAST(length(text) - length(replace(text, 'a', '')) AS DECIMAL(38,0)) AS f_a")
+    val stacked = base.select(col("y"), explode(map(
+      lit("letter_a"), col("f_a"), lit("letter_e"), col("f_e"),
+      lit("words"), col("f_words"))).as(Seq("feature", "x")))
+    stacked.groupBy("feature").agg(
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+      .selectExpr("feature", "CAST(n AS BIGINT) AS n_docs",
+        "n*sxy - sx*sy AS num", "n*sxx - sx*sx AS den",
+        "n*syy - sy*sy AS deny", "sx", "sy", "n")
+      .selectExpr("feature", "n_docs",
+        """CASE WHEN den = 0 THEN CAST(NULL AS BIGINT) ELSE
+           CAST(CASE WHEN num < 0 THEN -1 ELSE 1 END *
+                ((1000000 * abs(num)) div den) AS BIGINT) END AS slope_micro""",
+        """CASE WHEN den = 0 THEN CAST(NULL AS BIGINT) ELSE
+           CAST(CASE WHEN sy*den - num*sx < 0 THEN -1 ELSE 1 END *
+                ((1000000 * abs(sy*den - num*sx)) div (n*den)) AS BIGINT)
+           END AS intercept_micro""",
+        """CASE WHEN den = 0 OR deny = 0 THEN CAST(NULL AS BIGINT) ELSE
+           CAST((1000 * num * num) div (den * deny) AS BIGINT)
+           END AS r2_permille""")
+      .orderBy("feature")
+  }
+
   /** Token counting per source: whitespace tokens vs BPE-ish regex
     * tokens, aggregated per source. */
   def tokenStats(docs: DataFrame): DataFrame =

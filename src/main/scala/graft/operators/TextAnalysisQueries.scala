@@ -57,6 +57,41 @@ object TextAnalysisQueries {
           |             + (0.5 * (CAST(least(n_tokens, 100) AS DOUBLE) / 100.0)), 6) AS quality
           |FROM b ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("quality_regression",
+      (s, d) => TextAnalysis.qualityRegression(Tables.documents(s, d)), Some(
+        """WITH base AS (
+          |  SELECT CAST(length(text) AS HUGEINT) AS y,
+          |    CAST(length(text) - length(replace(text, ' ', '')) AS HUGEINT) AS f_words,
+          |    CAST(length(text) - length(replace(text, 'e', '')) AS HUGEINT) AS f_e,
+          |    CAST(length(text) - length(replace(text, 'a', '')) AS HUGEINT) AS f_a
+          |  FROM documents),
+          |stacked AS (
+          |  SELECT 'words' AS feature, f_words AS x, y FROM base
+          |  UNION ALL SELECT 'letter_e', f_e, y FROM base
+          |  UNION ALL SELECT 'letter_a', f_a, y FROM base),
+          |s AS (
+          |  SELECT feature, CAST(count(*) AS HUGEINT) AS n,
+          |         sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx,
+          |         sum(x*y) AS sxy, sum(y*y) AS syy
+          |  FROM stacked GROUP BY feature),
+          |c AS (
+          |  SELECT feature, n, sx, sy,
+          |         n*sxy - sx*sy AS num, n*sxx - sx*sx AS den,
+          |         n*syy - sy*sy AS deny
+          |  FROM s)
+          |SELECT feature, CAST(n AS BIGINT) AS n_docs,
+          |  CASE WHEN den = 0 THEN NULL ELSE
+          |    CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END) *
+          |         ((1000000 * abs(num)) // den) AS BIGINT) END AS slope_micro,
+          |  CASE WHEN den = 0 THEN NULL ELSE
+          |    CAST((CASE WHEN sy*den - num*sx < 0 THEN -1 ELSE 1 END) *
+          |         ((1000000 * abs(sy*den - num*sx)) // (n*den)) AS BIGINT)
+          |    END AS intercept_micro,
+          |  CASE WHEN den = 0 OR deny = 0 THEN NULL ELSE
+          |    CAST((1000 * num * num) // (den * deny) AS BIGINT)
+          |    END AS r2_permille
+          |FROM c ORDER BY feature""".stripMargin)),
+
     QueryDef("quality_weighted_sample",
       (s, d) => TextAnalysis.qualityWeightedSample(Tables.documents(s, d)), Some(
         """WITH t AS (

@@ -185,6 +185,44 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("distributed closed-form OLS equals a naive driver-side fit") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, sf0001)
+    val got = TextAnalysis.qualityRegression(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.keySet == Set("letter_a", "letter_e", "words"))
+    // naive recompute: collect the raw text, fit each feature with plain
+    // BigInt arithmetic (the same sign-split truncating quantization)
+    val texts = docs.select("text").collect().map(_.getString(0))
+    def fit(f: String => Long): (Long, Long, Long, Long) = {
+      val xs = texts.map(t => BigInt(f(t)))
+      val ys = texts.map(t => BigInt(t.length.toLong))
+      val n = BigInt(texts.length)
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxx = xs.map(x => x * x).sum
+      val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+      val syy = ys.map(y => y * y).sum
+      val num = n * sxy - sx * sy
+      val den = n * sxx - sx * sx
+      val deny = n * syy - sy * sy
+      def q(v: BigInt, d: BigInt, scale: Int) =
+        (v.signum * ((BigInt(scale) * v.abs) / d)).toLong
+      (n.toLong, q(num, den, 1000000),
+        q(sy * den - num * sx, n * den, 1000000),
+        ((BigInt(1000) * num * num) / (den * deny)).toLong)
+    }
+    def countChar(c: Char)(t: String): Long = t.count(_ == c).toLong
+    assert(got("words") == fit(countChar(' ')))
+    assert(got("letter_e") == fit(countChar('e')))
+    assert(got("letter_a") == fit(countChar('a')))
+    // non-vacuous: space count tracks length almost perfectly on this
+    // corpus (fixed-width words), letters correlate but weaker
+    assert(got("words")._2 > 0 && got("words")._4 > 900,
+      s"words fit should be near-perfect: ${got("words")}")
+    assert(got("letter_e")._4 > 0 && got("letter_e")._4 < got("words")._4)
+  }
+
   test("a failed task attempt is retried and the job completes (reference O16)") {
     // the reference re-queues a chunk when its worker misses the 20 s
     // deadline (coordinator/coordinator.py timeout loop); Spark's analogue
