@@ -638,6 +638,51 @@ object TextAnalysis {
       .orderBy("split")
   }
 
+  /** DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by the log-likelihood ratio of its hashed token features
+    * under a target distribution vs the raw corpus, then keep the top-k.
+    * Target here = the `lang = 'en'` slice (the high-quality-pool
+    * stand-in); features = tokens hashed into 256 md5-prefix buckets
+    * (engine-portable, fixed fan-out). Add-1 smoothed per-bucket
+    * log-ratios are quantized to integer 1e-4 units (round-half-up,
+    * the [[tokenKlDrift]] portability trick) BEFORE the per-doc sum,
+    * so document weights are order-independent BIGINT sums.
+    *
+    * Shape at scale: ONE corpus scan builds the (doc, bucket, c) table
+    * (partial-aggregated explode); bucket totals and the target slice
+    * are RE-aggregates of that table (256 keys — no second scan); the
+    * 256-row llr table broadcasts back; top-k is TakeOrderedAndProject.
+    * The only crossJoin is the one-row grand-total broadcast. */
+  def importanceResampling(docs: DataFrame, k: Int = 100): DataFrame = {
+    val docBucket = docs
+      .select(col("doc_id"), (col("lang") === "en").as("is_target"),
+        explode(toks).as("t"))
+      .select(col("doc_id"), col("is_target"),
+        substring(md5(col("t")), 1, 2).as("bucket"))
+      .groupBy("doc_id", "is_target", "bucket")
+      .agg(count(lit(1)).as("c"))
+    val bucketTotals = docBucket.groupBy("bucket").agg(
+      sum(col("c")).as("cr"),
+      sum(when(col("is_target"), col("c")).otherwise(0L)).as("ct"))
+    val grand = bucketTotals.agg(
+      sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+    val llr = bucketTotals.crossJoin(broadcast(grand))
+      .withColumn("llr4", floor(
+        log((col("ct").cast("double") + lit(1.0)) *
+            (col("nr").cast("double") + lit(256.0)) /
+            ((col("cr").cast("double") + lit(1.0)) *
+             (col("nt").cast("double") + lit(256.0)))) *
+        lit(10000.0) + lit(0.5)).cast("long"))
+      .select("bucket", "llr4")
+    docBucket.join(broadcast(llr), "bucket")
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c") * col("llr4")).as("weight_units"))
+      .orderBy(col("weight_units").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Dataset-card summary: the one-row corpus rollup (docs, tokens,
     * chars, language/source cardinalities, length extremes) a data
     * release documents. One scan, one partial-aggregated global

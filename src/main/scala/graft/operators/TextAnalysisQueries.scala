@@ -622,6 +622,33 @@ object TextAnalysisQueries {
           |        / CAST(count(*) AS DOUBLE) / 10000.0, 6) AS avg_logp
           |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("importance_resampling",
+      (s, d) => TextAnalysis.importanceResampling(Tables.documents(s, d)), Some(
+        """WITH t AS (
+          |  SELECT doc_id, lang = 'en' AS is_target,
+          |         unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS tok
+          |  FROM documents),
+          |db AS (
+          |  SELECT doc_id, is_target, substr(md5(tok), 1, 2) AS bucket,
+          |         count(*) AS c
+          |  FROM t GROUP BY 1, 2, 3),
+          |bt AS (
+          |  SELECT bucket, sum(c) AS cr,
+          |         sum(CASE WHEN is_target THEN c ELSE 0 END) AS ct
+          |  FROM db GROUP BY 1),
+          |g AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM bt),
+          |llr AS (
+          |  SELECT bucket,
+          |    CAST(floor(ln((CAST(ct AS DOUBLE) + 1.0) * (CAST(nr AS DOUBLE) + 256.0)
+          |        / ((CAST(cr AS DOUBLE) + 1.0) * (CAST(nt AS DOUBLE) + 256.0)))
+          |      * 10000.0 + 0.5) AS BIGINT) AS llr4
+          |  FROM bt, g)
+          |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+          |       CAST(sum(c * llr4) AS BIGINT) AS weight_units
+          |FROM db JOIN llr USING (bucket)
+          |GROUP BY doc_id
+          |ORDER BY weight_units DESC, doc_id LIMIT 100""".stripMargin)),
+
     QueryDef("source_overlap_minhash",
       (s, d) => TextAnalysis.sourceOverlapMinhash(Tables.documents(s, d)),
       Some {

@@ -211,7 +211,10 @@ class PlanShapeSpec extends SparkSpec {
       "source_overlap_minhash", "source_overlap_exact",
       // embedding_split_drift: the 3-row split-centroid table
       // self-joined on a < b — bounded by the split count
-      "embedding_split_drift")
+      "embedding_split_drift",
+      // importance_resampling: the one-row grand-total broadcast onto
+      // the 256-row bucket table (the token_kl_drift pattern)
+      "importance_resampling")
     SparkEntry.registry.foreach { q =>
       val plan = q.fn(spark, sf0001).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),

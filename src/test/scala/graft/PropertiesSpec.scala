@@ -223,6 +223,40 @@ class PropertiesSpec extends SparkSpec {
     assert(got("letter_e")._4 > 0 && got("letter_e")._4 < got("words")._4)
   }
 
+  test("DSIR importance weights equal a naive driver-side recompute") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, sf0001)
+    val got = TextAnalysis.importanceResampling(docs, k = 50).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+    // naive recompute, no Spark: tokenize, md5-prefix bucket, add-1
+    // smoothed llr per bucket quantized like the operator, per-doc sums
+    val raw = docs.select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(tok: String): String =
+      md.digest(tok.getBytes("UTF-8")).take(1).map("%02x".format(_)).mkString
+    val tokRe = "[a-z']+".r
+    val perDoc = raw.map { case (id, lang, text) =>
+      (id, lang == "en",
+        tokRe.findAllIn(text.toLowerCase).map(bucket).toSeq
+          .groupBy(identity).map { case (b, g) => b -> g.size.toLong })
+    }
+    val cr = perDoc.flatMap(_._3).groupBy(_._1).map { case (b, g) => b -> g.map(_._2).sum }
+    val ct = perDoc.filter(_._2).flatMap(_._3).groupBy(_._1)
+      .map { case (b, g) => b -> g.map(_._2).sum }
+    val nr = cr.values.sum.toDouble; val nt = ct.values.sum.toDouble
+    def llr4(b: String): Long = math.floor(math.log(
+      (ct.getOrElse(b, 0L) + 1.0) * (nr + 256.0) /
+      ((cr(b) + 1.0) * (nt + 256.0))) * 10000.0 + 0.5).toLong
+    val naive = perDoc.map { case (id, _, bs) =>
+      (id, bs.values.sum, bs.map { case (b, c) => c * llr4(b) }.sum)
+    }.sortBy(t => (-t._3, t._1)).take(50)
+    assert(got.toSeq == naive.toSeq)
+    // non-vacuous: weights are not all equal and the winner is positive
+    assert(got.map(_._3).distinct.length > 10 && got.head._3 > 0)
+  }
+
   test("a failed task attempt is retried and the job completes (reference O16)") {
     // the reference re-queues a chunk when its worker misses the 20 s
     // deadline (coordinator/coordinator.py timeout loop); Spark's analogue
