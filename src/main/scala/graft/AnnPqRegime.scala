@@ -72,7 +72,8 @@ object AnnPqRegime {
       println(f"stage $name%-12s $dt%8.1f s")
       (r, dt)
     }
-    val (truth, tBrute) = timed("brute")(Similarity.bruteForceTopK(emb, NQueries, K))
+    val (truth, tBrute) =
+      timed("brute")(Similarity.bruteForceTopK(emb, NQueries, K, n))
     val truthPairs = truth.select("query_id", "cand_id")
     val nTruth = truthPairs.count()
     def recallOf(approx: DataFrame): Double =

@@ -81,9 +81,31 @@ object Similarity {
       planes: Int = LshPlanes): Column =
     graft.functions.GraftFunctions.lsh_bucket(spark, e, planes)
 
+  /** Corpus size above which [[bruteForceTopK]] switches from the
+    * single per-query window to the bucketed two-stage top-k. Below
+    * it the single sort fits executor memory and the extra exchange
+    * of the bucketed shape is pure overhead (measured: 3.3× task CPU
+    * on the sf0.1 corpus, interleaved A/B vs the r9 binary); above it
+    * the single-stage window sorts nQueries·N rows per query slice
+    * and spilled past a 64 GB disk at 10M vectors (AnnPqRegime). */
+  val BruteBucketMin = 1000000L
+
   /** Brute-force cosine top-k: queries = vec_id < nQueries, ranked per
-    * query by (rounded cosine DESC, cand_id). */
-  def bruteForceTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    * query by (rounded cosine DESC, cand_id). Two RESULT-IDENTICAL
+    * plan shapes, chosen by corpus size (the cost-based-planner move;
+    * spec-pinned equal):
+    *  - small (< [[BruteBucketMin]]): one per-query window — one
+    *    exchange, one in-memory sort;
+    *  - large: TWO-STAGE top-k (the md5-bucket global-rank shape) —
+    *    stage 1 keeps k per (query, cand-id bucket) so each sort sees
+    *    ~N/256 rows, stage 2 ranks the ≤ 256·k survivors per query.
+    *    Top-k of a union = top-k of the per-bucket top-k's, so the
+    *    result is identical while the sort spill shrinks 256×.
+    * Pass `corpusCount` when the caller knows it (flagships do); the
+    * fallback is one cheap columnar count — the same table-stats read
+    * a cost-based planner would make. */
+  def bruteForceTopK(emb: DataFrame, nQueries: Int, k: Int,
+      corpusCount: Option[Long] = None): DataFrame = {
     val q = emb.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
       .filter(col("query_id") < nQueries)
     val c = emb.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
@@ -91,23 +113,20 @@ object Similarity {
       .select(col("query_id"), col("cand_id"),
         round(graft.functions.GraftFunctions.cosine_sim(
           emb.sparkSession, col("qe"), col("ce")), 6).as("cos_sim"))
-    // TWO-STAGE top-k (the md5-bucket global-rank shape): stage 1 keeps
-    // k per (query, cand-id bucket) — each sort sees ~N/256 rows —
-    // stage 2 ranks the ≤ 256·k survivors per query. Identical result
-    // to a single per-query window (top-k of a union = top-k of the
-    // per-bucket top-k's), but the sort spill shrinks 256×: at 10M
-    // vectors the single-stage window spilled past a 64 GB disk
-    // (AnnPqRegime, round 10) — nQueries·N rows through 64 sorts —
-    // while the bucketed shape streams in memory.
-    val wb = Window.partitionBy(col("query_id"), col("bkt"))
-      .orderBy(col("cos_sim").desc, col("cand_id").asc)
-    val perBucket = scored
-      .withColumn("bkt", pmod(col("cand_id"), lit(256)))
-      .withColumn("rb", row_number().over(wb))
-      .filter(col("rb") <= k)
+    val n = corpusCount.getOrElse(emb.select(count(lit(1))).head().getLong(0))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("cand_id").asc)
-    perBucket.withColumn("rnk", row_number().over(w).cast("long"))
+    val prefiltered =
+      if (n < BruteBucketMin) scored
+      else {
+        val wb = Window.partitionBy(col("query_id"), col("bkt"))
+          .orderBy(col("cos_sim").desc, col("cand_id").asc)
+        scored
+          .withColumn("bkt", pmod(col("cand_id"), lit(256)))
+          .withColumn("rb", row_number().over(wb))
+          .filter(col("rb") <= k)
+      }
+    prefiltered.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("cand_id"), col("cos_sim"))
       .orderBy("query_id", "rnk")

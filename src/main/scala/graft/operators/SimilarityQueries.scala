@@ -416,7 +416,8 @@ object SimilarityQueries {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("ann_topk",
-      (s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d), 8, 5),
+      (s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d), 8, 5,
+        corpusCount = Some(Tables.rowCount(s, d, "embeddings"))),
       Some(annTopkSql)),
     QueryDef("ann_lsh_topk",
       (s, d) => Similarity.lshTopK(Tables.embeddings(s, d), 16, 3,

@@ -54,6 +54,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(again.sorted.sameElements(tb.as[(Long, Long)].collect().sorted))
   }
 
+  test("bruteForceTopK's two plan shapes produce identical rankings") {
+    // the size-conditional shapes (single window vs bucketed two-stage)
+    // must be result-identical — force each via corpusCount and compare
+    val small = Similarity.bruteForceTopK(emb, 6, 7,
+      corpusCount = Some(1L)) // < BruteBucketMin → single window
+    val bucketed = Similarity.bruteForceTopK(emb, 6, 7,
+      corpusCount = Some(Similarity.BruteBucketMin)) // → two-stage
+    val a = small.as[(Long, Long, Long, Double)].collect().toSeq
+    val b = bucketed.as[(Long, Long, Long, Double)].collect().toSeq
+    assert(a == b, "bucketed two-stage top-k diverges from the single window")
+    assert(a.nonEmpty)
+    // and the shapes genuinely differ: the bucketed plan has two windows
+    val nw = bucketed.queryExecution.executedPlan.toString
+      .split("\n").count(_.contains("Window"))
+    val nw1 = small.queryExecution.executedPlan.toString
+      .split("\n").count(_.contains("Window"))
+    assert(nw > nw1, s"expected extra window stage (got $nw1 vs $nw)")
+  }
+
   test("LSH bucket candidates are a subset of brute-force ranking") {
     val bf = Similarity.bruteForceTopK(emb, 4, 50)
       .select("query_id", "cand_id", "cos_sim")
