@@ -154,7 +154,15 @@ object Multimodal {
     * object storage instead, same schema). */
   def pngMedia(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+    // the encode/decode stage is CPU-bound per ROW over 8-byte input
+    // rows, so its parallelism must come from the task count, not the
+    // scan's byte-based splits: a 250 MB documents file maps to ~2 input
+    // partitions and ran the sf10 decode nearly serially (cpu/wall 1.15,
+    // measured). Repartition the ids to the cluster's parallelism — at
+    // 100 TB the media table arrives as many objects anyway.
+    docs.select(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[Long].mapPartitions { ids =>
       // per-partition decoder init: ImageIO's default stream cache is a
       // DISK-backed temp file per image — pure syscall overhead for
       // blobs this small (review finding); keep it in memory
@@ -208,10 +216,53 @@ object Multimodal {
   def wavSamples(id: Long): Int = (16 + id % 17).toInt
   def wavSample(id: Long, i: Int): Int = ((13 * id + 7 * i) % 4001).toInt - 2000
 
+  /** 16-bit signed little-endian mono PCM — the one clip format. */
+  private val PcmFormat =
+    new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+
+  /** The JDK's RIFF/WAVE codec providers, obtained ONCE per JVM via
+    * ServiceLoader and called directly. Two measured reasons not to go
+    * through the `AudioSystem` facade on a per-row decode path:
+    *  - the facade funnels every call through a synchronized provider
+    *    registry (JDK13Services) — a global lock per clip;
+    *  - its reader chain tries providers in registration order, and
+    *    `SoftMidiAudioFileReader` (before WaveFileReader in a stock
+    *    JDK) routes each attempt through the synchronized MidiSystem —
+    *    the 16-thread micro-bench measured 43k clips/s through the
+    *    chain vs 1.29M clips/s WAVE-reader-first (30×, perfect
+    *    scaling). Same codec classes, no global lock per row.
+    * Writer selection is FORMAT-aware (`getAudioFileTypes(stream)`),
+    * not just container-aware: `WaveFloatFileWriter` also claims WAVE
+    * but rejects integer PCM — `isFileTypeSupported(Type)` alone picks
+    * it under unlucky provider order. Readers are probe-ordered: the
+    * provider that accepts one [[encodeWav]] clip is tried first, the
+    * rest kept as the standard fallback chain. */
+  private lazy val wavWriter: javax.sound.sampled.spi.AudioFileWriter = {
+    import scala.jdk.CollectionConverters._
+    val probe = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(new Array[Byte](32)), PcmFormat, 16L)
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .asScala.find(_.getAudioFileTypes(probe)
+        .contains(javax.sound.sampled.AudioFileFormat.Type.WAVE))
+      .getOrElse(sys.error("no integer-PCM WAVE writer in this JDK"))
+  }
+  private lazy val wavReaders: Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    val all = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).asScala.toSeq
+    val probe = encodeWav(0L)
+    val (accepts, rest) = all.partition { r =>
+      try { r.getAudioInputStream(new java.io.ByteArrayInputStream(probe)); true }
+      catch { case _: Exception => false }
+    }
+    accepts ++ rest
+  }
+
   /** Render one REAL WAV for a document id — a genuine RIFF/WAVE
     * container (fmt + data chunks, 16-bit signed little-endian PCM)
-    * written by the JDK's own `javax.sound.sampled` encoder. Runs on
-    * executors inside [[wavMedia]]. */
+    * written by the JDK's own `javax.sound.sampled` codec (provider
+    * called directly — see [[wavWriter]]). Runs on executors inside
+    * [[wavMedia]]. */
   def encodeWav(id: Long): Array[Byte] = {
     val n = wavSamples(id)
     val pcm = new Array[Byte](n * 2)
@@ -222,13 +273,26 @@ object Multimodal {
       pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
       i += 1
     }
-    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
     val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      new java.io.ByteArrayInputStream(pcm), PcmFormat, n.toLong)
     val baos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    wavWriter.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
     baos.toByteArray
+  }
+
+  /** Parse a WAV blob through the JDK codec, provider-direct (the
+    * standard AudioFileReader contract: a non-matching provider throws
+    * UnsupportedAudioFileException and the next is tried — exactly what
+    * `AudioSystem.getAudioInputStream` does behind its global lock). */
+  private def readWav(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+    val it = wavReaders.iterator
+    while (it.hasNext) {
+      val r = it.next()
+      try return r.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: javax.sound.sampled.UnsupportedAudioFileException => }
+    }
+    throw new javax.sound.sampled.UnsupportedAudioFileException(
+      "no provider accepted the blob")
   }
 
   case class WavStats(doc_id: Long, n_samples: Long, sum_amp: Long,
@@ -239,7 +303,11 @@ object Multimodal {
     * storage instead, same schema). */
   def wavMedia(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+    // same task-count repartition as [[pngMedia]] — the decode is
+    // CPU-bound per row and must not inherit byte-based scan splits
+    docs.select(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[Long].mapPartitions { ids =>
       ids.map(id => MediaRow(id, "audio", encodeWav(id)))
     }.toDF()
   }
@@ -256,8 +324,7 @@ object Multimodal {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
       rows.map { m =>
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(m.payload))
+        val ais = readWav(m.payload)
         val fmt = ais.getFormat
         require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
           !fmt.isBigEndian && fmt.getEncoding ==
