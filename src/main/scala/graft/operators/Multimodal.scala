@@ -22,9 +22,12 @@ import org.apache.spark.sql.functions._
   *    16-bit samples) and the decoder parses the container back and
   *    aggregates amplitude stats. PCM is lossless, so this too is
   *    oracle-checkable in SQL.
-  *  - [[stubDecode]] keeps the text-payload feature extractor for the
-  *    VIDEO half of the media table, the one format the JDK ships no
-  *    codec for (declared stand-in; same partition-batched shape).
+  *  - [[stubDecode]] keeps the ORIGINAL text-payload stand-in table
+  *    ([[mediaFromDocs]]'s image/audio labels over UTF-8 bytes) as the
+  *    declared fake-decoder shape — retained because its oracle pins
+  *    the mapPartitions plumbing independently of any codec. With PNG
+  *    and WAV decoded for real above, VIDEO is the one modality with
+  *    no real decode anywhere (the JDK ships no video codec).
   *
   * The surrounding plumbing is the real pattern for 100 TB media
   * pipelines either way:
@@ -312,9 +315,12 @@ object Multimodal {
     }.toDF()
   }
 
-  /** REAL decode: `AudioSystem.getAudioInputStream` parses each WAV
-    * blob through the JDK's actual RIFF/WAVE reader (chunk walk, format
-    * negotiation) and the PCM samples are re-signed and aggregated —
+  /** REAL decode: each WAV blob is parsed through the JDK's actual
+    * RIFF/WAVE reader (chunk walk, format negotiation) — the same
+    * `WaveFileReader` codec `AudioSystem` would dispatch to, called
+    * provider-direct via [[readWav]] to skip the facade's global lock
+    * (see [[wavWriter]]) — and the PCM samples are re-signed and
+    * aggregated —
     * the feature-extraction stage of an audio pipeline (amplitude sum,
     * absolute energy, peak). PCM is lossless, so the stats equal the
     * planted formula exactly (hash-gated by the audio_decode_stats

@@ -101,9 +101,14 @@ object Similarity {
     *    ~N/256 rows, stage 2 ranks the ≤ 256·k survivors per query.
     *    Top-k of a union = top-k of the per-bucket top-k's, so the
     *    result is identical while the sort spill shrinks 256×.
-    * Pass `corpusCount` when the caller knows it (flagships do); the
-    * fallback is one cheap columnar count — the same table-stats read
-    * a cost-based planner would make. */
+    * Pass `corpusCount` when the caller knows it (flagships and the
+    * registry do); the fallback is one columnar count, MEMOIZED per
+    * (session, plan) so repeated calls — and plan inspection — pay it
+    * once (review finding: an un-memoized count re-ran the emb lineage
+    * on every invocation). */
+  private val bruteCountMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
   def bruteForceTopK(emb: DataFrame, nQueries: Int, k: Int,
       corpusCount: Option[Long] = None): DataFrame = {
     val q = emb.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
@@ -113,7 +118,10 @@ object Similarity {
       .select(col("query_id"), col("cand_id"),
         round(graft.functions.GraftFunctions.cosine_sim(
           emb.sparkSession, col("qe"), col("ce")), 6).as("cos_sim"))
-    val n = corpusCount.getOrElse(emb.select(count(lit(1))).head().getLong(0))
+    val n = corpusCount.getOrElse(bruteCountMemo.computeIfAbsent(
+      s"${Materialize.sessionKey(emb.sparkSession)}:" +
+        s"${emb.queryExecution.logical.semanticHash()}",
+      _ => emb.select(count(lit(1))).head().getLong(0)))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("cand_id").asc)
     val prefiltered =

@@ -125,7 +125,15 @@ object TextAnalysis {
            CAST(CASE WHEN sy*den - num*sx < 0 THEN -1 ELSE 1 END *
                 ((1000000 * abs(sy*den - num*sx)) div (n*den)) AS BIGINT)
            END AS intercept_micro""",
-        """CASE WHEN den = 0 OR deny = 0 THEN CAST(NULL AS BIGINT) ELSE
+        // magnitude guard (mirrored in the oracle): 1000·num² and
+        // den·deny must stay under the 38-digit budget. |num| ≤
+        // √(den·deny) by Cauchy–Schwarz, so den,deny ≤ 3·10¹⁷ bounds
+        // every product; beyond it BOTH engines yield NULL identically
+        // instead of Spark silently NULLing on decimal overflow while
+        // DuckDB computes (review finding).
+        """CASE WHEN den = 0 OR deny = 0
+                  OR den > 300000000000000000 OR deny > 300000000000000000
+             THEN CAST(NULL AS BIGINT) ELSE
            CAST((1000 * num * num) div (den * deny) AS BIGINT)
            END AS r2_permille""")
       .orderBy("feature")
@@ -675,10 +683,17 @@ object TextAnalysis {
              (col("nt").cast("double") + lit(256.0)))) *
         lit(10000.0) + lit(0.5)).cast("long"))
       .select("bucket", "llr4")
-    docBucket.join(broadcast(llr), "bucket")
+    val weights = docBucket.join(broadcast(llr), "bucket")
       .groupBy("doc_id")
       .agg(sum(col("c")).as("n_tokens"),
         sum(col("c") * col("llr4")).as("weight_units"))
+    // token-less documents score 0, not "absent" — the contract is
+    // every document ranked (a 0-weight doc outranks negative-weight
+    // docs; review finding: explode silently dropped them)
+    docs.select(col("doc_id")).join(weights, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("weight_units"), lit(0L)).as("weight_units"))
       .orderBy(col("weight_units").desc, col("doc_id"))
       .limit(k)
   }

@@ -87,7 +87,9 @@ object TextAnalysisQueries {
           |    CAST((CASE WHEN sy*den - num*sx < 0 THEN -1 ELSE 1 END) *
           |         ((1000000 * abs(sy*den - num*sx)) // (n*den)) AS BIGINT)
           |    END AS intercept_micro,
-          |  CASE WHEN den = 0 OR deny = 0 THEN NULL ELSE
+          |  CASE WHEN den = 0 OR deny = 0
+          |         OR den > 300000000000000000 OR deny > 300000000000000000
+          |    THEN NULL ELSE
           |    CAST((1000 * num * num) // (den * deny) AS BIGINT)
           |    END AS r2_permille
           |FROM c ORDER BY feature""".stripMargin)),
@@ -642,12 +644,16 @@ object TextAnalysisQueries {
           |    CAST(floor(ln((CAST(ct AS DOUBLE) + 1.0) * (CAST(nr AS DOUBLE) + 256.0)
           |        / ((CAST(cr AS DOUBLE) + 1.0) * (CAST(nt AS DOUBLE) + 256.0)))
           |      * 10000.0 + 0.5) AS BIGINT) AS llr4
-          |  FROM bt, g)
-          |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
-          |       CAST(sum(c * llr4) AS BIGINT) AS weight_units
-          |FROM db JOIN llr USING (bucket)
-          |GROUP BY doc_id
-          |ORDER BY weight_units DESC, doc_id LIMIT 100""".stripMargin)),
+          |  FROM bt, g),
+          |w AS (
+          |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+          |         CAST(sum(c * llr4) AS BIGINT) AS weight_units
+          |  FROM db JOIN llr USING (bucket)
+          |  GROUP BY doc_id)
+          |SELECT d.doc_id, coalesce(w.n_tokens, 0) AS n_tokens,
+          |       coalesce(w.weight_units, 0) AS weight_units
+          |FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
+          |ORDER BY weight_units DESC, d.doc_id LIMIT 100""".stripMargin)),
 
     QueryDef("source_overlap_minhash",
       (s, d) => TextAnalysis.sourceOverlapMinhash(Tables.documents(s, d)),

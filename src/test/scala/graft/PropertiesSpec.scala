@@ -255,6 +255,25 @@ class PropertiesSpec extends SparkSpec {
     assert(got.toSeq == naive.toSeq)
     // non-vacuous: weights are not all equal and the winner is positive
     assert(got.map(_._3).distinct.length > 10 && got.head._3 > 0)
+
+    // token-less documents are RANKED at weight 0, not dropped (a
+    // 0-weight doc outranks negative-weight docs): a tiny corpus where
+    // doc 2 has no [a-z'] tokens and only k=3 slots exist
+    import spark.implicits._
+    val tiny = Seq(
+      (0L, "aa bb aa", "en"), (1L, "cc dd", "de"),
+      (2L, "123 456 !!!", "de"), (3L, "aa bb", "en"))
+      .toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.importanceResampling(tiny, k = 4).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r.length == 4, s"token-less doc dropped: ${r.toSeq}")
+    val d2 = r.find(_._1 == 2L).get
+    assert(d2._2 == 0L && d2._3 == 0L)
+    val negWeights = r.filter(t => t._1 == 1L)
+    // the de-only vocab scores negative under the en target, so doc 2's
+    // zero must rank ABOVE doc 1 — position check, not just presence
+    assert(negWeights.head._3 < 0, s"expected negative weight: ${r.toSeq}")
+    assert(r.indexWhere(_._1 == 2L) < r.indexWhere(_._1 == 1L))
   }
 
   test("a failed task attempt is retried and the job completes (reference O16)") {
