@@ -568,6 +568,26 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy("doc_id")
 
+  /** EXACT-QUOTA stratified sample: exactly k docs per stratum (lang),
+    * chosen by md5 rank WITHIN the stratum — the per-group twin of
+    * [[fixedSizeSample]] and the missing half of the sampling battery:
+    * rate-based samplers return binomial counts per group, the global
+    * top-k returns no per-group guarantee, but eval-set carving and
+    * balanced mixtures need an exact quota from EVERY stratum. One
+    * partitioned window (partition = lang, order = (md5, doc_id)) —
+    * each stratum sorts independently, no global sort, no skew pivot;
+    * at 100 TB the heaviest stratum bounds the task, and a two-level
+    * bucket-prefilter (the [[fixedSizeSample]] TakeOrdered shape per
+    * stratum) is the documented escalation if one stratum dominates. */
+  def stratifiedFixedK(docs: DataFrame, k: Int = 16): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs.select(col("doc_id"), col("lang"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .orderBy("lang", "rk")
+  }
+
   /** TEMPERATURE-BASED source mixing (α = 0.5): sampling weight per
     * source ∝ n_s^α — the standard multilingual/multi-domain rebalance
     * (softens the head, boosts the tail; α=1 is natural sampling, α=0 is

@@ -424,6 +424,15 @@ object TextAnalysisQueries {
           |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 64)
           |ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("stratified_fixed_k",
+      (s, d) => TextAnalysis.stratifiedFixedK(Tables.documents(s, d)), Some(
+        """SELECT doc_id, lang, rk FROM (
+          |  SELECT doc_id, lang, CAST(row_number() OVER (
+          |    PARTITION BY lang
+          |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+          |  FROM documents)
+          |WHERE rk <= 16 ORDER BY lang, rk""".stripMargin)),
+
     // α=0.5 temperature mixing — integer-thresholded so the keep
     // decisions (not just the rates) are hash-exact cross-engine
     QueryDef("temperature_mix",

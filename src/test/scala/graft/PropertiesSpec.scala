@@ -276,6 +276,33 @@ class PropertiesSpec extends SparkSpec {
     assert(r.indexWhere(_._1 == 2L) < r.indexWhere(_._1 == 1L))
   }
 
+  test("stratified fixed-k sample takes an exact quota per stratum") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, sf0001)
+    val got = TextAnalysis.stratifiedFixedK(docs, k = 5).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // exact quota: min(5, stratum size) per lang, ranks 1..quota
+    val sizes = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byLang = got.groupBy(_._2)
+    assert(byLang.keySet == sizes.keySet)
+    byLang.foreach { case (lang, rows) =>
+      assert(rows.length == math.min(5L, sizes(lang)).toInt)
+      assert(rows.map(_._3).sorted.sameElements(1L to rows.length))
+    }
+    // membership equals a naive per-stratum md5 rank (never the window)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long) = md.digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val naive = docs.select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._2).toSeq.flatMap { case (lang, ds) =>
+        ds.sortBy(d => (h(d._1), d._1)).take(5).zipWithIndex
+          .map { case ((id, _), i) => (id, lang, i + 1L) }
+      }.toSet
+    assert(got.toSet == naive)
+  }
+
   test("a failed task attempt is retried and the job completes (reference O16)") {
     // the reference re-queues a chunk when its worker misses the 20 s
     // deadline (coordinator/coordinator.py timeout loop); Spark's analogue
