@@ -60,6 +60,71 @@ object TextAnalysis {
         when(col("en_ratio") > 0.03, lit("en")).otherwise(lit("other")))
       .orderBy("doc_id")
 
+  /** Cohen's kappa between the [[langId]] heuristic and the labeled
+    * `lang` column, binarized to {en, other} — the inter-annotator /
+    * classifier-vs-gold agreement metric an eval pipeline reports
+    * alongside raw accuracy (kappa discounts chance agreement, so a
+    * majority-class predictor scores ~0 even at high accuracy). Scoped
+    * to the docs langId labels (token-less docs carry no prediction).
+    *
+    * EXACT arithmetic end-to-end: kappa = (po − pe)/(1 − pe) =
+    * (N·n_agree − r₁c₁ − r₀c₀) / (N² − r₁c₁ − r₀c₀) — a ratio of
+    * integers. Sums ride in DECIMAL(38,0) (safe past 10⁹ docs) and the
+    * micro-unit quantization uses the sign-split truncating division
+    * [[qualityRegression]] established. One corpus pass, a broadcast
+    * join on doc_id, a single global aggregate — O(1) output. */
+  def labelAgreementKappa(docs: DataFrame): DataFrame = {
+    val pred = langId(docs)
+      .select(col("doc_id"), (col("pred_lang") === "en").cast("long").as("p"))
+    docs.select(col("doc_id"), (col("lang") === "en").cast("long").as("a"))
+      .join(pred, "doc_id")
+      .agg(
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(when(col("a") === 1 && col("p") === 1, 1L).otherwise(0L))
+          .cast("decimal(38,0)").as("n11"),
+        sum(when(col("a") === 0 && col("p") === 0, 1L).otherwise(0L))
+          .cast("decimal(38,0)").as("n00"),
+        sum(col("a")).cast("decimal(38,0)").as("ra"),
+        sum(col("p")).cast("decimal(38,0)").as("rp"))
+      .selectExpr("n", "n11", "n00", "ra", "rp",
+        "n11 + n00 AS agree",
+        "ra * rp + (n - ra) * (n - rp) AS chance",
+        "n * n AS nsq")
+      .selectExpr(
+        "CAST(n AS BIGINT) AS n_docs",
+        "CAST(agree AS BIGINT) AS n_agree",
+        "CAST((1000000 * agree) div n AS BIGINT) AS po_micro",
+        "CAST((1000000 * chance) div nsq AS BIGINT) AS pe_micro",
+        """CASE WHEN nsq - chance = 0 THEN CAST(NULL AS BIGINT) ELSE
+           CAST(CASE WHEN n * agree - chance < 0 THEN -1 ELSE 1 END *
+                ((1000000 * abs(n * agree - chance)) div (nsq - chance))
+             AS BIGINT) END AS kappa_micro""")
+  }
+
+  /** Token-frequency concentration: the Herfindahl–Hirschman index of
+    * the unigram distribution (Σ pᵢ², in parts-per-billion) plus the
+    * head token's share — the one-row diversity report a data card
+    * carries (high HHI = templated/repetitive corpus, a dedup signal
+    * at the corpus level where [[repetitionStats]] works per-doc).
+    * EXACT: hhi_ppb = 10⁹·Σcᵢ² div N² — integer arithmetic on the
+    * vocabulary-sized count table (partial-aggregated token counts,
+    * one vocabulary-keyed shuffle, then one global fold; safe past
+    * 10⁹ tokens in DECIMAL(38,0)). */
+  def tokenConcentration(docs: DataFrame): DataFrame =
+    docs.select(explode(toks).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+      .agg(
+        sum(col("c")).cast("decimal(38,0)").as("n"),
+        count(lit(1)).as("n_types"),
+        sum(col("c").cast("decimal(38,0)") * col("c").cast("decimal(38,0)"))
+          .as("c2"),
+        max(col("c")).cast("decimal(38,0)").as("cmax"))
+      .selectExpr(
+        "CAST(n AS BIGINT) AS n_tokens",
+        "n_types",
+        "CAST((1000000000 * c2) div (n * n) AS BIGINT) AS hhi_ppb",
+        "CAST((1000000 * cmax) div n AS BIGINT) AS top1_ppm")
+
   /** Quality scoring: type/token ratio, mean token length, and a
     * deterministic composite score. */
   def qualityScore(docs: DataFrame): DataFrame = {

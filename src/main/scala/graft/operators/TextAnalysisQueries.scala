@@ -38,6 +38,56 @@ object TextAnalysisQueries {
            |       CASE WHEN en_ratio > 0.03 THEN 'en' ELSE 'other' END AS pred_lang
            |FROM r ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("label_agreement_kappa",
+      (s, d) => TextAnalysis.labelAgreementKappa(Tables.documents(s, d)), Some(
+        s"""WITH t AS (
+           |  SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z'']+') AS w
+           |  FROM documents),
+           |b AS (
+           |  SELECT doc_id, lang, len(w) AS n_tokens,
+           |         len(list_filter(w, x -> x IN ($stopList))) AS en_hits
+           |  FROM t WHERE len(w) > 0),
+           |p AS (
+           |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS a,
+           |         CASE WHEN round(CAST(en_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+           |              > 0.03 THEN 1 ELSE 0 END AS p
+           |  FROM b),
+           |s AS (
+           |  SELECT CAST(count(*) AS HUGEINT) AS n,
+           |         CAST(sum(CASE WHEN a = 1 AND p = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS n11,
+           |         CAST(sum(CASE WHEN a = 0 AND p = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS n00,
+           |         CAST(sum(a) AS HUGEINT) AS ra, CAST(sum(p) AS HUGEINT) AS rp
+           |  FROM p),
+           |c AS (
+           |  SELECT n, n11 + n00 AS agree,
+           |         ra * rp + (n - ra) * (n - rp) AS chance, n * n AS nsq
+           |  FROM s)
+           |SELECT CAST(n AS BIGINT) AS n_docs, CAST(agree AS BIGINT) AS n_agree,
+           |  CAST((1000000 * agree) // n AS BIGINT) AS po_micro,
+           |  CAST((1000000 * chance) // nsq AS BIGINT) AS pe_micro,
+           |  CASE WHEN nsq - chance = 0 THEN NULL ELSE
+           |    CAST((CASE WHEN n * agree - chance < 0 THEN -1 ELSE 1 END) *
+           |         ((1000000 * abs(n * agree - chance)) // (nsq - chance))
+           |      AS BIGINT) END AS kappa_micro
+           |FROM c""".stripMargin)),
+
+    QueryDef("token_concentration",
+      (s, d) => TextAnalysis.tokenConcentration(Tables.documents(s, d)), Some(
+        """WITH c AS (
+          |  SELECT t, count(*) AS c FROM (
+          |    SELECT unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS t
+          |    FROM documents) GROUP BY t),
+          |s AS (
+          |  SELECT CAST(sum(c) AS HUGEINT) AS n,
+          |         CAST(count(*) AS BIGINT) AS n_types,
+          |         CAST(sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS HUGEINT) AS c2,
+          |         CAST(max(c) AS HUGEINT) AS cmax
+          |  FROM c)
+          |SELECT CAST(n AS BIGINT) AS n_tokens, n_types,
+          |  CAST((1000000000 * c2) // (n * n) AS BIGINT) AS hhi_ppb,
+          |  CAST((1000000 * cmax) // n AS BIGINT) AS top1_ppm
+          |FROM s""".stripMargin)),
+
     QueryDef("text_quality",
       (s, d) => TextAnalysis.qualityScore(Tables.documents(s, d)), Some(
         """WITH t AS (

@@ -303,6 +303,50 @@ class PropertiesSpec extends SparkSpec {
     assert(got.toSet == naive)
   }
 
+  test("Cohen's kappa matches a hand-computed 2x2 case and is chance-discounted") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    // planted 2x2: actual en = docs {0,1,2}; the heuristic predicts en
+    // iff the text carries stopwords ('the and' ratio > 0.03)
+    // doc: (id, text, lang)  -> (a, p): 0:(1,1) 1:(1,1) 2:(1,0) 3:(0,0) 4:(0,1) 5:(0,0)
+    val tiny = Seq(
+      (0L, "the and cat", "en"), (1L, "the dog and", "en"),
+      (2L, "gato perro casa", "en"), (3L, "haus hund", "de"),
+      (4L, "the la", "fr"), (5L, "xyz abc", "zh"))
+      .toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.labelAgreementKappa(tiny).head()
+    // n=6, n11=2, n00=2, agree=4, ra=3, rp=3 -> po=4/6, pe=(9+9)/36=1/2
+    // kappa = (6*4 - 18) / (36 - 18) = 6/18 = 1/3
+    assert(r.getLong(0) == 6L && r.getLong(1) == 4L)
+    assert(r.getLong(2) == 666666L) // (1e6*4) div 6
+    assert(r.getLong(3) == 500000L)
+    assert(r.getLong(4) == 333333L) // (1e6*6) div 18
+    // chance-discounting: a degenerate all-'other' corpus has accuracy
+    // = majority share but kappa NULL (pe = 1 -> undefined)
+    val degen = Seq((0L, "xx yy", "de"), (1L, "zz ww", "de"))
+      .toDF("doc_id", "text", "lang")
+    val d = TextAnalysis.labelAgreementKappa(degen).head()
+    assert(d.isNullAt(4), "kappa must be NULL when pe = 1")
+  }
+
+  test("token concentration equals a naive recompute; uniform corpus pins HHI = 1/V") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001)
+    val r = TextAnalysis.tokenConcentration(docs).head()
+    val toks = docs.select("text").collect().flatMap(row =>
+      "[a-z']+".r.findAllIn(row.getString(0).toLowerCase))
+    val counts = toks.groupBy(identity).map(_._2.size.toLong)
+    val n = BigInt(counts.sum); val c2 = counts.map(c => BigInt(c) * c).sum
+    assert(r.getLong(0) == counts.sum && r.getLong(1) == counts.size.toLong)
+    assert(r.getLong(2) == ((BigInt(1000000000) * c2) / (n * n)).toLong)
+    assert(r.getLong(3) == ((BigInt(1000000) * counts.max) / n).toLong)
+    // property: a perfectly uniform vocabulary has HHI = 1e9 / V exactly
+    val uni = Seq((0L, "aa bb"), (1L, "cc dd")).toDF("doc_id", "text")
+    val u = TextAnalysis.tokenConcentration(uni).head()
+    assert(u.getLong(2) == 250000000L && u.getLong(3) == 250000L)
+  }
+
   test("a failed task attempt is retried and the job completes (reference O16)") {
     // the reference re-queues a chunk when its worker misses the 20 s
     // deadline (coordinator/coordinator.py timeout loop); Spark's analogue
