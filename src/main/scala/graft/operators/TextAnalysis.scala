@@ -125,6 +125,55 @@ object TextAnalysis {
         "CAST((1000000000 * c2) div (n * n) AS BIGINT) AS hhi_ppb",
         "CAST((1000000 * cmax) div n AS BIGINT) AS top1_ppm")
 
+  /** Zipf rank–frequency fit: OLS of ln(count) on ln(rank) over the
+    * vocabulary — the data-card statistic (natural corpora have
+    * alpha ≈ 1; a far-off alpha flags templated or truncated text).
+    * EXACT given the quantized points: each ln is floored to integer
+    * 1e-4 units FIRST ([[tokenKlDrift]]'s portability trick), then the
+    * whole regression is [[qualityRegression]]'s integer Cramer
+    * machinery — quantized points are identical cross-engine, so sums,
+    * slope, and r² are hash-exact, not approximately equal.
+    * Shape: one corpus pass into the vocabulary-sized count table; the
+    * rank window is UNPARTITIONED but runs over that aggregate
+    * (vocabulary cardinality, Heaps-bounded — the value_histogram
+    * bounded-aggregate class, allowlisted in PlanShapeSpec); one global
+    * fold. alpha_micro = −slope; r² carries the same magnitude guard
+    * as qualityRegression. */
+  def zipfAlpha(docs: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("c").desc, col("t").asc)
+    val pts = docs.select(explode(toks).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+      .withColumn("rank", row_number().over(w))
+      .select(
+        floor(log(col("rank").cast("double")) * lit(10000.0) + lit(0.5))
+          .cast("decimal(38,0)").as("x"),
+        floor(log(col("c").cast("double")) * lit(10000.0) + lit(0.5))
+          .cast("decimal(38,0)").as("y"))
+    pts.agg(
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+      .selectExpr("n",
+        "n*sxy - sx*sy AS num", "n*sxx - sx*sx AS den",
+        "n*syy - sy*sy AS deny", "sx", "sy")
+      .selectExpr(
+        "CAST(n AS BIGINT) AS n_types",
+        """CASE WHEN den = 0 THEN CAST(NULL AS BIGINT) ELSE
+           CAST(CASE WHEN num > 0 THEN -1 ELSE 1 END *
+                ((1000000 * abs(num)) div den) AS BIGINT) END AS alpha_micro""",
+        """CASE WHEN den = 0 THEN CAST(NULL AS BIGINT) ELSE
+           CAST(CASE WHEN sy*den - num*sx < 0 THEN -1 ELSE 1 END *
+                ((1000000 * abs(sy*den - num*sx)) div (n*den)) AS BIGINT)
+           END AS intercept_micro""",
+        """CASE WHEN den = 0 OR deny = 0
+                  OR den > 300000000000000000 OR deny > 300000000000000000
+             THEN CAST(NULL AS BIGINT) ELSE
+           CAST((1000 * num * num) div (den * deny) AS BIGINT)
+           END AS r2_permille""")
+  }
+
   /** Quality scoring: type/token ratio, mean token length, and a
     * deterministic composite score. */
   def qualityScore(docs: DataFrame): DataFrame = {

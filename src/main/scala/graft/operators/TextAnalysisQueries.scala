@@ -71,6 +71,43 @@ object TextAnalysisQueries {
            |      AS BIGINT) END AS kappa_micro
            |FROM c""".stripMargin)),
 
+    QueryDef("zipf_alpha",
+      (s, d) => TextAnalysis.zipfAlpha(Tables.documents(s, d)), Some(
+        """WITH c AS (
+          |  SELECT t, count(*) AS c FROM (
+          |    SELECT unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS t
+          |    FROM documents) GROUP BY t),
+          |r AS (
+          |  SELECT row_number() OVER (ORDER BY c DESC, t ASC) AS rank, c
+          |  FROM c),
+          |pts AS (
+          |  SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * 10000.0 + 0.5) AS HUGEINT) AS x,
+          |         CAST(floor(ln(CAST(c AS DOUBLE)) * 10000.0 + 0.5) AS HUGEINT) AS y
+          |  FROM r),
+          |s AS (
+          |  SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx, sum(y) AS sy,
+          |         sum(x*x) AS sxx, sum(x*y) AS sxy, sum(y*y) AS syy
+          |  FROM pts),
+          |k AS (
+          |  SELECT n, sx, sy,
+          |         n*sxy - sx*sy AS num, n*sxx - sx*sx AS den,
+          |         n*syy - sy*sy AS deny
+          |  FROM s)
+          |SELECT CAST(n AS BIGINT) AS n_types,
+          |  CASE WHEN den = 0 THEN NULL ELSE
+          |    CAST((CASE WHEN num > 0 THEN -1 ELSE 1 END) *
+          |         ((1000000 * abs(num)) // den) AS BIGINT) END AS alpha_micro,
+          |  CASE WHEN den = 0 THEN NULL ELSE
+          |    CAST((CASE WHEN sy*den - num*sx < 0 THEN -1 ELSE 1 END) *
+          |         ((1000000 * abs(sy*den - num*sx)) // (n*den)) AS BIGINT)
+          |    END AS intercept_micro,
+          |  CASE WHEN den = 0 OR deny = 0
+          |         OR den > 300000000000000000 OR deny > 300000000000000000
+          |    THEN NULL ELSE
+          |    CAST((1000 * num * num) // (den * deny) AS BIGINT)
+          |    END AS r2_permille
+          |FROM k""".stripMargin)),
+
     QueryDef("token_concentration",
       (s, d) => TextAnalysis.tokenConcentration(Tables.documents(s, d)), Some(
         """WITH c AS (

@@ -252,10 +252,12 @@ class PlanShapeSpec extends SparkSpec {
     // partitioned per bucket).
     // search_eval_ndcg ranks the BM25 leg's ≤20-row top-k output —
     // the same bounded-by-construction class as hybrid_search_rrf.
+    // zipf_alpha ranks the VOCABULARY count table (Heaps-bounded
+    // aggregate, not the corpus) — the value_histogram class
     val allowedGlobal = Set("window_monthly_lag", "value_histogram",
       "cumulative_users", "recursive_quarterly_ema", "hybrid_search_rrf",
       "md5_global_rank", "negative_samples", "search_eval_ndcg",
-      "sequence_packing")
+      "sequence_packing", "zipf_alpha")
     assert(offenders.forall(allowedGlobal),
       s"unpartitioned windows outside the allowed exceptions: $offenders")
   }

@@ -347,6 +347,37 @@ class PropertiesSpec extends SparkSpec {
     assert(u.getLong(2) == 250000000L && u.getLong(3) == 250000L)
   }
 
+  test("Zipf fit equals a naive recompute; a perfect 1/rank corpus pins alpha = 1") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001)
+    val r = TextAnalysis.zipfAlpha(docs).head()
+    // naive: same tokenize, same rank order, same ln quantization, BigInt OLS
+    val counts = docs.select("text").collect()
+      .flatMap(row => "[a-z']+".r.findAllIn(row.getString(0).toLowerCase))
+      .groupBy(identity).map { case (t, g) => (t, g.size.toLong) }.toSeq
+      .sortBy { case (t, c) => (-c, t) }
+    def q(v: Double) = BigInt(math.floor(math.log(v) * 10000.0 + 0.5).toLong)
+    val pts = counts.zipWithIndex.map { case ((_, c), i) =>
+      (q(i + 1.0), q(c.toDouble)) }
+    val n = BigInt(pts.size)
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val num = n * sxy - sx * sy; val den = n * sxx - sx * sx
+    val alpha = (if (num > 0) -1 else 1) * ((BigInt(1000000) * num.abs) / den)
+    assert(r.getLong(0) == pts.size.toLong)
+    assert(r.getLong(1) == alpha.toLong)
+    // planted perfect Zipf (counts = 12/rank): slope −1 → alpha ≈ 1e6,
+    // fit near-perfect (quantization leaves ±~1 micro-unit wiggle)
+    val zipf = Seq((0L, (("a " * 12) + ("b " * 6) + ("c " * 4) + ("d " * 3)).trim))
+      .toDF("doc_id", "text")
+    val z = TextAnalysis.zipfAlpha(zipf).head()
+    assert(math.abs(z.getLong(1) - 1000000L) < 200,
+      s"perfect-Zipf alpha off: ${z.getLong(1)}")
+    assert(z.getLong(3) >= 999L, s"perfect-Zipf r2: ${z.getLong(3)}")
+  }
+
   test("a failed task attempt is retried and the job completes (reference O16)") {
     // the reference re-queues a chunk when its worker misses the 20 s
     // deadline (coordinator/coordinator.py timeout loop); Spark's analogue
