@@ -378,6 +378,62 @@ class PropertiesSpec extends SparkSpec {
     assert(z.getLong(3) >= 999L, s"perfect-Zipf r2: ${z.getLong(3)}")
   }
 
+  test("stratified quotas hold across k; samples are prefix-nested in k") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, sf0001)
+    val sizes = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the md5-rank sample has the reservoir prefix property: the k=3
+    // sample must be exactly the rank<=3 prefix of the k=9 sample —
+    // growing a quota never reshuffles already-selected members
+    val at9 = TextAnalysis.stratifiedFixedK(docs, k = 9).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    for (k <- Seq(1, 3, 9)) {
+      val got = TextAnalysis.stratifiedFixedK(docs, k).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      got.groupBy(_._2).foreach { case (lang, rows) =>
+        assert(rows.length == math.min(k.toLong, sizes(lang)).toInt) }
+      assert(got.toSet == at9.filter(_._3 <= k).toSet,
+        s"k=$k sample is not the rank-prefix of the k=9 sample")
+    }
+  }
+
+  test("kappa is symmetric in the two annotators (transpose invariance)") {
+    // Cohen's kappa must not care which labeling is 'gold': transposing
+    // the 2x2 table (swap ra<->rp, n11/n00 fixed) leaves it unchanged.
+    // Verify on the integer formula with a skewed table: n=10, n11=3,
+    // n00=2, ra=6, rp=4 -> po=1/2, chance=6*4+4*6=48, nsq=100,
+    // kappa=(10*5-48)/(100-48)=2/52; transpose ra=4, rp=6 -> identical.
+    def kappaMicro(n: Long, n11: Long, n00: Long, ra: Long, rp: Long): Long = {
+      val agree = n11 + n00
+      val chance = ra * rp + (n - ra) * (n - rp)
+      val num = n * agree - chance; val den = n * n - chance
+      (if (num < 0) -1 else 1) * ((1000000L * math.abs(num)) / den)
+    }
+    assert(kappaMicro(10, 3, 2, 6, 4) == kappaMicro(10, 3, 2, 4, 6))
+    assert(kappaMicro(10, 3, 2, 6, 4) == 38461L) // (1e6*2) div 52
+    // perfect agreement pins kappa = 1 regardless of marginals
+    assert(kappaMicro(10, 7, 3, 7, 7) == 1000000L)
+    // agreement exactly at chance pins kappa = 0: n=4, both marginals
+    // 2/2, agree=2 -> chance=8, num=4*2-8=0
+    assert(kappaMicro(4, 1, 1, 2, 2) == 0L)
+  }
+
+  test("bruteForceTopK plan shapes agree across (nQueries, k) combinations") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf0001)
+    for ((nq, k) <- Seq((3, 1), (5, 12))) {
+      val a = Similarity.bruteForceTopK(emb, nq, k, corpusCount = Some(1L))
+        .as[(Long, Long, Long, Double)].collect().toSeq
+      val b = Similarity.bruteForceTopK(emb, nq, k,
+          corpusCount = Some(Similarity.BruteBucketMin))
+        .as[(Long, Long, Long, Double)].collect().toSeq
+      assert(a == b, s"shape divergence at nQueries=$nq k=$k")
+      assert(a.nonEmpty)
+    }
+  }
+
   test("a failed task attempt is retried and the job completes (reference O16)") {
     // the reference re-queues a chunk when its worker misses the 20 s
     // deadline (coordinator/coordinator.py timeout loop); Spark's analogue
