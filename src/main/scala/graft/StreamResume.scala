@@ -175,10 +175,27 @@ object StreamResume {
     val childKilled = child.isAlive
     val commitsAtKill = commitCount(ckptB)
     child.destroyForcibly()
-    child.waitFor()
+    val childExit = child.waitFor()
     val secBMain = (System.nanoTime() - tB) / 1e9
-    require(childKilled, s"child finished before $killAfter commits — " +
-      "nothing was interrupted; lower killAfter")
+    // disambiguate the three failure modes the advisor flagged: child
+    // FINISHED before the kill point (protocol miscalibrated — lower
+    // killAfter), child CRASHED on its own (its exit code + child.log
+    // are the evidence; "lower killAfter" would be a wild goose chase),
+    // and the deadline expiring with the child alive but short of
+    // killAfter commits (a kill happened, but NOT at the intended
+    // protocol point — the run must not report it as one)
+    require(childKilled,
+      if (childExit == 0)
+        s"child FINISHED (exit 0) before $killAfter commits — nothing " +
+          "was interrupted; lower killAfter"
+      else
+        s"child CRASHED on its own (exit $childExit) before $killAfter " +
+          s"commits (reached $commitsAtKill) — see child.log; this is " +
+          "not a kill-protocol calibration problem")
+    require(commitsAtKill >= killAfter,
+      s"deadline expired with the child alive at only $commitsAtKill/" +
+        s"$killAfter commits — the kill did not happen at the intended " +
+        "protocol point (replay too slow or commit log stalled)")
 
     // resume from the killed checkpoint in THIS JVM, then flush
     val tR = System.nanoTime()

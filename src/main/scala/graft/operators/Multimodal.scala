@@ -289,11 +289,19 @@ object Multimodal {
     * `AudioSystem.getAudioInputStream` does behind its global lock). */
   private def readWav(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
     val it = wavReaders.iterator
+    var lastIo: java.io.IOException = null
     while (it.hasNext) {
       val r = it.next()
       try return r.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
-      catch { case _: javax.sound.sampled.UnsupportedAudioFileException => }
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException =>
+        // the AudioFileReader contract permits IOException on malformed
+        // input too — a non-matching provider must not abort the chain
+        // (advisor r10); rethrown only if NO provider accepts the blob
+        case io: java.io.IOException => lastIo = io
+      }
     }
+    if (lastIo != null) throw lastIo
     throw new javax.sound.sampled.UnsupportedAudioFileException(
       "no provider accepted the blob")
   }

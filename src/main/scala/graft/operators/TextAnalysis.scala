@@ -125,6 +125,66 @@ object TextAnalysis {
         "CAST((1000000000 * c2) div (n * n) AS BIGINT) AS hhi_ppb",
         "CAST((1000000 * cmax) div n AS BIGINT) AS top1_ppm")
 
+  /** Dense (count DESC, token ASC) ranks over a vocabulary count table
+    * (t, c) WITHOUT any corpus-scale unpartitioned window — the
+    * [[Pipeline.md5RankUnsorted]] bucket-offset decomposition adapted
+    * from hash order to a VALUE order. Global order (c desc, t asc)
+    * factors into three nested levels, each ranked under a PARTITIONED
+    * window plus an offset from the level above:
+    *
+    *  1. log2 count buckets b = length(bin(c)) (integer-exact
+    *     floor(log2 c)+1; monotone in c, so bucket-desc order is
+    *     count-desc order). Bucket offsets come from an
+    *     explode-to-lower-buckets equi-aggregate over the ≤ 64-row
+    *     bucket-total table — no window, no join inequality.
+    *  2. distinct counts within a bucket (≤ min(2^b, √(2·Σc)) rows per
+    *     partition — the d(d+1)/2 ≤ N bound on distinct counts): an
+    *     exclusive cumsum of count-group sizes, partitioned by bucket.
+    *  3. tokens within a count group, sub-bucketed by their 2-char
+    *     prefix (string prefixes preserve lexicographic order, so
+    *     (pfx asc, t asc) concatenation IS t-asc order): row_number
+    *     partitioned by (c, pfx) — worst-case partition is the c=1
+    *     tail split ~28²-ways — plus an exclusive prefix-size cumsum
+    *     partitioned by c (≤ 28² rows per group).
+    *
+    * At 10⁸ token types the largest single-task sort anywhere in this
+    * plan is a few-×10⁶-row bucket slice, vs the whole vocabulary
+    * under the naive unpartitioned row_number. */
+  private[operators] def zipfRanks(wcnt: DataFrame): DataFrame = {
+    val withPfx = wcnt.withColumn("pfx", substring(col("t"), 1, 2))
+    val ranked = withPfx.withColumn("rb",
+      row_number().over(
+        Window.partitionBy(col("c"), col("pfx")).orderBy(col("t").asc))
+        .cast("long"))
+    val pfxOff = withPfx.groupBy("c", "pfx").agg(count(lit(1)).as("pn"))
+      .withColumn("poff", coalesce(sum(col("pn")).over(
+        Window.partitionBy(col("c")).orderBy(col("pfx").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("c").as("pc"), col("pfx").as("ppfx"), col("poff"))
+    val gsz = wcnt.groupBy("c").agg(count(lit(1)).as("gn"))
+      .withColumn("b", length(bin(col("c"))).cast("int"))
+    val run = gsz.withColumn("grun", coalesce(sum(col("gn")).over(
+      Window.partitionBy(col("b")).orderBy(col("c").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // bucket totals → offsets: each bucket's total explodes onto every
+    // LOWER bucket id and equi-aggregates (≤ 64 × 64 rows) — offset(b)
+    // = Σ_{b' > b} bn(b') with no unpartitioned window and no
+    // inequality join. filter b > 1: sequence(1, 0) would explode
+    // DESCENDING (the packedSequences pitfall), and bucket 1 feeds no
+    // lower bucket anyway.
+    val boff = gsz.groupBy("b").agg(sum(col("gn")).as("bn"))
+      .filter(col("b") > 1)
+      .select(explode(sequence(lit(1), col("b") - 1)).as("tb"), col("bn"))
+      .groupBy("tb").agg(sum(col("bn")).as("boff"))
+    val coff = run.join(boff, run("b") === boff("tb"), "left")
+      .select(col("c").as("cc"),
+        (coalesce(col("boff"), lit(0L)) + col("grun")).as("coff"))
+    ranked.join(coff, ranked("c") === coff("cc"))
+      .join(pfxOff, ranked("c") === pfxOff("pc") && ranked("pfx") === pfxOff("ppfx"))
+      .select(col("t"), col("c"),
+        (col("coff") + col("poff") + col("rb")).as("rank"))
+  }
+
   /** Zipf rank–frequency fit: OLS of ln(count) on ln(rank) over the
     * vocabulary — the data-card statistic (natural corpora have
     * alpha ≈ 1; a far-off alpha flags templated or truncated text).
@@ -133,17 +193,15 @@ object TextAnalysis {
     * whole regression is [[qualityRegression]]'s integer Cramer
     * machinery — quantized points are identical cross-engine, so sums,
     * slope, and r² are hash-exact, not approximately equal.
-    * Shape: one corpus pass into the vocabulary-sized count table; the
-    * rank window is UNPARTITIONED but runs over that aggregate
-    * (vocabulary cardinality, Heaps-bounded — the value_histogram
-    * bounded-aggregate class, allowlisted in PlanShapeSpec); one global
-    * fold. alpha_micro = −slope; r² carries the same magnitude guard
-    * as qualityRegression. */
+    * Shape: one corpus pass into the vocabulary-sized count table;
+    * ranking is [[zipfRanks]]'s three-level bucket-offset decomposition
+    * (every window PARTITIONED — the round-10 Heaps-bounded allowlist
+    * entry is gone); one global fold. alpha_micro = −slope; r² and
+    * intercept carry the qualityRegression magnitude guards. */
   def zipfAlpha(docs: DataFrame): DataFrame = {
-    val w = Window.orderBy(col("c").desc, col("t").asc)
-    val pts = docs.select(explode(toks).as("t"))
-      .groupBy("t").agg(count(lit(1)).as("c"))
-      .withColumn("rank", row_number().over(w))
+    val pts = zipfRanks(
+      docs.select(explode(toks).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("c")))
       .select(
         floor(log(col("rank").cast("double")) * lit(10000.0) + lit(0.5))
           .cast("decimal(38,0)").as("x"),
@@ -163,7 +221,17 @@ object TextAnalysis {
         """CASE WHEN den = 0 THEN CAST(NULL AS BIGINT) ELSE
            CAST(CASE WHEN num > 0 THEN -1 ELSE 1 END *
                 ((1000000 * abs(num)) div den) AS BIGINT) END AS alpha_micro""",
-        """CASE WHEN den = 0 THEN CAST(NULL AS BIGINT) ELSE
+        // intercept magnitude guard (advisor r10): |sy·den − num·sx| ≤
+        // 1e14·3e17 + 3e17·1e14 = 6e31 under these bounds (|num| ≤
+        // √(den·deny) ≤ 3e17 by Cauchy–Schwarz), so ×10⁶ stays inside
+        // DECIMAL(38,0) — beyond them BOTH engines NULL identically
+        // instead of Spark silently NULLing on decimal overflow while
+        // DuckDB's HUGEINT computes (the divergence the r2 guard
+        // exists to prevent). Mirrored in the oracle.
+        """CASE WHEN den = 0
+                  OR den > 300000000000000000 OR deny > 300000000000000000
+                  OR abs(sx) > 100000000000000 OR abs(sy) > 100000000000000
+             THEN CAST(NULL AS BIGINT) ELSE
            CAST(CASE WHEN sy*den - num*sx < 0 THEN -1 ELSE 1 END *
                 ((1000000 * abs(sy*den - num*sx)) div (n*den)) AS BIGINT)
            END AS intercept_micro""",
@@ -235,7 +303,13 @@ object TextAnalysis {
         """CASE WHEN den = 0 THEN CAST(NULL AS BIGINT) ELSE
            CAST(CASE WHEN num < 0 THEN -1 ELSE 1 END *
                 ((1000000 * abs(num)) div den) AS BIGINT) END AS slope_micro""",
-        """CASE WHEN den = 0 THEN CAST(NULL AS BIGINT) ELSE
+        // intercept guard: same bounds as zipfAlpha's (see there) —
+        // without them Spark NULLs on decimal overflow where DuckDB
+        // computes (advisor r10)
+        """CASE WHEN den = 0
+                  OR den > 300000000000000000 OR deny > 300000000000000000
+                  OR abs(sx) > 100000000000000 OR abs(sy) > 100000000000000
+             THEN CAST(NULL AS BIGINT) ELSE
            CAST(CASE WHEN sy*den - num*sx < 0 THEN -1 ELSE 1 END *
                 ((1000000 * abs(sy*den - num*sx)) div (n*den)) AS BIGINT)
            END AS intercept_micro""",

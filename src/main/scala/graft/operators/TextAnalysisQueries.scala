@@ -97,7 +97,10 @@ object TextAnalysisQueries {
           |  CASE WHEN den = 0 THEN NULL ELSE
           |    CAST((CASE WHEN num > 0 THEN -1 ELSE 1 END) *
           |         ((1000000 * abs(num)) // den) AS BIGINT) END AS alpha_micro,
-          |  CASE WHEN den = 0 THEN NULL ELSE
+          |  CASE WHEN den = 0
+          |         OR den > 300000000000000000 OR deny > 300000000000000000
+          |         OR abs(sx) > 100000000000000 OR abs(sy) > 100000000000000
+          |    THEN NULL ELSE
           |    CAST((CASE WHEN sy*den - num*sx < 0 THEN -1 ELSE 1 END) *
           |         ((1000000 * abs(sy*den - num*sx)) // (n*den)) AS BIGINT)
           |    END AS intercept_micro,
@@ -170,7 +173,10 @@ object TextAnalysisQueries {
           |  CASE WHEN den = 0 THEN NULL ELSE
           |    CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END) *
           |         ((1000000 * abs(num)) // den) AS BIGINT) END AS slope_micro,
-          |  CASE WHEN den = 0 THEN NULL ELSE
+          |  CASE WHEN den = 0
+          |         OR den > 300000000000000000 OR deny > 300000000000000000
+          |         OR abs(sx) > 100000000000000 OR abs(sy) > 100000000000000
+          |    THEN NULL ELSE
           |    CAST((CASE WHEN sy*den - num*sx < 0 THEN -1 ELSE 1 END) *
           |         ((1000000 * abs(sy*den - num*sx)) // (n*den)) AS BIGINT)
           |    END AS intercept_micro,

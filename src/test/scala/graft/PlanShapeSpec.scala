@@ -252,12 +252,13 @@ class PlanShapeSpec extends SparkSpec {
     // partitioned per bucket).
     // search_eval_ndcg ranks the BM25 leg's ≤20-row top-k output —
     // the same bounded-by-construction class as hybrid_search_rrf.
-    // zipf_alpha ranks the VOCABULARY count table (Heaps-bounded
-    // aggregate, not the corpus) — the value_histogram class
+    // (zipf_alpha de-allowlisted in round 11: its vocabulary ranking
+    // now runs under the zipfRanks three-level partitioned
+    // decomposition — no unpartitioned window anywhere in its plan.)
     val allowedGlobal = Set("window_monthly_lag", "value_histogram",
       "cumulative_users", "recursive_quarterly_ema", "hybrid_search_rrf",
       "md5_global_rank", "negative_samples", "search_eval_ndcg",
-      "sequence_packing", "zipf_alpha")
+      "sequence_packing")
     assert(offenders.forall(allowedGlobal),
       s"unpartitioned windows outside the allowed exceptions: $offenders")
   }
