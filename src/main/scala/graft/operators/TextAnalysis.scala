@@ -101,6 +101,64 @@ object TextAnalysis {
              AS BIGINT) END AS kappa_micro""")
   }
 
+  /** MULTI-CLASS Cohen's κ over an (annotator_a, annotator_b) pair
+    * relation — the full k×k-contingency generalization of
+    * [[labelAgreementKappa]] (r10 verdict item 7: the binary form
+    * binarizes to {en, other}; real eval pipelines compare k-way label
+    * sets). Same exact-integer machinery: κ = (N·Σnᵢᵢ − Σrᵢcᵢ) /
+    * (N² − Σrᵢcᵢ) — a ratio of integers, DECIMAL(38,0) sums,
+    * sign-split truncating division.
+    *
+    * Shape at scale: one pass over the pair relation into the k×k
+    * contingency (k bounded by the label alphabet, never the corpus),
+    * marginals re-aggregate the contingency, Σrᵢcᵢ is an equi-join of
+    * the two k-row marginal tables (a class absent from either marginal
+    * contributes 0, so inner join is exact), and the report assembles
+    * from one-row aggregates — the dedup_savings bounded-crossJoin
+    * pattern. */
+  private[graft] def kappaFromPairs(pairs: DataFrame): DataFrame = {
+    val cont = pairs.groupBy("a", "p")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("m"))
+    val rowm = cont.groupBy("a").agg(sum(col("m")).as("r"))
+    val colm = cont.groupBy("p").agg(sum(col("m")).as("cm"))
+    val chance = rowm.join(colm, rowm("a") === colm("p"))
+      .agg(coalesce(sum(col("r") * col("cm")),
+        lit(0).cast("decimal(38,0)")).as("chance"))
+    val nClasses = pairs.select(col("a").as("c"))
+      .union(pairs.select(col("p").as("c"))).distinct()
+      .agg(count(lit(1)).as("n_classes"))
+    val totals = pairs.agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      coalesce(sum(when(col("a") === col("p"), 1L).otherwise(0L)),
+        lit(0L)).cast("decimal(38,0)").as("agree"))
+    totals.crossJoin(chance).crossJoin(nClasses)
+      .selectExpr(
+        "CAST(n AS BIGINT) AS n_docs",
+        "n_classes",
+        "CAST(agree AS BIGINT) AS n_agree",
+        "CAST((1000000 * agree) div n AS BIGINT) AS po_micro",
+        "CAST((1000000 * chance) div (n * n) AS BIGINT) AS pe_micro",
+        """CASE WHEN n * n - chance = 0 THEN CAST(NULL AS BIGINT) ELSE
+           CAST(CASE WHEN n * agree - chance < 0 THEN -1 ELSE 1 END *
+                ((1000000 * abs(n * agree - chance)) div (n * n - chance))
+             AS BIGINT) END AS kappa_micro""")
+  }
+
+  /** κ between the labeled `lang` column (5 classes) and a 4-class
+    * stopword-ratio threshold ladder — a deliberately coarse second
+    * annotator (the synthetic corpus's lang labels carry no token
+    * signal, so κ ≈ 0 is the CORRECT measurement; the operator's value
+    * is the exact k×k agreement arithmetic, oracle-gated). */
+  def labelAgreementKappaMulticlass(docs: DataFrame): DataFrame = {
+    val pred = langId(docs).select(col("doc_id"),
+      when(col("en_ratio") > 0.03, lit("en"))
+        .when(col("en_ratio") > 0.02, lit("es"))
+        .when(col("en_ratio") > 0.01, lit("de"))
+        .otherwise(lit("other")).as("p"))
+    kappaFromPairs(
+      docs.select(col("doc_id"), col("lang").as("a")).join(pred, "doc_id"))
+  }
+
   /** Token-frequency concentration: the Herfindahl–Hirschman index of
     * the unigram distribution (Σ pᵢ², in parts-per-billion) plus the
     * head token's share — the one-row diversity report a data card

@@ -71,6 +71,43 @@ object TextAnalysisQueries {
            |      AS BIGINT) END AS kappa_micro
            |FROM c""".stripMargin)),
 
+    QueryDef("label_agreement_kappa_multiclass",
+      (s, d) => TextAnalysis.labelAgreementKappaMulticlass(Tables.documents(s, d)), Some(
+        s"""WITH t AS (
+           |  SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z'']+') AS w
+           |  FROM documents),
+           |b AS (
+           |  SELECT doc_id, lang, len(w) AS n_tokens,
+           |         len(list_filter(w, x -> x IN ($stopList))) AS en_hits
+           |  FROM t WHERE len(w) > 0),
+           |pr AS (
+           |  SELECT lang AS a,
+           |         CASE WHEN r > 0.03 THEN 'en' WHEN r > 0.02 THEN 'es'
+           |              WHEN r > 0.01 THEN 'de' ELSE 'other' END AS p
+           |  FROM (SELECT lang,
+           |          round(CAST(en_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS r
+           |        FROM b)),
+           |cont AS (SELECT a, p, CAST(count(*) AS HUGEINT) AS m FROM pr GROUP BY a, p),
+           |rm AS (SELECT a, sum(m) AS r FROM cont GROUP BY a),
+           |cm AS (SELECT p, sum(m) AS c FROM cont GROUP BY p),
+           |ch AS (SELECT CAST(coalesce(sum(r * c), 0) AS HUGEINT) AS chance
+           |       FROM rm JOIN cm ON rm.a = cm.p),
+           |nc AS (SELECT count(*) AS n_classes
+           |       FROM (SELECT a AS c FROM pr UNION SELECT p FROM pr)),
+           |tot AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+           |          CAST(coalesce(sum(CASE WHEN a = p THEN 1 ELSE 0 END), 0)
+           |            AS HUGEINT) AS agree
+           |        FROM pr)
+           |SELECT CAST(n AS BIGINT) AS n_docs, n_classes,
+           |  CAST(agree AS BIGINT) AS n_agree,
+           |  CAST((1000000 * agree) // n AS BIGINT) AS po_micro,
+           |  CAST((1000000 * chance) // (n * n) AS BIGINT) AS pe_micro,
+           |  CASE WHEN n * n - chance = 0 THEN NULL ELSE
+           |    CAST((CASE WHEN n * agree - chance < 0 THEN -1 ELSE 1 END) *
+           |         ((1000000 * abs(n * agree - chance)) // (n * n - chance))
+           |      AS BIGINT) END AS kappa_micro
+           |FROM tot, ch, nc""".stripMargin)),
+
     QueryDef("zipf_alpha",
       (s, d) => TextAnalysis.zipfAlpha(Tables.documents(s, d)), Some(
         """WITH c AS (

@@ -214,7 +214,11 @@ class PlanShapeSpec extends SparkSpec {
       "embedding_split_drift",
       // importance_resampling: the one-row grand-total broadcast onto
       // the 256-row bucket table (the token_kl_drift pattern)
-      "importance_resampling")
+      "importance_resampling",
+      // multiclass kappa: the ONE-ROW chance/class-count aggregates
+      // crossJoined into the report row (the dedup_savings pattern —
+      // bounded by construction)
+      "label_agreement_kappa_multiclass")
     SparkEntry.registry.foreach { q =>
       val plan = q.fn(spark, sf0001).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),

@@ -329,6 +329,30 @@ class PropertiesSpec extends SparkSpec {
     assert(d.isNullAt(4), "kappa must be NULL when pe = 1")
   }
 
+  test("multi-class kappa matches a hand-computed 3x3 (and 4-class asymmetric) case") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    def pairsDf(rows: Seq[(String, String)]) =
+      rows.zipWithIndex.map { case ((a, p), i) => (i.toLong, a, p) }
+        .toDF("doc_id", "a", "p")
+    // 3x3 contingency: xx*5 xy*1 yy*4 yz*2 zz*3 zx*1 -> N=16, agree=12,
+    // row marginals (6,6,4), col marginals (6,5,5), chance=36+30+20=86
+    val base = Seq.fill(5)(("x", "x")) ++ Seq(("x", "y")) ++
+      Seq.fill(4)(("y", "y")) ++ Seq.fill(2)(("y", "z")) ++
+      Seq.fill(3)(("z", "z")) ++ Seq(("z", "x"))
+    val r = TextAnalysis.kappaFromPairs(pairsDf(base)).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((16L, 3L, 12L)))
+    assert(r.getLong(3) == 750000L) // po = 12/16
+    assert(r.getLong(4) == 335937L) // pe = 86/256 (truncating div)
+    assert(r.getLong(5) == 623529L) // (16*12-86)/(256-86) = 106/170
+    // a class that appears ONLY as a prediction joins the class set but
+    // contributes 0 to chance (its row marginal is 0)
+    val r4 = TextAnalysis.kappaFromPairs(pairsDf(base :+ (("x", "w")))).head()
+    assert((r4.getLong(0), r4.getLong(1), r4.getLong(2)) == ((17L, 4L, 12L)))
+    assert(r4.getLong(4) == 318339L) // chance = 7*6+6*5+4*5 = 92
+    assert(r4.getLong(5) == 568527L) // (17*12-92)/(289-92) = 112/197
+  }
+
   test("token concentration equals a naive recompute; uniform corpus pins HHI = 1/V") {
     import graft.operators.TextAnalysis
     import spark.implicits._
