@@ -403,4 +403,48 @@ object Search {
     * Materialize.table under a fresh content key). */
   def compactPostings(base: DataFrame, deltas: DataFrame*): DataFrame =
     servePostings(base, deltas: _*)
+
+  // ---- deletion (tombstones) ----------------------------------------
+  //
+  // A real 100 TB pipeline must REMOVE documents — takedowns,
+  // dedup-driven eviction, license changes (r10 verdict item 1) — and
+  // a full postings rebuild per delete batch is corpus-sized work for
+  // an ingest-batch-sized change. The LSM answer: deletes ship as
+  // TOMBSTONES (a doc_id set riding with the ingest generation that
+  // observed them), probes anti-join them at serve time, and
+  // compaction makes the removal physical (writing the served view IS
+  // the removal — tombstoned rows simply never reach the new base).
+  // The same doc_id anti-join serves every doc-keyed index here: the
+  // postings relation, the per-doc length table, and the LSH band
+  // tables (band-index caveat: a bucket the BUILD-time cap dropped is
+  // not resurrected when deletes shrink it below cap — the served
+  // result is exact for every surviving bucket and compaction restores
+  // cap-exactness; IncrementalIndexSpec pins both).
+
+  /** Serve-time delete: drop every row of a doc_id-keyed index whose
+    * document is tombstoned. One hash anti-join sized by the tombstone
+    * set — never corpus-sized work. */
+  def applyTombstones(idx: DataFrame, tombstones: DataFrame): DataFrame =
+    idx.join(tombstones.select(col("doc_id")), Seq("doc_id"), "left_anti")
+
+  /** One index generation: its postings plus the tombstones it carries
+    * against every OLDER generation (None for the initial base). */
+  final case class Generation(postings: DataFrame,
+      tombstones: Option[DataFrame] = None)
+
+  /** Serve across generations with LSM delete semantics, oldest first:
+    * generation g's tombstones hide matching doc_ids in every
+    * generation BEFORE g, never in g itself or after — so
+    * delete-then-readd works by construction (the re-added document
+    * arrives in a LATER generation than the tombstone that removed its
+    * predecessor). Writing this view back through Materialize.table is
+    * compaction WITH physical removal: tombstoned rows never reach the
+    * new base, and the new base starts a fresh tombstone-free epoch. */
+  def servePostingsLsm(generations: Seq[Generation]): DataFrame = {
+    require(generations.nonEmpty, "need at least one generation")
+    generations.tail.foldLeft(generations.head.postings) { (acc, g) =>
+      g.tombstones.fold(acc)(applyTombstones(acc, _))
+        .unionByName(g.postings)
+    }
+  }
 }

@@ -183,6 +183,10 @@ class PlanShapeSpec extends SparkSpec {
       // union(base, delta) postings view — same one-row corpus-stat
       // broadcast scalar as bm25_search_explicit
       "bm25_search_incremental",
+      // round-11 served/tombstoned shapes: the same scorer (and its
+      // one-row corpus-stat broadcast scalar) over the durable-base
+      // union view / the tombstone-anti-joined view
+      "bm25_search_served", "bm25_search_tombstoned",
       // round-8 continuation: equidepth's quartile-boundary row — a
       // one-row broadcast scalar crossJoined onto the fact scan (the
       // q11/revenue_share pattern)
