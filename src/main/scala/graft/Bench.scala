@@ -115,6 +115,43 @@ object Bench {
     System.err.println(s"[bench] no previous-round baseline: $e")
     (Map.empty, Map.empty) }
 
+  /** FIXED-WORK CPU CALIBRATION (r10 verdict item 4): a deterministic
+    * xorshift spin — zero I/O, zero shuffle, a constant instruction
+    * count per run — whose task-CPU seconds on this binary+JVM are a
+    * host-speed probe. Two rounds of "shared-query CPU up 1.1–1.3×,
+    * attributed to windows" could not be falsified because task CPU,
+    * while immune to wall-clock steal, still inflates with SMT
+    * contention / frequency scaling / contended cycles for IDENTICAL
+    * work. The calibration runs at bench start AND end (min of 3 reps
+    * each — rep 1 absorbs JIT); cross-round comparisons divide
+    * per-query CPU by the calibration ratio to cancel host drift:
+    * normalized_r11/r10 = (cpu_r11 / calib_r11) / (cpu_r10 / calib_r10).
+    * Its job groups are NOT registry names, so it never counts into
+    * cpu_total. */
+  private val CalibTasks = 64
+  private val CalibIters = 25000000
+
+  private def calibrate(spark: SparkSession, tag: String,
+      cpuOf: String => Long, drain: () => Unit): Double = {
+    val sc = spark.sparkContext
+    import spark.implicits._
+    val iters = CalibIters
+    (1 to 3).map { _ =>
+      val before = { drain(); cpuOf(tag) }
+      sc.setJobGroup(tag, tag, interruptOnCancel = true)
+      try {
+        spark.range(0, CalibTasks, 1, CalibTasks).as[Long].map { i =>
+          var x = i + 0x9e3779b97f4a7c15L
+          var j = 0
+          while (j < iters) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; j += 1 }
+          x
+        }.filter(_ != 0L).count()
+      } finally sc.clearJobGroup()
+      drain()
+      (cpuOf(tag) - before) / 1e9
+    }.min
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -274,6 +311,8 @@ object Bench {
         case None => SparkEntry.queries
       }
     val fullRun = selected.size == SparkEntry.queries.size
+    val calibStart = calibrate(spark, "calib_start", cpuSnap, drainListeners)
+    System.err.println(f"[bench] calib_start ${calibStart}%.2fs CPU (fixed work)")
     val warmTimes: Map[String, Double] =
       if (sys.env.getOrElse("GRAFT_WARM_PASS", "true") == "true")
         selected.map { case (n, fn) => n -> runOnce(n, fn, timed = false) }
@@ -290,6 +329,8 @@ object Bench {
         else t // warm run was still a complete, clean execution — report it
       name -> dt
     }
+    val calibEnd = calibrate(spark, "calib_end", cpuSnap, drainListeners)
+    System.err.println(f"[bench] calib_end ${calibEnd}%.2fs CPU (fixed work)")
     def r3(v: Double): Double = math.round(v * 1000.0) / 1000.0
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
@@ -339,7 +380,8 @@ object Bench {
     // gate signal at this suite size. Wall is retained as "wall_total"
     // / "queries" for context; the regression detector already prefers
     // CPU when both rounds carry it.
-    val detailed = s"""{"metric":"cpu_total","value":$cpuTotal,"unit":"sec","wall_total":$total,"queries":$qs,"cpu":$cpuJson,"errors":$errJson,"regressions":$regJson,"index_build":$buildJson,"index_build_total":$buildTotal,"sf":"$sfDir"}"""
+    val calibJson = s"""{"start":${r3(calibStart)},"end":${r3(calibEnd)}}"""
+    val detailed = s"""{"metric":"cpu_total","value":$cpuTotal,"unit":"sec","wall_total":$total,"queries":$qs,"cpu":$cpuJson,"errors":$errJson,"regressions":$regJson,"index_build":$buildJson,"index_build_total":$buildTotal,"calib_cpu_sec":$calibJson,"sf":"$sfDir"}"""
     // Full detail to a committed file (next round's regression baseline,
     // and the judge's full-precision record) — from any run that covered
     // the whole registry (a blank GRAFT_ONLY counts); a filtered run
@@ -367,7 +409,7 @@ object Bench {
     val errC = cap8(errors.map { case (k, v) => k -> s"\"$v\"" }, errors.size)
     val regC = cap8(regressions.toSeq.sortBy(-_._2).map { case (k, v) => k -> v.toString },
       regressions.size)
-    println(s"""{"metric":"cpu_total","value":$cpuTotal,"unit":"sec","wall_total":$total,"nqueries":${results.size},"detail":"bench_detail.json","errors":$errC,"regressions":$regC,"index_build_total":$buildTotal,"sf":"$sfDir"}""")
+    println(s"""{"metric":"cpu_total","value":$cpuTotal,"unit":"sec","wall_total":$total,"nqueries":${results.size},"detail":"bench_detail.json","errors":$errC,"regressions":$regC,"index_build_total":$buildTotal,"calib_cpu_sec":$calibJson,"sf":"$sfDir"}""")
     spark.stop()
     // daemon worker threads may hold a wedged query; don't let them block exit
     sys.exit(0)
