@@ -321,7 +321,7 @@ object Similarity {
   private val centroidMemo =
     new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, Int)]()
 
-  private def ivfCentroids(emb: DataFrame, minCentroids: Int,
+  private[graft] def ivfCentroids(emb: DataFrame, minCentroids: Int,
       corpusCount: Option[Long]): (DataFrame, Int) = {
     // content key: canonicalized-plan hash + parameters + source-file
     // fingerprint (shared by the durable parquet path — the fingerprint
@@ -409,13 +409,18 @@ object Similarity {
     * second of the two ANN scale paths (sign-LSH buckets being the
     * other); cells shuffle on cell id exactly like LSH buckets. */
   def ivfTopK(emb: DataFrame, minCentroids: Int, nQueries: Int, k: Int,
-      corpusCount: Option[Long] = None): DataFrame = {
-    val spark = emb.sparkSession
+      corpusCount: Option[Long] = None): DataFrame =
     // both sides of the self-join read the MATERIALIZED assignment index
     // (narrow table + vec_id equi-join to re-attach embeddings) — the
     // N×K assignment job runs once per (session, corpus, params), not
     // once per consumer subtree
-    val assigned = ivfAssign(emb, minCentroids, corpusCount)
+    ivfProbe(ivfAssign(emb, minCentroids, corpusCount), nQueries, k)
+
+  /** The nprobe=1 probe over ANY (vec_id, embedding, cell, ccos)
+    * assignment view — shared by the one-shot index ([[ivfTopK]]) and
+    * the incremental base+delta serve ([[ivfTopKIncremental]]). */
+  private def ivfProbe(assigned: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val spark = assigned.sparkSession
     val q = assigned.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("cell").as("qcell"))
@@ -434,6 +439,57 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("cand_id"), col("cos_sim"))
       .orderBy("query_id", "rnk")
+  }
+
+  // ---- incremental adds (the FAISS IVF `add` semantics) ---------------
+  //
+  // r10 verdict item 6: a production vector index ingests new vectors
+  // continuously; retraining the coarse quantizer per batch is a
+  // corpus-sized job for a batch-sized change. The FAISS answer — and
+  // this engine's postings-delta pattern applied to the inverted file:
+  // new vectors are assigned to the EXISTING durable centroids
+  // (quantizer FROZEN), the delta assignment unions into the serving
+  // view, and probes see base ∪ delta transparently. Delta cost is
+  // |Δ|·K cosine evaluations through the same hash-aggregated argmax —
+  // never corpus-sized. Because each vector's cell depends only on
+  // itself and the frozen centroid table, union(assign(base),
+  // assign(Δ)) ≡ assign(base ∪ Δ) under those centroids as a relational
+  // identity — DedupSimilaritySpec pins it on real data, and the
+  // ann_ivf_incremental oracle retrains + reassigns from scratch in
+  // DuckDB (base-prefix geometry), so the driver hash gate holds the
+  // whole add path to the rebuild answer.
+  //
+  // DRIFT POLICY (documented, caller-owned like postings compaction):
+  // frozen centroids degrade recall as the vector distribution drifts
+  // away from the base sample — retrain when Σ|Δ| exceeds ~20% of
+  // |base|. The retrain is the original sample-bounded training job
+  // (TrainFactor·K vectors, NOT the corpus) plus one full re-assignment
+  // — the same amortized price as postings compaction, triggered every
+  // ~5 ingest batches at the 20% threshold.
+
+  /** Assign ONLY the new vectors to a frozen centroid table — the
+    * per-ingest-batch delta build (narrow (vec_id, cell, ccos) shape,
+    * same packed hash-aggregated argmax as the base index). */
+  def ivfAssignDelta(newVecs: DataFrame, cents: DataFrame, kc: Int): DataFrame =
+    argmaxCellNarrow(
+      scoreAgainst(newVecs, cents, kc, "ce1")
+        .select(col("vec_id"), col("cent_id"), col("ccos")))
+
+  /** IVF top-k served from union(durable base assignment, delta
+    * assignment): base = the vec_id < baseCount prefix (centroids
+    * trained on and keyed to the base alone), delta = everything newer,
+    * assigned per serve at |Δ|·K cost. Same probe as [[ivfTopK]]. */
+  def ivfTopKIncremental(emb: DataFrame, minCentroids: Int, nQueries: Int,
+      k: Int, baseCount: Long): DataFrame = {
+    val base = emb.filter(col("vec_id") < baseCount)
+    val delta = emb.filter(col("vec_id") >= baseCount)
+    val (cents, kc) = ivfCentroids(base, minCentroids, Some(baseCount))
+    val assignedNarrow = ivfAssignIndex(base, minCentroids, Some(baseCount))
+      .unionByName(ivfAssignDelta(delta, cents, kc))
+    val assigned = emb.select(col("vec_id"), col("embedding"))
+      .join(assignedNarrow, "vec_id")
+      .select(col("vec_id"), col("embedding"), col("cell"), col("ccos"))
+    ivfProbe(assigned, nQueries, k)
   }
 
   /** Hot-bucket cap for the embedding near-dup self-join: a bucket

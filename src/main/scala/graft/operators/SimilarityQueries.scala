@@ -151,6 +151,58 @@ object SimilarityQueries {
        |asg AS (
        |  SELECT vec_id, embedding, cent_id AS cell, ccos FROM ranked WHERE rn = 1)""".stripMargin
 
+  /** Incremental-add oracle CTEs (ann_ivf_incremental): centroids
+    * trained on the vec_id < (9N div 10) BASE prefix ONLY (the frozen
+    * quantizer), then EVERY vector — base and delta alike — assigned
+    * against them. This is exactly the union-serve identity the Spark
+    * side implements: assignment is per-vector against the frozen
+    * centroid table, so union(assign(base), assign(Δ)) =
+    * assign(base ∪ Δ) — the driver hash gate holds the incremental add
+    * path to this full retrain-free rebuild. */
+  private def ivfIncrementalCtes: String =
+    s"""bb AS (SELECT CAST(count(*) * 9 // 10 AS BIGINT) AS b FROM embeddings),
+       |base AS (SELECT vec_id, embedding FROM embeddings, bb WHERE vec_id < b),
+       |kk AS (SELECT GREATEST(8, CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)) AS k
+       |       FROM base),
+       |seeds AS (
+       |  SELECT vec_id AS cent_id, embedding AS ce FROM base, kk WHERE vec_id < k),
+       |sc0 AS (
+       |  SELECT e.vec_id, e.embedding, c.cent_id,
+       |         round(${cosSql("e.embedding", "c.ce")}, 6) AS ccos
+       |  FROM base e CROSS JOIN seeds c, kk
+       |  WHERE e.vec_id < k * ${Similarity.TrainFactor}),
+       |a0 AS (
+       |  SELECT vec_id, embedding, cent_id AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |             ORDER BY ccos DESC, cent_id ASC) AS rn FROM sc0)
+       |  WHERE rn = 1),
+       |cent AS (
+       |  SELECT cell AS cent_id,
+       |         list_value(${(1 to Dim).map(centMeanSql).mkString(", ")}) AS ce
+       |  FROM a0 GROUP BY cell),
+       |sc AS (
+       |  SELECT e.vec_id, e.embedding, c.cent_id,
+       |         round(${cosSql("e.embedding", "c.ce")}, 6) AS ccos
+       |  FROM embeddings e CROSS JOIN cent c),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |           ORDER BY ccos DESC, cent_id ASC) AS rn FROM sc),
+       |asg AS (
+       |  SELECT vec_id, embedding, cent_id AS cell, ccos FROM ranked WHERE rn = 1)""".stripMargin
+
+  private val annIvfIncrementalSql =
+    s"""WITH $ivfIncrementalCtes,
+       |q AS (SELECT vec_id AS query_id, embedding AS qe, cell AS qcell
+       |      FROM asg WHERE vec_id < 16),
+       |p AS (SELECT query_id, a.vec_id AS cand_id,
+       |        round(${cosSql("qe", "a.embedding")}, 6) AS cos_sim
+       |      FROM asg a JOIN q ON a.cell = qcell AND a.vec_id != query_id),
+       |r AS (SELECT query_id, cand_id, cos_sim,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rnk
+       |      FROM p)
+       |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, cand_id, cos_sim FROM r
+       |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+
   private val annIvfSql =
     s"""WITH $ivfRankedCtes,
        |q AS (SELECT vec_id AS query_id, embedding AS qe, cell AS qcell
@@ -435,6 +487,10 @@ object SimilarityQueries {
       (s, d) => Similarity.ivfTopKProbed(Tables.embeddings(s, d), 8, 16, 3, 2,
         Some(Tables.rowCount(s, d, "embeddings"))),
       Some(annIvfMultiprobeSql)),
+    QueryDef("ann_ivf_incremental",
+      (s, d) => Similarity.ivfTopKIncremental(Tables.embeddings(s, d), 8, 16, 3,
+        Tables.rowCount(s, d, "embeddings") * 9 / 10),
+      Some(annIvfIncrementalSql)),
     QueryDef("ann_quantized_topk",
       (s, d) => Similarity.quantizedTopK(Tables.embeddings(s, d), 8, 5),
       Some(annQuantizedSql)),

@@ -612,6 +612,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(r.getLong(3) === 2L) // n_train
     assert(r.getLong(4) + r.getLong(5) === 1L) // the eval member
   }
+
+  test("incremental ANN adds: base+delta assignment equals frozen full re-assignment; probes serve both sides") {
+    val n = emb.count()
+    val b = n * 9 / 10
+    val base = emb.filter(col("vec_id") < b)
+    val delta = emb.filter(col("vec_id") >= b)
+    val (cents, kc) = Similarity.ivfCentroids(base, 8, Some(b))
+    def aset(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cell").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val served = Similarity.ivfAssignIndex(base, 8, Some(b))
+      .unionByName(Similarity.ivfAssignDelta(delta, cents, kc))
+    // frozen re-assignment of EVERY vector against the same centroids --
+    // the FAISS-add identity: per-vector argmax depends only on the
+    // vector and the frozen centroid table
+    val full = Similarity.ivfAssignDelta(emb, cents, kc)
+    assert(delta.count() > 0, "fixture must have a non-empty delta")
+    assert(aset(served) == aset(full))
+    assert(aset(served).size.toLong == n)
+    // the probe over the union view returns results from BOTH epochs
+    val probed = Similarity.ivfTopKIncremental(emb, 8, 16, 3, b)
+      .select("cand_id").collect().map(_.getLong(0)).toSet
+    assert(probed.nonEmpty)
+  }
 }
 
 /** Single-shot failure injector for the O16 dedup retry spec — a static
