@@ -421,6 +421,13 @@ object Search {
   // result is exact for every surviving bucket and compaction restores
   // cap-exactness; IncrementalIndexSpec pins both).
 
+  /** The size-tiered compaction trigger (the 20% policy
+    * [[servePostings]] documents, as code a caller drives): compact
+    * when the accumulated delta rows reach `ratio` of the base. */
+  def compactionDue(baseRows: Long, deltaRows: Long,
+      ratio: Double = 0.2): Boolean =
+    deltaRows >= (baseRows * ratio).toLong
+
   /** Serve-time delete: drop every row of a doc_id-keyed index whose
     * document is tombstoned. One hash anti-join sized by the tombstone
     * set — never corpus-sized work. */
