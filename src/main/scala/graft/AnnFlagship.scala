@@ -140,7 +140,36 @@ object AnnFlagship {
         nprobe = 2, refine = 4, corpusCount = n)),
       "ivf_int8_p4" -> (() => Similarity.ivfInt8TopK(emb, 8, NQueries, K,
         nprobe = 4, refine = 4, corpusCount = n)))
-    val results = methods.map { case (name, f) =>
+    // GRAFT_OPQ=true: OPQ-lite rows — the corpus pre-rotated by the
+    // fixed sign-flipped Hadamard (orthogonal ⇒ cosines and true
+    // neighbor sets preserved, so recall scores against the UNROTATED
+    // ground truth), then the straddle-regime PQ path re-measured over
+    // it. The rotated corpus is written once per geometry (it is an
+    // index-build artifact, like the centroid tables).
+    val opqMethods: Seq[(String, () => DataFrame)] =
+      if (sys.env.getOrElse("GRAFT_OPQ", "false") != "true") Seq.empty
+      else {
+        val rotDir = s"$work/vectors_n${nVecs}_c${nClusters}_opq"
+        if (!java.nio.file.Files.exists(
+            java.nio.file.Paths.get(s"$rotDir/_SUCCESS"))) {
+          val t0 = System.nanoTime()
+          emb.select(col("vec_id"),
+              Similarity.opqRotateCol(col("embedding")).as("embedding"))
+            .repartition(64).write.mode("overwrite").parquet(rotDir)
+          println(f"setup: OPQ-rotated corpus in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+        }
+        val rot = spark.read.parquet(rotDir)
+        Seq(
+          // the candidate-recall ceiling in rotated space (should track
+          // the unrotated ivf_p4 — rotation preserves geometry)
+          "ivf_p4_opq" -> (() => Similarity.ivfTopKProbed(rot, 8, NQueries, K, 4, n)),
+          // the contested row: does rotation close 0.822 → its ceiling?
+          "ivfpq_p4r32_opq" -> (() => Similarity.ivfPqTopK(rot, 8, NQueries, K,
+            corpusCount = n, nprobe = 4, refine = 32)),
+          "ivfpq_opq" -> (() => Similarity.ivfPqTopK(rot, 8, NQueries, K,
+            corpusCount = n)))
+      }
+    val results = (methods ++ opqMethods).map { case (name, f) =>
       val (df, dt) = timed(name)(f())
       name -> (recallOf(df), dt)
     }

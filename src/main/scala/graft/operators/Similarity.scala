@@ -55,6 +55,38 @@ object Similarity {
   lazy val lshSigns: Array[Array[Int]] =
     graft.functions.LshBucket.signMatrix(MaxPlanes, Dim)
 
+  // ---- OPQ-lite rotation (r10 verdict item 8) -------------------------
+
+  /** Deterministic sign-flipped HADAMARD rotation R = (1/√Dim)·H·D —
+    * the structured orthogonal transform OPQ-lite uses before PQ encode
+    * (Ge et al. CVPR'13 motivate learned rotations; the
+    * randomized-Hadamard HD form is the standard cheap surrogate, e.g.
+    * FALCONN / QuickADC). H is the Sylvester Hadamard matrix
+    * (H_ij = (−1)^popcount(i AND j)), D a seeded ±1 diagonal; R is
+    * exactly orthogonal, so cosines — and therefore the TRUE neighbor
+    * sets — are preserved, while per-subspace variance is redistributed
+    * across the PQ cut points for correlated inputs. Fixed and seeded:
+    * both engines (and any oracle) reproduce it from the formula.
+    * AnnFlagship measures whether it closes the straddle-regime ADC
+    * gap; [[DedupSimilaritySpec]] pins R's orthogonality and the
+    * cosine-preservation property. */
+  def opqSigns: Array[Double] = Array.tabulate(Dim) { j =>
+    // seeded ±1 diagonal: parity of the low 16 bits of a Weyl sequence
+    if (java.lang.Long.bitCount((j * 0x9e3779b97f4a7c15L) & 0xffffL) % 2 == 0)
+      1.0 else -1.0
+  }
+
+  def opqRotateCol(e: Column): Column = {
+    val d = opqSigns
+    val inv = 1.0 / math.sqrt(Dim.toDouble)
+    array((0 until Dim).map { i =>
+      (0 until Dim).map { j =>
+        val h = if (java.lang.Integer.bitCount(i & j) % 2 == 0) 1.0 else -1.0
+        lit(h * d(j) * inv) * element_at(e, j + 1).cast("double")
+      }.reduce(_ + _).cast("float")
+    }: _*)
+  }
+
   /** Left-associated Σ a[i]*b[i] in double — order-stable. */
   def dotCol(a: Column, b: Column): Column =
     (1 to Dim).map(i =>
@@ -478,14 +510,25 @@ object Similarity {
   /** IVF top-k served from union(durable base assignment, delta
     * assignment): base = the vec_id < baseCount prefix (centroids
     * trained on and keyed to the base alone), delta = everything newer,
-    * assigned per serve at |Δ|·K cost. Same probe as [[ivfTopK]]. */
+    * assigned per serve at |Δ|·K cost. Same probe as [[ivfTopK]].
+    *
+    * `tombstones` (optional, a vec_id set): serve-time VECTOR DELETES —
+    * the postings-tombstone pattern applied to the inverted file
+    * (takedowns remove embeddings too). The anti-join drops deleted
+    * vectors from BOTH roles: as candidates AND as queries (a deleted
+    * query vector simply has no rows — the same shape as an OOV search
+    * term). Physical removal happens at the next retrain/compaction,
+    * exactly like postings. */
   def ivfTopKIncremental(emb: DataFrame, minCentroids: Int, nQueries: Int,
-      k: Int, baseCount: Long): DataFrame = {
+      k: Int, baseCount: Long,
+      tombstones: Option[DataFrame] = None): DataFrame = {
     val base = emb.filter(col("vec_id") < baseCount)
     val delta = emb.filter(col("vec_id") >= baseCount)
     val (cents, kc) = ivfCentroids(base, minCentroids, Some(baseCount))
-    val assignedNarrow = ivfAssignIndex(base, minCentroids, Some(baseCount))
+    val assignedNarrow0 = ivfAssignIndex(base, minCentroids, Some(baseCount))
       .unionByName(ivfAssignDelta(delta, cents, kc))
+    val assignedNarrow = tombstones.fold(assignedNarrow0)(t =>
+      assignedNarrow0.join(t.select(col("vec_id")), Seq("vec_id"), "left_anti"))
     val assigned = emb.select(col("vec_id"), col("embedding"))
       .join(assignedNarrow, "vec_id")
       .select(col("vec_id"), col("embedding"), col("cell"), col("ccos"))

@@ -203,6 +203,25 @@ object SimilarityQueries {
        |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, cand_id, cos_sim FROM r
        |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
 
+  /** Vector-tombstone oracle: the incremental CTEs with deleted vectors
+    * (vec_id ≡ 5 mod 11) dropped from the LIVE view only — the coarse
+    * quantizer and assignment were TRAINED before the deletes (serve-
+    * time semantics; physical removal waits for retrain/compaction),
+    * and a deleted query vector has no rows at all. */
+  private val annIvfTombstonedSql =
+    s"""WITH $ivfIncrementalCtes,
+       |live AS (SELECT * FROM asg WHERE vec_id % 11 != 5),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe, cell AS qcell
+       |      FROM live WHERE vec_id < 16),
+       |p AS (SELECT query_id, a.vec_id AS cand_id,
+       |        round(${cosSql("qe", "a.embedding")}, 6) AS cos_sim
+       |      FROM live a JOIN q ON a.cell = qcell AND a.vec_id != query_id),
+       |r AS (SELECT query_id, cand_id, cos_sim,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rnk
+       |      FROM p)
+       |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, cand_id, cos_sim FROM r
+       |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+
   private val annIvfSql =
     s"""WITH $ivfRankedCtes,
        |q AS (SELECT vec_id AS query_id, embedding AS qe, cell AS qcell
@@ -491,6 +510,16 @@ object SimilarityQueries {
       (s, d) => Similarity.ivfTopKIncremental(Tables.embeddings(s, d), 8, 16, 3,
         Tables.rowCount(s, d, "embeddings") * 9 / 10),
       Some(annIvfIncrementalSql)),
+    QueryDef("ann_ivf_tombstoned",
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, lit, pmod}
+        val emb = Tables.embeddings(s, d)
+        Similarity.ivfTopKIncremental(emb, 8, 16, 3,
+          Tables.rowCount(s, d, "embeddings") * 9 / 10,
+          tombstones = Some(
+            emb.filter(pmod(col("vec_id"), lit(11)) === 5).select(col("vec_id"))))
+      },
+      Some(annIvfTombstonedSql)),
     QueryDef("ann_quantized_topk",
       (s, d) => Similarity.quantizedTopK(Tables.embeddings(s, d), 8, 5),
       Some(annQuantizedSql)),

@@ -167,7 +167,7 @@ class PlanShapeSpec extends SparkSpec {
     // round-11 ann_ivf_incremental: same broadcast centroid/query-side
     // shapes as ann_ivf_topk, over the base+delta assignment union
     val allowedBnlj = Set("ann_topk", "ann_ivf_topk", "ann_ivf_multiprobe",
-      "ann_ivf_incremental",
+      "ann_ivf_incremental", "ann_ivf_tombstoned",
       "ann_quantized_topk", "tfidf_top_terms",
       "q22_dormant_balances", "vocab_prune", "gap_fill_counts", "knn_classify",
       "revenue_share", "q11_important_parts", "source_mix_rebalance",
