@@ -35,14 +35,10 @@ import graft.operators.Search
   */
 object CompactionFlagship {
 
+  /** One shared corpus definition with [[SearchFlagship]] — the header
+    * claim "the SearchFlagship generator" is enforced by reuse. */
   private def gen(spark: SparkSession, lo: Long, hi: Long): DataFrame =
-    spark.range(lo, hi).selectExpr("id AS doc_id",
-      """array_join(transform(
-        |  sequence(1, CAST(15 + pmod(xxhash64(id, 7), 46) AS INT)),
-        |  i -> concat(char(97 + pmod(xxhash64(id, i, 8), 26)),
-        |              char(97 + pmod(xxhash64(id, i, 9), 26)),
-        |              char(97 + pmod(xxhash64(id, i, 10), 26)))), ' ') AS text"""
-        .stripMargin)
+    SearchFlagship.genDocs(spark, lo, hi)
 
   def main(args: Array[String]): Unit = {
     val work = args.headOption.getOrElse("/tmp/graft_compact1g")
@@ -110,10 +106,16 @@ object CompactionFlagship {
     // rebuild" lesson). Doc sets are disjoint so the union is exact.
     val baseDl = Search.docLengths(basePost).localCheckpoint()
     val deltaDls = deltas.map(d => Search.docLengths(d._1).localCheckpoint())
-    def dlStack(g: Int): DataFrame = {
-      val b = if (g >= tombGen) Search.applyTombstones(baseDl, tombs) else baseDl
-      (1 to g).map(i => deltaDls(i - 1)).foldLeft(b)(_ unionByName _)
-    }
+    // the SAME LSM fold as the postings stack — the tombstones at gen 3
+    // hide base AND gen-1/2 dls, so the two index legs can never
+    // disagree even if the tombstone predicate is later widened to hit
+    // delta docs (review finding: the earlier base-only anti-join was
+    // correct only because tombs ⊂ [0, baseN))
+    def dlStack(g: Int): DataFrame =
+      (1 to g).foldLeft(baseDl) { (acc, i) =>
+        (if (i == tombGen) Search.applyTombstones(acc, tombs) else acc)
+          .unionByName(deltaDls(i - 1))
+      }
 
     // ---- probe latency vs generation count -------------------------
     // min of 2 reps per point (rep 1 of gen 0 absorbs codegen)
@@ -150,8 +152,10 @@ object CompactionFlagship {
     // ---- parity 1: stack vs compacted ------------------------------
     def probeRows(idx: DataFrame, dl: Option[DataFrame]) =
       Search.bm25SearchFor(idx, terms, dl = dl).collect().map(_.toSeq).toSeq
+    // one probe of the compacted index feeds both parity gates
+    val compactedProbe = probeRows(compacted, Some(compactedDl))
     val parityStack = probeRows(stack(nGens), Some(dlStack(nGens))) ==
-      probeRows(compacted, Some(compactedDl))
+      compactedProbe
 
     // ---- parity 2: compacted vs full rebuild on surviving docs -----
     // dl = None here on purpose: the rebuild recomputes EVERYTHING from
@@ -160,7 +164,7 @@ object CompactionFlagship {
       .join(tombs, Seq("doc_id"), "left_anti")
     val (rebuildRows, tRebuild) = timed("rebuild_probe")(
       probeRows(Search.postings(survivors), None))
-    val parityRebuild = rebuildRows == probeRows(compacted, Some(compactedDl))
+    val parityRebuild = rebuildRows == compactedProbe
 
     // ---- parity 3: physical-removal row arithmetic -----------------
     val tombedBaseRows = basePost.join(tombs, Seq("doc_id"), "left_semi").count()

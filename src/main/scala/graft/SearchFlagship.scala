@@ -28,6 +28,21 @@ import graft.operators.{Pipeline, Search}
   */
 object SearchFlagship {
 
+  /** The shared 1 GB-corpus generator: docs of 15–60 three-letter words
+    * from the 17,576-word alphabetic vocabulary, content a pure
+    * function of doc_id. ONE definition — [[CompactionFlagship]] reuses
+    * it, so the two flagships' corpora can never silently
+    * desynchronize (review finding). */
+  private[graft] def genDocs(spark: SparkSession, lo: Long,
+      hi: Long): DataFrame =
+    spark.range(lo, hi).selectExpr("id AS doc_id",
+      """array_join(transform(
+        |  sequence(1, CAST(15 + pmod(xxhash64(id, 7), 46) AS INT)),
+        |  i -> concat(char(97 + pmod(xxhash64(id, i, 8), 26)),
+        |              char(97 + pmod(xxhash64(id, i, 9), 26)),
+        |              char(97 + pmod(xxhash64(id, i, 10), 26)))), ' ') AS text"""
+        .stripMargin)
+
   def main(args: Array[String]): Unit = {
     val work = args.headOption.getOrElse("/tmp/graft_search1g")
     val nDocs = if (args.length > 1) args(1).toLong else 3300000L
@@ -53,13 +68,7 @@ object SearchFlagship {
     val docDir = s"$work/docs_n$nDocs"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$docDir/_SUCCESS"))) {
       val (_, sec) = timed("gen") {
-        spark.range(nDocs).selectExpr("id AS doc_id",
-          """array_join(transform(
-            |  sequence(1, CAST(15 + pmod(xxhash64(id, 7), 46) AS INT)),
-            |  i -> concat(char(97 + pmod(xxhash64(id, i, 8), 26)),
-            |              char(97 + pmod(xxhash64(id, i, 9), 26)),
-            |              char(97 + pmod(xxhash64(id, i, 10), 26)))), ' ') AS text"""
-            .stripMargin)
+        genDocs(spark, 0, nDocs)
           .repartition(64).write.mode("overwrite").parquet(docDir)
       }
       println(f"setup: $nDocs docs in $sec%.1f s")

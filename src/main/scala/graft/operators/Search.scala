@@ -449,6 +449,14 @@ object Search {
     * new base, and the new base starts a fresh tombstone-free epoch. */
   def servePostingsLsm(generations: Seq[Generation]): DataFrame = {
     require(generations.nonEmpty, "need at least one generation")
+    // tombstones delete from OLDER generations only — on the first
+    // generation there is nothing older, so accepting them would
+    // silently serve the documents a caller meant to delete (review
+    // finding). A base-with-deletes is expressed as
+    // Seq(Generation(base), Generation(empty delta, Some(tombs))).
+    require(generations.head.tombstones.isEmpty,
+      "first generation cannot carry tombstones (nothing older exists); " +
+        "attach them to a later generation")
     generations.tail.foldLeft(generations.head.postings) { (acc, g) =>
       g.tombstones.fold(acc)(applyTombstones(acc, _))
         .unionByName(g.postings)
