@@ -257,9 +257,16 @@ object TextAnalysis {
     * entry is gone); one global fold. alpha_micro = −slope; r² and
     * intercept carry the qualityRegression magnitude guards. */
   def zipfAlpha(docs: DataFrame): DataFrame = {
-    val pts = zipfRanks(
+    // STAGE the vocabulary count table: zipfRanks consumes it in four
+    // branches (token ranks, prefix offsets, count-group sizes, bucket
+    // totals) — unstaged, Spark re-runs the corpus tokenize+count per
+    // branch (measured 13× the query CPU at sf0.1, the r11 bench
+    // regression). One corpus pass, then the decomposition reads the
+    // Heaps-bounded staged table. Same pattern as negativeSamples'
+    // staged rank table.
+    val pts = zipfRanks(Materialize.stage(
       docs.select(explode(toks).as("t"))
-        .groupBy("t").agg(count(lit(1)).as("c")))
+        .groupBy("t").agg(count(lit(1)).as("c"))))
       .select(
         floor(log(col("rank").cast("double")) * lit(10000.0) + lit(0.5))
           .cast("decimal(38,0)").as("x"),
