@@ -333,6 +333,30 @@ object Dedup {
     verifyJaccard(docs, mkGrams, cand, threshold)
   }
 
+  /** Serve-time DOC DELETES for the maintained band index — the
+    * postings-tombstone pattern ([[Search.applyTombstones]]) applied to
+    * the LSH index: one hash anti-join sized by the tombstone set, no
+    * rebuild. Probing the tombstoned index can never emit a pair that
+    * touches a deleted doc (its band rows are gone, so it can neither
+    * be a candidate's x nor y side).
+    *
+    * Cap semantics are FROZEN-EPOCH, the same LSM contract as
+    * [[Search.compactGenerations]]: the frequent-band cap was evaluated
+    * when the index was built, and deletes do NOT re-admit a band that
+    * was viral at build time even if the deletions would now bring its
+    * bucket under the cap. That is the only possible divergence from a
+    * full rebuild on the post-delete corpus — deleting rows can only
+    * SHRINK surviving buckets, so every served band row also survives a
+    * rebuild's cap and serve-pairs ⊆ rebuild-pairs always, with
+    * equality unless a delete drags a viral band across the cap
+    * boundary (spec-pinned both ways in IncrementalIndexSpec).
+    * Compaction = rebuild the index from the live corpus
+    * ([[cappedBands]] over live grams): the new epoch re-evaluates the
+    * cap and physically drops tombstoned rows, exactly like the
+    * postings compaction's fresh tombstone-free base. */
+  def applyDocTombstones(b: DataFrame, tombstones: DataFrame): DataFrame =
+    b.join(tombstones.select(col("doc_id")), Seq("doc_id"), "left_anti")
+
   /** Per-row MinHash signature columns m0..m7 (xxhash64 mins over word
     * 3-grams) — a MAP-ONLY formulation (array transforms, no explode, no
     * shuffle), which is what a STREAMING dedup gate requires: signatures

@@ -55,6 +55,48 @@ object DedupQueries {
        |WHERE jac >= $threshold ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Tombstoned-incremental variant of [[nearDupSql]]: the cap is
+    * evaluated over the FULL pre-delete band table (bf — the frozen
+    * epoch of the maintained index), THEN tombstoned docs (doc_id ≡ 3
+    * mod 7 below the 90% split) are deleted (bl), then the increment
+    * (doc_id ≥ split) probes the live view. Mirrors the serve path
+    * applyDocTombstones ∘ nearDupPairsIncrementalFromBands row for row;
+    * the verify stage is unchanged because candidates can only contain
+    * live docs. */
+  private def nearDupTombstonedSql(shingleCte: String, threshold: Double): String = {
+    val mins = (0 until 8).map(j => s"min(substr(hh, ${1 + 8 * j}, 8)) AS m$j").mkString(",\n        ")
+    val bandList = (0 until 4).map(b => s"'$b:' || m${2 * b} || m${2 * b + 1}").mkString(", ")
+    s"""WITH $shingleCte,
+       |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+       |h AS (SELECT doc_id, md5(g) || md5('x' || g) AS hh FROM e),
+       |m AS (SELECT doc_id,
+       |        $mins
+       |      FROM h GROUP BY doc_id),
+       |b AS (SELECT doc_id, unnest([$bandList]) AS band FROM m),
+       |bf AS (
+       |  SELECT doc_id, band FROM (
+       |    SELECT doc_id, band, count(*) OVER (PARTITION BY band) AS bn FROM b)
+       |  WHERE bn <= ${Dedup.MaxBandBucket}),
+       |sp AS (SELECT CAST(floor(CAST(count(*) AS DOUBLE) * 0.9) AS BIGINT) AS split
+       |       FROM documents),
+       |bl AS (SELECT bf.doc_id, bf.band FROM bf, sp
+       |       WHERE NOT (bf.doc_id < sp.split AND bf.doc_id % 7 = 3)),
+       |cand AS (
+       |  SELECT DISTINCT least(x.doc_id, y.doc_id) AS doc_a,
+       |                  greatest(x.doc_id, y.doc_id) AS doc_b
+       |  FROM bl x JOIN bl y ON x.band = y.band AND x.doc_id <> y.doc_id, sp
+       |  WHERE x.doc_id >= sp.split),
+       |j AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+       |    CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE) AS jac
+       |  FROM cand
+       |  JOIN s sa ON sa.doc_id = doc_a
+       |  JOIN s sb ON sb.doc_id = doc_b)
+       |SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM j
+       |WHERE jac >= $threshold ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** SimHash oracle: 16 sign-sums over md5 nibbles of each token. */
   private val simhashSql: String = {
     val nibs = (0 until 4).map(d => s"ascii(substr(md5(word), ${d + 1}, 1)) AS a$d").mkString(",\n        ")
@@ -243,6 +285,31 @@ object DedupQueries {
            |       FROM documents)
            |SELECT doc_a, doc_b, jaccard FROM full_pairs, sp
            |WHERE doc_b >= split ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // serve-time DELETES on the maintained band index: tombstoned base
+    // docs (doc_id ≡ 3 mod 7 below the 90% split) anti-joined out of the
+    // durable capped index, then the increment probes the live view —
+    // tombstone-sized work, never a rebuild. The oracle rebuilds the
+    // band pipeline with the SAME frozen-epoch cap (cap evaluated over
+    // the full pre-delete band table, deletes applied after) so hash
+    // equality pins the serve semantics exactly; the frozen-cap ⊆
+    // rebuild containment and the compaction epoch that re-evaluates
+    // the cap are spec-pinned in IncrementalIndexSpec.
+    QueryDef("near_dup_tombstoned",
+      (s, d) => {
+        val split = math.floor(
+          Tables.rowCount(s, d, "documents").toDouble * 0.9).toLong
+        val docs = Tables.documents(s, d)
+        val tomb = docs.filter(
+            org.apache.spark.sql.functions.col("doc_id") < split &&
+            org.apache.spark.sql.functions.col("doc_id") % 7 === 3)
+          .select("doc_id")
+        val live = docs.join(tomb, Seq("doc_id"), "left_anti")
+        Dedup.nearDupPairsIncrementalFromBands(live,
+          Dedup.applyDocTombstones(SharedIntermediates.textBands(s, d), tomb),
+          Dedup.wordGrams, split, 0.7)
+      },
+      Some(nearDupTombstonedSql(wordShinglesCte, 0.7))),
 
     QueryDef("near_dup_ngram",
       (s, d) => Dedup.nearDupPairsFromBands(Tables.documents(s, d),

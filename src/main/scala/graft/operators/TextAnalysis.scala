@@ -425,6 +425,41 @@ object TextAnalysis {
         round(lit(1.0) - col("n_distinct").cast("double") / col("n_grams").cast("double"), 6))
       .orderBy("doc_id")
 
+  /** PER-DOC TOKEN-DISTRIBUTION SIGNALS — the quality-filter trio the
+    * gram-level [[repetitionStats]] does not see: Shannon entropy (nats)
+    * of the within-doc token frequency distribution (low = gibberish
+    * keyboard-mash or single-token spam), type–token ratio, and the
+    * most-common-token mass fraction (the Gopher repetition rule at
+    * token granularity). H = ln(n) − (Σ c·ln c)/n computed from exact
+    * integer counts; each ln is quantized to 1e-4 units BEFORE the sum
+    * (the bigram_lm_score portability pattern — summed doubles are
+    * partition-order-dependent, quantized BIGINTs are exact), the
+    * permille ratios are exact integer floor-divisions.
+    *
+    * Scale shape: tokenize → (doc, tok) counts → per-doc aggregate.
+    * Both groupBys partial-aggregate map-side; no window, no per-doc
+    * array ever materializes. The (doc, tok) key is strictly finer than
+    * doc, so no reducer sees more than one doc's vocabulary — skew
+    * bounded by the largest single document, not the corpus. */
+  def docEntropy(docs: DataFrame): DataFrame = {
+    val c = docs.select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    c.groupBy("doc_id").agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        max(col("c")).as("cmax"),
+        sum(col("c") *
+          floor(log(col("c").cast("double")) * lit(10000.0) + lit(0.5)))
+          .as("s4"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        expr("1000 * n_types div n_tokens").as("ttr_permille"),
+        expr("1000 * cmax div n_tokens").as("top_frac_permille"),
+        round((floor(log(col("n_tokens").cast("double")) * lit(10000.0) + lit(0.5))
+            - col("s4").cast("double") / col("n_tokens").cast("double"))
+          / lit(10000.0), 6).as("entropy_nats"))
+      .orderBy("doc_id")
+  }
+
   /** Benchmark CONTAMINATION flagging (decontamination standard): a
     * corpus doc sharing any word-`n`-gram with the eval set (here the
     * deterministic slice doc_id < evalMaxId) is flagged, with the count

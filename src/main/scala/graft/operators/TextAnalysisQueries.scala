@@ -739,6 +739,28 @@ object TextAnalysisQueries {
            |ORDER BY exact_cnt DESC, tok LIMIT 50""".stripMargin
       }),
 
+    QueryDef("doc_entropy",
+      (s, d) => TextAnalysis.docEntropy(Tables.documents(s, d)), Some(
+        """WITH t AS (
+          |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS tok
+          |  FROM documents),
+          |c AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
+          |a AS (
+          |  SELECT doc_id,
+          |    CAST(sum(c) AS BIGINT) AS n_tokens,
+          |    CAST(count(*) AS BIGINT) AS n_types,
+          |    CAST(max(c) AS BIGINT) AS cmax,
+          |    CAST(sum(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT))
+          |         AS BIGINT) AS s4
+          |  FROM c GROUP BY doc_id)
+          |SELECT doc_id, n_tokens, n_types,
+          |  (1000 * n_types) // n_tokens AS ttr_permille,
+          |  (1000 * cmax) // n_tokens AS top_frac_permille,
+          |  round((CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT)
+          |         - CAST(s4 AS DOUBLE) / CAST(n_tokens AS DOUBLE)) / 10000.0, 6)
+          |    AS entropy_nats
+          |FROM a ORDER BY doc_id""".stripMargin)),
+
     QueryDef("bigram_lm_score",
       (s, d) => TextAnalysis.bigramLmScore(Tables.documents(s, d)), Some(
         """WITH t AS (

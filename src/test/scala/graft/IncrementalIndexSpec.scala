@@ -185,7 +185,7 @@ class IncrementalIndexSpec extends SparkSpec {
     val survivors = all.join(tombs, Seq("doc_id"), "left_anti")
     val builtBands = Dedup.cappedBandsPlan(
       Dedup.bandTable(Dedup.wordGrams(all)), Dedup.MaxBandBucket)
-    val servedBands = Search.applyTombstones(builtBands, tombs)
+    val servedBands = Dedup.applyDocTombstones(builtBands, tombs)
     val viaServed = Dedup.nearDupPairsFromBands(survivors, servedBands,
       Dedup.wordGrams, 0.7).collect().toSeq
     val viaRebuild = Dedup.nearDupPairsFromBands(survivors,
@@ -203,5 +203,60 @@ class IncrementalIndexSpec extends SparkSpec {
     assert(capped == 0L, "fixture unexpectedly has capped buckets")
     assert(viaServed == viaRebuild)
     assert(viaRebuild.nonEmpty, "fixture should contain near-dup pairs")
+  }
+
+  test("frozen-epoch cap: deletes never resurrect a viral band; serve ⊆ rebuild, compaction restores equality") {
+    // 70 copies of one text: its bands are viral at build time (70 >
+    // 64) and dropped from the index. Tombstoning 10 copies brings the
+    // post-delete bucket to 60 ≤ 64 — a REBUILD re-admits the band and
+    // finds the 60-survivor clique, but the frozen-epoch serve path
+    // must not (the band's rows were never in the index to delete
+    // from). This pins the ONE divergence applyDocTombstones documents.
+    val docs = (0L until 70L).map(i =>
+        (i, "the same boilerplate sentence repeated in every copy exactly"))
+      .toDF("doc_id", "text")
+    val tombs = docs.filter(col("doc_id") < 10L).select("doc_id")
+    val live = docs.join(tombs, Seq("doc_id"), "left_anti")
+    val frozen = Dedup.applyDocTombstones(
+      Dedup.cappedBandsPlan(Dedup.bandTable(Dedup.wordGrams(docs)),
+        Dedup.MaxBandBucket), tombs)
+    val served = Dedup.nearDupPairsFromBands(live, frozen,
+      Dedup.wordGrams, 0.7).collect().toSeq
+    val rebuilt = Dedup.nearDupPairsFromBands(live,
+      Dedup.cappedBandsPlan(Dedup.bandTable(Dedup.wordGrams(live)),
+        Dedup.MaxBandBucket),
+      Dedup.wordGrams, 0.7).collect().toSeq
+    assert(served.isEmpty, "viral band must stay dropped in the frozen epoch")
+    assert(rebuilt.size == 60 * 59 / 2, "rebuild re-evaluates the cap")
+    assert(served.toSet.subsetOf(rebuilt.toSet), "serve ⊆ rebuild always")
+    // compaction = rebuild from the live corpus: the fresh epoch IS the
+    // rebuilt index, so post-compaction probes see the clique again
+    val compacted = Dedup.cappedBandsPlan(
+      Dedup.bandTable(Dedup.wordGrams(live)), Dedup.MaxBandBucket)
+    assert(Dedup.nearDupPairsFromBands(live, compacted, Dedup.wordGrams, 0.7)
+      .collect().toSeq == rebuilt)
+  }
+
+  test("band-index delete-then-readd: a tombstoned doc's near-dup arrives later under a new id and still pairs") {
+    // base: docs 0,1 near-identical; tombstone doc 0; increment adds
+    // doc 5 with the same text. Serving the tombstoned index with the
+    // increment merged in must pair (1,5) — and never resurrect doc 0.
+    val txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val base = Seq((0L, txt), (1L, txt),
+      (2L, "completely different words entirely unrelated content here now"))
+      .toDF("doc_id", "text")
+    val inc = Seq((5L, txt)).toDF("doc_id", "text")
+    val tombs = Seq(0L).toDF("doc_id")
+    val baseIdx = Dedup.cappedBandsPlan(
+      Dedup.bandTable(Dedup.wordGrams(base)), Dedup.MaxBandBucket)
+    val servedIdx = Dedup.mergeCappedBands(
+      Dedup.applyDocTombstones(baseIdx, tombs),
+      Dedup.bandTable(Dedup.wordGrams(inc)))
+    val live = base.join(tombs, Seq("doc_id"), "left_anti").union(inc)
+    val pairs = Dedup.nearDupPairsIncrementalFromBands(live, servedIdx,
+      Dedup.wordGrams, splitId = 5L, threshold = 0.7)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 5L)),
+      s"expected exactly the re-added pair, got $pairs")
   }
 }

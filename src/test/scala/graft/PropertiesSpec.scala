@@ -104,6 +104,28 @@ class PropertiesSpec extends SparkSpec {
     assert(rep(1L) == 0.0, s"all-distinct doc scored ${rep(1L)}")
   }
 
+  test("doc entropy hand-computed on planted distributions") {
+    import operators.TextAnalysis
+    val d = Seq(
+      (1L, "aa aa aa aa"),                      // one type: H = 0 exactly
+      (2L, "aa bb cc dd"),                      // uniform distinct: H = ln(4)
+      (3L, "aa aa aa bb"))                      // 3/4, 1/4 split
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.docEntropy(d)
+      .select("doc_id", "n_tokens", "n_types", "ttr_permille",
+        "top_frac_permille", "entropy_nats")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(r(1L) == (1L, 4L, 1L, 250L, 1000L, 0.0))
+    // H(uniform over 4) = ln 4; quantization error ≤ 1e-4
+    assert(math.abs(r(2L)._6 - math.log(4)) < 2e-4, s"got ${r(2L)._6}")
+    assert(r(2L)._4 == 1000L && r(2L)._5 == 250L)
+    // H = ln 4 − (3 ln 3)/4
+    val h3 = math.log(4) - 3 * math.log(3) / 4
+    assert(math.abs(r(3L)._6 - h3) < 2e-4, s"got ${r(3L)._6}")
+    assert(r(3L)._5 == 750L)
+  }
+
   test("train/val/test split is a deterministic partition with ~8/1/1 mass") {
     val docs = Tables.documents(spark, sf0001)
     val s1 = operators.TextAnalysis.trainValTestSplit(docs)
