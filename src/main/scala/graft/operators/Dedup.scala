@@ -357,6 +357,32 @@ object Dedup {
   def applyDocTombstones(b: DataFrame, tombstones: DataFrame): DataFrame =
     b.join(tombstones.select(col("doc_id")), Seq("doc_id"), "left_anti")
 
+  /** LSH RECALL AUDIT — the approximate operator graded against its own
+    * ground truth in one registered query: the banded-MinHash pair set
+    * vs the exact AllPairs join at the same τ and gram definition.
+    * Precision is 1000‰ BY CONSTRUCTION (LSH candidates are verified
+    * with the same exact jaccard, so lsh ⊆ exact) and the driver gate
+    * proves it; recall is the number the banding r/b trade-off actually
+    * bought. Shape: one tag-union + two-level aggregate over the two
+    * (tiny) pair sets — the corpus itself never appears; permilles are
+    * exact BIGINT floor-divisions, NULL (both engines) on empty sides. */
+  def lshRecallAudit(exact: DataFrame, lsh: DataFrame): DataFrame = {
+    val ex = exact.select(col("doc_a"), col("doc_b"),
+      lit(1L).as("in_ex"), lit(0L).as("in_lsh"))
+    val lp = lsh.select(col("doc_a"), col("doc_b"),
+      lit(0L).as("in_ex"), lit(1L).as("in_lsh"))
+    ex.union(lp)
+      .groupBy("doc_a", "doc_b")
+      .agg(max(col("in_ex")).as("ex"), max(col("in_lsh")).as("ls"))
+      .agg(sum(col("ex")).as("n_exact"), sum(col("ls")).as("n_lsh"),
+        sum(col("ex") * col("ls")).as("n_hit"))
+      .select(col("n_exact"), col("n_lsh"), col("n_hit"),
+        expr("CASE WHEN n_exact = 0 THEN CAST(NULL AS BIGINT) " +
+          "ELSE 1000 * n_hit div n_exact END").as("recall_permille"),
+        expr("CASE WHEN n_lsh = 0 THEN CAST(NULL AS BIGINT) " +
+          "ELSE 1000 * n_hit div n_lsh END").as("precision_permille"))
+  }
+
   /** Per-row MinHash signature columns m0..m7 (xxhash64 mins over word
     * 3-grams) — a MAP-ONLY formulation (array transforms, no explode, no
     * shuffle), which is what a STREAMING dedup gate requires: signatures

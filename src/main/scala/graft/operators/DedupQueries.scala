@@ -358,6 +358,35 @@ object DedupQueries {
            |        / CAST(chars_total AS DOUBLE), 6) AS savings_ratio
            |FROM corpus, cstat, k""".stripMargin)),
 
+    // the LSH operator graded against its exact ground truth at the
+    // same τ=0.7 / word-3-gram definition (ssjoin_exact's result set):
+    // recall is what banding bought, precision 1000‰ is proven by the
+    // gate itself (verified candidates ⊆ exact pairs)
+    QueryDef("lsh_recall_audit",
+      (s, d) => Dedup.lshRecallAudit(
+        SimJoin.jaccardJoinFromIndex(
+          SharedIntermediates.wordGramIndex(s, d), 7, 10),
+        SharedIntermediates.textPairs(s, d)),
+      Some(s"""WITH lp AS (
+           |  SELECT doc_a, doc_b FROM (${nearDupSql(wordShinglesCte, 0.7)}) l),
+           |ex AS (SELECT doc_a, doc_b FROM (${SimJoinQueries.jaccardSql}) e),
+           |u AS (
+           |  SELECT doc_a, doc_b, max(in_ex) AS ex, max(in_lsh) AS ls FROM (
+           |    SELECT doc_a, doc_b, 1 AS in_ex, 0 AS in_lsh FROM ex
+           |    UNION ALL
+           |    SELECT doc_a, doc_b, 0 AS in_ex, 1 AS in_lsh FROM lp) t0
+           |  GROUP BY 1, 2),
+           |a AS (SELECT CAST(sum(ex) AS BIGINT) AS n_exact,
+           |        CAST(sum(ls) AS BIGINT) AS n_lsh,
+           |        CAST(sum(ex * ls) AS BIGINT) AS n_hit
+           |      FROM u)
+           |SELECT n_exact, n_lsh, n_hit,
+           |  CASE WHEN n_exact = 0 THEN CAST(NULL AS BIGINT)
+           |       ELSE CAST((1000 * n_hit) // n_exact AS BIGINT) END AS recall_permille,
+           |  CASE WHEN n_lsh = 0 THEN CAST(NULL AS BIGINT)
+           |       ELSE CAST((1000 * n_hit) // n_lsh AS BIGINT) END AS precision_permille
+           |FROM a""".stripMargin)),
+
     // the audit the dedup machinery exists for: near-dup clusters whose
     // members straddle the 8/1/1 split assignment (train/eval leakage)
     QueryDef("split_leakage",

@@ -17,7 +17,7 @@ object SimJoinQueries {
        |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
        |sz AS (SELECT doc_id, len(sh) AS n FROM s)""".stripMargin
 
-  private val jaccardSql =
+  private[operators] val jaccardSql =
     s"""WITH $exactPrelude,
        |i AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni

@@ -425,6 +425,33 @@ object Similarity {
             .select(col("vec_id"), col("cent_id"), col("ccos"))))))
   }
 
+  /** IVF INDEX INTROSPECTION — the [[Search.indexStats]] twin for the
+    * ANN family: cell-occupancy distribution of the served assignment
+    * index. `skew_permille` (max cell over mean cell, in permille) is
+    * the number an operator watches before trusting nprobe cost
+    * models — a skewed inverted file means one probe can cost many
+    * mean-cells, exactly like a skewed shuffle partition; FAISS's
+    * imbalance_factor serves the same role. All columns are exact
+    * integers (permilles by BIGINT floor-division), computed by one
+    * aggregate over the |cells|-sized occupancy table — the corpus
+    * appears only through the already-materialized assignment index. */
+  def ivfIndexStats(emb: DataFrame, minCentroids: Int,
+      corpusCount: Option[Long] = None): DataFrame = {
+    val k = centroidsFor(corpusCount.getOrElse(emb.count()), minCentroids)
+    val cells = ivfAssignIndex(emb, minCentroids, corpusCount)
+      .groupBy("cell").agg(count(lit(1)).as("cn"))
+    cells.agg(
+        sum(col("cn")).as("n_vectors"),
+        count(lit(1)).as("n_cells_used"),
+        min(col("cn")).as("cell_min"),
+        max(col("cn")).as("cell_max"))
+      .withColumn("n_cells", lit(k.toLong))
+      .select(col("n_vectors"), col("n_cells"), col("n_cells_used"),
+        col("cell_min"), col("cell_max"),
+        expr("1000 * n_vectors div n_cells_used").as("mean_permille"),
+        expr("1000 * cell_max * n_cells_used div n_vectors").as("skew_permille"))
+  }
+
   /** Assignment with embeddings re-attached — (vec_id, embedding, cell,
     * ccos), the working shape every IVF consumer scores against. */
   private def assignedWithEmb(emb: DataFrame, minCentroids: Int,

@@ -498,6 +498,25 @@ object SimilarityQueries {
       (s, d) => Similarity.lshTopKProbed(Tables.embeddings(s, d), 16, 3,
         Some(Tables.rowCount(s, d, "embeddings"))),
       Some(annLshMultiprobeSql)),
+    // index introspection: cell-occupancy stats of the SAME served
+    // assignment the ivf probes run against (oracle retrains via the
+    // shared CTEs — hash equality pins the whole build, not just probes)
+    QueryDef("ann_index_stats",
+      (s, d) => Similarity.ivfIndexStats(Tables.embeddings(s, d), 8,
+        Some(Tables.rowCount(s, d, "embeddings"))),
+      Some(s"""WITH $ivfRankedCtes,
+           |cc AS (SELECT cell, count(*) AS cn FROM asg GROUP BY cell),
+           |a AS (SELECT CAST(sum(cn) AS BIGINT) AS n_vectors,
+           |        CAST(count(*) AS BIGINT) AS n_cells_used,
+           |        CAST(min(cn) AS BIGINT) AS cell_min,
+           |        CAST(max(cn) AS BIGINT) AS cell_max
+           |      FROM cc)
+           |SELECT n_vectors, CAST(k AS BIGINT) AS n_cells, n_cells_used,
+           |  cell_min, cell_max,
+           |  (1000 * n_vectors) // n_cells_used AS mean_permille,
+           |  (1000 * cell_max * n_cells_used) // n_vectors AS skew_permille
+           |FROM a, kk""".stripMargin)),
+
     QueryDef("ann_ivf_topk",
       (s, d) => Similarity.ivfTopK(Tables.embeddings(s, d), 8, 16, 3,
         Some(Tables.rowCount(s, d, "embeddings"))),

@@ -167,4 +167,30 @@ object Tokenizer {
           .as("syms_per_token"))
       .orderBy("doc_id")
   }
+
+  /** Tokenizer FERTILITY by language — symbols-per-token aggregated per
+    * lang, the standard multilingual tokenizer-evaluation metric (a
+    * vocabulary trained on a skewed mix over-fragments the minority
+    * languages; fertility per lang is how that is detected). Same
+    * map-side encode as [[bpeEncodeStats]] (broadcast word→symbol-count
+    * lookup), rolled up to the lang grain — output is |langs| rows, so
+    * the aggregate is trivially bounded at any corpus size. */
+  def bpeFertility(s: SparkSession, d: String): DataFrame = {
+    val counts = trained(s, d).vocab
+      .select(col("word"),
+        size(regexp_extract_all(col("sym"), lit("\\([^)]*\\)"), lit(0)))
+          .cast("long").as("n_sym"))
+    Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")),
+          lit(WordCount.TokenPattern), lit(0))).as("word"))
+      .join(broadcast(counts), "word")
+      .groupBy("lang")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_tokens"), sum(col("n_sym")).as("n_symbols"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_symbols"),
+        round(col("n_symbols").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("fertility"))
+      .orderBy("lang")
+  }
 }

@@ -66,8 +66,23 @@ object TokenizerQueries {
        |FROM t JOIN v USING (word)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  private val fertilitySql =
+    s"""WITH ${bpeChain(Tokenizer.Rounds)},
+       |v AS (SELECT word,
+       |        CAST(len(regexp_extract_all(sym, '\\([^)]*\\)')) AS BIGINT) AS n_sym
+       |      FROM s${Tokenizer.Rounds}),
+       |t AS (SELECT lang, doc_id,
+       |        unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS word
+       |      FROM documents)
+       |SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_tokens,
+       |  CAST(sum(n_sym) AS BIGINT) AS n_symbols,
+       |  round(CAST(sum(n_sym) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS fertility
+       |FROM t JOIN v USING (word)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("bpe_vocab", Tokenizer.bpeVocabQuery, Some(vocabSql)),
     QueryDef("bpe_encode_stats", Tokenizer.bpeEncodeStats, Some(encodeSql)),
+    QueryDef("bpe_fertility", Tokenizer.bpeFertility, Some(fertilitySql)),
   )
 }

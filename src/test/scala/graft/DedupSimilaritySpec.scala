@@ -669,6 +669,32 @@ class DedupSimilaritySpec extends SparkSpec {
       .select("cand_id").collect().map(_.getLong(0)).toSet
     assert(probed.nonEmpty)
   }
+
+  test("ivf index stats: occupancy accounts for every vector, skew bounds hold") {
+    val n = emb.count()
+    val r = Similarity.ivfIndexStats(emb, 8, Some(n)).collect().head
+    val Seq(nVec, nCells, used, cmin, cmax, mean, skew) =
+      (0 until 7).map(r.getLong(_))
+    assert(nVec == n, "every vector must be assigned to exactly one cell")
+    assert(used >= 1 && used <= nCells)
+    assert(cmin >= 1 && cmin <= cmax && cmax <= nVec)
+    assert(mean == 1000L * nVec / used)
+    assert(skew >= 1000L, "max cell cannot be below the mean cell")
+    assert(skew == 1000L * cmax * used / nVec)
+  }
+
+  test("lsh recall audit: precision is exactly 1000 permille, recall bounded, counts consistent") {
+    val d = sf0001
+    val exact = operators.SimJoin.jaccardJoinFromIndex(
+      operators.SharedIntermediates.wordGramIndex(spark, d), 7, 10)
+    val lsh = operators.SharedIntermediates.textPairs(spark, d)
+    val r = Dedup.lshRecallAudit(exact, lsh).collect().head
+    val (nEx, nLsh, nHit) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nEx > 0 && nLsh > 0, "fixture should contain pairs")
+    assert(nHit == nLsh, "verified LSH pairs must all be exact pairs (precision 1)")
+    assert(r.getLong(4) == 1000L)
+    assert(r.getLong(3) <= 1000L && r.getLong(3) > 0L)
+  }
 }
 
 /** Single-shot failure injector for the O16 dedup retry spec — a static

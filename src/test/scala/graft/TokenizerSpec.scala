@@ -112,4 +112,24 @@ class TokenizerSpec extends SparkSpec {
       assert(n >= 1 && n <= w.length, s"word $w")
     }
   }
+
+  test("per-lang fertility is the lang-grain rollup of the per-doc encode stats") {
+    import spark.implicits._
+    val enc = Tokenizer.bpeEncodeStats(spark, sf0001)
+      .select("doc_id", "n_tokens", "n_symbols")
+      .as[(Long, Long, Long)].collect()
+    val langOf = Tables.documents(spark, sf0001)
+      .select("doc_id", "lang").as[(Long, String)].collect().toMap
+    val expect = enc.groupBy(t => langOf(t._1)).view.mapValues(ts =>
+      (ts.length.toLong, ts.map(_._2).sum, ts.map(_._3).sum)).toMap
+    val got = Tokenizer.bpeFertility(spark, sf0001)
+      .select("lang", "n_docs", "n_tokens", "n_symbols", "fertility")
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(got.map(_._1).toSet == expect.keySet)
+    got.foreach { case (lang, nd, nt, ns, f) =>
+      assert((nd, nt, ns) == expect(lang), s"lang $lang rollup mismatch")
+      assert(f >= 1.0, s"fertility below one symbol per word: $f")
+      assert(math.abs(f - ns.toDouble / nt) < 1e-6)
+    }
+  }
 }
