@@ -452,6 +452,45 @@ object Similarity {
         expr("1000 * cell_max * n_cells_used div n_vectors").as("skew_permille"))
   }
 
+  /** ANN RECALL AUDIT — the approximate ANN probes graded against their
+    * own brute-force ground truth in one registered query (the
+    * [[graft.operators.Dedup.lshRecallAudit]] twin for the vector
+    * family). One row per method: nprobe=1 home-cell probe and nprobe=2
+    * multiprobe, both vs exact top-k under the same (cos desc, cand_id)
+    * total order. Multiprobe recall is provably ≥ single-probe recall
+    * (its candidate set is a superset, and a true top-k member beaten by
+    * ≤ k−1 vectors globally is beaten by ≤ k−1 in any subset), so the
+    * oracle pins the nprobe lever's direction, not just its value.
+    * Precision here is precision@k vs the exact top-k (NOT 1000 by
+    * construction — IVF misses rank true neighbors out). Shape: three
+    * probe subtrees over the shared materialized assignment index, then
+    * tag-union aggregates over the O(nQueries·k) pair sets — corpus-size
+    * cost is the probes themselves, which the registry already pays. */
+  def annRecallAudit(emb: DataFrame, minCentroids: Int, nQueries: Int,
+      k: Int, corpusCount: Option[Long] = None): DataFrame = {
+    val truth = bruteForceTopK(emb, nQueries, k, corpusCount)
+      .select(col("query_id"), col("cand_id"))
+    def grade(method: String, approx: DataFrame): DataFrame =
+      truth.select(col("query_id"), col("cand_id"),
+          lit(1L).as("in_t"), lit(0L).as("in_a"))
+        .union(approx.select(col("query_id"), col("cand_id"),
+          lit(0L).as("in_t"), lit(1L).as("in_a")))
+        .groupBy("query_id", "cand_id")
+        .agg(max(col("in_t")).as("t"), max(col("in_a")).as("a"))
+        .agg(sum(col("t")).as("n_truth"), sum(col("a")).as("n_ann"),
+          sum(col("t") * col("a")).as("n_hit"))
+        .select(lit(method).as("method"),
+          col("n_truth"), col("n_ann"), col("n_hit"),
+          expr("CASE WHEN n_truth = 0 THEN CAST(NULL AS BIGINT) " +
+            "ELSE 1000 * n_hit div n_truth END").as("recall_permille"),
+          expr("CASE WHEN n_ann = 0 THEN CAST(NULL AS BIGINT) " +
+            "ELSE 1000 * n_hit div n_ann END").as("precision_permille"))
+    grade("ivf", ivfTopK(emb, minCentroids, nQueries, k, corpusCount))
+      .union(grade("ivf_p2",
+        ivfTopKProbed(emb, minCentroids, nQueries, k, 2, corpusCount)))
+      .orderBy("method")
+  }
+
   /** Assignment with embeddings re-attached — (vec_id, embedding, cell,
     * ccos), the working shape every IVF consumer scores against. */
   private def assignedWithEmb(emb: DataFrame, minCentroids: Int,

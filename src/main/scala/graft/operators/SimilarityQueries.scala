@@ -251,6 +251,61 @@ object SimilarityQueries {
        |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, cand_id, cos_sim FROM r
        |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
 
+  /** Recall-audit oracle: brute truth + both IVF probe shapes (the
+    * annIvfSql / annIvfMultiprobeSql subtrees verbatim), tag-union
+    * graded per method. asg/ranked are referenced by several subtrees —
+    * DuckDB re-inlines the centroid chain, acceptable at oracle SF. */
+  private val annRecallAuditSql = {
+    def gradeSql(method: String, approx: String): String =
+      s"""SELECT '$method' AS method,
+         |  CAST(sum(t) AS BIGINT) AS n_truth, CAST(sum(a) AS BIGINT) AS n_ann,
+         |  CAST(sum(t * a) AS BIGINT) AS n_hit
+         |FROM (
+         |  SELECT query_id, cand_id, max(t) AS t, max(a) AS a FROM (
+         |    SELECT query_id, cand_id, 1 AS t, 0 AS a FROM truth
+         |    UNION ALL
+         |    SELECT query_id, cand_id, 0 AS t, 1 AS a FROM $approx) u0
+         |  GROUP BY 1, 2) u""".stripMargin
+    s"""WITH $ivfRankedCtes,
+       |q AS (SELECT vec_id AS query_id, embedding AS qe, cell AS qcell
+       |      FROM asg WHERE vec_id < 16),
+       |p AS (SELECT query_id, a.vec_id AS cand_id,
+       |        round(${cosSql("qe", "a.embedding")}, 6) AS cos_sim
+       |      FROM asg a JOIN q ON a.cell = qcell AND a.vec_id != query_id),
+       |r AS (SELECT query_id, cand_id,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rnk
+       |      FROM p),
+       |ivf1 AS (SELECT query_id, cand_id FROM r WHERE rnk <= 3),
+       |probes AS (
+       |  SELECT vec_id AS query_id, embedding AS qe2, cent_id AS qcell2
+       |  FROM ranked WHERE vec_id < 16 AND rn <= 2),
+       |p2 AS (SELECT query_id, a.vec_id AS cand_id,
+       |        round(${cosSql("qe2", "a.embedding")}, 6) AS cos_sim
+       |      FROM asg a JOIN probes ON a.cell = qcell2 AND a.vec_id != query_id),
+       |r2 AS (SELECT query_id, cand_id,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rnk
+       |      FROM p2),
+       |ivf2 AS (SELECT query_id, cand_id FROM r2 WHERE rnk <= 3),
+       |bq AS (SELECT vec_id AS query_id, embedding AS qe3 FROM embeddings
+       |       WHERE vec_id < 16),
+       |bp AS (SELECT query_id, e.vec_id AS cand_id,
+       |        round(${cosSql("qe3", "e.embedding")}, 6) AS cos_sim
+       |      FROM embeddings e JOIN bq ON e.vec_id != query_id),
+       |br AS (SELECT query_id, cand_id,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rnk
+       |      FROM bp),
+       |truth AS (SELECT query_id, cand_id FROM br WHERE rnk <= 3),
+       |s1 AS (${gradeSql("ivf", "ivf1")}),
+       |s2 AS (${gradeSql("ivf_p2", "ivf2")})
+       |SELECT method, n_truth, n_ann, n_hit,
+       |  CASE WHEN n_truth = 0 THEN CAST(NULL AS BIGINT)
+       |       ELSE CAST((1000 * n_hit) // n_truth AS BIGINT) END AS recall_permille,
+       |  CASE WHEN n_ann = 0 THEN CAST(NULL AS BIGINT)
+       |       ELSE CAST((1000 * n_hit) // n_ann AS BIGINT) END AS precision_permille
+       |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2) f
+       |ORDER BY method""".stripMargin
+  }
+
   /** Quantized dot/norm chains over the DuckDB-side quantized list `qv`
     * (same left-associated order as the Spark reduce). */
   private def qdotSql(a: String, b: String): String =
@@ -525,6 +580,13 @@ object SimilarityQueries {
       (s, d) => Similarity.ivfTopKProbed(Tables.embeddings(s, d), 8, 16, 3, 2,
         Some(Tables.rowCount(s, d, "embeddings"))),
       Some(annIvfMultiprobeSql)),
+    // the approximate probes graded against brute-force ground truth at
+    // the same (nQueries, k): recall@3 per method, the nprobe lever's
+    // direction pinned by the hash gate (p2 ≥ p1 by superset argument)
+    QueryDef("ann_recall_audit",
+      (s, d) => Similarity.annRecallAudit(Tables.embeddings(s, d), 8, 16, 3,
+        Some(Tables.rowCount(s, d, "embeddings"))),
+      Some(annRecallAuditSql)),
     QueryDef("ann_ivf_incremental",
       (s, d) => Similarity.ivfTopKIncremental(Tables.embeddings(s, d), 8, 16, 3,
         Tables.rowCount(s, d, "embeddings") * 9 / 10),

@@ -683,6 +683,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(skew == 1000L * cmax * used / nVec)
   }
 
+  test("ann recall audit: multiprobe recall dominates single-probe, counts bounded") {
+    val rows = Similarity.annRecallAudit(emb, 8, 16, 3, Some(emb.count()))
+      .collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("ivf", "ivf_p2"))
+    val byM = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    byM.foreach { case (m, (nT, nA, nHit, rec)) =>
+      assert(nT == 16L * 3, s"$m: 16 queries x k=3 ground truth")
+      assert(nA <= nT && nHit <= math.min(nA, nT), s"$m count bounds")
+      assert(rec == 1000L * nHit / nT && rec > 0 && rec <= 1000, s"$m recall")
+    }
+    // superset candidates => top-k under the same total order can only
+    // gain true members (see annRecallAudit scaladoc)
+    assert(byM("ivf_p2")._4 >= byM("ivf")._4, "multiprobe recall must dominate")
+  }
+
   test("lsh recall audit: precision is exactly 1000 permille, recall bounded, counts consistent") {
     val d = sf0001
     val exact = operators.SimJoin.jaccardJoinFromIndex(
