@@ -762,6 +762,27 @@ object Dedup {
           col("chars_total").cast("double"), 6).as("savings_ratio"))
   }
 
+  /** LEAKAGE-FREE SPLIT — the repair for what [[splitLeakage]] detects:
+    * train/val/test is assigned per near-dup CLUSTER, not per document
+    * (every member takes the split of the cluster representative =
+    * min doc_id), so no near-duplicate pair can straddle train and
+    * eval by construction. Singletons keep their own id as rep, which
+    * makes this a strict refinement of the naive per-doc split: `moved`
+    * marks exactly the docs the repair re-assigned. Scale shape: the
+    * cluster table holds only clustered docs (≪ corpus after dedup is
+    * worth doing), so the corpus-side join broadcasts; the split label
+    * itself is a map-side md5 bucket — no shuffle beyond the join. */
+  def leakageFreeSplit(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val rep = coalesce(col("cluster_id"), col("doc_id"))
+    docs.select(col("doc_id"))
+      .join(broadcast(clusters.select(col("doc_id"), col("cluster_id"))),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), rep.as("cluster_rep"),
+        TextAnalysis.splitOfKey(rep).as("split"),
+        (TextAnalysis.splitOfKey(rep) =!= TextAnalysis.splitOf).as("moved"))
+      .orderBy("doc_id")
+  }
+
   def splitLeakage(clusters: DataFrame): DataFrame =
     clusters
       .withColumn("split", TextAnalysis.splitOf)

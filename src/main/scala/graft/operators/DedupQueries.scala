@@ -389,6 +389,28 @@ object DedupQueries {
 
     // the audit the dedup machinery exists for: near-dup clusters whose
     // members straddle the 8/1/1 split assignment (train/eval leakage)
+    // the repair for split_leakage: per-CLUSTER split assignment (rep =
+    // min doc_id), leakage impossible by construction; `moved` marks
+    // the docs whose naive per-doc split was overridden
+    QueryDef("leakage_free_split",
+      (s, d) => Dedup.leakageFreeSplit(Tables.documents(s, d),
+        SharedIntermediates.textClusters(s, d)),
+      Some {
+        def splitSql(idExpr: String) = {
+          val bucket =
+            s"(${TextAnalysisQueries.nibSql(0, idExpr)} * 16 + ${TextAnalysisQueries.nibSql(1, idExpr)})"
+          s"CASE WHEN $bucket < 204 THEN 'train' WHEN $bucket < 230 THEN 'val' ELSE 'test' END"
+        }
+        s"""WITH RECURSIVE $clustersCtes,
+           |j AS (
+           |  SELECT d.doc_id, COALESCE(lab.cluster_id, d.doc_id) AS rep
+           |  FROM documents d LEFT JOIN lab USING (doc_id))
+           |SELECT doc_id, rep AS cluster_rep,
+           |  ${splitSql("rep")} AS split,
+           |  ${splitSql("rep")} != ${splitSql("doc_id")} AS moved
+           |FROM j ORDER BY doc_id""".stripMargin
+      }),
+
     QueryDef("split_leakage",
       (s, d) => Dedup.splitLeakage(SharedIntermediates.textClusters(s, d)),
       Some {

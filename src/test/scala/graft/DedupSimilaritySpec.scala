@@ -683,6 +683,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(skew == 1000L * cmax * used / nVec)
   }
 
+  test("leakage-free split: one split per cluster, singletons unmoved, repair complete") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001)
+    val clusters = operators.SharedIntermediates.textClusters(spark, sf0001)
+    val assigned = Dedup.leakageFreeSplit(docs, clusters)
+    // every doc assigned exactly once
+    assert(assigned.count() == docs.count())
+    // the defining property: no cluster straddles splits
+    val straddling = assigned.groupBy("cluster_rep")
+      .agg(org.apache.spark.sql.functions.countDistinct("split").as("ns"))
+      .filter($"ns" > 1).count()
+    assert(straddling == 0L, "a cluster straddles splits after repair")
+    // singletons (not in the cluster table) keep their naive split
+    val clustered = clusters.select("doc_id").as[Long].collect().toSet
+    val movedSingletons = assigned.filter($"moved")
+      .select("doc_id").as[Long].collect().filterNot(clustered)
+    assert(movedSingletons.isEmpty, s"singletons moved: ${movedSingletons.take(5).toSeq}")
+    // the fixture must actually exercise the repair (some doc moved)
+    assert(assigned.filter($"moved").count() > 0, "fixture exercises no repair")
+  }
+
   test("ann recall audit: multiprobe recall dominates single-probe, counts bounded") {
     val rows = Similarity.annRecallAudit(emb, 8, 16, 3, Some(emb.count()))
       .collect()
