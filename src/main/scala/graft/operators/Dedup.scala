@@ -762,6 +762,76 @@ object Dedup {
           col("chars_total").cast("double"), 6).as("savings_ratio"))
   }
 
+  /** MINHASH ESTIMATOR CALIBRATION — the signature-level sketch graded
+    * against its own ground truth (the third audit-family member after
+    * [[lshRecallAudit]] and Similarity.annRecallAudit): per doc-pair,
+    * the 16-component MinHash match-fraction estimate of Jaccard vs the
+    * exact set Jaccard over the same word-3-gram shingles, bucketed by
+    * exact-J decile into mean/max absolute error and signed bias. Pairs
+    * cover the full J spectrum: a deterministic stride sample
+    * (doc_b = doc_a + 1 + doc_a mod 29 — mostly unrelated docs, J≈0)
+    * unioned with the exact near-dup pair set (the J≥0.7 tail).
+    * Signatures use md5-derived 32-bit components (conv(md5-prefix), the
+    * split/sampling oracles' cross-engine trick) rather than the
+    * production xxhash64 — the ESTIMATOR THEORY under audit (P[min-hash
+    * collision] = J) is hash-family-independent, and md5 is the one
+    * 64-bit-free hash both engines evaluate identically. Everything is
+    * exact-integer: permilles by BIGINT floor-division (all operands
+    * non-negative except the bias, which is sign-split so Spark's
+    * truncating `div` and DuckDB's flooring `//` agree). Scale shape:
+    * signatures are MAP-ONLY per doc (array transforms, no explode);
+    * the pair table drives two equi-joins against the signature table —
+    * cost is |pairs|, not |corpus|². */
+  def minhashEstimateError(docs: DataFrame, nearDupPairs: DataFrame,
+      nComponents: Int = 16): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"),
+        regexp_extract_all(lower(col("text")), lit(WordCount.TokenPattern),
+          lit(0)).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        array_distinct(transform(sequence(lit(0), size(col("w")) - 3),
+          i => concat(element_at(col("w"), i + 1), lit(" "),
+            element_at(col("w"), i + 2), lit(" "),
+            element_at(col("w"), i + 3)))).as("sh"))
+    def sigCol(j: Int): Column = array_min(transform(col("sh"),
+      g => conv(substring(md5(concat(g, lit("#" + j))), 1, 8), 16, 10)
+        .cast("long"))).as(s"h$j")
+    val sigs = sh.select(
+      col("doc_id") +: col("sh") +: (0 until nComponents).map(sigCol): _*)
+    val stride = sh.select(col("doc_id").as("doc_a"),
+        (col("doc_id") + 1 + pmod(col("doc_id"), lit(29))).as("doc_b"))
+      .join(sh.select(col("doc_id").as("doc_b")), Seq("doc_b"))
+    val pairs = stride.select(col("doc_a"), col("doc_b"))
+      .union(nearDupPairs.select(col("doc_a"), col("doc_b"))).distinct()
+    def side(tag: String) = sigs.select(
+      col("doc_id").as(s"doc_$tag") +: col("sh").as(s"sh_$tag") +:
+        (0 until nComponents).map(j => col(s"h$j").as(s"h${j}_$tag")): _*)
+    val matches = (0 until nComponents)
+      .map(j => when(col(s"h${j}_a") === col(s"h${j}_b"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val per = pairs.join(side("a"), Seq("doc_a")).join(side("b"), Seq("doc_b"))
+      .select(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("ni"),
+        size(col("sh_a")).cast("long").as("na"),
+        size(col("sh_b")).cast("long").as("nb"),
+        matches.as("m"))
+      .select(
+        expr("1000 * ni div (na + nb - ni)").as("exact_pm"),
+        expr(s"1000 * m div $nComponents").as("est_pm"))
+    per.groupBy(expr("exact_pm div 100").as("jac_bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(abs(col("est_pm") - col("exact_pm"))).as("sum_abs"),
+        max(abs(col("est_pm") - col("exact_pm"))).as("max_abs_err_permille"),
+        sum(col("est_pm") - col("exact_pm")).as("sum_err"))
+      .select(col("jac_bucket"), col("n_pairs"),
+        expr("sum_abs div n_pairs").as("mean_abs_err_permille"),
+        col("max_abs_err_permille"),
+        expr("CASE WHEN sum_err < 0 THEN -((-sum_err) div n_pairs) " +
+          "ELSE sum_err div n_pairs END").as("bias_permille"))
+      .orderBy("jac_bucket")
+  }
+
   /** LEAKAGE-FREE SPLIT — the repair for what [[splitLeakage]] detects:
     * train/val/test is assigned per near-dup CLUSTER, not per document
     * (every member takes the split of the cluster representative =

@@ -389,6 +389,60 @@ object DedupQueries {
 
     // the audit the dedup machinery exists for: near-dup clusters whose
     // members straddle the 8/1/1 split assignment (train/eval leakage)
+    // the MinHash ESTIMATOR calibrated against exact Jaccard: stride +
+    // near-dup pairs, 16 md5-derived components, per-decile error stats
+    QueryDef("minhash_estimate_error",
+      (s, d) => Dedup.minhashEstimateError(Tables.documents(s, d),
+        SharedIntermediates.textPairs(s, d)),
+      Some {
+        // 32-bit int from the first 8 hex nibbles of a stored md5 column
+        // (the nibSql ascii trick, applied to a column instead of an id)
+        val u32 = (0 until 8).map { k =>
+          val a = s"ascii(substr(hex, ${k + 1}, 1))"
+          s"(CAST($a - CASE WHEN $a >= 97 THEN 87 ELSE 48 END AS BIGINT) * ${1L << (4 * (7 - k))})"
+        }.mkString(" + ")
+        s"""WITH $wordShinglesCte,
+           |np AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM s a JOIN s b ON b.doc_id = a.doc_id + 1 + (a.doc_id % 29)),
+           |nd AS (SELECT doc_a, doc_b FROM (${nearDupSql(wordShinglesCte, 0.7)}) x),
+           |pr AS (SELECT DISTINCT doc_a, doc_b FROM
+           |       (SELECT * FROM np UNION ALL SELECT * FROM nd) u0),
+           |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+           |hj AS (
+           |  SELECT doc_id, j, md5(g || '#' || CAST(j AS VARCHAR)) AS hex
+           |  FROM e CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) jj),
+           |hv AS (
+           |  SELECT doc_id, j, min($u32) AS h FROM hj GROUP BY doc_id, j),
+           |mm AS (
+           |  SELECT pr.doc_a, pr.doc_b,
+           |         CAST(sum(CASE WHEN ha.h = hb.h THEN 1 ELSE 0 END) AS BIGINT) AS m
+           |  FROM pr JOIN hv ha ON ha.doc_id = pr.doc_a
+           |          JOIN hv hb ON hb.doc_id = pr.doc_b AND hb.j = ha.j
+           |  GROUP BY 1, 2),
+           |ix AS (
+           |  SELECT pr.doc_a, pr.doc_b, CAST(count(*) AS BIGINT) AS ni
+           |  FROM pr JOIN e ea ON ea.doc_id = pr.doc_a
+           |          JOIN e eb ON eb.doc_id = pr.doc_b AND eb.g = ea.g
+           |  GROUP BY 1, 2),
+           |sz2 AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM s),
+           |per AS (
+           |  SELECT (1000 * COALESCE(ni, 0)) // (sa.n + sb.n - COALESCE(ni, 0)) AS exact_pm,
+           |         (1000 * m) // 16 AS est_pm
+           |  FROM pr
+           |  LEFT JOIN ix USING (doc_a, doc_b)
+           |  JOIN mm USING (doc_a, doc_b)
+           |  JOIN sz2 sa ON sa.doc_id = pr.doc_a
+           |  JOIN sz2 sb ON sb.doc_id = pr.doc_b)
+           |SELECT exact_pm // 100 AS jac_bucket, CAST(count(*) AS BIGINT) AS n_pairs,
+           |  CAST(sum(abs(est_pm - exact_pm)) // count(*) AS BIGINT) AS mean_abs_err_permille,
+           |  CAST(max(abs(est_pm - exact_pm)) AS BIGINT) AS max_abs_err_permille,
+           |  CAST(CASE WHEN sum(est_pm - exact_pm) < 0
+           |       THEN -((-sum(est_pm - exact_pm)) // count(*))
+           |       ELSE sum(est_pm - exact_pm) // count(*) END AS BIGINT) AS bias_permille
+           |FROM per GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
+
     // the repair for split_leakage: per-CLUSTER split assignment (rep =
     // min doc_id), leakage impossible by construction; `moved` marks
     // the docs whose naive per-doc split was overridden

@@ -683,6 +683,31 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(skew == 1000L * cmax * used / nVec)
   }
 
+  test("minhash estimator: identical docs estimate exactly 1000 permille; corpus stats bounded") {
+    import spark.implicits._
+    // theory fixture: identical texts => every component min collides =>
+    // est = exact = 1000, zero error in the top bucket
+    val twin = Seq((0L, "alpha beta gamma delta epsilon zeta"),
+        (1L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val r = Dedup.minhashEstimateError(twin, empty).collect()
+    assert(r.length == 1 && r.head.getLong(0) == 10L)
+    assert(r.head.getLong(2) == 0L && r.head.getLong(3) == 0L &&
+      r.head.getLong(4) == 0L, "identical docs must calibrate error-free")
+    // corpus run: buckets ordered, error stats internally consistent
+    val rows = Dedup.minhashEstimateError(Tables.documents(spark, sf0001),
+      operators.SharedIntermediates.textPairs(spark, sf0001)).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(0)).toSeq == rows.map(_.getLong(0)).toSeq.sorted)
+    rows.foreach { b =>
+      val (n, mean, mx, bias) =
+        (b.getLong(1), b.getLong(2), b.getLong(3), b.getLong(4))
+      assert(n > 0 && mean <= mx && mx <= 1000, s"bucket ${b.getLong(0)}")
+      assert(math.abs(bias) <= mean, "bias magnitude cannot exceed mean |err|")
+    }
+  }
+
   test("leakage-free split: one split per cluster, singletons unmoved, repair complete") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf0001)
