@@ -47,6 +47,35 @@ object TemporalQueries {
            |FROM s GROUP BY user_id, session_id
            |ORDER BY user_id, session_id""".stripMargin)),
 
+    // the stateful STREAMING sessionizer executed for real (AvailableNow
+    // + checkpoint + sentinel flush) and held to the BATCH oracle — the
+    // streaming/batch parity the 1 GB flagship asserts, as a driver
+    // hash gate (see EventsStream.sessionizeStreamedQuery)
+    QueryDef("sessionize_streamed",
+      (s, d) => graft.streaming.EventsStream.sessionizeStreamedQuery(s, d),
+      Some(
+        s"""WITH o AS (
+           |  SELECT user_id, ts, value,
+           |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+           |  FROM events),
+           |f AS (
+           |  SELECT user_id, ts, value,
+           |    CASE WHEN prev_ts IS NULL OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000
+           |         THEN 1 ELSE 0 END AS new_sess
+           |  FROM o),
+           |s AS (
+           |  SELECT user_id, ts, value,
+           |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+           |  FROM f)
+           |SELECT user_id, session_id, count(*) AS n_events,
+           |  CAST(epoch_ms(min(ts)) AS BIGINT) AS session_start_ms,
+           |  CAST(epoch_ms(max(ts)) AS BIGINT) AS session_end_ms,
+           |  CAST(round(sum(value) * 1000) AS BIGINT) AS sum_value_milli,
+           |  CAST(epoch_ms(max(ts)) - epoch_ms(min(ts)) AS BIGINT) AS duration_ms
+           |FROM s GROUP BY user_id, session_id
+           |ORDER BY user_id, session_id""".stripMargin)),
+
     QueryDef("session_window_agg",
       (s, d) => Temporal.sessionWindowAgg(Tables.events(s, d)), Some(
         s"""WITH o AS (

@@ -412,4 +412,67 @@ object EventsStream {
           }
       }.toDF()
   }
+
+  private val streamRunSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** STREAMING EXECUTION UNDER THE BATCH ORACLE — the one registry entry
+    * whose Spark side actually runs Structured Streaming end-to-end: the
+    * corpus events replayed through [[sessionizeStateful]] under
+    * Trigger.AvailableNow (real checkpoint, real state store, real
+    * parquet sink), a far-future sentinel + second run firing every open
+    * session's event-time timeout (the StreamFlagship flush protocol),
+    * and the sink read back into the batch `sessionize` output shape.
+    * The DuckDB oracle is the BATCH gap-sessionization — so the driver
+    * hash gate pins streaming ≡ batch semantics, the parity the 1 GB
+    * flagship asserts, as a per-round oracle check. The backlog is
+    * written as a single file so the whole corpus lands in micro-batch 0
+    * where the watermark is still unset: no row order the driver chose
+    * for the parquet can late-drop events (multi-batch replay discipline
+    * — file order = event-time order — is the flagship's subject, not
+    * this gate's). session_id is reconstructed as the per-user
+    * session_start rank; sum_value is emitted quantized to integer
+    * thousandths (state accumulates in arrival order, the oracle in scan
+    * order — the values are 2-decimal, so the milli-quantization is
+    * exact for both). */
+  def sessionizeStreamedQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("value"))
+    val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_sess_stream_${ProcessHandle.current().pid()}" +
+        s"_${streamRunSeq.incrementAndGet()}").toString
+    val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+    ev.coalesce(1).write.mode("overwrite").parquet(inDir)
+    val maxTs = ev.agg(max(unix_millis(col("ts")))).head().getLong(0)
+    def runOnce(): Unit = {
+      val q = sessionizeStateful(spark,
+          spark.readStream.schema("user_id LONG, ts TIMESTAMP, value DOUBLE")
+            .parquet(inDir))
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    import spark.implicits._
+    Seq((-1L, new java.sql.Timestamp(maxTs + 2L * 86400000), 0.0))
+      .toDF("user_id", "ts", "value")
+      .coalesce(1).write.mode("append").parquet(inDir)
+    runOnce()
+    // the state machine floors event times to epoch millis (SessionRow
+    // carries java.sql.Timestamp ms) while the corpus has microsecond
+    // timestamps — so the output exposes the ms values it actually
+    // computed with, and the oracle floors identically via epoch_ms()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("session_start"))
+    spark.read.parquet(outDir).filter(col("user_id") >= 0)
+      .withColumn("session_id", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        unix_millis(col("session_start")).as("session_start_ms"),
+        unix_millis(col("session_end")).as("session_end_ms"),
+        round(col("sum_value") * 1000).cast("long").as("sum_value_milli"),
+        (unix_millis(col("session_end")) - unix_millis(col("session_start")))
+          .as("duration_ms"))
+      .orderBy("user_id", "session_id")
+  }
 }

@@ -190,6 +190,11 @@ class PlanShapeSpec extends SparkSpec {
       // one-row corpus-stat broadcast scalar) over the durable-base
       // union view / the tombstone-anti-joined view
       "bm25_search_served", "bm25_search_tombstoned",
+      // round-11 recall audit: its ground-truth leg IS ann_topk's
+      // intended brute-force shape (16-row broadcast query side scored
+      // against the streamed corpus); the graded IVF legs are the
+      // already-allowlisted ann_ivf_topk / ann_ivf_multiprobe subtrees
+      "ann_recall_audit",
       // round-8 continuation: equidepth's quartile-boundary row — a
       // one-row broadcast scalar crossJoined onto the fact scan (the
       // q11/revenue_share pattern)

@@ -542,4 +542,19 @@ class TemporalStreamingSpec extends SparkSpec {
         "every user contributes (events - 1) transitions")
     } finally q.stop()
   }
+
+  test("sessionize_streamed: real AvailableNow run reproduces the batch sessionizer exactly") {
+    val streamed = EventsStream.sessionizeStreamedQuery(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    val batch = Temporal.sessionize(events)
+      .select($"user_id", $"session_id", $"n_events",
+        unix_millis($"session_start").as("session_start_ms"),
+        unix_millis($"session_end").as("session_end_ms"),
+        round($"sum_value" * 1000).cast("long").as("sum_value_milli"),
+        (unix_millis($"session_end") - unix_millis($"session_start"))
+          .as("duration_ms"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty && streamed == batch,
+      s"stream/batch session tables differ: ${streamed.size} vs ${batch.size}")
+  }
 }
