@@ -183,6 +183,31 @@ object TextAnalysis {
         "CAST((1000000000 * c2) div (n * n) AS BIGINT) AS hhi_ppb",
         "CAST((1000000 * cmax) div n AS BIGINT) AS top1_ppm")
 
+  /** VOCABULARY COVERAGE CURVE — token-mass coverage at head-vocabulary
+    * sizes k ∈ {16, 64, 256, 1024}: what fraction of all token
+    * occurrences the top-k most frequent types account for. This is the
+    * number a tokenizer/vocab budget decision reads (a steep curve says
+    * a small vocab suffices; a flat one says the corpus is heavy-tailed
+    * and a byte-fallback tokenizer will fragment it), complementing
+    * [[tokenConcentration]]'s single-point HHI with the head profile.
+    * Ranking reuses [[zipfRanks]]'s three-level partitioned
+    * decomposition (no vocabulary-sized unpartitioned window at any
+    * scale); the curve itself is ONE conditional aggregate over the
+    * ranked vocabulary — exact BIGINT permilles. */
+  def vocabCoverage(docs: DataFrame): DataFrame = {
+    val ks = Seq(16, 64, 256, 1024)
+    val wcnt = Materialize.stage(
+      docs.select(explode(toks).as("t")).groupBy("t").agg(count(lit(1)).as("c")))
+    val covAggs = ks.map(k =>
+      sum(when(col("rank") <= k, col("c")).otherwise(0L)).as(s"cov$k"))
+    zipfRanks(wcnt)
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types") +: covAggs: _*)
+      .select(col("n_tokens") +: col("n_types") +:
+        ks.map(k => expr(s"1000 * cov$k div n_tokens")
+          .as(s"cov${k}_permille")): _*)
+  }
+
   /** Dense (count DESC, token ASC) ranks over a vocabulary count table
     * (t, c) WITHOUT any corpus-scale unpartitioned window — the
     * [[Pipeline.md5RankUnsorted]] bucket-offset decomposition adapted

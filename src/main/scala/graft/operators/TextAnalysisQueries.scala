@@ -108,6 +108,33 @@ object TextAnalysisQueries {
            |      AS BIGINT) END AS kappa_micro
            |FROM tot, ch, nc""".stripMargin)),
 
+    // head-vocabulary token-mass coverage at k ∈ {16,64,256,1024} — the
+    // vocab-budget curve; same count table and (c desc, t asc) order as
+    // zipf_alpha, one conditional aggregate over the ranked vocabulary
+    QueryDef("vocab_coverage",
+      (s, d) => TextAnalysis.vocabCoverage(Tables.documents(s, d)), Some(
+        """WITH c AS (
+          |  SELECT t, count(*) AS c FROM (
+          |    SELECT unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS t
+          |    FROM documents) GROUP BY t),
+          |r AS (
+          |  SELECT row_number() OVER (ORDER BY c DESC, t ASC) AS rank, c
+          |  FROM c),
+          |a AS (
+          |  SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+          |    CAST(count(*) AS BIGINT) AS n_types,
+          |    CAST(sum(CASE WHEN rank <= 16 THEN c ELSE 0 END) AS BIGINT) AS cov16,
+          |    CAST(sum(CASE WHEN rank <= 64 THEN c ELSE 0 END) AS BIGINT) AS cov64,
+          |    CAST(sum(CASE WHEN rank <= 256 THEN c ELSE 0 END) AS BIGINT) AS cov256,
+          |    CAST(sum(CASE WHEN rank <= 1024 THEN c ELSE 0 END) AS BIGINT) AS cov1024
+          |  FROM r)
+          |SELECT n_tokens, n_types,
+          |  (1000 * cov16) // n_tokens AS cov16_permille,
+          |  (1000 * cov64) // n_tokens AS cov64_permille,
+          |  (1000 * cov256) // n_tokens AS cov256_permille,
+          |  (1000 * cov1024) // n_tokens AS cov1024_permille
+          |FROM a""".stripMargin)),
+
     QueryDef("zipf_alpha",
       (s, d) => TextAnalysis.zipfAlpha(Tables.documents(s, d)), Some(
         """WITH c AS (

@@ -424,6 +424,24 @@ class PropertiesSpec extends SparkSpec {
     assert(z.getLong(3) >= 999L, s"perfect-Zipf r2: ${z.getLong(3)}")
   }
 
+  test("vocab coverage: naive-oracle equality, monotone in k, saturates at n_types") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, sf0001)
+    val r = TextAnalysis.vocabCoverage(docs).head()
+    // naive single-node twin: same tokenize, same (c desc, t asc) rank
+    val counts = docs.select("text").collect()
+      .flatMap(row => "[a-z']+".r.findAllIn(row.getString(0).toLowerCase))
+      .groupBy(identity).map { case (t, g) => (t, g.size.toLong) }.toSeq
+      .sortBy { case (t, c) => (-c, t) }
+    val total = counts.map(_._2).sum
+    assert(r.getLong(0) == total && r.getLong(1) == counts.size.toLong)
+    val cov = Seq(16, 64, 256, 1024).map(k =>
+      1000L * counts.take(k).map(_._2).sum / total)
+    assert((2 to 5).map(r.getLong) == cov, s"coverage mismatch: $cov")
+    assert(cov == cov.sorted, "coverage must be monotone in k")
+    if (counts.size <= 1024) assert(r.getLong(5) == 1000L)
+  }
+
   test("stratified quotas hold across k; samples are prefix-nested in k") {
     import graft.operators.TextAnalysis
     val docs = Tables.documents(spark, sf0001)
