@@ -389,6 +389,31 @@ object DedupQueries {
 
     // the audit the dedup machinery exists for: near-dup clusters whose
     // members straddle the 8/1/1 split assignment (train/eval leakage)
+    // dup × quality cross-audit: near-dup membership rate per exact
+    // milli-quality band (500·types div tokens + 5·min(tokens,100))
+    QueryDef("dup_quality_bias",
+      (s, d) => TextAnalysis.dupQualityBias(Tables.documents(s, d),
+        SharedIntermediates.textClusters(s, d)),
+      Some(
+        s"""WITH RECURSIVE $clustersCtes,
+           |tq AS (
+           |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z'']+') AS w
+           |  FROM documents),
+           |q AS (
+           |  SELECT doc_id,
+           |    (500 * CAST(len(list_distinct(w)) AS BIGINT)) // CAST(len(w) AS BIGINT)
+           |      + 5 * least(CAST(len(w) AS BIGINT), 100) AS quality_milli
+           |  FROM tq WHERE len(w) > 0),
+           |cm AS (SELECT DISTINCT doc_id FROM lab),
+           |j AS (
+           |  SELECT q.quality_milli // 100 AS quality_band,
+           |         CASE WHEN cm.doc_id IS NULL THEN 0 ELSE 1 END AS in_dup
+           |  FROM q LEFT JOIN cm ON cm.doc_id = q.doc_id)
+           |SELECT quality_band, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(in_dup) AS BIGINT) AS n_clustered,
+           |  (1000 * CAST(sum(in_dup) AS BIGINT)) // count(*) AS clustered_permille
+           |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // the MinHash ESTIMATOR calibrated against exact Jaccard: stride +
     // near-dup pairs, 16 md5-derived components, per-decile error stats
     QueryDef("minhash_estimate_error",

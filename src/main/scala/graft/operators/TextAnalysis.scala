@@ -354,6 +354,37 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** DUPLICATION × QUALITY CROSS-AUDIT — near-dup cluster membership
+    * rate per quality band: the corpus-card question "is my duplication
+    * concentrated in low-quality text?" (if yes, quality filtering
+    * already removes most dups and the dedup budget can shrink — and
+    * vice versa). Quality is re-derived in EXACT milli-units directly
+    * from the integer inputs (1000·q = 500·types div tokens +
+    * 5·min(tokens,100) — the same formula [[qualityScore]] rounds to
+    * double, without the double: band edges can't drift cross-engine).
+    * Shape: one corpus pass for the per-doc integers, a broadcast
+    * left-join against the (tiny) cluster membership table, one
+    * band-keyed aggregate. */
+  def dupQualityBias(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), toks.as("w"))
+      .filter(size(col("w")) > 0)
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        size(array_distinct(col("w"))).cast("long").as("n_types"))
+      .select(col("doc_id"),
+        (expr("500 * n_types div n_tokens")
+          + least(col("n_tokens"), lit(100L)) * 5L).as("quality_milli"))
+    base
+      .join(broadcast(clusters.select(col("doc_id"), lit(1L).as("in_dup"))
+        .distinct()), Seq("doc_id"), "left")
+      .groupBy(expr("quality_milli div 100").as("quality_band"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("in_dup"), lit(0L))).as("n_clustered"))
+      .select(col("quality_band"), col("n_docs"), col("n_clustered"),
+        expr("1000 * n_clustered div n_docs").as("clustered_permille"))
+      .orderBy("quality_band")
+  }
+
   /** Closed-form distributed OLS: fit `length(text) ~ feature` for each
     * of three integer document features (space count ≈ word count, and
     * two letter frequencies) via the normal equations, entirely in EXACT

@@ -683,6 +683,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(skew == 1000L * cmax * used / nVec)
   }
 
+  test("dup-quality bias: bands partition the tokenized corpus, clustered counts reconcile") {
+    val docs = Tables.documents(spark, sf0001)
+    val clusters = operators.SharedIntermediates.textClusters(spark, sf0001)
+    val rows = operators.TextAnalysis.dupQualityBias(docs, clusters).collect()
+    assert(rows.nonEmpty)
+    val totalDocs = rows.map(_.getLong(1)).sum
+    val totalClustered = rows.map(_.getLong(2)).sum
+    assert(totalDocs == docs.count(), "every tokenized doc lands in one band")
+    assert(totalClustered == clusters.select("doc_id").distinct().count(),
+      "clustered-doc mass must reconcile with the cluster table")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1) && r.getLong(3) <= 1000L)
+    }
+  }
+
   test("minhash estimator: identical docs estimate exactly 1000 permille; corpus stats bounded") {
     import spark.implicits._
     // theory fixture: identical texts => every component min collides =>
