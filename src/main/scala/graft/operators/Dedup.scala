@@ -838,14 +838,15 @@ object Dedup {
     * min doc_id), so no near-duplicate pair can straddle train and
     * eval by construction. Singletons keep their own id as rep, which
     * makes this a strict refinement of the naive per-doc split: `moved`
-    * marks exactly the docs the repair re-assigned. Scale shape: the
-    * cluster table holds only clustered docs (≪ corpus after dedup is
-    * worth doing), so the corpus-side join broadcasts; the split label
-    * itself is a map-side md5 bucket — no shuffle beyond the join. */
+    * marks exactly the docs the repair re-assigned. Scale shape: one
+    * doc_id equi-join (NO broadcast hint — the clustered-doc table is
+    * tiny on a clean corpus but can be a large corpus fraction on a
+    * crawl-heavy one, so AQE picks broadcast only when it actually
+    * fits); the split label itself is a map-side md5 bucket. */
   def leakageFreeSplit(docs: DataFrame, clusters: DataFrame): DataFrame = {
     val rep = coalesce(col("cluster_id"), col("doc_id"))
     docs.select(col("doc_id"))
-      .join(broadcast(clusters.select(col("doc_id"), col("cluster_id"))),
+      .join(clusters.select(col("doc_id"), col("cluster_id")),
         Seq("doc_id"), "left")
       .select(col("doc_id"), rep.as("cluster_rep"),
         TextAnalysis.splitOfKey(rep).as("split"),

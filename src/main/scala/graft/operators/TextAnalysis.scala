@@ -362,9 +362,11 @@ object TextAnalysis {
     * from the integer inputs (1000·q = 500·types div tokens +
     * 5·min(tokens,100) — the same formula [[qualityScore]] rounds to
     * double, without the double: band edges can't drift cross-engine).
-    * Shape: one corpus pass for the per-doc integers, a broadcast
-    * left-join against the (tiny) cluster membership table, one
-    * band-keyed aggregate. */
+    * Shape: one corpus pass for the per-doc integers, one doc_id
+    * equi-join against the cluster membership table (no broadcast hint
+    * — membership can be a large corpus fraction on a crawl-heavy
+    * corpus; AQE broadcasts only when it fits), one band-keyed
+    * aggregate. */
   def dupQualityBias(docs: DataFrame, clusters: DataFrame): DataFrame = {
     val base = docs.select(col("doc_id"), toks.as("w"))
       .filter(size(col("w")) > 0)
@@ -375,8 +377,8 @@ object TextAnalysis {
         (expr("500 * n_types div n_tokens")
           + least(col("n_tokens"), lit(100L)) * 5L).as("quality_milli"))
     base
-      .join(broadcast(clusters.select(col("doc_id"), lit(1L).as("in_dup"))
-        .distinct()), Seq("doc_id"), "left")
+      .join(clusters.select(col("doc_id"), lit(1L).as("in_dup"))
+        .distinct(), Seq("doc_id"), "left")
       .groupBy(expr("quality_milli div 100").as("quality_band"))
       .agg(count(lit(1)).as("n_docs"),
         sum(coalesce(col("in_dup"), lit(0L))).as("n_clustered"))
