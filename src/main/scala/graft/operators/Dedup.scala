@@ -770,7 +770,10 @@ object Dedup {
     * exact-J decile into mean/max absolute error and signed bias. Pairs
     * cover the full J spectrum: a deterministic stride sample
     * (doc_b = doc_a + 1 + doc_a mod 29 — mostly unrelated docs, J≈0)
-    * unioned with the exact near-dup pair set (the J≥0.7 tail).
+    * unioned with the VERIFIED near-dup pair set (banded-LSH candidates
+    * exact-verified at τ=0.7 — equal to the exact pair set wherever
+    * banding recall is 1, which the oracle SF pins; at 1 GB banding
+    * recall is 0.978, so the high-J tail there samples recalled pairs).
     * Signatures use md5-derived 32-bit components (conv(md5-prefix), the
     * split/sampling oracles' cross-engine trick) rather than the
     * production xxhash64 — the ESTIMATOR THEORY under audit (P[min-hash
@@ -784,7 +787,11 @@ object Dedup {
     * cost is |pairs|, not |corpus|². */
   def minhashEstimateError(docs: DataFrame, nearDupPairs: DataFrame,
       nComponents: Int = 16): DataFrame = {
-    val sh = docs
+    // STAGE the corpus-scale subtrees: `sh` fans out to the stride join
+    // (twice) and the signature build, `sigs` to both pair sides —
+    // unstaged, the tokenize + 16-way-md5 pipeline would run ~4× per
+    // query (the zipfAlpha unstaged-fan-out lesson; review finding)
+    val sh = Materialize.stage(docs
       .select(col("doc_id"),
         regexp_extract_all(lower(col("text")), lit(WordCount.TokenPattern),
           lit(0)).as("w"))
@@ -793,12 +800,12 @@ object Dedup {
         array_distinct(transform(sequence(lit(0), size(col("w")) - 3),
           i => concat(element_at(col("w"), i + 1), lit(" "),
             element_at(col("w"), i + 2), lit(" "),
-            element_at(col("w"), i + 3)))).as("sh"))
+            element_at(col("w"), i + 3)))).as("sh")))
     def sigCol(j: Int): Column = array_min(transform(col("sh"),
       g => conv(substring(md5(concat(g, lit("#" + j))), 1, 8), 16, 10)
         .cast("long"))).as(s"h$j")
-    val sigs = sh.select(
-      col("doc_id") +: col("sh") +: (0 until nComponents).map(sigCol): _*)
+    val sigs = Materialize.stage(sh.select(
+      col("doc_id") +: col("sh") +: (0 until nComponents).map(sigCol): _*))
     val stride = sh.select(col("doc_id").as("doc_a"),
         (col("doc_id") + 1 + pmod(col("doc_id"), lit(29))).as("doc_b"))
       .join(sh.select(col("doc_id").as("doc_b")), Seq("doc_b"))

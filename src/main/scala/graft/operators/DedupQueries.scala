@@ -387,8 +387,6 @@ object DedupQueries {
            |       ELSE CAST((1000 * n_hit) // n_lsh AS BIGINT) END AS precision_permille
            |FROM a""".stripMargin)),
 
-    // the audit the dedup machinery exists for: near-dup clusters whose
-    // members straddle the 8/1/1 split assignment (train/eval leakage)
     // dup × quality cross-audit: near-dup membership rate per exact
     // milli-quality band (500·types div tokens + 5·min(tokens,100))
     QueryDef("dup_quality_bias",
@@ -490,6 +488,8 @@ object DedupQueries {
            |FROM j ORDER BY doc_id""".stripMargin
       }),
 
+    // the audit the dedup machinery exists for: near-dup clusters whose
+    // members straddle the 8/1/1 split assignment (train/eval leakage)
     QueryDef("split_leakage",
       (s, d) => Dedup.splitLeakage(SharedIntermediates.textClusters(s, d)),
       Some {

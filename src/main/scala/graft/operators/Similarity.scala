@@ -437,7 +437,12 @@ object Similarity {
     * appears only through the already-materialized assignment index. */
   def ivfIndexStats(emb: DataFrame, minCentroids: Int,
       corpusCount: Option[Long] = None): DataFrame = {
-    val k = centroidsFor(corpusCount.getOrElse(emb.count()), minCentroids)
+    // count via the brute memo (review finding: a bare emb.count() here
+    // re-ran the embeddings lineage on every call / plan inspection)
+    val k = centroidsFor(corpusCount.getOrElse(bruteCountMemo.computeIfAbsent(
+      s"${Materialize.sessionKey(emb.sparkSession)}:" +
+        s"${emb.queryExecution.logical.semanticHash()}",
+      _ => emb.select(count(lit(1))).head().getLong(0))), minCentroids)
     val cells = ivfAssignIndex(emb, minCentroids, corpusCount)
       .groupBy("cell").agg(count(lit(1)).as("cn"))
     cells.agg(
@@ -468,8 +473,12 @@ object Similarity {
     * cost is the probes themselves, which the registry already pays. */
   def annRecallAudit(emb: DataFrame, minCentroids: Int, nQueries: Int,
       k: Int, corpusCount: Option[Long] = None): DataFrame = {
-    val truth = bruteForceTopK(emb, nQueries, k, corpusCount)
-      .select(col("query_id"), col("cand_id"))
+    // STAGE the ground truth: both grade() branches consume it, and
+    // unstaged the corpus-scan brute leg would execute once per branch
+    // (the zipfAlpha unstaged-fan-out lesson; review finding)
+    val truth = Materialize.stage(
+      bruteForceTopK(emb, nQueries, k, corpusCount)
+        .select(col("query_id"), col("cand_id")))
     def grade(method: String, approx: DataFrame): DataFrame =
       truth.select(col("query_id"), col("cand_id"),
           lit(1L).as("in_t"), lit(0L).as("in_a"))

@@ -151,11 +151,17 @@ object Tokenizer {
     * trainer saw the same corpus), so the encode pass is map-side:
     * corpus-sized explode, one tiny broadcast join, one groupBy(doc) —
     * the word-cache encode path production tokenizers use. */
-  def bpeEncodeStats(s: SparkSession, d: String): DataFrame = {
-    val counts = trained(s, d).vocab
+  /** word → post-BPE symbol count, the shared encode lookup of
+    * [[bpeEncodeStats]] and [[bpeFertility]] (one definition so a
+    * wrapped-symbol format change can't silently diverge the two). */
+  private def encodeCounts(s: SparkSession, d: String): DataFrame =
+    trained(s, d).vocab
       .select(col("word"),
         size(regexp_extract_all(col("sym"), lit("\\([^)]*\\)"), lit(0)))
           .cast("long").as("n_sym"))
+
+  def bpeEncodeStats(s: SparkSession, d: String): DataFrame = {
+    val counts = encodeCounts(s, d)
     Tables.documents(s, d)
       .select(col("doc_id"), explode(regexp_extract_all(lower(col("text")),
         lit(WordCount.TokenPattern), lit(0))).as("word"))
@@ -176,10 +182,7 @@ object Tokenizer {
     * lookup), rolled up to the lang grain — output is |langs| rows, so
     * the aggregate is trivially bounded at any corpus size. */
   def bpeFertility(s: SparkSession, d: String): DataFrame = {
-    val counts = trained(s, d).vocab
-      .select(col("word"),
-        size(regexp_extract_all(col("sym"), lit("\\([^)]*\\)"), lit(0)))
-          .cast("long").as("n_sym"))
+    val counts = encodeCounts(s, d)
     Tables.documents(s, d)
       .select(col("lang"), col("doc_id"),
         explode(regexp_extract_all(lower(col("text")),

@@ -415,6 +415,25 @@ object EventsStream {
 
   private val streamRunSeq = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Work dirs created by [[sessionizeStreamedQuery]], deleted on JVM
+    * exit (the returned DataFrame reads the sink lazily, so in-call
+    * cleanup would race the consumer; a shutdown hook bounds the leak
+    * to one process lifetime — review finding). */
+  private val streamWorkDirs =
+    java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+  private lazy val streamCleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      streamWorkDirs.forEach { d =>
+        try {
+          import java.nio.file.{Files, Paths, Path}
+          import java.util.Comparator
+          val p = Paths.get(d)
+          if (Files.exists(p))
+            Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+              .forEach(f => Files.deleteIfExists(f))
+        } catch { case _: Throwable => () }
+      }))
+
   /** STREAMING EXECUTION UNDER THE BATCH ORACLE — the one registry entry
     * whose Spark side actually runs Structured Streaming end-to-end: the
     * corpus events replayed through [[sessionizeStateful]] under
@@ -439,12 +458,33 @@ object EventsStream {
     import org.apache.spark.sql.streaming.Trigger
     val ev = graft.Tables.events(spark, dir)
       .select(col("user_id"), col("ts"), col("value"))
-    val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+    val outSchema = "user_id LONG, session_id LONG, n_events LONG, " +
+      "session_start_ms LONG, session_end_ms LONG, sum_value_milli LONG, " +
+      "duration_ms LONG"
+    // empty backlog: nothing to sessionize and no sentinel timestamp to
+    // derive — return the empty result directly (review finding: the
+    // max-ts row is NULL on an empty table and getLong would NPE)
+    val maxTsRow = ev.agg(max(unix_millis(col("ts")))).head()
+    if (maxTsRow.isNullAt(0))
+      return spark.createDataFrame(
+        new java.util.ArrayList[Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(outSchema))
+    val maxTs = maxTsRow.getLong(0)
+    // work dir: GRAFT_STREAM_WORK_DIR if set, else the driver-local
+    // tmpdir. On a MULTI-NODE cluster this MUST point at a shared
+    // filesystem (HDFS/S3/NFS) — the streaming source, checkpoint, and
+    // sink are read by executors AND the driver's read-back; a
+    // driver-local path only works when all executors share the host
+    // (the local/local-cluster topologies this repo tests — review
+    // finding, documented constraint).
+    val base = java.nio.file.Paths.get(
+      sys.env.getOrElse("GRAFT_STREAM_WORK_DIR", sys.props("java.io.tmpdir")),
       s"graft_sess_stream_${ProcessHandle.current().pid()}" +
         s"_${streamRunSeq.incrementAndGet()}").toString
+    streamCleanupHook
+    streamWorkDirs.add(base)
     val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
     ev.coalesce(1).write.mode("overwrite").parquet(inDir)
-    val maxTs = ev.agg(max(unix_millis(col("ts")))).head().getLong(0)
     def runOnce(): Unit = {
       val q = sessionizeStateful(spark,
           spark.readStream.schema("user_id LONG, ts TIMESTAMP, value DOUBLE")
