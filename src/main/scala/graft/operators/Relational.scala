@@ -534,4 +534,70 @@ object Relational {
       datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).cast("long").as("days_since_epoch"),
       (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("deadline"))
       .orderBy("o_orderkey")
+
+  /** ORDER-INDEPENDENT TABLE FINGERPRINT — bit_xor of a 56-bit
+    * md5-derived row hash, the cross-cluster parity primitive (what
+    * ClusterCheck does ad hoc, as a registered oracle-gated operator:
+    * two sites compare (n_rows, xor_digest) pairs to detect replication
+    * drift without moving data). XOR is commutative/associative, so the
+    * digest is partition- and order-independent by construction and the
+    * aggregation is one partial-aggregable pass — the same plan at any
+    * scale. Row canonicalization: '|'-joined EXACT-representable fields
+    * only (integers, md5 of text, epoch micros, milli-quantized value)
+    * — doubles and timestamps are never string-formatted, the one place
+    * cross-engine fingerprints rot. */
+  def tableFingerprints(s: SparkSession, d: String): DataFrame = {
+    def fp(name: String, df: DataFrame, rowStr: org.apache.spark.sql.Column) =
+      df.select(conv(substring(md5(rowStr), 1, 14), 16, 10)
+          .cast("long").as("h"))
+        .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("xor_digest"))
+        .select(lit(name).as("table_name"), col("n_rows"), col("xor_digest"))
+    fp("documents", Tables.documents(s, d),
+        concat_ws("|", col("doc_id"), col("lang"), col("source"),
+          col("n_chars"), md5(col("text"))))
+      .union(fp("events", Tables.events(s, d),
+        concat_ws("|", col("event_id"), col("user_id"),
+          unix_micros(col("ts")), col("event_type"),
+          round(col("value") * 1000).cast("long"))))
+      .union(fp("lineitem", Tables.lineitem(s, d),
+        concat_ws("|", col("l_orderkey"), col("l_partkey"),
+          col("l_suppkey"), col("l_linenumber"))))
+      .orderBy("table_name")
+  }
+
+  /** JOIN-KEY SKEW DIAGNOSTICS — the measurement that precedes a
+    * salting/AQE-skew-join decision, per key column: key-grain stats
+    * (distinct keys, max key frequency, max-over-mean in permille — the
+    * [[Similarity.ivfIndexStats]] skew formula applied to shuffle keys)
+    * and partition-grain stats (rows per md5-bucket mod 32, the
+    * shuffle-partition view: a key can be hot while partitions stay
+    * balanced and vice versa — both numbers are needed). One groupBy
+    * per grain over the key projection; output is one row per audited
+    * key. The two ONE-ROW stat legs are combined by a crossJoin —
+    * bounded by construction (1×1), allowlisted in PlanShapeSpec like
+    * search_eval_ndcg's dcg×idcg legs. */
+  def keySkewStats(s: SparkSession, d: String): DataFrame = {
+    def skew(name: String, df: DataFrame,
+        key: org.apache.spark.sql.Column): DataFrame = {
+      val keyed = df.select(key.cast("string").as("k"))
+      val kstats = keyed.groupBy("k").agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")).as("n_rows"), count(lit(1)).as("n_keys"),
+          max(col("c")).as("key_max"))
+      val pstats = keyed
+        .select((conv(substring(md5(col("k")), 1, 2), 16, 10)
+          .cast("long") % 32).as("p"))
+        .groupBy("p").agg(count(lit(1)).as("pc"))
+        .agg(min(col("pc")).as("part_min"), max(col("pc")).as("part_max"))
+      kstats.crossJoin(pstats)
+        .select(lit(name).as("key_name"), col("n_rows"), col("n_keys"),
+          col("key_max"),
+          expr("1000 * key_max * n_keys div n_rows").as("key_skew_permille"),
+          col("part_min"), col("part_max"),
+          expr("1000 * part_max * 32 div n_rows").as("part_skew_permille"))
+    }
+    skew("events.user_id", Tables.events(s, d), col("user_id"))
+      .union(skew("lineitem.l_orderkey", Tables.lineitem(s, d),
+        col("l_orderkey")))
+      .orderBy("key_name")
+  }
 }

@@ -326,5 +326,61 @@ object RelationalQueries {
         |  FROM ema e JOIN months mo ON mo.i = e.i + 1)
         |SELECT i AS quarter_idx, m AS quarter, rev AS revenue_cents, ema_cents
         |FROM ema ORDER BY quarter_idx""".stripMargin)),
+
+    // order-independent table digests (the cross-cluster parity
+    // primitive, oracle-gated): bit_xor of a 56-bit md5-prefix row hash
+    QueryDef("table_fingerprint",
+      (s, d) => Relational.tableFingerprints(s, d),
+      Some {
+        def one(name: String, rows: String) =
+          s"""SELECT '$name' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+             |  bit_xor(${hexBig(14)}) AS xor_digest
+             |FROM ($rows) h""".stripMargin
+        val docs = one("documents",
+          "SELECT md5(concat_ws('|', doc_id, lang, source, n_chars, md5(text))) AS hex FROM documents")
+        val ev = one("events",
+          "SELECT md5(concat_ws('|', event_id, user_id, epoch_us(ts), event_type, CAST(round(value*1000) AS BIGINT))) AS hex FROM events")
+        val li = one("lineitem",
+          "SELECT md5(concat_ws('|', l_orderkey, l_partkey, l_suppkey, l_linenumber)) AS hex FROM lineitem")
+        s"""SELECT * FROM ($docs UNION ALL $ev UNION ALL $li) u
+           |ORDER BY table_name""".stripMargin
+      }),
+
+    // join-key skew diagnostics: key-grain (max freq over mean) and
+    // partition-grain (rows per md5-bucket mod 32) skew in permille
+    QueryDef("key_skew_stats",
+      (s, d) => Relational.keySkewStats(s, d),
+      Some {
+        def one(name: String, keyRows: String) =
+          s"""SELECT '$name' AS key_name, n_rows, n_keys, key_max,
+             |  (1000 * key_max * n_keys) // n_rows AS key_skew_permille,
+             |  part_min, part_max,
+             |  (1000 * part_max * 32) // n_rows AS part_skew_permille
+             |FROM (
+             |  SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+             |    CAST(count(*) AS BIGINT) AS n_keys,
+             |    CAST(max(c) AS BIGINT) AS key_max
+             |  FROM (SELECT k, count(*) AS c FROM ($keyRows) kr GROUP BY k) cc) ks,
+             |(
+             |  SELECT CAST(min(pc) AS BIGINT) AS part_min,
+             |    CAST(max(pc) AS BIGINT) AS part_max
+             |  FROM (SELECT p, count(*) AS pc FROM (
+             |    SELECT ${hexBig(2)} % 32 AS p FROM
+             |      (SELECT md5(k) AS hex FROM ($keyRows) kr2) hh) pp
+             |    GROUP BY p) pg) ps""".stripMargin
+        val ev = one("events.user_id",
+          "SELECT CAST(user_id AS VARCHAR) AS k FROM events")
+        val li = one("lineitem.l_orderkey",
+          "SELECT CAST(l_orderkey AS VARCHAR) AS k FROM lineitem")
+        s"""SELECT * FROM ($ev UNION ALL $li) u ORDER BY key_name""".stripMargin
+      }),
   )
+
+  /** BIGINT from the first `nNib` hex nibbles of a stored `hex` column
+    * (the nibSql ascii trick; shared by the fingerprint/skew oracles). */
+  private def hexBig(nNib: Int): String =
+    (0 until nNib).map { k =>
+      val a = s"ascii(substr(hex, ${k + 1}, 1))"
+      s"(CAST($a - CASE WHEN $a >= 97 THEN 87 ELSE 48 END AS BIGINT) * ${1L << (4 * (nNib - 1 - k))})"
+    }.mkString("(", " + ", ")")
 }

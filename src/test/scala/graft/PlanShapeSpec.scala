@@ -195,6 +195,10 @@ class PlanShapeSpec extends SparkSpec {
       // against the streamed corpus); the graded IVF legs are the
       // already-allowlisted ann_ivf_topk / ann_ivf_multiprobe subtrees
       "ann_recall_audit",
+      // round-11 skew diagnostics: two ONE-ROW aggregate legs (key-grain
+      // and partition-grain stats) crossJoined per audited key — the
+      // search_eval_ndcg dcg×idcg bounded pattern
+      "key_skew_stats",
       // round-8 continuation: equidepth's quartile-boundary row — a
       // one-row broadcast scalar crossJoined onto the fact scan (the
       // q11/revenue_share pattern)

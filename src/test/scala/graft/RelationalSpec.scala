@@ -66,4 +66,26 @@ class RelationalSpec extends SparkSpec {
     val dupKeys = df.groupBy("k").count().filter($"count" > 1).count()
     assert(dupKeys == 0, "a nation key appeared under two tags")
   }
+
+  test("table fingerprint is order- and partitioning-independent; skew stats bounded") {
+    import org.apache.spark.sql.functions._
+    val base = operators.Relational.tableFingerprints(spark, sf0001).collect()
+    assert(base.map(_.getString(0)).toSeq == Seq("documents", "events", "lineitem"))
+    // recompute the documents digest from a reshuffled, repartitioned scan:
+    // XOR commutes, so the digest must be bit-identical
+    val docs = Tables.documents(spark, sf0001)
+      .repartition(13).sortWithinPartitions(desc("text"))
+    val alt = docs.select(conv(substring(md5(concat_ws("|",
+        col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        md5(col("text")))), 1, 14), 16, 10).cast("long").as("h"))
+      .agg(expr("bit_xor(h)")).head().getLong(0)
+    assert(alt == base.find(_.getString(0) == "documents").get.getLong(2),
+      "digest changed under reorder/repartition")
+    val skew = operators.Relational.keySkewStats(spark, sf0001).collect()
+    skew.foreach { r =>
+      assert(r.getLong(4) >= 1000L, "key max cannot be below the key mean")
+      assert(r.getLong(7) >= 1000L, "partition max cannot be below the mean")
+      assert(r.getLong(5) <= r.getLong(6), "part_min <= part_max")
+    }
+  }
 }
