@@ -460,9 +460,10 @@ object Similarity {
   /** ANN RECALL AUDIT — the approximate ANN probes graded against their
     * own brute-force ground truth in one registered query (the
     * [[graft.operators.Dedup.lshRecallAudit]] twin for the vector
-    * family). One row per method: nprobe=1 home-cell probe and nprobe=2
-    * multiprobe, both vs exact top-k under the same (cos desc, cand_id)
-    * total order. Multiprobe recall is provably ≥ single-probe recall
+    * family). One row per method: nprobe=1 home-cell probe, the
+    * int8-in-IVF serving default (nprobe=2 + refine), and nprobe=2
+    * exact multiprobe, each vs exact top-k under the same
+    * (cos desc, cand_id) total order. Multiprobe recall is provably ≥ single-probe recall
     * (its candidate set is a superset, and a true top-k member beaten by
     * ≤ k−1 vectors globally is beaten by ≤ k−1 in any subset), so the
     * oracle pins the nprobe lever's direction, not just its value.
@@ -495,6 +496,8 @@ object Similarity {
           expr("CASE WHEN n_ann = 0 THEN CAST(NULL AS BIGINT) " +
             "ELSE 1000 * n_hit div n_ann END").as("precision_permille"))
     grade("ivf", ivfTopK(emb, minCentroids, nQueries, k, corpusCount))
+      .union(grade("ivf_int8", ivfInt8TopK(emb, minCentroids, nQueries, k,
+        nprobe = 2, refine = 4, corpusCount = corpusCount)))
       .union(grade("ivf_p2",
         ivfTopKProbed(emb, minCentroids, nQueries, k, 2, corpusCount)))
       .orderBy("method")

@@ -295,14 +295,52 @@ object SimilarityQueries {
        |        row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rnk
        |      FROM bp),
        |truth AS (SELECT query_id, cand_id FROM br WHERE rnk <= 3),
+       |m8 AS (
+       |  SELECT vec_id,
+       |    list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) AS max_abs,
+       |    embedding
+       |  FROM embeddings),
+       |b8 AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> floor(CAST(x AS DOUBLE) * (127.0 / max_abs) + 0.5)) AS qv
+       |  FROM m8 WHERE max_abs > 0),
+       |probes8 AS (
+       |  SELECT vec_id AS query_id, cent_id AS qcell
+       |  FROM ranked WHERE vec_id < 16 AND rn <= 2),
+       |q8 AS (SELECT p.query_id, p.qcell, b8.qv AS qa
+       |       FROM probes8 p JOIN b8 ON b8.vec_id = p.query_id),
+       |c8 AS (SELECT b8.vec_id, a.cell, b8.qv
+       |       FROM b8 JOIN asg a ON a.vec_id = b8.vec_id),
+       |pq8 AS (SELECT q8.query_id, c.vec_id AS cand_id,
+       |        round((${qdotSql("qa", "qv")})
+       |          / (sqrt(${qnorm2Sql("qa")}) * sqrt(${qnorm2Sql("qv")})), 6) AS qcos
+       |      FROM c8 c JOIN q8 ON c.cell = q8.qcell AND c.vec_id != q8.query_id),
+       |shortl8 AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |             ORDER BY qcos DESC, cand_id ASC) AS srnk FROM pq8)
+       |  WHERE srnk <= 12),
+       |ref8 AS (
+       |  SELECT s.query_id, s.cand_id,
+       |         round(${cosSql("qq.embedding", "cc.embedding")}, 6) AS cos_sim
+       |  FROM shortl8 s
+       |  JOIN embeddings qq ON qq.vec_id = s.query_id
+       |  JOIN embeddings cc ON cc.vec_id = s.cand_id),
+       |ivf3 AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |             ORDER BY cos_sim DESC, cand_id ASC) AS rnk FROM ref8)
+       |  WHERE rnk <= 3),
        |s1 AS (${gradeSql("ivf", "ivf1")}),
-       |s2 AS (${gradeSql("ivf_p2", "ivf2")})
+       |s2 AS (${gradeSql("ivf_p2", "ivf2")}),
+       |s3 AS (${gradeSql("ivf_int8", "ivf3")})
        |SELECT method, n_truth, n_ann, n_hit,
        |  CASE WHEN n_truth = 0 THEN CAST(NULL AS BIGINT)
        |       ELSE CAST((1000 * n_hit) // n_truth AS BIGINT) END AS recall_permille,
        |  CASE WHEN n_ann = 0 THEN CAST(NULL AS BIGINT)
        |       ELSE CAST((1000 * n_hit) // n_ann AS BIGINT) END AS precision_permille
-       |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2) f
+       |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3) f
        |ORDER BY method""".stripMargin
   }
 

@@ -747,7 +747,7 @@ class DedupSimilaritySpec extends SparkSpec {
   test("ann recall audit: multiprobe recall dominates single-probe, counts bounded") {
     val rows = Similarity.annRecallAudit(emb, 8, 16, 3, Some(emb.count()))
       .collect()
-    assert(rows.map(_.getString(0)).toSeq == Seq("ivf", "ivf_p2"))
+    assert(rows.map(_.getString(0)).toSeq == Seq("ivf", "ivf_int8", "ivf_p2"))
     val byM = rows.map(r => r.getString(0) ->
       (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     byM.foreach { case (m, (nT, nA, nHit, rec)) =>
