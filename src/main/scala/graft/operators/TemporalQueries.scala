@@ -114,6 +114,26 @@ object TemporalQueries {
           |FROM tr JOIN tot USING (from_type)
           |ORDER BY from_type, to_type""".stripMargin)),
 
+    // the transitions extractor as a REAL stream (no sentinel needed —
+    // pairs emit when the later event arrives), same oracle as the
+    // batch event_transitions: the second streaming≡batch driver gate
+    QueryDef("transitions_streamed",
+      (s, d) => graft.streaming.EventsStream.transitionsStreamedQuery(s, d),
+      Some(
+        """WITH t AS (
+          |  SELECT event_type,
+          |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          |      AS from_type
+          |  FROM events),
+          |tr AS (
+          |  SELECT from_type, event_type AS to_type, count(*) AS n
+          |  FROM t WHERE from_type IS NOT NULL GROUP BY 1, 2),
+          |tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM tr GROUP BY 1)
+          |SELECT from_type, to_type, n,
+          |  round(CAST(n AS DOUBLE) / CAST(n_from AS DOUBLE), 6) AS p
+          |FROM tr JOIN tot USING (from_type)
+          |ORDER BY from_type, to_type""".stripMargin)),
+
     QueryDef("event_funnel",
       (s, d) => Temporal.funnel(Tables.events(s, d)), Some(
         """WITH s AS (

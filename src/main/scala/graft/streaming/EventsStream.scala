@@ -453,6 +453,51 @@ object EventsStream {
     * thousandths (state accumulates in arrival order, the oracle in scan
     * order — the values are 2-decimal, so the milli-quantization is
     * exact for both). */
+  /** The [[sessionizeStreamedQuery]] pattern applied to
+    * [[transitionsStream]]: the last-event-state Markov extractor run
+    * as a REAL AvailableNow stream, its emitted (user, from, to) pairs
+    * aggregated into the batch `event_transitions` output shape and
+    * held to the SAME DuckDB oracle. No sentinel is needed — a
+    * transition is emitted when its LATER event arrives, so the
+    * backlog's final batch has already emitted every pair (state holds
+    * only each user's last event, which by definition starts no further
+    * transition). Single-file backlog = batch-0 watermark safety, as in
+    * the sessionize twin. */
+  def transitionsStreamedQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val base = java.nio.file.Paths.get(
+      sys.env.getOrElse("GRAFT_STREAM_WORK_DIR", sys.props("java.io.tmpdir")),
+      s"graft_trans_stream_${ProcessHandle.current().pid()}" +
+        s"_${streamRunSeq.incrementAndGet()}").toString
+    streamCleanupHook
+    streamWorkDirs.add(base)
+    val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+    ev.coalesce(1).write.mode("overwrite").parquet(inDir)
+    val q = transitionsStream(spark,
+        spark.readStream
+          .schema("user_id LONG, ts TIMESTAMP, event_id LONG, event_type STRING")
+          .parquet(inDir))
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // explicit schema: a zero-transition corpus leaves the sink with no
+    // part files and schemaless reads would fail
+    val pairs = spark.read
+      .schema("user_id LONG, from_type STRING, to_type STRING")
+      .parquet(outDir)
+    val trans = pairs.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = trans.groupBy("from_type").agg(sum(col("n")).as("n_from"))
+    trans.join(totals, "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("n_from").cast("double"), 6)
+          .as("p"))
+      .orderBy("from_type", "to_type")
+  }
+
   def sessionizeStreamedQuery(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.streaming.Trigger

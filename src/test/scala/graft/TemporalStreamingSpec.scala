@@ -543,6 +543,14 @@ class TemporalStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transitions_streamed: real AvailableNow run reproduces the batch Markov table exactly") {
+    val streamed = EventsStream.transitionsStreamedQuery(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    val batch = Temporal.eventTransitions(events).collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty && streamed == batch,
+      s"stream/batch transition tables differ: ${streamed.size} vs ${batch.size}")
+  }
+
   test("sessionize_streamed: real AvailableNow run reproduces the batch sessionizer exactly") {
     val streamed = EventsStream.sessionizeStreamedQuery(spark, sf0001)
       .collect().map(_.toSeq).toSet
