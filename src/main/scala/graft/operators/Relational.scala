@@ -565,6 +565,51 @@ object Relational {
       .orderBy("table_name")
   }
 
+  /** DETERMINISTIC BOOTSTRAP CI — a Poisson(1)-weight resampling
+    * bootstrap for the mean of l_quantity, with every random draw
+    * replaced by an md5-derived uniform so both engines compute the
+    * IDENTICAL resamples (the repo's split/sampling trick applied to
+    * resampling statistics): per (row, replicate b) the weight is an
+    * inverse-CDF ladder on two md5 nibbles (thresholds 94/188/235/
+    * 251/255 of 256 = the cumulative Poisson(1) mass, the standard
+    * multinomial→Poisson bootstrap approximation). Per-replicate means
+    * are exact integer micro-units ((10⁴·Σw·cents) div Σw); the CI
+    * bounds are exact ORDER STATISTICS of the B=64 replicate means
+    * (4th and 61st of 64 = the 5th/95th percentile WITHOUT engine-
+    * specific interpolation). Scale shape: ONE corpus pass exploded
+    * ×B with map-side partial aggregation into B running (Σw·q, Σw)
+    * pairs — the resampling never materializes a resample, which is
+    * what makes the bootstrap feasible at 100 TB; the final sort is
+    * over B=64 values. */
+  def bootstrapCi(s: SparkSession, d: String, b: Int = 64): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(concat(col("l_orderkey"), lit("#"), col("l_linenumber")).as("rid"),
+        round(col("l_quantity") * 100).cast("long").as("qc"))
+    val u = conv(substring(md5(concat(col("rid"), lit("@"), col("b"))), 1, 2),
+      16, 10).cast("long")
+    val w = when(u < 94, 0L).when(u < 188, 1L).when(u < 235, 2L)
+      .when(u < 251, 3L).when(u < 255, 4L).otherwise(5L)
+    val perB = li
+      .select(col("rid"), col("qc"),
+        explode(sequence(lit(0), lit(b - 1))).as("b"))
+      .select(col("b"), col("qc"), w.as("w"))
+      .groupBy("b")
+      .agg(sum(col("w") * col("qc")).as("swq"), sum(col("w")).as("sw"))
+      .select(expr("CASE WHEN sw = 0 THEN CAST(NULL AS BIGINT) " +
+        "ELSE 10000 * swq div sw END").as("mean_micro"))
+    val full = li.agg(sum(col("qc")).as("sq"), count(lit(1)).as("n"))
+      .select(col("n").as("n_rows"),
+        expr("10000 * sq div n").as("mean_full_micro"))
+    val ci = perB.agg(sort_array(collect_list(col("mean_micro"))).as("ms"))
+      .select(
+        size(col("ms")).cast("long").as("n_resamples"),
+        element_at(col("ms"), (b * 5 + 99) / 100).as("ci_lo_micro"),
+        element_at(col("ms"), (b * 95 + 99) / 100).as("ci_hi_micro"))
+    full.crossJoin(ci)
+      .select(col("n_rows"), col("n_resamples"), col("mean_full_micro"),
+        col("ci_lo_micro"), col("ci_hi_micro"))
+  }
+
   /** JOIN-KEY SKEW DIAGNOSTICS — the measurement that precedes a
     * salting/AQE-skew-join decision, per key column: key-grain stats
     * (distinct keys, max key frequency, max-over-mean in permille — the

@@ -346,6 +346,39 @@ object RelationalQueries {
            |ORDER BY table_name""".stripMargin
       }),
 
+    // deterministic Poisson-weight bootstrap: md5-uniform inverse-CDF
+    // weights, exact integer replicate means, order-statistic CI bounds
+    QueryDef("bootstrap_ci",
+      (s, d) => Relational.bootstrapCi(s, d),
+      Some(
+        s"""WITH li AS (
+           |  SELECT CAST(l_orderkey AS VARCHAR) || '#' || CAST(l_linenumber AS VARCHAR) AS rid,
+           |         CAST(round(l_quantity * 100) AS BIGINT) AS qc
+           |  FROM lineitem),
+           |e AS (
+           |  SELECT rid, qc, b FROM li
+           |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) bb),
+           |h AS (SELECT qc, b, md5(rid || '@' || CAST(b AS VARCHAR)) AS hex FROM e),
+           |wts AS (
+           |  SELECT qc, b,
+           |    CASE WHEN u < 94 THEN 0 WHEN u < 188 THEN 1 WHEN u < 235 THEN 2
+           |         WHEN u < 251 THEN 3 WHEN u < 255 THEN 4 ELSE 5 END AS w
+           |  FROM (SELECT qc, b, ${hexBig(2)} AS u FROM h) t),
+           |pb AS (
+           |  SELECT b,
+           |    CASE WHEN sum(w) = 0 THEN CAST(NULL AS BIGINT)
+           |         ELSE (10000 * CAST(sum(w * qc) AS BIGINT)) // CAST(sum(w) AS BIGINT)
+           |    END AS mean_micro
+           |  FROM wts GROUP BY b),
+           |ms AS (SELECT list_sort(list(mean_micro)) AS ms,
+           |         CAST(count(*) AS BIGINT) AS nr FROM pb),
+           |f AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           |        (10000 * CAST(sum(qc) AS BIGINT)) // count(*) AS mean_full_micro
+           |      FROM li)
+           |SELECT n_rows, nr AS n_resamples, mean_full_micro,
+           |  ms[4] AS ci_lo_micro, ms[61] AS ci_hi_micro
+           |FROM f, ms""".stripMargin)),
+
     // join-key skew diagnostics: key-grain (max freq over mean) and
     // partition-grain (rows per md5-bucket mod 32) skew in permille
     QueryDef("key_skew_stats",

@@ -199,6 +199,9 @@ class PlanShapeSpec extends SparkSpec {
       // and partition-grain stats) crossJoined per audited key — the
       // search_eval_ndcg dcg×idcg bounded pattern
       "key_skew_stats",
+      // round-11 bootstrap: the full-data mean row × the 64-replicate
+      // CI row — the same bounded one-row × one-row pattern
+      "bootstrap_ci",
       // round-8 continuation: equidepth's quartile-boundary row — a
       // one-row broadcast scalar crossJoined onto the fact scan (the
       // q11/revenue_share pattern)

@@ -67,6 +67,19 @@ class RelationalSpec extends SparkSpec {
     assert(dupKeys == 0, "a nation key appeared under two tags")
   }
 
+  test("bootstrap CI brackets the full-data mean, bounds ordered, fully deterministic") {
+    val r1 = operators.Relational.bootstrapCi(spark, sf0001).collect().head
+    val r2 = operators.Relational.bootstrapCi(spark, sf0001).collect().head
+    assert(r1.toSeq == r2.toSeq, "md5-derived bootstrap must be deterministic")
+    val (n, b, mean, lo, hi) =
+      (r1.getLong(0), r1.getLong(1), r1.getLong(2), r1.getLong(3), r1.getLong(4))
+    assert(n > 0 && b == 64L)
+    assert(lo <= hi, "CI bounds out of order")
+    // at n=6000 rows the resample spread is tiny; the 90% CI must
+    // bracket the full mean (a failure here means weights are biased)
+    assert(lo <= mean && mean <= hi, s"CI [$lo,$hi] misses full mean $mean")
+  }
+
   test("table fingerprint is order- and partitioning-independent; skew stats bounded") {
     import org.apache.spark.sql.functions._
     val base = operators.Relational.tableFingerprints(spark, sf0001).collect()
