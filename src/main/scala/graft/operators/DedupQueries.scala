@@ -420,10 +420,7 @@ object DedupQueries {
       Some {
         // 32-bit int from the first 8 hex nibbles of a stored md5 column
         // (the nibSql ascii trick, applied to a column instead of an id)
-        val u32 = (0 until 8).map { k =>
-          val a = s"ascii(substr(hex, ${k + 1}, 1))"
-          s"(CAST($a - CASE WHEN $a >= 97 THEN 87 ELSE 48 END AS BIGINT) * ${1L << (4 * (7 - k))})"
-        }.mkString(" + ")
+        val u32 = TextAnalysisQueries.hexBigSql(8)
         s"""WITH $wordShinglesCte,
            |np AS (
            |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b

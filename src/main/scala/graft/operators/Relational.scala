@@ -560,8 +560,14 @@ object Relational {
           unix_micros(col("ts")), col("event_type"),
           round(col("value") * 1000).cast("long"))))
       .union(fp("lineitem", Tables.lineitem(s, d),
+        // value columns ride along centi-quantized — a fingerprint that
+        // hashes only keys is blind to value drift (review finding)
         concat_ws("|", col("l_orderkey"), col("l_partkey"),
-          col("l_suppkey"), col("l_linenumber"))))
+          col("l_suppkey"), col("l_linenumber"),
+          round(col("l_quantity") * 100).cast("long"),
+          round(col("l_extendedprice") * 100).cast("long"),
+          round(col("l_discount") * 100).cast("long"),
+          round(col("l_tax") * 100).cast("long"))))
       .orderBy("table_name")
   }
 
@@ -589,22 +595,38 @@ object Relational {
       16, 10).cast("long")
     val w = when(u < 94, 0L).when(u < 188, 1L).when(u < 235, 2L)
       .when(u < 251, 3L).when(u < 255, 4L).otherwise(5L)
+    // sums in DECIMAL(38,0): 10⁴·Σ(w·qc) exceeds BIGINT around sf6×10⁴
+    // (review finding — and under ANSI the overflow ABORTS rather than
+    // wrapping); DECIMAL `div` is the repo's exact-integer idiom
     val perB = li
       .select(col("rid"), col("qc"),
         explode(sequence(lit(0), lit(b - 1))).as("b"))
       .select(col("b"), col("qc"), w.as("w"))
       .groupBy("b")
-      .agg(sum(col("w") * col("qc")).as("swq"), sum(col("w")).as("sw"))
-      .select(expr("CASE WHEN sw = 0 THEN CAST(NULL AS BIGINT) " +
-        "ELSE 10000 * swq div sw END").as("mean_micro"))
-    val full = li.agg(sum(col("qc")).as("sq"), count(lit(1)).as("n"))
-      .select(col("n").as("n_rows"),
-        expr("10000 * sq div n").as("mean_full_micro"))
+      .agg(sum((col("w") * col("qc")).cast("decimal(38,0)")).as("swq"),
+        sum(col("w").cast("decimal(38,0)")).as("sw"))
+      // a replicate with Σw = 0 has no mean; it is FILTERED (not NULL)
+      // so both engines' order statistics see the same list — Spark's
+      // collect_list drops NULLs while DuckDB's list() keeps them
+      // (review finding)
+      .filter(col("sw") > 0)
+      .select(expr("CAST(10000 * swq div sw AS BIGINT)").as("mean_micro"))
+    val full = li.agg(sum(col("qc").cast("decimal(38,0)")).as("sq"),
+        count(lit(1)).cast("decimal(38,0)").as("n"))
+      .select(col("n").cast("long").as("n_rows"),
+        expr("CAST(10000 * sq div n AS BIGINT)").as("mean_full_micro"))
+    // CI bounds = exact order statistics at ceil(.05R)/ceil(.95R) of the
+    // R SURVIVING replicates (R = B unless a degenerate corpus zeroed
+    // some replicate); NULL on R = 0
     val ci = perB.agg(sort_array(collect_list(col("mean_micro"))).as("ms"))
       .select(
         size(col("ms")).cast("long").as("n_resamples"),
-        element_at(col("ms"), (b * 5 + 99) / 100).as("ci_lo_micro"),
-        element_at(col("ms"), (b * 95 + 99) / 100).as("ci_hi_micro"))
+        expr("CASE WHEN size(ms) = 0 THEN CAST(NULL AS BIGINT) " +
+          "ELSE element_at(ms, CAST((size(ms) * 5 + 99) div 100 AS INT)) " +
+          "END").as("ci_lo_micro"),
+        expr("CASE WHEN size(ms) = 0 THEN CAST(NULL AS BIGINT) " +
+          "ELSE element_at(ms, CAST((size(ms) * 95 + 99) div 100 AS INT)) " +
+          "END").as("ci_hi_micro"))
     full.crossJoin(ci)
       .select(col("n_rows"), col("n_resamples"), col("mean_full_micro"),
         col("ci_lo_micro"), col("ci_hi_micro"))
@@ -625,13 +647,18 @@ object Relational {
     def skew(name: String, df: DataFrame,
         key: org.apache.spark.sql.Column): DataFrame = {
       val keyed = df.select(key.cast("string").as("k"))
-      val kstats = keyed.groupBy("k").agg(count(lit(1)).as("c"))
+      // the bucket is a pure function of k, so BOTH grains derive from
+      // the per-key count table — one corpus scan, not two (review
+      // finding); staged because two aggregates consume it
+      val counts = Materialize.stage(
+        keyed.groupBy("k").agg(count(lit(1)).as("c")))
+      val kstats = counts
         .agg(sum(col("c")).as("n_rows"), count(lit(1)).as("n_keys"),
           max(col("c")).as("key_max"))
-      val pstats = keyed
+      val pstats = counts
         .select((conv(substring(md5(col("k")), 1, 2), 16, 10)
-          .cast("long") % 32).as("p"))
-        .groupBy("p").agg(count(lit(1)).as("pc"))
+          .cast("long") % 32).as("p"), col("c"))
+        .groupBy("p").agg(sum(col("c")).as("pc"))
         .agg(min(col("pc")).as("part_min"), max(col("pc")).as("part_max"))
       kstats.crossJoin(pstats)
         .select(lit(name).as("key_name"), col("n_rows"), col("n_keys"),

@@ -341,7 +341,9 @@ object RelationalQueries {
         val ev = one("events",
           "SELECT md5(concat_ws('|', event_id, user_id, epoch_us(ts), event_type, CAST(round(value*1000) AS BIGINT))) AS hex FROM events")
         val li = one("lineitem",
-          "SELECT md5(concat_ws('|', l_orderkey, l_partkey, l_suppkey, l_linenumber)) AS hex FROM lineitem")
+          "SELECT md5(concat_ws('|', l_orderkey, l_partkey, l_suppkey, l_linenumber, " +
+            "CAST(round(l_quantity*100) AS BIGINT), CAST(round(l_extendedprice*100) AS BIGINT), " +
+            "CAST(round(l_discount*100) AS BIGINT), CAST(round(l_tax*100) AS BIGINT))) AS hex FROM lineitem")
         s"""SELECT * FROM ($docs UNION ALL $ev UNION ALL $li) u
            |ORDER BY table_name""".stripMargin
       }),
@@ -366,17 +368,21 @@ object RelationalQueries {
            |  FROM (SELECT qc, b, ${hexBig(2)} AS u FROM h) t),
            |pb AS (
            |  SELECT b,
-           |    CASE WHEN sum(w) = 0 THEN CAST(NULL AS BIGINT)
-           |         ELSE (10000 * CAST(sum(w * qc) AS BIGINT)) // CAST(sum(w) AS BIGINT)
-           |    END AS mean_micro
-           |  FROM wts GROUP BY b),
+           |    CAST((10000 * CAST(sum(w * qc) AS HUGEINT)) // CAST(sum(w) AS HUGEINT) AS BIGINT)
+           |      AS mean_micro
+           |  FROM wts GROUP BY b
+           |  HAVING sum(w) > 0),
            |ms AS (SELECT list_sort(list(mean_micro)) AS ms,
            |         CAST(count(*) AS BIGINT) AS nr FROM pb),
            |f AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
-           |        (10000 * CAST(sum(qc) AS BIGINT)) // count(*) AS mean_full_micro
+           |        CAST((10000 * CAST(sum(qc) AS HUGEINT)) // count(*) AS BIGINT)
+           |          AS mean_full_micro
            |      FROM li)
            |SELECT n_rows, nr AS n_resamples, mean_full_micro,
-           |  ms[4] AS ci_lo_micro, ms[61] AS ci_hi_micro
+           |  CASE WHEN nr = 0 THEN CAST(NULL AS BIGINT)
+           |       ELSE ms[CAST((nr * 5 + 99) // 100 AS INT)] END AS ci_lo_micro,
+           |  CASE WHEN nr = 0 THEN CAST(NULL AS BIGINT)
+           |       ELSE ms[CAST((nr * 95 + 99) // 100 AS INT)] END AS ci_hi_micro
            |FROM f, ms""".stripMargin)),
 
     // join-key skew diagnostics: key-grain (max freq over mean) and
@@ -409,11 +415,5 @@ object RelationalQueries {
       }),
   )
 
-  /** BIGINT from the first `nNib` hex nibbles of a stored `hex` column
-    * (the nibSql ascii trick; shared by the fingerprint/skew oracles). */
-  private def hexBig(nNib: Int): String =
-    (0 until nNib).map { k =>
-      val a = s"ascii(substr(hex, ${k + 1}, 1))"
-      s"(CAST($a - CASE WHEN $a >= 97 THEN 87 ELSE 48 END AS BIGINT) * ${1L << (4 * (nNib - 1 - k))})"
-    }.mkString("(", " + ", ")")
+  private def hexBig(nNib: Int): String = TextAnalysisQueries.hexBigSql(nNib)
 }

@@ -14,6 +14,16 @@ object TextAnalysisQueries {
     s"($a - CASE WHEN $a >= 97 THEN 87 ELSE 48 END)"
   }
 
+  /** BIGINT from the first `nNib` hex nibbles of a stored hex column —
+    * the general form of [[nibSql]], shared by the minhash-estimator,
+    * fingerprint, and skew oracles (one definition; review finding:
+    * three copies of the ladder had accreted). */
+  private[operators] def hexBigSql(nNib: Int, col: String = "hex"): String =
+    (0 until nNib).map { k =>
+      val a = s"ascii(substr($col, ${k + 1}, 1))"
+      s"(CAST($a - CASE WHEN $a >= 97 THEN 87 ELSE 48 END AS BIGINT) * ${1L << (4 * (nNib - 1 - k))})"
+    }.mkString("(", " + ", ")")
+
   /** 20-bit md5-uniform draw (five nibbles) — mirror of the Spark side. */
   private def u20Sql(idCol: String): String =
     (0 until 5).map(i => s"${nibSql(i, idCol)} * ${1 << (4 * (4 - i))}")

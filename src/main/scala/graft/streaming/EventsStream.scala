@@ -396,7 +396,12 @@ object EventsStream {
             state.remove()
             Iterator.empty
           } else {
-            val sorted = rows.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+            // (getTime, getNanos) is the full-precision event-time order:
+            // getTime alone floors to milliseconds, and two sub-ms-apart
+            // events would sort by event_id against the batch operator's
+            // microsecond (ts, event_id) order (review finding)
+            val sorted = rows.toArray
+              .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
             val out = Seq.newBuilder[TransitionRow]
             var last = state.getOption
             sorted.foreach { e =>
@@ -434,25 +439,50 @@ object EventsStream {
         } catch { case _: Throwable => () }
       }))
 
-  /** STREAMING EXECUTION UNDER THE BATCH ORACLE — the one registry entry
-    * whose Spark side actually runs Structured Streaming end-to-end: the
-    * corpus events replayed through [[sessionizeStateful]] under
-    * Trigger.AvailableNow (real checkpoint, real state store, real
-    * parquet sink), a far-future sentinel + second run firing every open
-    * session's event-time timeout (the StreamFlagship flush protocol),
-    * and the sink read back into the batch `sessionize` output shape.
-    * The DuckDB oracle is the BATCH gap-sessionization — so the driver
-    * hash gate pins streaming ≡ batch semantics, the parity the 1 GB
-    * flagship asserts, as a per-round oracle check. The backlog is
-    * written as a single file so the whole corpus lands in micro-batch 0
-    * where the watermark is still unset: no row order the driver chose
-    * for the parquet can late-drop events (multi-batch replay discipline
-    * — file order = event-time order — is the flagship's subject, not
-    * this gate's). session_id is reconstructed as the per-user
-    * session_start rank; sum_value is emitted quantized to integer
-    * thousandths (state accumulates in arrival order, the oracle in scan
-    * order — the values are 2-decimal, so the milli-quantization is
-    * exact for both). */
+  /** Shared scaffold of the streamed registry gates — the hard-won
+    * pieces live ONCE here (review finding: the two gates had copied
+    * them): a per-run work dir under GRAFT_STREAM_WORK_DIR (defaults to
+    * the driver-local tmpdir; on a MULTI-NODE cluster this MUST be a
+    * shared filesystem — source, checkpoint, and sink are read by
+    * executors AND the driver's read-back; driver-local paths only work
+    * when executors share the host, the local/local-cluster topologies
+    * this repo tests), shutdown-hook cleanup registration, and the
+    * single-file backlog write (the whole corpus lands in micro-batch 0
+    * where the watermark is still unset, so no parquet row order can
+    * late-drop events — multi-batch replay discipline is the 1 GB
+    * flagship's subject, not these gates'). */
+  private final class StreamedGate(spark: SparkSession, prefix: String,
+      backlog: DataFrame, inSchema: String,
+      stream: DataFrame => DataFrame) {
+    private val base = java.nio.file.Paths.get(
+      sys.env.getOrElse("GRAFT_STREAM_WORK_DIR", sys.props("java.io.tmpdir")),
+      s"graft_${prefix}_${ProcessHandle.current().pid()}" +
+        s"_${streamRunSeq.incrementAndGet()}").toString
+    streamCleanupHook
+    streamWorkDirs.add(base)
+    private val inDir = s"$base/in"
+    private val outDir = s"$base/out"
+    private val ckpt = s"$base/ckpt"
+    backlog.coalesce(1).write.mode("overwrite").parquet(inDir)
+
+    def append(df: DataFrame): Unit =
+      df.coalesce(1).write.mode("append").parquet(inDir)
+
+    def runOnce(): Unit = {
+      import org.apache.spark.sql.streaming.Trigger
+      val q = stream(spark.readStream.schema(inSchema).parquet(inDir))
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    /** Explicit schema: a zero-row run leaves the sink with no part
+      * files and a schemaless read would fail. */
+    def sink(outSchema: String): DataFrame =
+      spark.read.schema(outSchema).parquet(outDir)
+  }
+
   /** The [[sessionizeStreamedQuery]] pattern applied to
     * [[transitionsStream]]: the last-event-state Markov extractor run
     * as a REAL AvailableNow stream, its emitted (user, from, to) pairs
@@ -461,33 +491,15 @@ object EventsStream {
     * transition is emitted when its LATER event arrives, so the
     * backlog's final batch has already emitted every pair (state holds
     * only each user's last event, which by definition starts no further
-    * transition). Single-file backlog = batch-0 watermark safety, as in
-    * the sessionize twin. */
+    * transition). */
   def transitionsStreamedQuery(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
     val ev = graft.Tables.events(spark, dir)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-    val base = java.nio.file.Paths.get(
-      sys.env.getOrElse("GRAFT_STREAM_WORK_DIR", sys.props("java.io.tmpdir")),
-      s"graft_trans_stream_${ProcessHandle.current().pid()}" +
-        s"_${streamRunSeq.incrementAndGet()}").toString
-    streamCleanupHook
-    streamWorkDirs.add(base)
-    val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
-    ev.coalesce(1).write.mode("overwrite").parquet(inDir)
-    val q = transitionsStream(spark,
-        spark.readStream
-          .schema("user_id LONG, ts TIMESTAMP, event_id LONG, event_type STRING")
-          .parquet(inDir))
-      .writeStream.outputMode("append").format("parquet")
-      .option("path", outDir).option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    // explicit schema: a zero-transition corpus leaves the sink with no
-    // part files and schemaless reads would fail
-    val pairs = spark.read
-      .schema("user_id LONG, from_type STRING, to_type STRING")
-      .parquet(outDir)
+    val gate = new StreamedGate(spark, "trans_stream", ev,
+      "user_id LONG, ts TIMESTAMP, event_id LONG, event_type STRING",
+      transitionsStream(spark, _))
+    gate.runOnce()
+    val pairs = gate.sink("user_id LONG, from_type STRING, to_type STRING")
     val trans = pairs.groupBy(col("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n"))
     val totals = trans.groupBy("from_type").agg(sum(col("n")).as("n_from"))
@@ -498,9 +510,23 @@ object EventsStream {
       .orderBy("from_type", "to_type")
   }
 
+  /** STREAMING EXECUTION UNDER THE BATCH ORACLE — the first registry
+    * entry whose Spark side actually runs Structured Streaming
+    * end-to-end: the corpus events replayed through
+    * [[sessionizeStateful]] under Trigger.AvailableNow (real checkpoint,
+    * real state store, real parquet sink), a far-future sentinel +
+    * second run firing every open session's event-time timeout (the
+    * StreamFlagship flush protocol), and the sink read back into the
+    * batch `sessionize` output shape. The DuckDB oracle is the BATCH
+    * gap-sessionization — the driver hash gate pins streaming ≡ batch
+    * semantics, the parity the 1 GB flagship asserts, as a per-round
+    * oracle check. session_id is reconstructed as the per-user
+    * session_start rank; sum_value is emitted quantized to integer
+    * thousandths (state accumulates in arrival order, the oracle in
+    * scan order — the values are 2-decimal, so the milli-quantization
+    * is exact for both). */
   def sessionizeStreamedQuery(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.streaming.Trigger
     val ev = graft.Tables.events(spark, dir)
       .select(col("user_id"), col("ts"), col("value"))
     val outSchema = "user_id LONG, session_id LONG, n_events LONG, " +
@@ -515,42 +541,22 @@ object EventsStream {
         new java.util.ArrayList[Row](),
         org.apache.spark.sql.types.StructType.fromDDL(outSchema))
     val maxTs = maxTsRow.getLong(0)
-    // work dir: GRAFT_STREAM_WORK_DIR if set, else the driver-local
-    // tmpdir. On a MULTI-NODE cluster this MUST point at a shared
-    // filesystem (HDFS/S3/NFS) — the streaming source, checkpoint, and
-    // sink are read by executors AND the driver's read-back; a
-    // driver-local path only works when all executors share the host
-    // (the local/local-cluster topologies this repo tests — review
-    // finding, documented constraint).
-    val base = java.nio.file.Paths.get(
-      sys.env.getOrElse("GRAFT_STREAM_WORK_DIR", sys.props("java.io.tmpdir")),
-      s"graft_sess_stream_${ProcessHandle.current().pid()}" +
-        s"_${streamRunSeq.incrementAndGet()}").toString
-    streamCleanupHook
-    streamWorkDirs.add(base)
-    val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
-    ev.coalesce(1).write.mode("overwrite").parquet(inDir)
-    def runOnce(): Unit = {
-      val q = sessionizeStateful(spark,
-          spark.readStream.schema("user_id LONG, ts TIMESTAMP, value DOUBLE")
-            .parquet(inDir))
-        .writeStream.outputMode("append").format("parquet")
-        .option("path", outDir).option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-    }
-    runOnce()
+    val gate = new StreamedGate(spark, "sess_stream", ev,
+      "user_id LONG, ts TIMESTAMP, value DOUBLE",
+      sessionizeStateful(spark, _))
+    gate.runOnce()
     import spark.implicits._
-    Seq((-1L, new java.sql.Timestamp(maxTs + 2L * 86400000), 0.0))
-      .toDF("user_id", "ts", "value")
-      .coalesce(1).write.mode("append").parquet(inDir)
-    runOnce()
+    gate.append(Seq((-1L, new java.sql.Timestamp(maxTs + 2L * 86400000), 0.0))
+      .toDF("user_id", "ts", "value"))
+    gate.runOnce()
     // the state machine floors event times to epoch millis (SessionRow
     // carries java.sql.Timestamp ms) while the corpus has microsecond
     // timestamps — so the output exposes the ms values it actually
     // computed with, and the oracle floors identically via epoch_ms()
     val w = Window.partitionBy(col("user_id")).orderBy(col("session_start"))
-    spark.read.parquet(outDir).filter(col("user_id") >= 0)
+    gate.sink("user_id LONG, session_start TIMESTAMP, " +
+        "session_end TIMESTAMP, n_events LONG, sum_value DOUBLE")
+      .filter(col("user_id") >= 0)
       .withColumn("session_id", row_number().over(w).cast("long"))
       .select(col("user_id"), col("session_id"), col("n_events"),
         unix_millis(col("session_start")).as("session_start_ms"),
