@@ -396,6 +396,41 @@ object Pipeline {
     * same engine-portable formula as aggStatsByFlag), |z| > 2 flagged.
     * Two aggregations over the (tiny) day×type table after one shuffle
     * of the facts — the fleet-metrics outlier-detection shape. */
+  /** ROBUST (median/MAD) anomaly gate — the outlier detector that
+    * survives the outliers it hunts (a single 100× spike day inflates
+    * [[dailyAnomalies]]' mean AND std enough to hide itself; the median
+    * absolute deviation is 50%-breakdown-robust). Medians are EXACT
+    * ORDER STATISTICS at rank ceil(n/2) over per-type sorted day lists
+    * (no engine-specific interpolation — the bootstrap_ci trick), which
+    * is legitimate at any corpus size because the DAY grain bounds the
+    * list: |types|×|calendar days| rows survive the first aggregate no
+    * matter how many events feed it. Emits every day with its
+    * mad_score (exact permille) and the is_outlier flag (> 3·MAD);
+    * degenerate groups (MAD = 0: over half the days identical) yield
+    * NULL score/flag in both engines rather than a division blow-up. */
+  def madAnomalies(events: DataFrame): DataFrame = {
+    val daily = Materialize.stage(events
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n")))
+    def medianOf(df: DataFrame, v: String, out: String): DataFrame =
+      df.groupBy("event_type")
+        .agg(sort_array(collect_list(col(v))).as("ls"))
+        .select(col("event_type"),
+          element_at(col("ls"),
+            expr("CAST((size(ls) + 1) div 2 AS INT)")).as(out))
+    val med = medianOf(daily, "n", "med")
+    val dev = Materialize.stage(daily.join(med, "event_type")
+      .withColumn("ad", abs(col("n") - col("med"))))
+    val mad = medianOf(dev, "ad", "mad")
+    dev.join(mad, "event_type")
+      .select(col("event_type"), col("day"), col("n"), col("med"), col("mad"),
+        expr("CASE WHEN mad = 0 THEN CAST(NULL AS BIGINT) " +
+          "ELSE 1000 * ad div mad END").as("mad_score_permille"),
+        expr("CASE WHEN mad = 0 THEN CAST(NULL AS BOOLEAN) " +
+          "ELSE ad > 3 * mad END").as("is_outlier"))
+      .orderBy("event_type", "day")
+  }
+
   def dailyAnomalies(events: DataFrame): DataFrame = {
     val daily = events
       .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))

@@ -228,6 +228,33 @@ object PipelineQueries {
           |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
           |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin)),
 
+    // robust twin of daily_anomalies: exact order-statistic median/MAD
+    // per type over the (bounded) day grain, NULL on MAD=0 degenerates
+    QueryDef("mad_anomalies",
+      (s, d) => Pipeline.madAnomalies(Tables.events(s, d)), Some(
+        """WITH daily AS (
+          |  SELECT event_type, date_trunc('day', ts) AS day,
+          |         CAST(count(*) AS BIGINT) AS n
+          |  FROM events GROUP BY 1, 2),
+          |med AS (
+          |  SELECT event_type, ls[CAST((len(ls) + 1) // 2 AS INT)] AS med
+          |  FROM (SELECT event_type, list_sort(list(n)) AS ls
+          |        FROM daily GROUP BY 1) t),
+          |dev AS (
+          |  SELECT d.event_type, d.day, d.n, m.med, abs(d.n - m.med) AS ad
+          |  FROM daily d JOIN med m USING (event_type)),
+          |mad AS (
+          |  SELECT event_type, ls[CAST((len(ls) + 1) // 2 AS INT)] AS mad
+          |  FROM (SELECT event_type, list_sort(list(ad)) AS ls
+          |        FROM dev GROUP BY 1) t)
+          |SELECT d.event_type, d.day, d.n, d.med, a.mad,
+          |  CASE WHEN a.mad = 0 THEN CAST(NULL AS BIGINT)
+          |       ELSE (1000 * d.ad) // a.mad END AS mad_score_permille,
+          |  CASE WHEN a.mad = 0 THEN CAST(NULL AS BOOLEAN)
+          |       ELSE d.ad > 3 * a.mad END AS is_outlier
+          |FROM dev d JOIN mad a USING (event_type)
+          |ORDER BY d.event_type, d.day""".stripMargin)),
+
     QueryDef("daily_anomalies",
       (s, d) => Pipeline.dailyAnomalies(Tables.events(s, d)), Some(
         """WITH daily AS (

@@ -628,4 +628,30 @@ class PipelineSpec extends SparkSpec {
     val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(hashExchanges <= 1, s"unexpected shuffle in chunking plan:\n$plan")
   }
+
+  test("MAD anomalies: a planted spike is the only outlier; medians are exact order stats") {
+    import org.apache.spark.sql.functions.col
+    // 9 ordinary days (counts 8-12) + one 1000-event spike day
+    val counts = Seq(8, 9, 10, 11, 12, 8, 9, 10, 11, 1000)
+    val rows = counts.zipWithIndex.flatMap { case (c, i) =>
+      Seq.fill(c)((f"2024-01-${i + 1}%02d 00:00:00", "x"))
+    }
+    val ev = rows.toDF("tss", "event_type")
+      .select(col("event_type"), col("tss").cast("timestamp").as("ts"))
+    val out = operators.Pipeline.madAnomalies(ev).collect()
+    assert(out.length == 10)
+    // exact order statistics: med = rank-5 of sorted counts = 10, mad = 1
+    out.foreach { r => assert(r.getLong(3) == 10L && r.getLong(4) == 1L) }
+    val outliers = out.filter(r => !r.isNullAt(6) && r.getBoolean(6))
+    assert(outliers.map(_.getLong(2)).toSeq == Seq(1000L),
+      "exactly the spike day must flag")
+    // degenerate MAD=0 group: identical days => NULL score and flag
+    val flat = Seq.fill(4)(("2024-02-01 00:00:00", "y")) ++
+      Seq.fill(4)(("2024-02-02 00:00:00", "y"))
+    val flatOut = operators.Pipeline.madAnomalies(
+      flat.toDF("tss", "event_type")
+        .select(col("event_type"), col("tss").cast("timestamp").as("ts")))
+      .collect()
+    assert(flatOut.forall(r => r.isNullAt(5) && r.isNullAt(6)))
+  }
 }
