@@ -235,6 +235,39 @@ object Relational {
       .orderBy("bucket")
   }
 
+  /** WINSORIZED STATISTICS — the heavy-tail-robust mean a profiling
+    * pass reports next to the raw one: values clipped to the exact
+    * [p01, p99] percentile bounds (one distributed percentile
+    * aggregate, broadcast back — the [[equidepthHistogram]] shape, the
+    * 1e-6 rounding making both engines clip at bit-identical cutoffs),
+    * then DECIMAL-exact sums for both the raw and clipped means
+    * (order-independent — raw values are 2-decimal, clipped values
+    * 6-decimal after the cutoff rounding, so DECIMAL(38,6) sums are
+    * exact and the final double division is of identical operands). */
+  def winsorizedStats(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val bounds = li
+      .agg(expr("percentile(l_extendedprice, array(0.01D, 0.99D))").as("qs"))
+      .select(round(element_at(col("qs"), 1), 6).as("p01"),
+        round(element_at(col("qs"), 2), 6).as("p99"))
+    li.select(col("l_extendedprice").as("v"))
+      .crossJoin(broadcast(bounds))
+      .select(col("v"), col("p01"), col("p99"),
+        greatest(col("p01"), least(col("v"), col("p99"))).as("w"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("v") < col("p01"), 1L).otherwise(0L)).as("n_clip_low"),
+        sum(when(col("v") > col("p99"), 1L).otherwise(0L)).as("n_clip_high"),
+        max(col("p01")).as("p01"), max(col("p99")).as("p99"),
+        sum(col("v").cast("decimal(38,6)")).as("sv"),
+        sum(col("w").cast("decimal(38,6)")).as("sw"))
+      .select(col("n"), col("n_clip_low"), col("n_clip_high"),
+        col("p01"), col("p99"),
+        round(col("sv").cast("double") / col("n").cast("double"), 6)
+          .as("mean_raw"),
+        round(col("sw").cast("double") / col("n").cast("double"), 6)
+          .as("mean_winsorized"))
+  }
+
   /** IQR OUTLIER GATE (Tukey fences): per event type, how many event
     * values fall outside [q1 − 1.5·IQR, q3 + 1.5·IQR] of the GLOBAL
     * exact quartiles — the numeric-column quality filter of a

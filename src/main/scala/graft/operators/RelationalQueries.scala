@@ -173,6 +173,26 @@ object RelationalQueries {
         |  min(v) AS lo, max(v) AS hi
         |FROM k GROUP BY bucket ORDER BY bucket""".stripMargin)),
 
+    // heavy-tail-robust mean: exact [p01,p99] clip (broadcast bounds,
+    // 1e-6-rounded cutoffs), DECIMAL-exact raw vs winsorized sums
+    QueryDef("winsorized_stats",
+      (s, d) => Relational.winsorizedStats(s, d), Some(
+        """WITH b AS (
+          |  SELECT round(quantile_cont(l_extendedprice, 0.01), 6) AS p01,
+          |         round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+          |  FROM lineitem),
+          |k AS (
+          |  SELECT l_extendedprice AS v, p01, p99,
+          |    greatest(p01, least(l_extendedprice, p99)) AS w
+          |  FROM lineitem, b)
+          |SELECT count(*) AS n,
+          |  CAST(sum(CASE WHEN v < p01 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_low,
+          |  CAST(sum(CASE WHEN v > p99 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_high,
+          |  max(p01) AS p01, max(p99) AS p99,
+          |  round(CAST(sum(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_raw,
+          |  round(CAST(sum(CAST(w AS DECIMAL(38,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_winsorized
+          |FROM k""".stripMargin)),
+
     QueryDef("iqr_outliers", Relational.iqrOutliers, Some(
       """WITH b AS (
         |  SELECT round(quantile_cont(value, 0.25), 6) AS q1,

@@ -206,6 +206,9 @@ class PlanShapeSpec extends SparkSpec {
       // one-row broadcast scalar crossJoined onto the fact scan (the
       // q11/revenue_share pattern)
       "equidepth_histogram",
+      // round-11 winsorized stats: the same one-row percentile-bounds
+      // broadcast crossJoined onto the fact scan
+      "winsorized_stats",
       // temperature_mix's integer normalizer row onto the source
       // histogram (both broadcast-tiny), token_kl_drift's one-row
       // corpus total onto the vocabulary aggregate

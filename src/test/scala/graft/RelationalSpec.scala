@@ -67,6 +67,20 @@ class RelationalSpec extends SparkSpec {
     assert(dupKeys == 0, "a nation key appeared under two tags")
   }
 
+  test("winsorized stats: clip counts ~1% each side, winsorized mean between bounds") {
+    val r = operators.Relational.winsorizedStats(spark, sf0001).collect().head
+    val (n, lo, hi) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val (p01, p99) = (r.getDouble(3), r.getDouble(4))
+    val (raw, win) = (r.getDouble(5), r.getDouble(6))
+    assert(lo <= n / 50 && hi <= n / 50, "clip counts should be ~1% each side")
+    assert(p01 < p99 && p01 <= win && win <= p99,
+      "winsorized mean must lie inside the clip bounds")
+    // clipping a right-heavy tail can only pull the mean toward the
+    // body — with symmetric clipping the shift must be small
+    assert(math.abs(win - raw) <= (p99 - p01) * 0.05,
+      s"winsorized mean moved implausibly: $raw -> $win")
+  }
+
   test("bootstrap CI brackets the full-data mean, bounds ordered, fully deterministic") {
     val r1 = operators.Relational.bootstrapCi(spark, sf0001).collect().head
     val r2 = operators.Relational.bootstrapCi(spark, sf0001).collect().head
