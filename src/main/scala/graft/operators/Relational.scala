@@ -608,43 +608,70 @@ object Relational {
     * bootstrap for the mean of l_quantity, with every random draw
     * replaced by an md5-derived uniform so both engines compute the
     * IDENTICAL resamples (the repo's split/sampling trick applied to
-    * resampling statistics): per (row, replicate b) the weight is an
-    * inverse-CDF ladder on two md5 nibbles (thresholds 94/188/235/
-    * 251/255 of 256 = the cumulative Poisson(1) mass, the standard
-    * multinomial→Poisson bootstrap approximation). Per-replicate means
-    * are exact integer micro-units ((10⁴·Σw·cents) div Σw); the CI
-    * bounds are exact ORDER STATISTICS of the B=64 replicate means
-    * (4th and 61st of 64 = the 5th/95th percentile WITHOUT engine-
-    * specific interpolation). Scale shape: ONE corpus pass exploded
-    * ×B with map-side partial aggregation into B running (Σw·q, Σw)
-    * pairs — the resampling never materializes a resample, which is
-    * what makes the bootstrap feasible at 100 TB; the final sort is
-    * over B=64 values. */
+    * resampling statistics). ONE md5 digest yields 16 independent
+    * uniform bytes, so replicate b = 16·blk + j draws its uniform from
+    * byte j of md5(rid@blk) — B/16 hashes per row instead of B (the
+    * r11 suite's #1 cost was the ×B hash amplification). Per byte the
+    * weight is an inverse-CDF ladder (thresholds 94/188/235/251/255 of
+    * 256 = the cumulative Poisson(1) mass, the standard multinomial→
+    * Poisson bootstrap approximation). Per-replicate means are exact
+    * integer micro-units ((10⁴·Σw·cents) div Σw); the CI bounds are
+    * exact ORDER STATISTICS of the B=64 replicate means (4th/61st of
+    * 64 = 5th/95th percentile WITHOUT engine interpolation). Scale
+    * shape: ONE corpus pass exploded only ×(B/16); each block row is
+    * map-side partial-aggregated into 16 (Σw·q, Σw) LONG column pairs
+    * — 32 primitive aggregation buffers, the resample rows NEVER
+    * materialize, which is what makes the bootstrap feasible at
+    * 100 TB; the final sort is over B=64 values. */
   def bootstrapCi(s: SparkSession, d: String, b: Int = 64): DataFrame = {
+    require(b % 16 == 0, s"replicate count must pack into 16-byte digests: $b")
+    val nBlk = b / 16
     val li = Tables.lineitem(s, d)
       .select(concat(col("l_orderkey"), lit("#"), col("l_linenumber")).as("rid"),
         round(col("l_quantity") * 100).cast("long").as("qc"))
-    val u = conv(substring(md5(concat(col("rid"), lit("@"), col("b"))), 1, 2),
-      16, 10).cast("long")
-    val w = when(u < 94, 0L).when(u < 188, 1L).when(u < 235, 2L)
-      .when(u < 251, 3L).when(u < 255, 4L).otherwise(5L)
-    // sums in DECIMAL(38,0): 10⁴·Σ(w·qc) exceeds BIGINT around sf6×10⁴
-    // (review finding — and under ANSI the overflow ABORTS rather than
-    // wrapping); DECIMAL `div` is the repo's exact-integer idiom
+    // running sums stay LONG (primitive codegen buffers — the r11
+    // DECIMAL buffers allocated a BigDecimal per (row × 32 columns)):
+    // Σ(w·qc) ≤ 25000·rows overflows only past ~sf6×10⁸ (~600 PB of
+    // lineitem). The overflow-prone step — the ×10⁴ micro-unit lift
+    // that exceeds BIGINT around sf6×10⁴ (r11 review finding; ANSI
+    // ABORTS rather than wraps) — happens AFTER aggregation, on 64
+    // rows, where the cast to DECIMAL(38,0) below keeps it exact.
+    // byte j of the digest is extracted from one of FOUR 8-hex-char
+    // conv words (32 bits each, long-safe) by shift/mask — 4 string
+    // parses per digest instead of 16, the rest pure long arithmetic.
+    // (Measured dead end: folding the ×(B/16) explode away into one
+    // 2·B-buffer global aggregate runs 2.5× SLOWER — the 128-buffer
+    // row exceeds codegen limits; 32 buffers × 4 exploded blocks wins.)
+    val aggCols = (0 until 16).flatMap { j =>
+      val u = shiftright(col(s"hw${j / 4}"), 8 * (3 - j % 4)) % 256
+      val w = when(u < 94, 0L).when(u < 188, 1L).when(u < 235, 2L)
+        .when(u < 251, 3L).when(u < 255, 4L).otherwise(5L)
+      Seq(sum(w * col("qc")).as(s"swq$j"), sum(w).as(s"sw$j"))
+    }
     val perB = li
       .select(col("rid"), col("qc"),
-        explode(sequence(lit(0), lit(b - 1))).as("b"))
-      .select(col("b"), col("qc"), w.as("w"))
-      .groupBy("b")
-      .agg(sum((col("w") * col("qc")).cast("decimal(38,0)")).as("swq"),
-        sum(col("w").cast("decimal(38,0)")).as("sw"))
+        explode(sequence(lit(0), lit(nBlk - 1))).as("blk"))
+      .select(col("qc"), col("blk"),
+        md5(concat(col("rid"), lit("@"), col("blk"))).as("hex"))
+      .select(Seq(col("qc"), col("blk")) ++ (0 until 4).map(k =>
+        conv(substring(col("hex"), 8 * k + 1, 8), 16, 10).cast("long")
+          .as(s"hw$k")): _*)
+      .groupBy("blk")
+      .agg(aggCols.head, aggCols.tail: _*)
+      .select(col("blk"), posexplode(array((0 until 16).map(j =>
+        struct(col(s"swq$j").cast("decimal(38,0)").as("swq"),
+          col(s"sw$j").cast("decimal(38,0)").as("sw"))): _*)))
+      .select((col("blk") * 16 + col("pos")).as("b"),
+        col("col.swq").as("swq"), col("col.sw").as("sw"))
       // a replicate with Σw = 0 has no mean; it is FILTERED (not NULL)
       // so both engines' order statistics see the same list — Spark's
       // collect_list drops NULLs while DuckDB's list() keeps them
       // (review finding)
       .filter(col("sw") > 0)
       .select(expr("CAST(10000 * swq div sw AS BIGINT)").as("mean_micro"))
-    val full = li.agg(sum(col("qc").cast("decimal(38,0)")).as("sq"),
+    // same LONG-buffer/DECIMAL-lift split: Σqc ≤ 5000·rows is long-safe
+    // to ~sf3×10⁸; the ×10⁴ lift is post-agg on one row
+    val full = li.agg(sum(col("qc")).cast("decimal(38,0)").as("sq"),
         count(lit(1)).cast("decimal(38,0)").as("n"))
       .select(col("n").cast("long").as("n_rows"),
         expr("CAST(10000 * sq div n AS BIGINT)").as("mean_full_micro"))

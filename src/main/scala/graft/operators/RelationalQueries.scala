@@ -369,7 +369,8 @@ object RelationalQueries {
       }),
 
     // deterministic Poisson-weight bootstrap: md5-uniform inverse-CDF
-    // weights, exact integer replicate means, order-statistic CI bounds
+    // weights (16 per digest — byte j of md5(rid@blk) feeds replicate
+    // 16*blk + j), exact integer replicate means, order-statistic CI
     QueryDef("bootstrap_ci",
       (s, d) => Relational.bootstrapCi(s, d),
       Some(
@@ -377,20 +378,28 @@ object RelationalQueries {
            |  SELECT CAST(l_orderkey AS VARCHAR) || '#' || CAST(l_linenumber AS VARCHAR) AS rid,
            |         CAST(round(l_quantity * 100) AS BIGINT) AS qc
            |  FROM lineitem),
+           |h AS (
+           |  SELECT qc, blk, md5(rid || '@' || CAST(blk AS VARCHAR)) AS hex
+           |  FROM li CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS blk) bb),
            |e AS (
-           |  SELECT rid, qc, b FROM li
-           |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) bb),
-           |h AS (SELECT qc, b, md5(rid || '@' || CAST(b AS VARCHAR)) AS hex FROM e),
+           |  SELECT qc, blk, j,
+           |    (CAST(a1 - CASE WHEN a1 >= 97 THEN 87 ELSE 48 END AS BIGINT) * 16
+           |     + CAST(a2 - CASE WHEN a2 >= 97 THEN 87 ELSE 48 END AS BIGINT)) AS u
+           |  FROM (
+           |    SELECT qc, blk, j,
+           |      ascii(substr(hex, 2 * j + 1, 1)) AS a1,
+           |      ascii(substr(hex, 2 * j + 2, 1)) AS a2
+           |    FROM h CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) jj) t),
            |wts AS (
-           |  SELECT qc, b,
+           |  SELECT qc, blk, j,
            |    CASE WHEN u < 94 THEN 0 WHEN u < 188 THEN 1 WHEN u < 235 THEN 2
            |         WHEN u < 251 THEN 3 WHEN u < 255 THEN 4 ELSE 5 END AS w
-           |  FROM (SELECT qc, b, ${hexBig(2)} AS u FROM h) t),
+           |  FROM e),
            |pb AS (
-           |  SELECT b,
+           |  SELECT blk * 16 + j AS b,
            |    CAST((10000 * CAST(sum(w * qc) AS HUGEINT)) // CAST(sum(w) AS HUGEINT) AS BIGINT)
            |      AS mean_micro
-           |  FROM wts GROUP BY b
+           |  FROM wts GROUP BY blk, j
            |  HAVING sum(w) > 0),
            |ms AS (SELECT list_sort(list(mean_micro)) AS ms,
            |         CAST(count(*) AS BIGINT) AS nr FROM pb),
