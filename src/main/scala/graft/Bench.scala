@@ -69,9 +69,12 @@ object Bench {
     *     2000-char log capture that may truncate the detailed JSON line,
     *     so try every `{"metric":` candidate in it and keep the first
     *     that parses with a non-empty "queries" object.
-    * Absent or unparsable history → empty map (first round, no diff). */
+    * Absent or unparsable history → empty map (first round, no diff).
+    * The third element is the baseline's recorded fixed-work calibration
+    * (min of its start/end reps; -1 when the file predates calibration)
+    * — the regression diff divides by it to cancel host-speed drift. */
   private def prevRoundTimes(sfDir: String)
-      : (Map[String, Double], Map[String, Double]) = try {
+      : (Map[String, Double], Map[String, Double], Double) = try {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     def mapOf(node: com.fasterxml.jackson.databind.JsonNode,
         field: String): Map[String, Double] = {
@@ -81,17 +84,24 @@ object Bench {
       b.result()
     }
     def queriesOf(node: com.fasterxml.jackson.databind.JsonNode)
-        : (Map[String, Double], Map[String, Double]) = {
+        : (Map[String, Double], Map[String, Double], Double) = {
       // a detail file records the sf dir it ran at; comparing against a
       // different scale factor would flag every query — skip it. Compare
       // normalized basenames so path spelling ("/a/sf0.1" vs "sf0.1")
       // doesn't bypass the guard; ANY mismatch skips the file.
       def normSf(s: String): String = s.stripSuffix("/").split('/').last
       val sf = node.path("sf").asText("")
-      if (sf.nonEmpty && normSf(sf) != normSf(sfDir)) (Map.empty, Map.empty)
-      else (mapOf(node, "queries"), mapOf(node, "cpu"))
+      if (sf.nonEmpty && normSf(sf) != normSf(sfDir)) (Map.empty, Map.empty, -1.0)
+      else {
+        val cal = node.path("calib_cpu_sec")
+        val (cs, ce) = (cal.path("start").asDouble(-1.0),
+          cal.path("end").asDouble(-1.0))
+        val c = if (cs > 0 && ce > 0) math.min(cs, ce) else math.max(cs, ce)
+        (mapOf(node, "queries"), mapOf(node, "cpu"), c)
+      }
     }
-    def fromFile(p: String): (Map[String, Double], Map[String, Double]) = try {
+    def fromFile(p: String)
+        : (Map[String, Double], Map[String, Double], Double) = try {
       val root = om.readTree(new java.io.File(p))
       if (root.has("queries")) queriesOf(root)
       else if (root.has("tail"))
@@ -99,10 +109,11 @@ object Bench {
           Iterator.iterate(l.indexOf("{\"metric\":"))(i => l.indexOf("{\"metric\":", i + 1))
             .takeWhile(_ >= 0).map(l.substring(_))
         }.map(s => try queriesOf(om.readTree(s)) catch {
-          case _: Throwable => (Map.empty[String, Double], Map.empty[String, Double]) })
-          .find(_._1.nonEmpty).getOrElse((Map.empty, Map.empty))
-      else (Map.empty, Map.empty)
-    } catch { case _: Throwable => (Map.empty, Map.empty) }
+          case _: Throwable =>
+            (Map.empty[String, Double], Map.empty[String, Double], -1.0) })
+          .find(_._1.nonEmpty).getOrElse((Map.empty, Map.empty, -1.0))
+      else (Map.empty, Map.empty, -1.0)
+    } catch { case _: Throwable => (Map.empty, Map.empty, -1.0) }
     val files = Option(new java.io.File(".").listFiles()).toSeq.flatten
     val detail = files.filter(f => f.getName == "bench_detail.json" ||
         f.getName.matches("BENCH_r\\d+_local\\.json"))
@@ -110,10 +121,11 @@ object Bench {
     val driverArt = files.filter(_.getName.matches("BENCH_r\\d+\\.json"))
       .sortBy(f => f.getName.replaceAll("\\D", "").toInt).lastOption.map(_.getPath)
     (sys.env.get("GRAFT_PREV_BENCH").toSeq ++ detail ++ driverArt)
-      .iterator.map(fromFile).find(_._1.nonEmpty).getOrElse((Map.empty, Map.empty))
+      .iterator.map(fromFile).find(_._1.nonEmpty)
+      .getOrElse((Map.empty, Map.empty, -1.0))
   } catch { case e: Throwable =>
     System.err.println(s"[bench] no previous-round baseline: $e")
-    (Map.empty, Map.empty) }
+    (Map.empty, Map.empty, -1.0) }
 
   /** FIXED-WORK CPU CALIBRATION (r10 verdict item 4): a deterministic
     * xorshift spin — zero I/O, zero shuffle, a constant instruction
@@ -123,8 +135,9 @@ object Bench {
     * while immune to wall-clock steal, still inflates with SMT
     * contention / frequency scaling / contended cycles for IDENTICAL
     * work. The calibration runs at bench start AND end (min of 3 reps
-    * each — rep 1 absorbs JIT); cross-round comparisons divide
-    * per-query CPU by the calibration ratio to cancel host drift:
+    * each — rep 1 absorbs JIT); the in-bench regression gate divides
+    * per-query CPU by the calibration ratio automatically (clamped to
+    * [0.5, 2]) when the baseline file recorded its own calib:
     * normalized_r11/r10 = (cpu_r11 / calib_r11) / (cpu_r10 / calib_r10).
     * Its job groups are NOT registry names, so it never counts into
     * cpu_total. */
@@ -346,10 +359,24 @@ object Bench {
     // that burned three rounds of judging on phantom wall-clock
     // regressions; wall-clock remains the fallback for history written
     // before CPU was recorded. Read BEFORE overwriting bench_detail.json.
-    val (prev, prevCpu) = prevRoundTimes(sfDir)
+    val (prev, prevCpu, prevCalib) = prevRoundTimes(sfDir)
+    // CPU numbers are normalized by the fixed-work calibration ratio
+    // (advisor r11: the scaladoc promised it but the gate diffed raw
+    // CPU, so host-speed drift could fake or mask regressions). The
+    // ratio is clamped to [0.5, 2]: a corrupted calib in either round
+    // must not be able to swallow a real 2× regression.
+    val calibNow = math.min(calibStart, calibEnd)
+    val calibRatio =
+      if (prevCalib > 0 && calibNow > 0)
+        math.max(0.5, math.min(2.0, calibNow / prevCalib))
+      else 1.0
+    if (calibRatio != 1.0)
+      System.err.println(f"[bench] regression gate calib ratio " +
+        f"$calibRatio%.3f (now $calibNow%.2f / prev $prevCalib%.2f)")
     val regressions = results.flatMap { case (n, t) =>
       (prevCpu.get(n), cpuSecs.get(n)) match {
-        case (Some(pc), Some(cc)) if pc > 0 && cc > 0 =>
+        case (Some(pc0), Some(cc)) if pc0 > 0 && cc > 0 =>
+          val pc = pc0 * calibRatio
           if (cc > pc * 1.5 && cc - pc > 0.25)
             Some(n -> math.round(cc / pc * 100.0) / 100.0)
           else None

@@ -423,10 +423,15 @@ object Search {
 
   /** The size-tiered compaction trigger (the 20% policy
     * [[servePostings]] documents, as code a caller drives): compact
-    * when the accumulated delta rows reach `ratio` of the base. */
+    * when the accumulated delta rows reach `permille`/1000 of the base.
+    * Pure integer arithmetic — the advisor-flagged double multiply
+    * (`(baseRows * 0.2).toLong`) fired one row early on exact
+    * multiples and lost exactness past 2⁵³ rows. */
   def compactionDue(baseRows: Long, deltaRows: Long,
-      ratio: Double = 0.2): Boolean =
-    deltaRows >= (baseRows * ratio).toLong
+      permille: Long = 200L): Boolean =
+    // BigInt: a bare long multiply would itself overflow near 2^53·10³
+    // — this is a once-per-serve driver-side decision, not a hot path
+    BigInt(deltaRows) * 1000 >= BigInt(baseRows) * permille
 
   /** Serve-time delete: drop every row of a doc_id-keyed index whose
     * document is tombstoned. One hash anti-join sized by the tombstone

@@ -76,6 +76,12 @@ object Similarity {
       1.0 else -1.0
   }
 
+  /** FLAGSHIP-ONLY (advisor r11): this builds a Dim² = 4096-term
+    * literal expression tree (64 outputs × 64-term sums) that exceeds
+    * whole-stage-codegen method limits and evaluates interpreted —
+    * acceptable for the one-time GRAFT_OPQ corpus rewrite it serves,
+    * but it must NOT be promoted into a registered query; if ever
+    * needed there, compute the rotation as an array fold/UDF instead. */
   def opqRotateCol(e: Column): Column = {
     val d = opqSigns
     val inv = 1.0 / math.sqrt(Dim.toDouble)

@@ -454,10 +454,31 @@ object EventsStream {
   private final class StreamedGate(spark: SparkSession, prefix: String,
       backlog: DataFrame, inSchema: String,
       stream: DataFrame => DataFrame) {
-    private val base = java.nio.file.Paths.get(
-      sys.env.getOrElse("GRAFT_STREAM_WORK_DIR", sys.props("java.io.tmpdir")),
-      s"graft_${prefix}_${ProcessHandle.current().pid()}" +
-        s"_${streamRunSeq.incrementAndGet()}").toString
+    private val root = java.nio.file.Paths.get(
+      sys.env.getOrElse("GRAFT_STREAM_WORK_DIR", sys.props("java.io.tmpdir")))
+    // a long-lived process that re-runs the registry (Verify loops,
+    // repeated bench passes) would otherwise accumulate corpus-sized
+    // copies per run (advisor r11): drop THIS process's prior runs of
+    // the same prefix now — by the time the same query builds a new
+    // gate, its previous sink has been consumed. Other pids' dirs are
+    // left alone (they may be live).
+    private val pidPrefix =
+      s"graft_${prefix}_${ProcessHandle.current().pid()}_"
+    locally {
+      val old = Option(root.toFile.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith(pidPrefix))
+      old.foreach { f =>
+        try {
+          import java.nio.file.{Files, Path}
+          import java.util.Comparator
+          Files.walk(f.toPath).sorted(Comparator.reverseOrder[Path]())
+            .forEach(p => Files.deleteIfExists(p))
+          streamWorkDirs.remove(f.getAbsolutePath)
+        } catch { case _: Throwable => () }
+      }
+    }
+    private val base = root.resolve(
+      s"$pidPrefix${streamRunSeq.incrementAndGet()}").toString
     streamCleanupHook
     streamWorkDirs.add(base)
     private val inDir = s"$base/in"

@@ -99,6 +99,18 @@ class IncrementalIndexSpec extends SparkSpec {
     assert(Search.bm25SearchFor(full, Seq("data", "stream", "key")).count() > 0)
   }
 
+  test("compaction trigger is exact integer arithmetic at the policy boundary") {
+    // fires at exactly 20%, never one row early (the advisor-flagged
+    // (base*0.2).toLong truncation), and stays exact past 2^53
+    assert(!Search.compactionDue(100L, 19L))
+    assert(Search.compactionDue(100L, 20L))
+    assert(!Search.compactionDue(21L, 4L)) // floor(0.2*21)=4 fired early before
+    assert(Search.compactionDue(21L, 5L))
+    val big = (1L << 55) + 3L
+    assert(!Search.compactionDue(big * 5L, big - 1L))
+    assert(Search.compactionDue(big * 5L, big))
+  }
+
   test("compaction rewrite carries every generation (multi-delta)") {
     val all = Tables.documents(spark, sf0001)
     val g0 = all.filter(col("doc_id") < 200L)
