@@ -77,9 +77,16 @@ object Search {
   def phraseSearch(idx: DataFrame): DataFrame = {
     val ph = broadcast(topPhrase(idx)
       .select(col("phrase"), split(col("phrase"), " ").as("ts")))
-    // one-row broadcast scalar crossJoin (the bounded pattern), then
-    // each leg keeps a single term's postings
-    val r = idx.crossJoin(ph)
+    // one-row broadcast scalar crossJoin (the bounded pattern), with
+    // ONE staged pass keeping only the phrase terms' postings — the
+    // three position-join legs then read the small staged subset
+    // instead of each re-scanning the full index (the phrase filter is
+    // a runtime value, so no static pushdown is possible here; the
+    // explicit-phrase variant gets the isin pushdown instead)
+    val r = Materialize.stage(idx.crossJoin(ph)
+      .filter(col("tok") === element_at(col("ts"), 1) ||
+        col("tok") === element_at(col("ts"), 2) ||
+        col("tok") === element_at(col("ts"), 3)))
     val m0 = r.filter(col("tok") === element_at(col("ts"), 1))
       .select(col("doc_id"), col("pos"), col("phrase"))
     val m1 = r.filter(col("tok") === element_at(col("ts"), 2))
@@ -140,8 +147,11 @@ object Search {
     * query-term table is ≤ hiRank rows BY CONSTRUCTION (limit), so its
     * broadcast is bounded. */
   def keywordSearch(idx: DataFrame, loRank: Int = 10, hiRank: Int = 12,
-      k: Int = 20): DataFrame = {
-    val tf = termFreq(idx)
+      k: Int = 20, tfPre: Option[DataFrame] = None): DataFrame = {
+    // staged: four consumers (two topK legs, the n_docs scalar, the
+    // score join) would otherwise each re-run the full-index aggregate
+    // as separate broadcast-subquery jobs (StageAudit r12)
+    val tf = tfPre.getOrElse(Materialize.stage(termFreq(idx)))
     val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
     // ranks loRank..hiRank as the DIFFERENCE of two distributed top-k's
     // (terms are distinct, so set EXCEPT is exact) — no unpartitioned
@@ -158,7 +168,7 @@ object Search {
     * query of only OOV terms returns the empty result (correct shape,
     * zero rows), never an error. */
   def keywordSearchFor(idx: DataFrame, terms: Seq[String],
-      k: Int = 20): DataFrame = {
+      k: Int = 20, dl: Option[DataFrame] = None): DataFrame = {
     require(terms.nonEmpty, "query needs at least one term")
     // STATIC query terms filter the index BEFORE the per-(term, doc)
     // aggregate — the isin predicate reaches the postings scan, so the
@@ -167,12 +177,16 @@ object Search {
     // cannot do this: their query terms come from the full-vocabulary
     // df ranking). df values are identical — a term's df counted over
     // its own postings equals its df in the full table. The one
-    // corpus-wide piece left is the narrow doc-count scalar.
+    // corpus-wide piece left is the narrow doc-count scalar — served
+    // from the precomputed doc-length index when the caller has one
+    // (count of dl rows ≡ countDistinct(doc_id) over the index: dl IS
+    // the per-doc grouping), else a staged full-index countDistinct.
     val sub = idx.filter(col("tok").isin(terms.map(_.toLowerCase): _*))
-    val tf = termFreq(sub)
+    val tf = Materialize.stage(termFreq(sub))
     val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    scoreOddsIdf(tf, dft, k,
-      idx.agg(countDistinct(col("doc_id")).as("n_docs")))
+    val nDocs = dl.map(_.agg(count(lit(1)).as("n_docs")))
+      .getOrElse(idx.agg(countDistinct(col("doc_id")).as("n_docs")))
+    scoreOddsIdf(tf, dft, k, nDocs)
   }
 
   /** Shared odds-idf scorer over a bounded query-term table `q`
@@ -211,8 +225,15 @@ object Search {
     * adds one aggregation over the index and the corpus stats are a
     * one-row broadcast scalar. */
   def bm25Search(idx: DataFrame, loRank: Int = 10, hiRank: Int = 12,
-      k: Int = 20, dl: Option[DataFrame] = None): DataFrame = {
-    val tf = termFreq(idx)
+      k: Int = 20, dl: Option[DataFrame] = None,
+      tfPre: Option[DataFrame] = None): DataFrame = {
+    // STAGE tf: the query-term table and both topK legs are derived
+    // from it AND scoreBm25 joins it — unstaged, each broadcast-
+    // subquery leg re-runs the full-index scan+aggregate as its own
+    // job (StageAudit r12: 2–3 identical corpus-sized stages per
+    // probe, the bm25 family's "fixed machinery" floor). One scan,
+    // then every leg reads the checkpointed per-(term,doc) table.
+    val tf = tfPre.getOrElse(Materialize.stage(termFreq(idx)))
     val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
     def topK(kk: Int) = dft.orderBy(col("df").desc, col("term").asc).limit(kk)
     scoreBm25(idx, tf, topK(hiRank).except(topK(loRank - 1)), k, dl)
@@ -230,13 +251,18 @@ object Search {
     // (SharedIntermediates.postingsDocLengths) to amortize it away
     // (values are identical either way)
     val sub = idx.filter(col("tok").isin(terms.map(_.toLowerCase): _*))
-    val tf = termFreq(sub)
+    // staged for the same reason as [[bm25Search]]: the df broadcast
+    // leg would otherwise re-run the probe scan as a separate job
+    val tf = Materialize.stage(termFreq(sub))
     scoreBm25(idx, tf, tf.groupBy("term").agg(count(lit(1)).as("df")), k, dl)
   }
 
   private def scoreBm25(idx: DataFrame, tf: DataFrame, q: DataFrame,
       k: Int, dlOpt: Option[DataFrame] = None): DataFrame = {
-    val dl = dlOpt.getOrElse(docLengths(idx))
+    // fallback dl staged: it feeds BOTH the per-doc join and the
+    // (n_docs, avgdl) broadcast scalar — unstaged, the scalar leg
+    // re-runs the corpus-sized docLengths aggregate as its own job
+    val dl = dlOpt.getOrElse(Materialize.stage(docLengths(idx)))
     val st = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     val idf = log(
       ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
@@ -292,7 +318,8 @@ object Search {
     // the per-(term,doc) aggregate covers only the query terms'
     // postings, never the corpus gram stream
     val sub = idx.filter(col("tok").isin(q: _*))
-    val tf = termFreq(sub)
+    // staged: three consumers (relevance leg, df leg, score join)
+    val tf = Materialize.stage(termFreq(sub))
     // binary relevance: docs containing ALL query terms
     val rel = tf.groupBy("doc_id")
       .agg(countDistinct(col("term")).as("nt"))
@@ -343,8 +370,11 @@ object Search {
           Window.orderBy(col("score_micro").desc, col("doc_id").asc))
           .cast("long").as("r"),
         lit(name).as("leg"))
-    leg(keywordSearch(idx, k = k), "kw")
-      .unionByName(leg(bm25Search(idx, k = k, dl = dl), "bm25"))
+    // ONE staged tf serves both legs — the corpus aggregate is shared,
+    // not recomputed per scorer
+    val tf = Materialize.stage(termFreq(idx))
+    leg(keywordSearch(idx, k = k, tfPre = Some(tf)), "kw")
+      .unionByName(leg(bm25Search(idx, k = k, dl = dl, tfPre = Some(tf)), "bm25"))
       .withColumn("c", expr(s"1000000 DIV ($rrfK + r)"))
       .groupBy("doc_id")
       .agg(sum(col("c")).as("rrf_micro"),

@@ -213,7 +213,8 @@ object SearchQueries {
 
     QueryDef("keyword_search_explicit",
       (s, d) => Search.keywordSearchFor(SharedIntermediates.postings(s, d),
-        Seq("data", "query", "spark", "nosuchword")),
+        Seq("data", "query", "spark", "nosuchword"),
+        dl = Some(SharedIntermediates.postingsDocLengths(s, d))),
       Some(keywordExplicitSql)),
 
     QueryDef("bm25_search_explicit",
