@@ -187,6 +187,82 @@ object Relational {
         expr("approx_percentile(l_extendedprice, 0.99D, 1000)").as("ap99_price"))
       .orderBy("l_returnflag")
 
+  /** GRADED AUDIT TWIN of [[approxDistinct]] (r11 verdict item 7): the
+    * ann_recall_audit pattern applied to the HLL sketch — an
+    * ORACLE-GREEN registry entry that checks the sketch against its
+    * exact twin with the published error bound as the gate. The exact
+    * distinct counts are fully DuckDB-checkable; the sketch estimate
+    * itself is engine-internal (HLL++ register layouts differ), so
+    * what the oracle pins is the CONTRACT: |approx − exact| ≤
+    * 3·rsd·exact (= 150‰ at Spark's default rsd 0.05, the 99.7%
+    * interval; HLL is deterministic for fixed data, so the flag is
+    * stable, and a sketch regression flips `ok` to 0 and fails the
+    * driver's hash gate). One pass, two aggregates per group. */
+  def approxDistinctAudit(s: SparkSession, d: String): DataFrame = {
+    val boundPm = 150L // 3 × HllRsd, in permille
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts_exact"),
+        countDistinct(col("l_orderkey")).as("n_orders_exact"),
+        approx_count_distinct(col("l_partkey"), HllRsd).as("ap"),
+        approx_count_distinct(col("l_orderkey"), HllRsd).as("ao"))
+      .select(col("l_returnflag"),
+        col("n_parts_exact"), col("n_orders_exact"),
+        lit(boundPm).as("bound_permille"),
+        when(abs(col("ap") - col("n_parts_exact")) * 1000 <=
+          lit(boundPm) * col("n_parts_exact"), 1L).otherwise(0L)
+          .as("parts_ok"),
+        when(abs(col("ao") - col("n_orders_exact")) * 1000 <=
+          lit(boundPm) * col("n_orders_exact"), 1L).otherwise(0L)
+          .as("orders_ok"))
+      .orderBy("l_returnflag")
+  }
+
+  /** GRADED AUDIT TWIN of [[approxPercentilesByFlag]] (r11 verdict
+    * item 7): the Greenwald–Khanna contract is a RANK guarantee — the
+    * returned value's rank is within ε·N of the target (ε = 1/accuracy
+    * = 1‰ here) — so the audit measures the TRUE RANK of each sketch
+    * output with one conditional-count pass and gates it against the
+    * bound. The rank bounds are pure integer functions of (N, q, ε),
+    * mirrored exactly in the oracle; `ok` is the gate (the guarantee
+    * holds under ANY partition merge order, so the flag is stable even
+    * though the sketch value itself may vary within the bound). Plan:
+    * one sketch aggregate (staged one-row scalar), one broadcast
+    * crossJoin conditional-count pass, posexplode of 3 bounded rows —
+    * two corpus passes total at any scale. */
+  def approxPercentileAudit(s: SparkSession, d: String): DataFrame = {
+    val qs = Seq(250, 500, 900) // target percentiles in permille
+    val epm = 1L // ε in permille = 1/accuracy(1000)
+    val li = Tables.lineitem(s, d).select(col("l_quantity").as("q"))
+    val sk = Materialize.stage(li.agg(count(lit(1)).as("n"),
+      expr("approx_percentile(q, array(0.25D, 0.5D, 0.9D), 1000)").as("vs")))
+    val rankAggs = qs.indices.flatMap { i =>
+      Seq(sum(when(col("q") < element_at(col("vs"), i + 1), 1L)
+            .otherwise(0L)).as(s"lo$i"),
+        sum(when(col("q") <= element_at(col("vs"), i + 1), 1L)
+          .otherwise(0L)).as(s"hi$i"))
+    }
+    li.crossJoin(broadcast(sk))
+      .groupBy()
+      .agg(max(col("n")).as("n"), rankAggs: _*)
+      .select(col("n"), posexplode(array(qs.indices.map(i =>
+        struct(lit(qs(i).toLong).as("qpm"),
+          col(s"lo$i").as("lo"), col(s"hi$i").as("hi"))): _*)))
+      .select(col("col.qpm").as("q_permille"), col("n").as("n_rows"),
+        // required rank window with one row of slack each side (ties
+        // make a value's rank an interval [lo+1, hi]; the guarantee is
+        // that interval intersects [(q−ε)N, (q+ε)N])
+        expr(s"CAST(n * (col.qpm - $epm) div 1000 - 1 AS BIGINT)")
+          .as("rank_lo_req"),
+        expr(s"CAST((n * (col.qpm + $epm) + 999) div 1000 + 1 AS BIGINT)")
+          .as("rank_hi_req"),
+        when(col("col.hi") >= expr(s"n * (col.qpm - $epm) div 1000 - 1") &&
+          col("col.lo") <= expr(s"(n * (col.qpm + $epm) + 999) div 1000 + 1"),
+          1L).otherwise(0L).as("ok"))
+      .orderBy("q_permille")
+  }
+
   /** Exact interpolated percentiles per group (percentile ≡ SQL-standard
     * quantile_cont; linear interpolation). Exact, not a sketch — the
     * sketch counterpart is approxDistinct's HLL family. */

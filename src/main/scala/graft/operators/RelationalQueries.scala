@@ -123,6 +123,34 @@ object RelationalQueries {
     QueryDef("agg_approx_distinct", Relational.approxDistinct, None),
     QueryDef("agg_approx_percentiles", Relational.approxPercentilesByFlag, None),
 
+    // graded audit twins of the two sketches (r11 verdict item 7): the
+    // exact context columns are DuckDB-checkable; the `ok` flags carry
+    // the published error bound as the gate — the oracle asserts the
+    // contract holds (ok = 1), so a sketch violating its bound fails
+    // the driver's hash compare
+    QueryDef("agg_approx_distinct_audit",
+      Relational.approxDistinctAudit,
+      Some(
+        """SELECT l_returnflag,
+          |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts_exact,
+          |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders_exact,
+          |  CAST(150 AS BIGINT) AS bound_permille,
+          |  CAST(1 AS BIGINT) AS parts_ok,
+          |  CAST(1 AS BIGINT) AS orders_ok
+          |FROM lineitem GROUP BY l_returnflag
+          |ORDER BY l_returnflag""".stripMargin)),
+
+    QueryDef("agg_approx_percentiles_audit",
+      Relational.approxPercentileAudit,
+      Some(
+        """WITH f AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem)
+          |SELECT CAST(q_permille AS BIGINT) AS q_permille, n AS n_rows,
+          |  CAST((n * (q_permille - 1)) // 1000 - 1 AS BIGINT) AS rank_lo_req,
+          |  CAST((n * (q_permille + 1) + 999) // 1000 + 1 AS BIGINT) AS rank_hi_req,
+          |  CAST(1 AS BIGINT) AS ok
+          |FROM f CROSS JOIN (SELECT unnest([250, 500, 900]) AS q_permille) t
+          |ORDER BY q_permille""".stripMargin)),
+
     QueryDef("q18_large_orders", Relational.largeVolumeOrders, Some(
       """WITH big AS (
         |  SELECT l_orderkey,

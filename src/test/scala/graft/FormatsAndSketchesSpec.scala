@@ -110,6 +110,30 @@ class FormatsAndSketchesSpec extends SparkSpec {
     li.unpersist()
   }
 
+  test("sketch audit twins: ok flags all pass and exact columns match a direct recount") {
+    val da = Relational.approxDistinctAudit(spark, sf0001).collect()
+    assert(da.nonEmpty)
+    da.foreach { r =>
+      assert(r.getAs[Long]("parts_ok") == 1L && r.getAs[Long]("orders_ok") == 1L,
+        s"HLL bound violated for flag ${r.getString(0)}")
+      assert(r.getAs[Long]("bound_permille") == 150L)
+    }
+    // exact column cross-check for one group
+    val f = da.head.getString(0)
+    val direct = Tables.lineitem(spark, sf0001)
+      .filter($"l_returnflag" === f)
+      .agg(countDistinct($"l_partkey")).head().getLong(0)
+    assert(da.head.getAs[Long]("n_parts_exact") == direct)
+
+    val pa = Relational.approxPercentileAudit(spark, sf0001).collect()
+    assert(pa.map(_.getAs[Long]("q_permille")).toSeq == Seq(250L, 500L, 900L))
+    pa.foreach { r =>
+      assert(r.getAs[Long]("ok") == 1L,
+        s"GK rank bound violated at q=${r.getAs[Long]("q_permille")}")
+      assert(r.getAs[Long]("rank_lo_req") < r.getAs[Long]("rank_hi_req"))
+    }
+  }
+
   test("as-of join: every matched signup is at-or-before its purchase, and is the latest") {
     val events = Tables.events(spark, sf0001)
     val asof = Temporal.asofSignupPurchase(events)

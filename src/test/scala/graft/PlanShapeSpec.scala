@@ -202,6 +202,11 @@ class PlanShapeSpec extends SparkSpec {
       // round-11 bootstrap: the full-data mean row × the 64-replicate
       // CI row — the same bounded one-row × one-row pattern
       "bootstrap_ci",
+      // round-12 percentile-sketch audit: the ONE-ROW staged sketch
+      // scalar (N + 3 approx values) broadcast-crossJoined onto the
+      // conditional-count pass — the equidepth/winsorized fence-row
+      // pattern
+      "agg_approx_percentiles_audit",
       // round-8 continuation: equidepth's quartile-boundary row — a
       // one-row broadcast scalar crossJoined onto the fact scan (the
       // q11/revenue_share pattern)
