@@ -5,11 +5,21 @@ runs each oracle SQL in DuckDB over the same sf dir and compares.
 
 Usage: python3 scripts/check.py /root/testdata/sf0.01 /tmp/verify_out
 """
-import sys, json, math
+import sys, json, math, os
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+def table_source(sf_dir, t):
+    """Driver testdata ships single files (<t>.parquet); graft.GenSf
+    writes directory-parquet (<t>.parquet/part-*.parquet). Support both
+    so sf1+ sweeps get oracle hashes, not just zero-error runs
+    (r11 verdict item 6)."""
+    p = f"{sf_dir}/{t}.parquet"
+    if os.path.isdir(p):
+        return f"{p}/*.parquet"
+    return p
 
 def norm(v):
     # type-tagged so int 6000 vs float 6000.0 (or numpy width mismatches
@@ -24,7 +34,7 @@ def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+            f"CREATE VIEW {t} AS SELECT * FROM '{table_source(sf_dir, t)}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = 0
     for name, sql in sorted(oracle.items()):

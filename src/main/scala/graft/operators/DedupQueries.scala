@@ -97,6 +97,50 @@ object DedupQueries {
        |WHERE jac >= $threshold ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** LSM-generation variant of [[nearDupSql]]: three generations
+    * (base < 80%, delta1 in [80%, 90%), delta2 ≥ 90%) with tombstone
+    * batches riding the deltas (gen1 deletes base docs ≡ 3 mod 7; gen2
+    * deletes docs < 90% ≡ 5 mod 11 — older-generations-only by id
+    * construction), served with the COMPACTED-EPOCH cap: tombstones
+    * first, cap re-derived over surviving rows (bl → bf), so the hash
+    * gate pins serve ≡ full-rebuild-on-live-corpus exactly. The newest
+    * delta probes the served view. */
+  private def nearDupLsmSql(shingleCte: String, threshold: Double): String = {
+    val mins = (0 until 8).map(j => s"min(substr(hh, ${1 + 8 * j}, 8)) AS m$j").mkString(",\n        ")
+    val bandList = (0 until 4).map(b => s"'$b:' || m${2 * b} || m${2 * b + 1}").mkString(", ")
+    s"""WITH $shingleCte,
+       |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+       |h AS (SELECT doc_id, md5(g) || md5('x' || g) AS hh FROM e),
+       |m AS (SELECT doc_id,
+       |        $mins
+       |      FROM h GROUP BY doc_id),
+       |b AS (SELECT doc_id, unnest([$bandList]) AS band FROM m),
+       |sp AS (SELECT CAST(floor(CAST(count(*) AS DOUBLE) * 0.8) AS BIGINT) AS s1,
+       |              CAST(floor(CAST(count(*) AS DOUBLE) * 0.9) AS BIGINT) AS s2
+       |       FROM documents),
+       |bl AS (SELECT b.doc_id, b.band FROM b, sp
+       |       WHERE NOT (b.doc_id < sp.s1 AND b.doc_id % 7 = 3)
+       |         AND NOT (b.doc_id < sp.s2 AND b.doc_id % 11 = 5)),
+       |bf AS (
+       |  SELECT doc_id, band FROM (
+       |    SELECT doc_id, band, count(*) OVER (PARTITION BY band) AS bn FROM bl)
+       |  WHERE bn <= ${Dedup.MaxBandBucket}),
+       |cand AS (
+       |  SELECT DISTINCT least(x.doc_id, y.doc_id) AS doc_a,
+       |                  greatest(x.doc_id, y.doc_id) AS doc_b
+       |  FROM bf x JOIN bf y ON x.band = y.band AND x.doc_id <> y.doc_id, sp
+       |  WHERE x.doc_id >= sp.s2),
+       |j AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+       |    CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE) AS jac
+       |  FROM cand
+       |  JOIN s sa ON sa.doc_id = doc_a
+       |  JOIN s sb ON sb.doc_id = doc_b)
+       |SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM j
+       |WHERE jac >= $threshold ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** SimHash oracle: 16 sign-sums over md5 nibbles of each token. */
   private val simhashSql: String = {
     val nibs = (0 until 4).map(d => s"ascii(substr(md5(word), ${d + 1}, 1)) AS a$d").mkString(",\n        ")
@@ -310,6 +354,37 @@ object DedupQueries {
           Dedup.wordGrams, split, 0.7)
       },
       Some(nearDupTombstonedSql(wordShinglesCte, 0.7))),
+
+    // FULL LSM lifecycle on the band index (r11 verdict item 8): three
+    // generations of raw band tables, two tombstone batches riding the
+    // deltas, served via the generic doc-keyed LSM fold with the cap
+    // re-derived over surviving rows (compacted-epoch semantics — the
+    // band cap derives from stored counts, so serve ≡ rebuild EXACTLY
+    // and the driver's hash gate proves it); the newest delta probes
+    // the served view. BandLifecycle 1 GB evidence in DEDUP_1GB.md.
+    QueryDef("near_dup_lsm",
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        val n = Tables.rowCount(s, d, "documents").toDouble
+        val s1 = math.floor(n * 0.8).toLong
+        val s2 = math.floor(n * 0.9).toLong
+        val docs = Tables.documents(s, d)
+        def raw(f: org.apache.spark.sql.Column) =
+          Dedup.bandTable(Dedup.wordGrams(docs.filter(f)))
+        val tomb1 = docs.filter(col("doc_id") < s1 && col("doc_id") % 7 === 3)
+          .select("doc_id")
+        val tomb2 = docs.filter(col("doc_id") < s2 && col("doc_id") % 11 === 5)
+          .select("doc_id")
+        val served = Dedup.serveBandsLsm(Seq(
+          Search.Generation(raw(col("doc_id") < s1)),
+          Search.Generation(raw(col("doc_id") >= s1 && col("doc_id") < s2),
+            Some(tomb1)),
+          Search.Generation(raw(col("doc_id") >= s2), Some(tomb2))))
+        val live = docs.join(tomb1.union(tomb2), Seq("doc_id"), "left_anti")
+        Dedup.nearDupPairsIncrementalFromBands(live, served,
+          Dedup.wordGrams, s2, 0.7)
+      },
+      Some(nearDupLsmSql(wordShinglesCte, 0.7))),
 
     QueryDef("near_dup_ngram",
       (s, d) => Dedup.nearDupPairsFromBands(Tables.documents(s, d),

@@ -99,6 +99,46 @@ class IncrementalIndexSpec extends SparkSpec {
     assert(Search.bm25SearchFor(full, Seq("data", "stream", "key")).count() > 0)
   }
 
+  test("band LSM serve equals a full rebuild on the live corpus (compacted-epoch cap)") {
+    val all = Tables.documents(spark, sf0001)
+    val (s1, s2) = (300L, 400L)
+    def raw(f: org.apache.spark.sql.Column) =
+      Dedup.bandTable(Dedup.wordGrams(all.filter(f)))
+    val tomb1 = all.filter(col("doc_id") < s1 && col("doc_id") % 7 === 3)
+      .select("doc_id")
+    val tomb2 = all.filter(col("doc_id") < s2 && col("doc_id") % 11 === 5)
+      .select("doc_id")
+    val served = Dedup.serveBandsLsm(Seq(
+      Search.Generation(raw(col("doc_id") < s1)),
+      Search.Generation(raw(col("doc_id") >= s1 && col("doc_id") < s2), Some(tomb1)),
+      Search.Generation(raw(col("doc_id") >= s2), Some(tomb2))))
+    val live = all.join(tomb1.union(tomb2), Seq("doc_id"), "left_anti")
+    val rebuild = Dedup.cappedBandsPlan(
+      Dedup.bandTable(Dedup.wordGrams(live)), Dedup.MaxBandBucket)
+    assert(rowSet(served) == rowSet(rebuild))
+    assert(rowSet(served).nonEmpty)
+  }
+
+  test("band LSM delete-then-readd: the re-added doc serves its NEW bands") {
+    val mk = (rows: Seq[(Long, String)]) => rows.toDF("doc_id", "text")
+    val g0 = mk(Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven")))
+    // gen 1 deletes doc 1; gen 2 re-adds it with different text
+    val readd = mk(Seq((1L, "entirely new words appear here instead now")))
+    val served = Dedup.serveBandsLsm(Seq(
+      Search.Generation(Dedup.bandTable(Dedup.wordGrams(g0))),
+      Search.Generation(
+        Dedup.bandTable(Dedup.wordGrams(mk(Seq.empty[(Long, String)]))),
+        Some(Seq(1L).toDF("doc_id"))),
+      Search.Generation(Dedup.bandTable(Dedup.wordGrams(readd)))))
+    val expect = Dedup.cappedBandsPlan(Dedup.bandTable(Dedup.wordGrams(
+      mk(Seq((2L, "one two three four five six seven"),
+        (1L, "entirely new words appear here instead now"))))),
+      Dedup.MaxBandBucket)
+    assert(rowSet(served) == rowSet(expect))
+    assert(rowSet(served).count(_._1 == 1L) == 4, "4 bands per doc")
+  }
+
   test("compaction trigger is exact integer arithmetic at the policy boundary") {
     // fires at exactly 20%, never one row early (the advisor-flagged
     // (base*0.2).toLong truncation), and stays exact past 2^53
