@@ -86,6 +86,45 @@ object Temporal {
       .orderBy("user_id", "session_id")
   }
 
+  /** INTERVAL COALESCING (activity coverage): each event opens a
+    * fixed-span activity window [ts, ts + 10 min); overlapping or
+    * touching windows per user merge into maximal intervals — the
+    * classic interval-union operator behind uptime/coverage/billing
+    * reports, distinct from gap-sessionization (sessions chain on
+    * inter-event GAPS; coverage unions fixed SPANS, so a burst of
+    * events extends coverage by at most span, not by count). The merge
+    * is the one-pass cumulative-max idiom: an interval starts exactly
+    * where start > max(end) over all PRECEDING rows (ordered by ts,
+    * event_id within the user partition — every window is partitioned,
+    * one user_id shuffle serves all three steps, the per-user rollup
+    * partial-aggregates). Micro-unit epoch integers end to end: both
+    * engines compute identical BIGINTs, no timestamp flooring anywhere.
+    * Touching intervals (s == prev max e) MERGE — the half-open
+    * convention [s, e) makes adjacency continuous coverage. */
+  def activityIntervals(events: DataFrame,
+      spanUs: Long = 10L * 60 * 1000 * 1000): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val iv = events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        unix_micros(col("ts")).as("s"))
+      .withColumn("e", col("s") + spanUs)
+      .withColumn("pme",
+        max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ni",
+        when(col("pme").isNull || col("s") > col("pme"), 1L).otherwise(0L))
+      .withColumn("iv",
+        sum(col("ni")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    iv.groupBy(col("user_id"), col("iv"))
+      .agg(min(col("s")).as("ivs"), max(col("e")).as("ive"),
+        count(lit(1)).as("nev"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("ive") - col("ivs")).as("covered_us"),
+        max(col("ive") - col("ivs")).as("max_interval_us"),
+        sum(col("nev")).as("n_events"))
+      .orderBy("user_id")
+  }
+
   /** Native session_window (30-minute gap): Spark's built-in gap-session
     * operator, batch form. A session spans [min ts, max ts + gap); the
     * gap is INCLUSIVE — an event exactly prev_ts + gap still merges

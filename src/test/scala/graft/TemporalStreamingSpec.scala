@@ -34,6 +34,35 @@ class TemporalStreamingSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("activity intervals: coverage bounds, merge semantics, brute-force parity") {
+    val span = 10L * 60 * 1000 * 1000
+    val iv = Temporal.activityIntervals(events).collect()
+    assert(iv.nonEmpty)
+    iv.foreach { r =>
+      val (n, cov, mx, nev) = (r.getAs[Long]("n_intervals"),
+        r.getAs[Long]("covered_us"), r.getAs[Long]("max_interval_us"),
+        r.getAs[Long]("n_events"))
+      // each interval covers at least one span; total ≤ one span per event
+      assert(cov >= n * span && cov <= nev * span, s"coverage bounds: $r")
+      assert(mx >= span && mx <= cov)
+      assert(n <= nev)
+    }
+    assert(iv.map(_.getAs[Long]("n_events")).sum == events.count())
+    // brute-force interval union for one user
+    val u = iv.head.getAs[Long]("user_id")
+    val ts = events.filter($"user_id" === u)
+      .select(unix_micros($"ts")).as[Long].collect().sorted
+    var (cnt, cov, s0, e0) = (0L, 0L, ts.head, ts.head + span)
+    ts.tail.foreach { t =>
+      if (t > e0) { cnt += 1; cov += e0 - s0; s0 = t; e0 = t + span }
+      else e0 = math.max(e0, t + span)
+    }
+    cnt += 1; cov += e0 - s0
+    val row = iv.find(_.getAs[Long]("user_id") == u).get
+    assert(row.getAs[Long]("n_intervals") == cnt &&
+      row.getAs[Long]("covered_us") == cov, s"brute-force mismatch for user $u")
+  }
+
   test("funnel: converted users have at least one purchase after signup") {
     val f = Temporal.funnel(events)
     assert(f.filter($"converted" && $"n_purchases_after" === 0).count() == 0)
