@@ -30,23 +30,47 @@ def norm(v):
         return ("float", v)
     return (type(v).__name__, v)
 
-def main(sf_dir, out_dir):
+def connect(sf_dir):
     con = duckdb.connect()
+    # spill instead of OOM on the big-SF oracles (GenSf sf1+: the
+    # near-dup/ssjoin CTEs materialize gram-scale intermediates)
+    os.makedirs("/tmp/duckdb_spill", exist_ok=True)
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{table_source(sf_dir, t)}'")
+    return con
+
+def main(sf_dir, out_dir):
+    state = {"con": connect(sf_dir)}
+
+    def run(q):
+        """Execute q; on OOM rebuild the connection (an OOM poisons it —
+        every later query on the same handle fails) and retry once, so
+        one pathological oracle cannot fail the rest of the sweep."""
+        try:
+            return state["con"].execute(q).df()
+        except Exception as e:
+            if "Out of Memory" not in str(e):
+                raise
+            try:
+                state["con"].close()
+            except Exception:
+                pass
+            state["con"] = connect(sf_dir)
+            return state["con"].execute(q).df()
+
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = 0
     for name, sql in sorted(oracle.items()):
         try:
-            got = con.execute(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+            got = run(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
         except Exception as e:
             print(f"FAIL {name}: spark result unreadable: {e}")
             failures += 1
             continue
         try:
-            exp = con.execute(sql).df()
+            exp = run(sql)
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}")
             failures += 1

@@ -987,8 +987,14 @@ object TextAnalysis {
     * the [[bigramLmScore]] portability trick — so the per-split KL is
     * an order-independent BIGINT sum and hash-exact cross-engine. */
   def tokenKlDrift(docs: DataFrame): DataFrame = {
-    val tokSplit = docs.select(splitOf.as("split"), explode(toks).as("tok"))
-      .groupBy(col("split"), col("tok")).agg(count(lit(1)).as("c"))
+    // staged: four consumers (global counts, split totals, the grand
+    // total, and the scored join) would otherwise each re-run the
+    // corpus tokenize as separate broadcast-subquery jobs (StageAudit
+    // r12, the bm25-family finding); staged it is a vocabulary-sized
+    // table read four times
+    val tokSplit = Materialize.stage(
+      docs.select(splitOf.as("split"), explode(toks).as("tok"))
+        .groupBy(col("split"), col("tok")).agg(count(lit(1)).as("c")))
     val globalTok = tokSplit.groupBy(col("tok")).agg(sum(col("c")).as("c_all"))
     val splitTotals = tokSplit.groupBy(col("split")).agg(sum(col("c")).as("n_split"))
     val grand = splitTotals.agg(sum(col("n_split")).as("n_all"))
@@ -1029,13 +1035,18 @@ object TextAnalysis {
     * 256-row llr table broadcasts back; top-k is TakeOrderedAndProject.
     * The only crossJoin is the one-row grand-total broadcast. */
   def importanceResampling(docs: DataFrame, k: Int = 100): DataFrame = {
-    val docBucket = docs
+    // staged: the llr broadcast chain and the weights join both consume
+    // this table — unstaged, the broadcast leg re-ran the corpus
+    // tokenize+hash as its own job (StageAudit r12: two identical
+    // 3-4 s stages); staged, the "ONE corpus scan" the scaladoc
+    // promises is actually one
+    val docBucket = Materialize.stage(docs
       .select(col("doc_id"), (col("lang") === "en").as("is_target"),
         explode(toks).as("t"))
       .select(col("doc_id"), col("is_target"),
         substring(md5(col("t")), 1, 2).as("bucket"))
       .groupBy("doc_id", "is_target", "bucket")
-      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("c")))
     val bucketTotals = docBucket.groupBy("bucket").agg(
       sum(col("c")).as("cr"),
       sum(when(col("is_target"), col("c")).otherwise(0L)).as("ct"))
