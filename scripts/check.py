@@ -5,8 +5,15 @@ runs each oracle SQL in DuckDB over the same sf dir and compares.
 
 Usage: python3 scripts/check.py /root/testdata/sf0.01 /tmp/verify_out
 """
-import sys, json, math, os
+import sys, json, math, os, threading
 import duckdb
+
+# Optional per-oracle-query timeout (seconds) for big-SF sweeps where a
+# handful of DuckDB oracles (recursive-CC closures, AllPairs exact
+# joins) are infeasible: CHECK_TIMEOUT_SEC=600 turns a stuck oracle
+# into a counted TIMEOUT row instead of a wedged sweep. Unset (the
+# driver's mode) = no timeout, identical behavior to before.
+TIMEOUT_SEC = float(os.environ.get("CHECK_TIMEOUT_SEC", "0") or "0")
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -44,12 +51,23 @@ def connect(sf_dir):
 def main(sf_dir, out_dir):
     state = {"con": connect(sf_dir)}
 
+    def execute(q):
+        if TIMEOUT_SEC <= 0:
+            return state["con"].execute(q).df()
+        con = state["con"]
+        timer = threading.Timer(TIMEOUT_SEC, con.interrupt)
+        timer.start()
+        try:
+            return con.execute(q).df()
+        finally:
+            timer.cancel()
+
     def run(q):
         """Execute q; on OOM rebuild the connection (an OOM poisons it —
         every later query on the same handle fails) and retry once, so
         one pathological oracle cannot fail the rest of the sweep."""
         try:
-            return state["con"].execute(q).df()
+            return execute(q)
         except Exception as e:
             if "Out of Memory" not in str(e):
                 raise
@@ -58,10 +76,11 @@ def main(sf_dir, out_dir):
             except Exception:
                 pass
             state["con"] = connect(sf_dir)
-            return state["con"].execute(q).df()
+            return execute(q)
 
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = 0
+    timeouts = 0
     for name, sql in sorted(oracle.items()):
         try:
             got = run(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
@@ -72,6 +91,11 @@ def main(sf_dir, out_dir):
         try:
             exp = run(sql)
         except Exception as e:
+            if TIMEOUT_SEC > 0 and "INTERRUPT" in str(e).upper():
+                print(f"TIMEOUT {name}: oracle exceeded {TIMEOUT_SEC:.0f}s "
+                      "(DuckDB-side cost, not an engine mismatch)")
+                timeouts += 1
+                continue
             print(f"FAIL {name}: oracle sql error: {e}")
             failures += 1
             continue
@@ -97,7 +121,8 @@ def main(sf_dir, out_dir):
             failures += 1
         else:
             print(f"OK   {name} ({len(gs)} rows)")
-    print(f"\n{len(oracle) - failures}/{len(oracle)} queries match")
+    tnote = f" ({timeouts} oracle timeouts excluded)" if timeouts else ""
+    print(f"\n{len(oracle) - failures - timeouts}/{len(oracle) - timeouts} queries match{tnote}")
     sys.exit(1 if failures else 0)
 
 if __name__ == "__main__":

@@ -364,23 +364,12 @@ object DedupQueries {
     // the served view. BandLifecycle 1 GB evidence in DEDUP_1GB.md.
     QueryDef("near_dup_lsm",
       (s, d) => {
-        import org.apache.spark.sql.functions.col
-        val n = Tables.rowCount(s, d, "documents").toDouble
-        val s1 = math.floor(n * 0.8).toLong
-        val s2 = math.floor(n * 0.9).toLong
-        val docs = Tables.documents(s, d)
-        def raw(f: org.apache.spark.sql.Column) =
-          Dedup.bandTable(Dedup.wordGrams(docs.filter(f)))
-        val tomb1 = docs.filter(col("doc_id") < s1 && col("doc_id") % 7 === 3)
-          .select("doc_id")
-        val tomb2 = docs.filter(col("doc_id") < s2 && col("doc_id") % 11 === 5)
-          .select("doc_id")
-        val served = Dedup.serveBandsLsm(Seq(
-          Search.Generation(raw(col("doc_id") < s1)),
-          Search.Generation(raw(col("doc_id") >= s1 && col("doc_id") < s2),
-            Some(tomb1)),
-          Search.Generation(raw(col("doc_id") >= s2), Some(tomb2))))
-        val live = docs.join(tomb1.union(tomb2), Seq("doc_id"), "left_anti")
+        val (gens, live) = SharedIntermediates.lsmBandGens(s, d)
+        // staged: the candidate step self-joins the served view (x and
+        // y band legs) — unstaged, the LSM fold + recap would run twice
+        val served = Materialize.stage(Dedup.serveBandsLsm(gens))
+        val s2 = math.floor(
+          Tables.rowCount(s, d, "documents").toDouble * 0.9).toLong
         Dedup.nearDupPairsIncrementalFromBands(live, served,
           Dedup.wordGrams, s2, 0.7)
       },

@@ -202,6 +202,38 @@ object SharedIntermediates {
         .unionByName(Search.docLengths(delta)))
   }
 
+  /** Per-generation RAW band tables + tombstone batches for the band
+    * LSM lifecycle entry (near_dup_lsm): generation 0 = docs below the
+    * 80% split, 1 = [80%, 90%), 2 = the rest; tombstone batch 1 (rides
+    * gen 1) = gen-0 docs ≡ 3 mod 7, batch 2 (rides gen 2) = docs below
+    * 90% ≡ 5 mod 11. In production these are durable index files
+    * written at ingest time — here content-keyed cached builds, so the
+    * registry entry measures the SERVE (LSM fold + recap + probe), and
+    * the one-time build cost stays visible in the bench's index_build
+    * map like every other maintained index. */
+  def lsmBandGens(s: SparkSession, d: String)
+      : (Seq[Search.Generation], DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    val n = Tables.rowCount(s, d, "documents").toDouble
+    val s1 = math.floor(n * 0.8).toLong
+    val s2 = math.floor(n * 0.9).toLong
+    val docs = Tables.documents(s, d)
+    def raw(tag: String, f: org.apache.spark.sql.Column) =
+      cached(s, keyOf(s, s"bandRaw$tag", d))(
+        Dedup.bandTable(Dedup.wordGrams(docs.filter(f))))
+    val (g0, g1, g2) = (raw("G0", col("doc_id") < s1),
+      raw("G1", col("doc_id") >= s1 && col("doc_id") < s2),
+      raw("G2", col("doc_id") >= s2))
+    val tomb1 = docs.filter(col("doc_id") < s1 && col("doc_id") % 7 === 3)
+      .select("doc_id")
+    val tomb2 = docs.filter(col("doc_id") < s2 && col("doc_id") % 11 === 5)
+      .select("doc_id")
+    (Seq(Search.Generation(g0),
+      Search.Generation(g1, Some(tomb1)),
+      Search.Generation(g2, Some(tomb2))),
+      docs.join(tomb1.union(tomb2), Seq("doc_id"), "left_anti"))
+  }
+
   /** Connected components over [[textPairs]]. */
   def textClusters(s: SparkSession, d: String): DataFrame = {
     val tp = textPairs(s, d)
