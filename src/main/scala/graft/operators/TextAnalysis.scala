@@ -1006,6 +1006,9 @@ object TextAnalysis {
         floor(log(col("c").cast("double") * col("n_all").cast("double") /
           (col("n_split").cast("double") * col("c_all").cast("double"))) *
           lit(10000.0) + lit(0.5)).cast("long"))
+    // KL in EXACT 1e-6 units (sign-split truncating division) — same
+    // fix as bigramLmScore's avg_logp_micro: round(double, 6) can flip
+    // on representation-boundary ties between engines at large SF
     terms
       .groupBy(col("split"), col("n_split"))
       .agg(
@@ -1013,8 +1016,11 @@ object TextAnalysis {
         sum(col("c") * col("lp4")).as("kl_units"))
       .select(col("split"), col("n_split").as("n_tokens"),
         col("n_distinct_tokens"),
-        round(col("kl_units").cast("double") / col("n_split").cast("double")
-          / lit(10000.0), 6).as("kl_nats"))
+        // ×100 lift in DECIMAL: kl_units is a corpus-sized Σc·lp4
+        // (overflows BIGINT·100 past ~10¹⁷ token-units); 3 output rows
+        expr("CAST(CASE WHEN kl_units < 0 THEN -1 ELSE 1 END * " +
+          "((100 * abs(CAST(kl_units AS DECIMAL(38,0)))) div n_split) " +
+          "AS BIGINT)").as("kl_micro"))
       .orderBy("split")
   }
 
@@ -1439,11 +1445,15 @@ object TextAnalysis {
         floor(log((col("c2") + 1).cast("double") /
           (col("c1") + col("v")).cast("double")) * lit(10000.0) + lit(0.5))
           .cast("long").as("lp4"))
+    // mean log-prob in EXACT 1e-6 units via sign-split truncating
+    // division — the r12 sf1 sweep caught round(double, 6) flipping on
+    // representation-boundary ties between engines (36 of 50k rows at
+    // 1 ulp); integer division of the exact 1e-4-unit sum cannot tie
     scored.groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("lp4")).as("s4"))
       .select(col("doc_id"), col("n_bigrams"),
-        round(col("s4").cast("double") / col("n_bigrams").cast("double") / lit(10000.0), 6)
-          .as("avg_logp"))
+        expr("CAST(CASE WHEN s4 < 0 THEN -1 ELSE 1 END * " +
+          "((100 * abs(s4)) div n_bigrams) AS BIGINT)").as("avg_logp_micro"))
       .orderBy("doc_id")
   }
 

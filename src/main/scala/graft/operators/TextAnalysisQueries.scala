@@ -642,8 +642,9 @@ object TextAnalysisQueries {
            |      (CAST(st.n_split AS DOUBLE) * CAST(g.c_all AS DOUBLE))) * 10000.0 + 0.5) AS BIGINT) AS lp4
            |  FROM ts JOIN g USING (tok) JOIN st USING (split), ga)
            |SELECT split, n_split AS n_tokens, count(*) AS n_distinct_tokens,
-           |  round(CAST(CAST(sum(c * lp4) AS BIGINT) AS DOUBLE)
-           |        / CAST(n_split AS DOUBLE) / 10000.0, 6) AS kl_nats
+           |  CAST(CASE WHEN sum(c * lp4) < 0 THEN -1 ELSE 1 END *
+           |       ((100 * abs(CAST(sum(c * lp4) AS BIGINT))) // n_split)
+           |    AS BIGINT) AS kl_micro
            |FROM terms GROUP BY split, n_split ORDER BY split""".stripMargin)),
 
     QueryDef("corpus_summary",
@@ -818,8 +819,9 @@ object TextAnalysisQueries {
           |         * 10000.0 + 0.5) AS BIGINT) AS lp4
           |  FROM b2 b JOIN c2 USING (g) JOIN c1 USING (w1), vv)
           |SELECT doc_id, count(*) AS n_bigrams,
-          |  round(CAST(CAST(sum(lp4) AS BIGINT) AS DOUBLE)
-          |        / CAST(count(*) AS DOUBLE) / 10000.0, 6) AS avg_logp
+          |  CAST(CASE WHEN sum(lp4) < 0 THEN -1 ELSE 1 END *
+          |       ((100 * abs(CAST(sum(lp4) AS BIGINT))) // count(*))
+          |    AS BIGINT) AS avg_logp_micro
           |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     QueryDef("importance_resampling",

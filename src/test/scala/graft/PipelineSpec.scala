@@ -74,13 +74,13 @@ class PipelineSpec extends SparkSpec {
   test("bigram_lm_score matches hand-computed smoothed log-probs") {
     val df = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
     val rows = TextAnalysis.bigramLmScore(df)
-      .as[(Long, Long, Double)].collect().sortBy(_._1)
-    // c2(a b)=2, c2(a c)=1, c1(a)=3, V=3:
-    //   docs 1,2: ln(3/6)  = -0.6931472 -> quantized -0.6931
-    //   doc 3:    ln(2/6)  = -1.0986123 -> quantized -1.0986
-    assert(rows(0) == ((1L, 1L, -0.6931)), s"got ${rows(0)}")
-    assert(rows(1) == ((2L, 1L, -0.6931)), s"got ${rows(1)}")
-    assert(rows(2) == ((3L, 1L, -1.0986)), s"got ${rows(2)}")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // c2(a b)=2, c2(a c)=1, c1(a)=3, V=3 (micro-units since r12):
+    //   docs 1,2: ln(3/6)  = -0.6931472 -> lp4 -6931 -> -693100
+    //   doc 3:    ln(2/6)  = -1.0986123 -> lp4 -10986 -> -1098600
+    assert(rows(0) == ((1L, 1L, -693100L)), s"got ${rows(0)}")
+    assert(rows(1) == ((2L, 1L, -693100L)), s"got ${rows(1)}")
+    assert(rows(2) == ((3L, 1L, -1098600L)), s"got ${rows(2)}")
   }
 
   test("doc_chunks covers every document with ceil(n/stride) chunks") {
@@ -456,7 +456,8 @@ class PipelineSpec extends SparkSpec {
     val rows = TextAnalysis.tokenKlDrift(Tables.documents(spark, sf0001)).collect()
     assert(rows.map(_.getString(0)).toSet === Set("train", "val", "test"))
     // true KL >= 0; the 1e-4 log quantization can dip a hair below
-    rows.foreach(r => assert(r.getDouble(3) >= -1e-4, r.toString))
+    // (kl_micro is exact 1e-6 units since r12)
+    rows.foreach(r => assert(r.getLong(3) >= -100L, r.toString))
     val totalToks = rows.map(_.getLong(1)).sum
     val direct = Tables.documents(spark, sf0001)
       .select(explode(expr("regexp_extract_all(lower(text), '[a-z'']+', 0)")))
