@@ -509,12 +509,18 @@ object TextAnalysis {
         sum(col("c") *
           floor(log(col("c").cast("double")) * lit(10000.0) + lit(0.5)))
           .as("s4"))
+      // entropy in EXACT 1e-6 units: H_micro = 100·(n·lnq(n) − s4) div n
+      // with every ln pre-quantized — the bigram_lm_score r12 fix
+      // (round(double, 6) tie-flips between engines at large SF; the
+      // sf1 sweep caught 2 rows here)
+      .withColumn("ln4",
+        floor(log(col("n_tokens").cast("double")) * lit(10000.0) + lit(0.5)))
       .select(col("doc_id"), col("n_tokens"), col("n_types"),
         expr("1000 * n_types div n_tokens").as("ttr_permille"),
         expr("1000 * cmax div n_tokens").as("top_frac_permille"),
-        round((floor(log(col("n_tokens").cast("double")) * lit(10000.0) + lit(0.5))
-            - col("s4").cast("double") / col("n_tokens").cast("double"))
-          / lit(10000.0), 6).as("entropy_nats"))
+        expr("CAST(CASE WHEN n_tokens * ln4 - s4 < 0 THEN -1 ELSE 1 END * " +
+          "((100 * abs(n_tokens * ln4 - s4)) div n_tokens) AS BIGINT)")
+          .as("entropy_micro"))
       .orderBy("doc_id")
   }
 

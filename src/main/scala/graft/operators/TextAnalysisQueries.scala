@@ -794,10 +794,13 @@ object TextAnalysisQueries {
           |SELECT doc_id, n_tokens, n_types,
           |  (1000 * n_types) // n_tokens AS ttr_permille,
           |  (1000 * cmax) // n_tokens AS top_frac_permille,
-          |  round((CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT)
-          |         - CAST(s4 AS DOUBLE) / CAST(n_tokens AS DOUBLE)) / 10000.0, 6)
-          |    AS entropy_nats
-          |FROM a ORDER BY doc_id""".stripMargin)),
+          |  CAST(CASE WHEN n_tokens * ln4 - s4 < 0 THEN -1 ELSE 1 END *
+          |       ((100 * abs(n_tokens * ln4 - s4)) // n_tokens) AS BIGINT)
+          |    AS entropy_micro
+          |FROM (SELECT *,
+          |        CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT)
+          |          AS ln4
+          |      FROM a) af ORDER BY doc_id""".stripMargin)),
 
     QueryDef("bigram_lm_score",
       (s, d) => TextAnalysis.bigramLmScore(Tables.documents(s, d)), Some(

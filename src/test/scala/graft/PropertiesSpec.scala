@@ -113,16 +113,16 @@ class PropertiesSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val r = TextAnalysis.docEntropy(d)
       .select("doc_id", "n_tokens", "n_types", "ttr_permille",
-        "top_frac_permille", "entropy_nats")
-      .as[(Long, Long, Long, Long, Long, Double)].collect()
+        "top_frac_permille", "entropy_micro")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
       .map(t => t._1 -> t).toMap
-    assert(r(1L) == (1L, 4L, 1L, 250L, 1000L, 0.0))
-    // H(uniform over 4) = ln 4; quantization error ≤ 1e-4
-    assert(math.abs(r(2L)._6 - math.log(4)) < 2e-4, s"got ${r(2L)._6}")
+    assert(r(1L) == (1L, 4L, 1L, 250L, 1000L, 0L))
+    // H(uniform over 4) = ln 4 in 1e-6 units; quantization error ≤ 1e-4
+    assert(math.abs(r(2L)._6 - math.log(4) * 1e6) < 200, s"got ${r(2L)._6}")
     assert(r(2L)._4 == 1000L && r(2L)._5 == 250L)
     // H = ln 4 − (3 ln 3)/4
-    val h3 = math.log(4) - 3 * math.log(3) / 4
-    assert(math.abs(r(3L)._6 - h3) < 2e-4, s"got ${r(3L)._6}")
+    val h3 = (math.log(4) - 3 * math.log(3) / 4) * 1e6
+    assert(math.abs(r(3L)._6 - h3) < 200, s"got ${r(3L)._6}")
     assert(r(3L)._5 == 750L)
   }
 
