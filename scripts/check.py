@@ -51,31 +51,56 @@ def connect(sf_dir):
 def main(sf_dir, out_dir):
     state = {"con": connect(sf_dir)}
 
+    def reconnect():
+        try:
+            state["con"].close()
+        except Exception:
+            pass
+        state["con"] = connect(sf_dir)
+
     def execute(q):
         if TIMEOUT_SEC <= 0:
             return state["con"].execute(q).df()
         con = state["con"]
-        timer = threading.Timer(TIMEOUT_SEC, con.interrupt)
+        fired = [False]
+
+        def kill():
+            fired[0] = True
+            con.interrupt()
+        timer = threading.Timer(TIMEOUT_SEC, kill)
         timer.start()
         try:
-            return con.execute(q).df()
-        finally:
+            r = con.execute(q).df()
+            # timer race: if kill() ran (or is mid-run) while the query
+            # was finishing, a stale interrupt could cancel the NEXT
+            # query on this handle — drop the handle instead
             timer.cancel()
+            if fired[0]:
+                reconnect()
+            return r
+        except Exception:
+            timer.cancel()
+            raise
+
+    class OracleTimeout(Exception):
+        pass
 
     def run(q):
         """Execute q; on OOM rebuild the connection (an OOM poisons it —
         every later query on the same handle fails) and retry once, so
-        one pathological oracle cannot fail the rest of the sweep."""
+        one pathological oracle cannot fail the rest of the sweep. A
+        fired-timer INTERRUPT is classified as OracleTimeout (and the
+        handle rebuilt) wherever it surfaces — oracle OR result read."""
         try:
             return execute(q)
         except Exception as e:
-            if "Out of Memory" not in str(e):
+            msg = str(e)
+            if TIMEOUT_SEC > 0 and "INTERRUPT" in msg.upper():
+                reconnect()
+                raise OracleTimeout(msg)
+            if "Out of Memory" not in msg:
                 raise
-            try:
-                state["con"].close()
-            except Exception:
-                pass
-            state["con"] = connect(sf_dir)
+            reconnect()
             return execute(q)
 
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
@@ -84,18 +109,22 @@ def main(sf_dir, out_dir):
     for name, sql in sorted(oracle.items()):
         try:
             got = run(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+        except OracleTimeout:
+            print(f"TIMEOUT {name}: result read exceeded {TIMEOUT_SEC:.0f}s")
+            timeouts += 1
+            continue
         except Exception as e:
             print(f"FAIL {name}: spark result unreadable: {e}")
             failures += 1
             continue
         try:
             exp = run(sql)
+        except OracleTimeout:
+            print(f"TIMEOUT {name}: oracle exceeded {TIMEOUT_SEC:.0f}s "
+                  "(DuckDB-side cost, not an engine mismatch)")
+            timeouts += 1
+            continue
         except Exception as e:
-            if TIMEOUT_SEC > 0 and "INTERRUPT" in str(e).upper():
-                print(f"TIMEOUT {name}: oracle exceeded {TIMEOUT_SEC:.0f}s "
-                      "(DuckDB-side cost, not an engine mismatch)")
-                timeouts += 1
-                continue
             print(f"FAIL {name}: oracle sql error: {e}")
             failures += 1
             continue

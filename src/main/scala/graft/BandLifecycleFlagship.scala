@@ -103,10 +103,19 @@ object BandLifecycleFlagship {
     var firedAt = -1
     var lastServedProbe: Set[(Long, Long)] = Set.empty
     (1 to 6).foreach { g =>
-      val served = Dedup.serveBandsLsm(gens(g))
       val splitId = nBase + (g - 1) * dSize
-      val liveG = live.filter(col("doc_id") < nBase + g * dSize)
+      // the verify doc set must match the index's LSM state AT THIS
+      // GENERATION: the tombstone batch rides generation 3, so for
+      // g < 3 the served index still contains (and can pair) the
+      // to-be-deleted base docs (review finding: using the post-delete
+      // set for every g silently dropped their candidates early)
+      val liveG = (if (g >= 3) live else docs)
+        .filter(col("doc_id") < nBase + g * dSize)
       val (probe, tProbe) = timed(s"probe_g$g") {
+        // staged like the registry twin: the candidate self-join and
+        // the recap's two consumers would otherwise re-run the fold
+        // up to 4× inside the timed region (review finding)
+        val served = operators.Materialize.stage(Dedup.serveBandsLsm(gens(g)))
         Dedup.nearDupPairsIncrementalFromBands(liveG, served,
           Dedup.wordGrams, splitId, DedupFlagship.Threshold)
           .select(col("doc_a"), col("doc_b")).collect()

@@ -364,14 +364,12 @@ object DedupQueries {
     // the served view. BandLifecycle 1 GB evidence in DEDUP_1GB.md.
     QueryDef("near_dup_lsm",
       (s, d) => {
-        val (gens, live) = SharedIntermediates.lsmBandGens(s, d)
+        val (gens, live, newestStart) = SharedIntermediates.lsmBandGens(s, d)
         // staged: the candidate step self-joins the served view (x and
         // y band legs) — unstaged, the LSM fold + recap would run twice
         val served = Materialize.stage(Dedup.serveBandsLsm(gens))
-        val s2 = math.floor(
-          Tables.rowCount(s, d, "documents").toDouble * 0.9).toLong
         Dedup.nearDupPairsIncrementalFromBands(live, served,
-          Dedup.wordGrams, s2, 0.7)
+          Dedup.wordGrams, newestStart, 0.7)
       },
       Some(nearDupLsmSql(wordShinglesCte, 0.7))),
 

@@ -210,9 +210,12 @@ object SharedIntermediates {
     * written at ingest time — here content-keyed cached builds, so the
     * registry entry measures the SERVE (LSM fold + recap + probe), and
     * the one-time build cost stays visible in the bench's index_build
-    * map like every other maintained index. */
+    * map like every other maintained index. Returns (generations, live
+    * docs, newest-generation start id) — the split id travels WITH the
+    * layout so a caller can never probe against a stale boundary
+    * (review finding: the 0.9 constant had been duplicated). */
   def lsmBandGens(s: SparkSession, d: String)
-      : (Seq[Search.Generation], DataFrame) = {
+      : (Seq[Search.Generation], DataFrame, Long) = {
     import org.apache.spark.sql.functions.col
     val n = Tables.rowCount(s, d, "documents").toDouble
     val s1 = math.floor(n * 0.8).toLong
@@ -231,7 +234,8 @@ object SharedIntermediates {
     (Seq(Search.Generation(g0),
       Search.Generation(g1, Some(tomb1)),
       Search.Generation(g2, Some(tomb2))),
-      docs.join(tomb1.union(tomb2), Seq("doc_id"), "left_anti"))
+      docs.join(tomb1.union(tomb2), Seq("doc_id"), "left_anti"),
+      s2)
   }
 
   /** Connected components over [[textPairs]]. */

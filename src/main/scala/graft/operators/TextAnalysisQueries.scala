@@ -643,7 +643,7 @@ object TextAnalysisQueries {
            |  FROM ts JOIN g USING (tok) JOIN st USING (split), ga)
            |SELECT split, n_split AS n_tokens, count(*) AS n_distinct_tokens,
            |  CAST(CASE WHEN sum(c * lp4) < 0 THEN -1 ELSE 1 END *
-           |       ((100 * abs(CAST(sum(c * lp4) AS BIGINT))) // n_split)
+           |       ((100 * abs(CAST(sum(c * lp4) AS HUGEINT))) // n_split)
            |    AS BIGINT) AS kl_micro
            |FROM terms GROUP BY split, n_split ORDER BY split""".stripMargin)),
 
