@@ -1261,4 +1261,74 @@ object Similarity {
         (sum(col("norm").cast(DecimalType(18, 6))).cast("double") /
           count(lit(1)).cast("double")).as("avg_norm"))
       .orderBy("label")
+
+  /** Deterministic start direction for [[embeddingPcaPower]], shared
+    * with the oracle builder (v0_j = 10⁶ − 10³·j: fixed, integer,
+    * non-degenerate — distinct weight per dimension). */
+  def pcaStartVector: Seq[Long] = (0 until Dim).map(j => 1000000L - 1000L * j)
+
+  /** TOP PRINCIPAL DIRECTION of the embedding cloud via POWER
+    * ITERATION on the (uncentered) second-moment operator A = Σ x·xᵀ —
+    * the spectral embedding-QA statistic (a dominant direction with
+    * outsized mass marks anisotropy/collapse; its loadings say which
+    * dimensions carry it). The iteration never materializes A (64×64
+    * would be fine, but the pattern must hold for Dim where it is
+    * not): each round computes A·v as Σ_x x·(xᵀv) — one pass over the
+    * vectors, map-side partial-aggregated into 64 per-dimension sums.
+    *
+    * EVERY step is integer arithmetic, so both engines walk the
+    * IDENTICAL orbit: embeddings are milli-quantized once
+    * (floor(x·10³ + 0.5) — exact on both engines' float→double reads),
+    * v₀ is the fixed integer [[pcaStartVector]], per-row dots and the
+    * per-dimension products are BIGINT, the per-dimension sums are
+    * DECIMAL(38,0) (|w| ≤ N·4×10¹⁵ → scale-safe past 10¹² vectors),
+    * and the rescale after each round is max-abs normalization to
+    * ±10⁶ via sign-split truncating division — no norm, no sqrt, no
+    * double anywhere. Power iteration is scale-invariant, so max-abs
+    * rescaling converges to the same direction as L2.
+    *
+    * Shape at scale: `iters` corpus passes (each one partial-aggregated
+    * (dim, x_j·dot) stream — the ×Dim explode is the codegen-safe
+    * form; 2·Dim aggregate buffers fall out of whole-stage codegen,
+    * the bootstrap_ci lesson), a 64-row shuffle each, and one-row
+    * broadcast scalars for v and the rescale max. v is STAGED each
+    * round — its lineage embeds the previous rounds' corpus passes,
+    * and an unstaged chain re-executes them exponentially (the
+    * recursive-CTE lesson). Output: 64 rows (dim, loading_micro).
+    *
+    * The contract is the k-STEP ORBIT, which is what the oracle pins
+    * exactly; eigenvector ALIGNMENT additionally needs a spectral gap
+    * (rate (λ₂/λ₁)^k — the driver's near-isotropic synthetic cloud
+    * sits at 0.93, where no small k aligns; a planted anisotropic
+    * fixture converges in 6, spec-pinned). Callers raise `iters` when
+    * the data warrants it. */
+  def embeddingPcaPower(emb: DataFrame, iters: Int = 6): DataFrame = {
+    val xq = Materialize.stage(emb.select(
+      expr("transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE) * 1000.0" +
+        " + 0.5) AS BIGINT))").as("xq")))
+    val spark = emb.sparkSession
+    var v: DataFrame = spark.range(1).select(
+      array(pcaStartVector.map(lit): _*).as("v"))
+    for (_ <- 1 to iters) {
+      val dotted = xq.crossJoin(broadcast(v))
+        .select(col("xq"),
+          expr("aggregate(zip_with(xq, v, (a, b) -> a * b), " +
+            "CAST(0 AS BIGINT), (acc, y) -> acc + y)").as("dot"))
+      val w = dotted
+        .select(posexplode(col("xq")).as(Seq("p", "xj")), col("dot"))
+        .groupBy("p")
+        .agg(sum((col("xj") * col("dot")).cast(DecimalType(38, 0))).as("w"))
+      val m = w.agg(max(abs(col("w"))).as("m"))
+      v = Materialize.stage(w.crossJoin(broadcast(m))
+        .select(col("p"),
+          expr("CAST(CASE WHEN m = 0 THEN 0 ELSE " +
+            "CASE WHEN w < 0 THEN -1 ELSE 1 END * ((1000000 * abs(w)) div m)" +
+            " END AS BIGINT)").as("vj"))
+        .agg(expr("transform(array_sort(collect_list(struct(p, vj))), " +
+          "s -> s.vj)").as("v")))
+    }
+    v.select(posexplode(col("v")).as(Seq("dim", "loading_micro")))
+      .select(col("dim").cast("long").as("dim"), col("loading_micro"))
+      .orderBy("dim")
+  }
 }

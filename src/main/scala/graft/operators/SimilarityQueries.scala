@@ -664,5 +664,45 @@ object SimilarityQueries {
     QueryDef("embedding_split_drift",
       (s, d) => Similarity.embeddingSplitDrift(Tables.embeddings(s, d)),
       Some(embSplitDriftSql)),
+
+    // top principal direction via deterministic integer power
+    // iteration (milli-quantized vectors, BIGINT dots, DECIMAL sums,
+    // max-abs rescale) — both engines walk the identical orbit
+    QueryDef("embedding_pca_power",
+      (s, d) => Similarity.embeddingPcaPower(Tables.embeddings(s, d)),
+      Some(pcaPowerSql)),
   )
+
+  /** Unrolled power-iteration oracle: round K's w is referenced by
+    * both its max and its rescale → AS MATERIALIZED (the established
+    * unrolled-CTE rule); each round re-reads the milli-quantized
+    * vector CTE. v₀ mirrors [[Similarity.pcaStartVector]]. */
+  private def pcaPowerSql: String = {
+    val v0 = Similarity.pcaStartVector.mkString("[", ", ", "]")
+    val rounds = (1 to 6).map { k =>
+      s"""w$k AS MATERIALIZED (
+         |  SELECT j, sum(CAST(xq[CAST(j AS INT)] * dot AS HUGEINT)) AS w
+         |  FROM (SELECT xq, list_sum(list_transform(range(1, 65),
+         |          i -> xq[CAST(i AS INT)] * v[CAST(i AS INT)])) AS dot
+         |        FROM x, v${k - 1}) t,
+         |       (SELECT unnest(range(1, 65)) AS j) jj
+         |  GROUP BY j),
+         |m$k AS (SELECT max(abs(w)) AS m FROM w$k),
+         |v$k AS MATERIALIZED (
+         |  SELECT list(CAST(CASE WHEN m = 0 THEN 0 ELSE
+         |      CASE WHEN w < 0 THEN -1 ELSE 1 END * ((1000000 * abs(w)) // m)
+         |    END AS BIGINT) ORDER BY j) AS v
+         |  FROM w$k, m$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH x AS MATERIALIZED (
+       |  SELECT list_transform(embedding,
+       |    e -> CAST(floor(CAST(e AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS xq
+       |  FROM embeddings),
+       |v0 AS (SELECT $v0 AS v),
+       |$rounds
+       |SELECT CAST(j - 1 AS BIGINT) AS dim,
+       |  v[CAST(j AS INT)] AS loading_micro
+       |FROM v6, (SELECT unnest(range(1, 65)) AS j) jj
+       |ORDER BY dim""".stripMargin
+  }
 }
