@@ -1262,6 +1262,39 @@ object Similarity {
           count(lit(1)).cast("double")).as("avg_norm"))
       .orderBy("label")
 
+  /** INT8-QUANTIZATION ERROR AUDIT — the measured-error companion of
+    * [[quantizedTopK]]'s serving index (the sketch-audit pattern): the
+    * per-element residual of the EXACT quantizer the index applies
+    * (q = floor(x·127/max|x| + 0.5)), expressed in quantization-STEP
+    * units (r = x·127/max − q ∈ [−½, ½] by construction) and
+    * 1e-4-quantized before aggregation so both engines sum identical
+    * integers. The scaling `x·(127/max_abs)` mirrors the quantizer's
+    * expression op-for-op — one division then one multiply, the same
+    * IEEE sequence, bit-identical doubles cross-engine. Per label:
+    * vector count, mean and max |residual| (mean ≈ 0.25 steps for a
+    * healthy rounding quantizer; max ≤ 0.5 PROVABLY — a larger value
+    * is a quantizer bug, and the hash gate would catch it). One
+    * map-side pass, |labels| output rows. */
+  def quantizationError(emb: DataFrame): DataFrame = {
+    val maxAbs = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+    val scaled = (x: Column) => x.cast("double") * (lit(127.0) / col("max_abs"))
+    emb.select(col("label"), col("embedding"))
+      .withColumn("max_abs", maxAbs)
+      .filter(col("max_abs") > 0)
+      .select(col("label"), explode(transform(col("embedding"), x =>
+        floor((scaled(x) - floor(scaled(x) + lit(0.5))) * lit(10000.0)
+          + lit(0.5)).cast("long"))).as("rq"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("nd"),
+        sum(abs(col("rq"))).as("sa"),
+        max(abs(col("rq"))).as("max_abs_q4"))
+      .select(col("label"),
+        expr(s"CAST(nd div $Dim AS BIGINT)").as("n_vectors"),
+        expr("CAST(sa div nd AS BIGINT)").as("mean_abs_q4"),
+        col("max_abs_q4"))
+      .orderBy("label")
+  }
+
   /** Deterministic start direction for [[embeddingPcaPower]], shared
     * with the oracle builder (v0_j = 10⁶ − 10³·j: fixed, integer,
     * non-degenerate — distinct weight per dimension). */

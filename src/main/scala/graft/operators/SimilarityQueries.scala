@@ -671,6 +671,29 @@ object SimilarityQueries {
     QueryDef("embedding_pca_power",
       (s, d) => Similarity.embeddingPcaPower(Tables.embeddings(s, d)),
       Some(pcaPowerSql)),
+
+    // int8-quantizer residual audit in exact 1e-4 step units — the
+    // measured-error companion of the quantized serving index
+    QueryDef("ann_quantization_error",
+      (s, d) => Similarity.quantizationError(Tables.embeddings(s, d)),
+      Some(
+        """WITH b AS (
+          |  SELECT label, embedding,
+          |    list_max(list_transform(embedding,
+          |      e -> abs(CAST(e AS DOUBLE)))) AS max_abs
+          |  FROM embeddings),
+          |r AS (
+          |  SELECT label,
+          |    unnest(list_transform(embedding, e ->
+          |      CAST(floor((CAST(e AS DOUBLE) * (127.0 / max_abs)
+          |        - floor(CAST(e AS DOUBLE) * (127.0 / max_abs) + 0.5))
+          |        * 10000.0 + 0.5) AS BIGINT))) AS rq
+          |  FROM b WHERE max_abs > 0)
+          |SELECT label,
+          |  CAST(count(*) // 64 AS BIGINT) AS n_vectors,
+          |  CAST(sum(abs(rq)) // count(*) AS BIGINT) AS mean_abs_q4,
+          |  CAST(max(abs(rq)) AS BIGINT) AS max_abs_q4
+          |FROM r GROUP BY label ORDER BY label""".stripMargin)),
   )
 
   /** Unrolled power-iteration oracle: round K's w is referenced by

@@ -789,6 +789,19 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(r1.toSeq == r2.toSeq)
   }
 
+  test("int8 quantization error: max residual provably half a step, mean near 0.25") {
+    val r = operators.Similarity.quantizationError(
+      Tables.embeddings(spark, sf0001)).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (mean, mx) = (row.getAs[Long]("mean_abs_q4"), row.getAs[Long]("max_abs_q4"))
+      assert(mx <= 5000L, s"residual beyond half a quantization step: $row")
+      // healthy rounding quantizer: mean |r| ≈ 0.25 steps (2500 q4)
+      assert(mean > 1000L && mean < 4000L, s"mean residual implausible: $row")
+      assert(row.getAs[Long]("n_vectors") > 0)
+    }
+  }
+
   test("lsh recall audit: precision is exactly 1000 permille, recall bounded, counts consistent") {
     val d = sf0001
     val exact = operators.SimJoin.jaccardJoinFromIndex(
