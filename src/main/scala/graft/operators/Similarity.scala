@@ -1280,7 +1280,11 @@ object Similarity {
     val scaled = (x: Column) => x.cast("double") * (lit(127.0) / col("max_abs"))
     emb.select(col("label"), col("embedding"))
       .withColumn("max_abs", maxAbs)
-      .filter(col("max_abs") > 0)
+      // NaN guard (review finding): NaN sorts greatest in array_max on
+      // both engines and passes > 0, but the engines then diverge
+      // (Spark ANSI cast aborts, DuckDB CAST errors) — a NaN-poisoned
+      // vector is excluded from the audit identically on both sides
+      .filter(col("max_abs") > 0 && !isnan(col("max_abs")))
       .select(col("label"), explode(transform(col("embedding"), x =>
         floor((scaled(x) - floor(scaled(x) + lit(0.5))) * lit(10000.0)
           + lit(0.5)).cast("long"))).as("rq"))
@@ -1299,6 +1303,11 @@ object Similarity {
     * with the oracle builder (v0_j = 10⁶ − 10³·j: fixed, integer,
     * non-degenerate — distinct weight per dimension). */
   def pcaStartVector: Seq[Long] = (0 until Dim).map(j => 1000000L - 1000L * j)
+
+  /** Registry round count for [[embeddingPcaPower]] — ONE constant
+    * shared by the QueryDef and the unrolled oracle, so raising the
+    * depth can never desynchronize the two orbits (review finding). */
+  val PcaIters = 6
 
   /** TOP PRINCIPAL DIRECTION of the embedding cloud via POWER
     * ITERATION on the (uncentered) second-moment operator A = Σ x·xᵀ —

@@ -669,7 +669,8 @@ object SimilarityQueries {
     // iteration (milli-quantized vectors, BIGINT dots, DECIMAL sums,
     // max-abs rescale) — both engines walk the identical orbit
     QueryDef("embedding_pca_power",
-      (s, d) => Similarity.embeddingPcaPower(Tables.embeddings(s, d)),
+      (s, d) => Similarity.embeddingPcaPower(Tables.embeddings(s, d),
+        Similarity.PcaIters),
       Some(pcaPowerSql)),
 
     // int8-quantizer residual audit in exact 1e-4 step units — the
@@ -677,7 +678,7 @@ object SimilarityQueries {
     QueryDef("ann_quantization_error",
       (s, d) => Similarity.quantizationError(Tables.embeddings(s, d)),
       Some(
-        """WITH b AS (
+        s"""WITH b AS (
           |  SELECT label, embedding,
           |    list_max(list_transform(embedding,
           |      e -> abs(CAST(e AS DOUBLE)))) AS max_abs
@@ -688,9 +689,9 @@ object SimilarityQueries {
           |      CAST(floor((CAST(e AS DOUBLE) * (127.0 / max_abs)
           |        - floor(CAST(e AS DOUBLE) * (127.0 / max_abs) + 0.5))
           |        * 10000.0 + 0.5) AS BIGINT))) AS rq
-          |  FROM b WHERE max_abs > 0)
+          |  FROM b WHERE max_abs > 0 AND NOT isnan(max_abs))
           |SELECT label,
-          |  CAST(count(*) // 64 AS BIGINT) AS n_vectors,
+          |  CAST(count(*) // ${Similarity.Dim} AS BIGINT) AS n_vectors,
           |  CAST(sum(abs(rq)) // count(*) AS BIGINT) AS mean_abs_q4,
           |  CAST(max(abs(rq)) AS BIGINT) AS max_abs_q4
           |FROM r GROUP BY label ORDER BY label""".stripMargin)),
@@ -699,16 +700,23 @@ object SimilarityQueries {
   /** Unrolled power-iteration oracle: round K's w is referenced by
     * both its max and its rescale → AS MATERIALIZED (the established
     * unrolled-CTE rule); each round re-reads the milli-quantized
-    * vector CTE. v₀ mirrors [[Similarity.pcaStartVector]]. */
+    * vector CTE. v₀ mirrors [[Similarity.pcaStartVector]]; depth and
+    * width interpolate the SHARED [[Similarity.PcaIters]]/Dim
+    * constants (review finding: literals here could desynchronize
+    * from the operator). The final `v IS NOT NULL` guard makes the
+    * empty-corpus result 0 rows on both engines (DuckDB's list() over
+    * zero rows is NULL, where Spark's collect_list is an empty array). */
   private def pcaPowerSql: String = {
     val v0 = Similarity.pcaStartVector.mkString("[", ", ", "]")
-    val rounds = (1 to 6).map { k =>
+    val hi = Similarity.Dim + 1
+    val last = Similarity.PcaIters
+    val rounds = (1 to last).map { k =>
       s"""w$k AS MATERIALIZED (
          |  SELECT j, sum(CAST(xq[CAST(j AS INT)] * dot AS HUGEINT)) AS w
-         |  FROM (SELECT xq, list_sum(list_transform(range(1, 65),
+         |  FROM (SELECT xq, list_sum(list_transform(range(1, $hi),
          |          i -> xq[CAST(i AS INT)] * v[CAST(i AS INT)])) AS dot
          |        FROM x, v${k - 1}) t,
-         |       (SELECT unnest(range(1, 65)) AS j) jj
+         |       (SELECT unnest(range(1, $hi)) AS j) jj
          |  GROUP BY j),
          |m$k AS (SELECT max(abs(w)) AS m FROM w$k),
          |v$k AS MATERIALIZED (
@@ -725,7 +733,8 @@ object SimilarityQueries {
        |$rounds
        |SELECT CAST(j - 1 AS BIGINT) AS dim,
        |  v[CAST(j AS INT)] AS loading_micro
-       |FROM v6, (SELECT unnest(range(1, 65)) AS j) jj
+       |FROM v$last, (SELECT unnest(range(1, $hi)) AS j) jj
+       |WHERE v IS NOT NULL
        |ORDER BY dim""".stripMargin
   }
 }
