@@ -76,6 +76,36 @@ object TemporalQueries {
           |  CAST(sum(nev) AS BIGINT) AS n_events
           |FROM mg GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // the THIRD streamed gate: interval coalescing executed as a real
+    // AvailableNow stream (micros-exact long state, sentinel flush,
+    // second run fires timeouts) under the batch activity_intervals
+    // oracle — streaming ≡ batch as a per-round driver hash gate
+    QueryDef("intervals_streamed",
+      (s, d) => graft.streaming.EventsStream.intervalsStreamedQuery(s, d),
+      Some(
+        """WITH ev AS (
+          |  SELECT user_id, event_id, epoch_us(ts) AS s,
+          |         epoch_us(ts) + 600000000 AS e
+          |  FROM events),
+          |m AS (
+          |  SELECT *, max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+          |  FROM ev),
+          |f AS (SELECT *, CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS ni
+          |      FROM m),
+          |g AS (
+          |  SELECT *, sum(ni) OVER (PARTITION BY user_id ORDER BY s, event_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS iv
+          |  FROM f),
+          |mg AS (SELECT user_id, iv, min(s) AS ivs, max(e) AS ive,
+          |              count(*) AS nev
+          |       FROM g GROUP BY user_id, iv)
+          |SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+          |  CAST(sum(ive - ivs) AS BIGINT) AS covered_us,
+          |  CAST(max(ive - ivs) AS BIGINT) AS max_interval_us,
+          |  CAST(sum(nev) AS BIGINT) AS n_events
+          |FROM mg GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // the stateful STREAMING sessionizer executed for real (AvailableNow
     // + checkpoint + sentinel flush) and held to the BATCH oracle — the
     // streaming/batch parity the 1 GB flagship asserts, as a driver

@@ -418,6 +418,67 @@ object EventsStream {
       }.toDF()
   }
 
+  /** Streaming twin of Temporal.activityIntervals: fixed-span coverage
+    * intervals merged AT INGESTION — state is each user's one open
+    * interval [s, e) in MICROS (carried as longs end-to-end, so the
+    * ms-flooring Timestamp state trap never applies; micros are
+    * reconstructed from (getTime, getNanos) because getTime alone
+    * floors to milliseconds — review-pinned finding). An interval
+    * closes either when a later event arrives past its end (emitted
+    * in-batch; touching events MERGE, the batch operator's half-open
+    * convention) or when the watermark passes its end (timeout path).
+    * State tracks the active-user set, never history. */
+  case class IvEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long)
+  case class OpenInterval(sUs: Long, eUs: Long, nEv: Long)
+  case class IntervalRow(user_id: Long, iv_s_us: Long, iv_e_us: Long,
+      n_ev: Long)
+
+  private def microsOf(ts: java.sql.Timestamp): Long =
+    ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
+
+  def intervalsStream(spark: SparkSession, events: DataFrame,
+      spanUs: Long = 10L * 60 * 1000 * 1000): DataFrame = {
+    import spark.implicits._
+    events.select(col("user_id"), col("ts"), col("event_id")).as[IvEvent]
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[IvEvent], state: GroupState[OpenInterval]) =>
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            Iterator(IntervalRow(uid, last.sUs, last.eUs, last.nEv))
+          } else {
+            val sorted = rows.toArray
+              .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+            val closed = Seq.newBuilder[IntervalRow]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = microsOf(e.ts)
+              cur match {
+                case Some(iv) if t <= iv.eUs =>
+                  cur = Some(OpenInterval(iv.sUs,
+                    math.max(iv.eUs, t + spanUs), iv.nEv + 1))
+                case Some(iv) =>
+                  closed += IntervalRow(uid, iv.sUs, iv.eUs, iv.nEv)
+                  cur = Some(OpenInterval(t, t + spanUs, 1L))
+                case None =>
+                  cur = Some(OpenInterval(t, t + spanUs, 1L))
+              }
+            }
+            cur.foreach { iv =>
+              state.update(iv)
+              // timeout in MS, strictly beyond both the interval end
+              // and the current watermark
+              state.setTimeoutTimestamp(
+                math.max(iv.eUs / 1000 + 1, state.getCurrentWatermarkMs() + 1))
+            }
+            closed.result().iterator
+          }
+      }.toDF()
+  }
+
   private val streamRunSeq = new java.util.concurrent.atomic.AtomicLong()
 
   /** Work dirs created by [[sessionizeStreamedQuery]], deleted on JVM
@@ -529,6 +590,43 @@ object EventsStream {
         round(col("n").cast("double") / col("n_from").cast("double"), 6)
           .as("p"))
       .orderBy("from_type", "to_type")
+  }
+
+  /** The third streamed registry gate: [[intervalsStream]] run as a
+    * REAL AvailableNow stream, its emitted closed intervals rolled up
+    * into the batch `activity_intervals` output shape and held to the
+    * SAME DuckDB oracle. Open intervals at backlog end need the flush
+    * protocol (a far-future sentinel advances the watermark, a second
+    * run fires every event-time timeout — the sessionize_streamed
+    * pattern); micros survive end-to-end because the state machine
+    * carries longs, so the oracle is the batch operator's, unchanged. */
+  def intervalsStreamedQuery(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val outSchema = "user_id LONG, n_intervals LONG, covered_us LONG, " +
+      "max_interval_us LONG, n_events LONG"
+    val maxTsRow = ev.agg(max(unix_millis(col("ts")))).head()
+    if (maxTsRow.isNullAt(0))
+      return spark.createDataFrame(
+        new java.util.ArrayList[Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(outSchema))
+    val maxTs = maxTsRow.getLong(0)
+    val gate = new StreamedGate(spark, "iv_stream", ev,
+      "user_id LONG, ts TIMESTAMP, event_id LONG",
+      intervalsStream(spark, _))
+    gate.runOnce()
+    import spark.implicits._
+    gate.append(Seq((-1L, new java.sql.Timestamp(maxTs + 2L * 86400000), -1L))
+      .toDF("user_id", "ts", "event_id"))
+    gate.runOnce()
+    gate.sink("user_id LONG, iv_s_us LONG, iv_e_us LONG, n_ev LONG")
+      .filter(col("user_id") >= 0)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("iv_e_us") - col("iv_s_us")).as("covered_us"),
+        max(col("iv_e_us") - col("iv_s_us")).as("max_interval_us"),
+        sum(col("n_ev")).as("n_events"))
+      .orderBy("user_id")
   }
 
   /** STREAMING EXECUTION UNDER THE BATCH ORACLE — the first registry

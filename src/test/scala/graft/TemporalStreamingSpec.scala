@@ -63,6 +63,15 @@ class TemporalStreamingSpec extends SparkSpec {
       row.getAs[Long]("covered_us") == cov, s"brute-force mismatch for user $u")
   }
 
+  test("intervals_streamed equals the batch interval coalescing (streaming ≡ batch)") {
+    val streamed = EventsStream.intervalsStreamedQuery(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    val batch = operators.Temporal.activityIntervals(
+      Tables.events(spark, sf0001)).collect().map(_.toSeq).toSet
+    assert(streamed == batch, s"streamed ${streamed.size} vs batch ${batch.size}")
+    assert(streamed.nonEmpty)
+  }
+
   test("funnel: converted users have at least one purchase after signup") {
     val f = Temporal.funnel(events)
     assert(f.filter($"converted" && $"n_purchases_after" === 0).count() == 0)
