@@ -201,6 +201,58 @@ object Pipeline {
       .orderBy("bin")
   }
 
+  /** TWO-SAMPLE KOLMOGOROV–SMIRNOV DRIFT GATE — per event type, the KS
+    * statistic D = max_v |CDF_type(v) − CDF_ref(v)| of `value` against
+    * a reference type's distribution, the standard ingestion-drift
+    * alarm (did this source's score/length/value distribution move?).
+    * Computed EXACTLY on the width-quantized grid: D is evaluated at
+    * every occupied bin boundary via integer cross-multiplication
+    * (|cum·n_ref − cum_ref·n| — no ratios, no doubles), so the output
+    * is the exact KS of the quantized distributions; `width` sets the
+    * resolution (bins are bounded by the VALUE DOMAIN / width, a
+    * constant, not by N). ks_bin is the smallest bin attaining D
+    * (deterministic tie-break).
+    *
+    * Scale shape: ONE corpus pass partial-aggregates to the
+    * (bin, type) table; the grid completion (every type needs a CDF
+    * reading at every occupied bin — missing bins carry the running
+    * cum forward), cumulative windows (partitioned per type), and the
+    * argmax rank all run over that domain-bounded table. The grid
+    * cross join is bins × types — both tiny aggregates by construction
+    * (PlanShapeSpec-allowlisted BNLJ, the value_histogram bin-table
+    * class). INT64 guard: cum·n_ref ≤ n·n_ref, so the micro arithmetic
+    * holds to ~3·10⁹ rows per compared type; beyond that, lift the two
+    * products to DECIMAL(38,0) on both engines. */
+  def ksDrift(events: DataFrame, refType: String = "view",
+      width: Double = 1.0): DataFrame = {
+    val counts = events
+      .groupBy(floor(col("value") / width).cast("long").as("bin"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val grid = counts.select(col("bin")).distinct()
+      .crossJoin(counts.select(col("event_type")).distinct())
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid.join(counts, Seq("bin", "event_type"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("event_type"))))
+    val ref = cum.filter(col("event_type") === refType)
+      .select(col("bin"), col("cum").as("cum_ref"), col("n").as("n_ref"))
+    val d = cum.filter(col("event_type") =!= refType)
+      .join(ref, "bin")
+      .withColumn("dnum",
+        abs(col("cum") * col("n_ref") - col("cum_ref") * col("n")))
+    val wArg = Window.partitionBy(col("event_type"))
+      .orderBy(col("dnum").desc, col("bin"))
+    d.withColumn("rn", row_number().over(wArg))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("n"), col("n_ref"),
+        expr("1000000 * dnum div (n * n_ref)").as("ks_micro"),
+        col("bin").as("ks_bin"))
+      .orderBy("event_type")
+  }
+
   /** first/last/nth window battery: per customer (ordered by order date,
     * then key), the first and last order dates, the second order's key,
     * and the order count — emitted once per customer via rn=1. One

@@ -392,6 +392,40 @@ object PipelineQueries {
           |        / CAST(sum(n) OVER () AS DOUBLE), 6) AS cdf
           |FROM h ORDER BY bin""".stripMargin)),
 
+    QueryDef("ks_drift",
+      (s, d) => Pipeline.ksDrift(Tables.events(s, d)), Some(
+        """WITH counts AS (
+          |  SELECT CAST(floor(value / 1.0) AS BIGINT) AS bin, event_type,
+          |         CAST(count(*) AS BIGINT) AS cnt
+          |  FROM events GROUP BY 1, 2),
+          |grid AS (
+          |  SELECT b.bin, t.event_type
+          |  FROM (SELECT DISTINCT bin FROM counts) b
+          |  CROSS JOIN (SELECT DISTINCT event_type FROM counts) t),
+          |cum AS (
+          |  SELECT g.bin, g.event_type,
+          |    CAST(sum(coalesce(c.cnt, 0)) OVER (PARTITION BY g.event_type
+          |         ORDER BY g.bin
+          |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+          |    CAST(sum(coalesce(c.cnt, 0)) OVER (PARTITION BY g.event_type)
+          |         AS BIGINT) AS n
+          |  FROM grid g LEFT JOIN counts c USING (bin, event_type)),
+          |d AS (
+          |  SELECT x.event_type, x.bin, x.n, r.n_ref,
+          |    abs(x.cum * r.n_ref - r.cum_ref * x.n) AS dnum
+          |  FROM (SELECT * FROM cum WHERE event_type <> 'view') x
+          |  JOIN (SELECT bin, cum AS cum_ref, n AS n_ref FROM cum
+          |        WHERE event_type = 'view') r
+          |    USING (bin)),
+          |rk AS (
+          |  SELECT *, row_number() OVER (PARTITION BY event_type
+          |            ORDER BY dnum DESC, bin) AS rn
+          |  FROM d)
+          |SELECT event_type, n, n_ref,
+          |  (1000000 * dnum) // (n * n_ref) AS ks_micro,
+          |  bin AS ks_bin
+          |FROM rk WHERE rn = 1 ORDER BY event_type""".stripMargin)),
+
     QueryDef("window_first_last",
       (s, d) => Pipeline.firstLastOrders(s, d), Some(
         """SELECT o_custkey,

@@ -1523,4 +1523,49 @@ object TextAnalysis {
       .withColumn("jaccard_ppm", expr("n_inter * 1000000 DIV n_union"))
       .orderBy("source_a", "source_b")
   }
+
+  /** LANG × SOURCE MUTUAL INFORMATION — the corpus-composition
+    * independence audit: I(lang; source) tells a pipeline whether its
+    * sources are language-skewed (MI ≈ 0 nats = sources draw languages
+    * identically; MI near min(H) = each source is language-pure, so a
+    * source-stratified sample silently becomes a language filter).
+    * Emitted alongside both marginal entropies so the reader can place
+    * MI on its [0, min(H_lang, H_source)] scale.
+    *
+    * Exactness: the docEntropy micro-unit pattern — every ln is
+    * quantized to 1e-4 units BEFORE any sum (summed doubles are
+    * partition-order-dependent; quantized BIGINTs are exact), and the
+    * identity Σ_x c_x·ln(c_x) = Σ_cells c_xy·ln(c_x) lets all three
+    * sums ride ONE aggregate over the cell table. MI can quantize
+    * epsilon-negative, hence the sign/abs floor-div guard.
+    *
+    * Scale shape: one corpus pass partial-aggregates to the
+    * (lang, source) cell table — bounded by the DOMAIN product
+    * (languages × sources), not N — then the marginal windows and the
+    * final one-row aggregate run over that bounded table. Counts are
+    * BIGINT throughout; c·ln4(c) peaks at ~n·ln4(n) ≈ n·4·10⁵, so the
+    * micro arithmetic stays inside INT64 to n ≈ 10¹³ docs. */
+  def langSourceMi(docs: DataFrame): DataFrame = {
+    def ln4(c: Column): Column =
+      floor(log(c.cast("double")) * lit(10000.0) + lit(0.5))
+    val cells = docs.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("c"))
+    val m = cells
+      .withColumn("cl", sum(col("c")).over(Window.partitionBy(col("lang"))))
+      .withColumn("cs", sum(col("c")).over(Window.partitionBy(col("source"))))
+    m.agg(
+        sum(col("c")).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("c") * ln4(col("c"))).as("sj4"),
+        sum(col("c") * ln4(col("cl"))).as("sl4"),
+        sum(col("c") * ln4(col("cs"))).as("ss4"))
+      .withColumn("lnn4", ln4(col("n_docs")))
+      .select(col("n_docs"), col("n_langs"), col("n_sources"),
+        expr("100 * (n_docs * lnn4 - sl4) div n_docs").as("h_lang_micro"),
+        expr("100 * (n_docs * lnn4 - ss4) div n_docs").as("h_source_micro"),
+        expr("CAST(CASE WHEN n_docs * lnn4 + sj4 - sl4 - ss4 < 0 THEN -1 ELSE 1 END * " +
+          "((100 * abs(n_docs * lnn4 + sj4 - sl4 - ss4)) div n_docs) AS BIGINT)")
+          .as("mi_micro"))
+  }
 }

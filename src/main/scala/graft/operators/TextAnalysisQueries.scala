@@ -912,5 +912,35 @@ object TextAnalysisQueries {
           |  coalesce(ni0, 0) * 1000000 // (na + nb - coalesce(ni0, 0)) AS jaccard_ppm
           |FROM pairs LEFT JOIN inter USING (source_a, source_b)
           |ORDER BY source_a, source_b""".stripMargin)),
+
+    QueryDef("lang_source_mi",
+      (s, d) => TextAnalysis.langSourceMi(Tables.documents(s, d)), Some(
+        """WITH cells AS (
+          |  SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+          |  FROM documents GROUP BY 1, 2),
+          |m AS (
+          |  SELECT c,
+          |    CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS cl,
+          |    CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS cs,
+          |    lang, source
+          |  FROM cells),
+          |a AS (
+          |  SELECT CAST(sum(c) AS BIGINT) AS n_docs,
+          |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+          |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+          |    CAST(sum(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sj4,
+          |    CAST(sum(c * CAST(floor(ln(CAST(cl AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sl4,
+          |    CAST(sum(c * CAST(floor(ln(CAST(cs AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS ss4
+          |  FROM m)
+          |SELECT n_docs, n_langs, n_sources,
+          |  (100 * (n_docs * lnn4 - sl4)) // n_docs AS h_lang_micro,
+          |  (100 * (n_docs * lnn4 - ss4)) // n_docs AS h_source_micro,
+          |  CAST(CASE WHEN n_docs * lnn4 + sj4 - sl4 - ss4 < 0 THEN -1 ELSE 1 END *
+          |       ((100 * abs(n_docs * lnn4 + sj4 - sl4 - ss4)) // n_docs) AS BIGINT)
+          |    AS mi_micro
+          |FROM (SELECT *,
+          |        CAST(floor(ln(CAST(n_docs AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT)
+          |          AS lnn4
+          |      FROM a) af""".stripMargin)),
   )
 }

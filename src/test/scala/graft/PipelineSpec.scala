@@ -655,4 +655,51 @@ class PipelineSpec extends SparkSpec {
       .collect()
     assert(flatOut.forall(r => r.isNullAt(5) && r.isNullAt(6)))
   }
+
+  test("ks_drift: identical distributions read 0, disjoint read 1, shift localizes") {
+    def ev(rows: Seq[(String, Double)]) =
+      rows.zipWithIndex.map { case ((t, v), i) => (i.toLong, t, v) }
+        .toDF("event_id", "event_type", "value")
+    // same values for both types -> every cross-multiplied CDF gap is 0
+    val same = ev((1 to 40).flatMap(i =>
+      Seq(("view", i.toDouble), ("click", i.toDouble))))
+    val r0 = Pipeline.ksDrift(same).collect()
+    assert(r0.length == 1 && r0(0).getLong(3) == 0L, s"got ${r0.toSeq}")
+    // disjoint supports -> D = 1 (ks_micro = 1000000) at the last bin of
+    // the low distribution
+    val disj = ev((1 to 20).map(i => ("view", i.toDouble)) ++
+      (1 to 20).map(i => ("click", 100.0 + i)))
+    val r1 = Pipeline.ksDrift(disj).collect()
+    assert(r1(0).getLong(3) == 1000000L && r1(0).getLong(4) == 20L,
+      s"got ${r1.toSeq}")
+    // half the mass shifted up by 50: D = 1/2, the gap growing through
+    // the unshifted run and first maximal at the reference's top bin
+    val shift = ev((1 to 20).map(i => ("view", i.toDouble)) ++
+      ((1 to 10).map(i => ("click", i.toDouble)) ++
+        (11 to 20).map(i => ("click", 50.0 + i))))
+    val r2 = Pipeline.ksDrift(shift).collect()
+    assert(r2(0).getLong(3) == 500000L && r2(0).getLong(4) == 20L,
+      s"got ${r2.toSeq}")
+  }
+
+  test("lang_source_mi: MI is 0 under independence and H under determinism") {
+    def docs(rows: Seq[(String, String)]) =
+      rows.zipWithIndex.map { case ((l, s), i) => (i.toLong, l, s) }
+        .toDF("doc_id", "lang", "source")
+    // independent uniform 2x2: true MI is 0; the quantized-ln ladder
+    // leaves at most one 1e-4 quantum (=100 micro-nats) of residue
+    val ind = docs(for { l <- Seq("en", "de"); s <- Seq("a", "b");
+      _ <- 1 to 5 } yield (l, s))
+    val ri = TextAnalysis.langSourceMi(ind).collect()(0)
+    assert(math.abs(ri.getLong(5)) <= 100L,
+      s"independent MI must be ~0, got $ri")
+    // lang determined by source: MI = H_lang = H_source = ln 2
+    // (693147 micro-nats exactly under the 1e-4 ln quantization)
+    val det = docs(Seq.fill(5)(("en", "a")) ++ Seq.fill(5)(("de", "b")))
+    val rd = TextAnalysis.langSourceMi(det).collect()(0)
+    assert(rd.getLong(3) == rd.getLong(5) && rd.getLong(4) == rd.getLong(5),
+      s"deterministic MI must equal both marginal entropies, got $rd")
+    assert(math.abs(rd.getLong(5) - 693147L) <= 60,
+      s"MI must read ~ln 2 micro-nats, got ${rd.getLong(5)}")
+  }
 }

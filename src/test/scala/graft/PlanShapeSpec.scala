@@ -245,7 +245,11 @@ class PlanShapeSpec extends SparkSpec {
       // multiclass kappa: the ONE-ROW chance/class-count aggregates
       // crossJoined into the report row (the dedup_savings pattern —
       // bounded by construction)
-      "label_agreement_kappa_multiclass")
+      "label_agreement_kappa_multiclass",
+      // round-12+: ks_drift's CDF grid is bins × types — two
+      // domain-bounded aggregates (the value_histogram bin-table
+      // class), guard-commented at the definition
+      "ks_drift")
     SparkEntry.registry.foreach { q =>
       val plan = q.fn(spark, sf0001).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
