@@ -193,6 +193,19 @@ object TemporalQueries {
           |FROM tr JOIN tot USING (from_type)
           |ORDER BY from_type, to_type""".stripMargin)),
 
+    // the FOURTH streamed gate: planted duplicate events (intra-batch
+    // AND cross-batch replays) removed by state-store dropDuplicates
+    // under a watermark; oracle = per-type aggregate over the ORIGINAL
+    // corpus, so the hash gate proves exactly the copies vanished
+    QueryDef("dedup_streamed",
+      (s, d) => graft.streaming.EventsStream.dedupStreamedQuery(s, d),
+      Some(
+        """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+          |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+          |  CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)
+          |    AS sum_value_milli
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     QueryDef("event_funnel",
       (s, d) => Temporal.funnel(Tables.events(s, d)), Some(
         """WITH s AS (

@@ -685,4 +685,40 @@ object EventsStream {
           .as("duration_ms"))
       .orderBy("user_id", "session_id")
   }
+
+  /** The FOURTH streamed gate — streaming DEDUPLICATION executed for
+    * real: exact-duplicate events are PLANTED (every 7th event appears
+    * twice inside micro-batch 0; every 13th is replayed again as a
+    * SECOND batch) and removed by state-store-backed
+    * `dropDuplicates(event_id, ts)` under a 10-minute watermark. Both
+    * removal paths of the production dedup run: in-window replays hit
+    * retained state, replays older than the watermark are dropped by
+    * the late-record filter — either way an at-least-once upstream
+    * (the Kafka/file-ingest reality this models) collapses to
+    * exactly-once rows. The sink is rolled into a per-type aggregate
+    * and held to the DuckDB oracle over the ORIGINAL corpus — the
+    * driver hash gate proves the planted copies vanished without
+    * touching a genuine row. Values are 2-decimal, so the per-event
+    * milli quantization is exact on both engines. */
+  def dedupStreamedQuery(spark: SparkSession, dir: String): DataFrame = {
+    val evSchema =
+      "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, " +
+        "value DOUBLE"
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val gate = new StreamedGate(spark, "dedup_stream",
+      ev.unionAll(ev.filter(col("event_id") % 7 === 0)), evSchema,
+      s => s.withWatermark("ts", "10 minutes")
+        .dropDuplicates("event_id", "ts"))
+    gate.runOnce()
+    gate.append(ev.filter(col("event_id") % 13 === 0))
+    gate.runOnce()
+    gate.sink(evSchema)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(round(col("value") * 1000).cast("long")).as("sum_value_milli"))
+      .orderBy("event_type")
+  }
 }

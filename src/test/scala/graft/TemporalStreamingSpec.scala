@@ -72,6 +72,22 @@ class TemporalStreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("dedup_streamed: planted intra- and cross-batch replays vanish, genuine rows survive") {
+    val streamed = EventsStream.dedupStreamedQuery(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    val batch = Tables.events(spark, sf0001)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("n_users"),
+        sum(round($"value" * 1000).cast("long")).as("sum_value_milli"))
+      .collect().map(_.toSeq).toSet
+    // equality against the ORIGINAL corpus proves every planted copy
+    // (both the in-batch 7th-event doubles and the second-batch
+    // 13th-event replays) was removed and nothing genuine was dropped
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streamed ${streamed.size} vs batch ${batch.size}")
+  }
+
   test("funnel: converted users have at least one purchase after signup") {
     val f = Temporal.funnel(events)
     assert(f.filter($"converted" && $"n_purchases_after" === 0).count() == 0)
