@@ -258,7 +258,18 @@ object Search {
   }
 
   private def scoreBm25(idx: DataFrame, tf: DataFrame, q: DataFrame,
-      k: Int, dlOpt: Option[DataFrame] = None): DataFrame = {
+      k: Int, dlOpt: Option[DataFrame] = None): DataFrame =
+    scoreBm25All(idx, tf, q, dlOpt)
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+      .limit(k)
+
+  /** [[scoreBm25]] without the final top-k truncation — the FULL
+    * per-doc score table, for consumers that post-process the ranking
+    * (cluster collapse, fusion) and must not lose candidates to an
+    * early cutoff. Still posting-bounded: only docs matching a query
+    * term ever appear. */
+  private def scoreBm25All(idx: DataFrame, tf: DataFrame, q: DataFrame,
+      dlOpt: Option[DataFrame] = None): DataFrame = {
     // fallback dl staged: it feeds BOTH the per-doc join and the
     // (n_docs, avgdl) broadcast scalar — unstaged, the scalar leg
     // re-runs the corpus-sized docLengths aggregate as its own job
@@ -278,6 +289,44 @@ object Search {
       .agg(sum(col("w")).as("score_micro"),
         count(lit(1)).as("n_terms_matched"),
         sum(col("tf")).as("total_tf"))
+  }
+
+  /** DIVERSIFIED SEARCH — the BM25 ranking collapsed to ONE result per
+    * near-dup cluster (the search-over-crawl reality: the top of any
+    * keyword ranking is dominated by mirror pages that all score
+    * alike; serving them all wastes the whole result page). Collapse
+    * runs over the FULL posting-bounded score table BEFORE the top-k
+    * cut — truncate-then-collapse would under-fill the page — keeping
+    * each cluster's best-scoring doc (ties to the smaller doc_id) with
+    * the count of scored docs it absorbed; unclustered docs are their
+    * own singleton.
+    *
+    * Scale shape: scores are posting-bounded (only docs matching a
+    * query term), the cluster map joins on doc_id, and the collapse is
+    * one partitioned window over the scored set — candidate-bounded
+    * work end-to-end, never corpus-sized. */
+  def bm25SearchDedupFor(idx: DataFrame, terms: Seq[String],
+      clusters: DataFrame, k: Int = 20,
+      dl: Option[DataFrame] = None): DataFrame = {
+    require(terms.nonEmpty, "query needs at least one term")
+    val sub = idx.filter(col("tok").isin(terms.map(_.toLowerCase): _*))
+    // staged for the same reason as [[bm25SearchFor]]: the df broadcast
+    // leg would otherwise re-run the probe scan as a separate job
+    val tf = Materialize.stage(termFreq(sub))
+    val scores = scoreBm25All(idx, tf,
+      tf.groupBy("term").agg(count(lit(1)).as("df")), dl)
+      .join(clusters.select(col("doc_id"), col("cluster_id")),
+        Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+    val wBest = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+    scores
+      .withColumn("rn", row_number().over(wBest))
+      .withColumn("n_collapsed",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("cluster_id"), col("score_micro"),
+        col("n_terms_matched"), col("total_tf"), col("n_collapsed"))
       .orderBy(col("score_micro").desc, col("doc_id").asc)
       .limit(k)
   }

@@ -129,6 +129,42 @@ object SearchQueries {
 
   private val bm25ExplicitSql = bm25SqlFor(explicitTerms)
 
+  /** Diversified-search oracle: the explicit-query BM25 score table
+    * collapsed to one row per near-dup cluster (the recursive-closure
+    * clusters of the dedup family — CTE names are disjoint from the
+    * tf/scoring chain by construction). */
+  private val bm25DedupSql =
+    s"""WITH RECURSIVE ${DedupQueries.clustersCtes},
+       |$tfCtes,
+       |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |q AS (SELECT term, df FROM dft WHERE term IN $explicitTerms),
+       |dlx AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+       |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dlx),
+       |w AS (
+       |  SELECT t.doc_id, t.tf,
+       |    CAST(floor((1000000.0 * ln(((st.n_docs - q.df + 0.5) / (q.df + 0.5)) + 1.0)) *
+       |         ((t.tf * 2.2) / (t.tf + (1.2 * (0.25 + (0.75 * (d.dl / st.avgdl))))))) AS BIGINT) AS w
+       |  FROM tf t JOIN q USING (term) JOIN dlx d ON d.doc_id = t.doc_id
+       |  CROSS JOIN st),
+       |sc AS (
+       |  SELECT doc_id, CAST(sum(w) AS BIGINT) AS score_micro,
+       |         count(*) AS n_terms_matched, CAST(sum(tf) AS BIGINT) AS total_tf
+       |  FROM w GROUP BY doc_id),
+       |scc AS (
+       |  SELECT sc.doc_id, coalesce(lab.cluster_id, sc.doc_id) AS cluster_id,
+       |         sc.score_micro, sc.n_terms_matched, sc.total_tf
+       |  FROM sc LEFT JOIN lab ON lab.doc_id = sc.doc_id),
+       |rk AS (
+       |  SELECT *,
+       |    row_number() OVER (PARTITION BY cluster_id
+       |      ORDER BY score_micro DESC, doc_id ASC) AS rn,
+       |    count(*) OVER (PARTITION BY cluster_id) AS n_collapsed
+       |  FROM scc)
+       |SELECT doc_id, cluster_id, score_micro, n_terms_matched, total_tf,
+       |       n_collapsed
+       |FROM rk WHERE rn = 1
+       |ORDER BY score_micro DESC, doc_id ASC LIMIT 20""".stripMargin
+
   /** NDCG@20 oracle: same literal gain table as the plan (generated
     * from the one Scala source [[Search.ndcgGains]]), relevance = docs
     * containing ALL three terms, ranking = the BM25 leg above. */
@@ -222,6 +258,16 @@ object SearchQueries {
         Seq("data", "query", "spark", "nosuchword"),
         dl = Some(SharedIntermediates.postingsDocLengths(s, d))),
       Some(bm25ExplicitSql)),
+
+    // diversified search: the same explicit-query ranking collapsed to
+    // one result per near-dup cluster (cluster map = the dedup
+    // family's shared recursive-closure clusters) BEFORE the top-k cut
+    QueryDef("bm25_search_dedup",
+      (s, d) => Search.bm25SearchDedupFor(SharedIntermediates.postings(s, d),
+        Seq("data", "query", "spark", "nosuchword"),
+        SharedIntermediates.textClusters(s, d),
+        dl = Some(SharedIntermediates.postingsDocLengths(s, d))),
+      Some(bm25DedupSql)),
 
     // probe over base+delta union vs a FULL-CORPUS rebuild oracle: the
     // driver gate itself proves the incremental-maintenance identity

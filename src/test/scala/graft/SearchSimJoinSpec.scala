@@ -355,4 +355,36 @@ class SearchSimJoinSpec extends SparkSpec {
     assert(jac.subsetOf(got.keySet))
     assert(got((0L, 1L)) === 1.0)
   }
+
+  test("bm25_search_dedup: one result per cluster, each the cluster's best scorer") {
+    val idx = SharedIntermediates.postings(spark, sf0001)
+    val clusters = SharedIntermediates.textClusters(spark, sf0001)
+    val dl = SharedIntermediates.postingsDocLengths(spark, sf0001)
+    val terms = Seq("data", "query", "spark", "nosuchword")
+    val dedup = Search.bm25SearchDedupFor(idx, terms, clusters, 20, Some(dl))
+      .collect()
+    assert(dedup.nonEmpty)
+    // page diversity: no two served results share a cluster
+    val clusterIds = dedup.map(_.getAs[Long]("cluster_id"))
+    assert(clusterIds.distinct.length == clusterIds.length,
+      "served page repeats a cluster")
+    // parity with the plain ranking on singleton clusters, and
+    // best-of-cluster on collapsed ones: every served doc must score
+    // >= any clustermate in the full plain top-k
+    val plain = Search.bm25SearchFor(idx, terms, 1000, Some(dl)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score_micro")).toMap
+    val clusterOf = clusters.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    dedup.foreach { r =>
+      val doc = r.getAs[Long]("doc_id")
+      val cid = r.getAs[Long]("cluster_id")
+      val mates = plain.keys.filter(d2 =>
+        clusterOf.getOrElse(d2, d2) == cid)
+      assert(mates.forall(m => plain(doc) > plain(m) ||
+          (plain(doc) == plain(m) && doc <= m)),
+        s"doc $doc is not its cluster $cid's best scorer")
+      assert(r.getAs[Long]("n_collapsed") >= mates.size,
+        s"n_collapsed undercounts cluster $cid's scored members")
+    }
+  }
 }
