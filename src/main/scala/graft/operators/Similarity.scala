@@ -1373,4 +1373,73 @@ object Similarity {
       .select(col("dim").cast("long").as("dim"), col("loading_micro"))
       .orderBy("dim")
   }
+
+  /** JOHNSON–LINDENSTRAUSS PROJECTION AUDIT — the dimensionality-
+    * reduction twin of the quantization audits: project the 64-dim
+    * embeddings to `outDims` via a SIGNED (±1, Achlioptas 2003) random
+    * projection and measure, over deterministic stride-sampled pairs,
+    * how well squared distances survive (ratio ||Py−Py'||²/(outDims·
+    * ||y−y'||²) in ppm — the quantity JL bounds near 1). This is the
+    * go/no-go gate before swapping a cheap projected index in front of
+    * the exact distance path.
+    *
+    * Exactness: inputs milli-quantize (the pcaPower idiom), the sign
+    * matrix derives from md5 nibble parity of "rp:i:j" (the simhash
+    * nibble trick — no engine RNG anywhere), so projections, squared
+    * distances, and ratios are all INT64 arithmetic, identical on both
+    * engines. INT64 headroom: |y_i| ≤ 64·|x|_∞·10³, so the ppm-scaled
+    * projected distance stays under ~10¹⁸ for unit-scale embeddings.
+    *
+    * Scale shape: the sign table is outDims·64 rows from ONE range (no
+    * driver loop), broadcast into the posexplode stream; projection is
+    * a map-side partial aggregate keyed (vec_id, i) — vec_id is the
+    * scan's partition key, so nothing corpus-sized shuffles; each
+    * stride's pair join is key-equi on vec_id. Pairs with d2_orig = 0
+    * (exact duplicates) are excluded — their ratio is undefined and
+    * the dedup family owns them. */
+  def randomProjectionAudit(emb: DataFrame, outDims: Int = 16,
+      strides: Seq[Int] = Seq(1, 17, 289)): DataFrame = {
+    val spark = emb.sparkSession
+    val signs = spark.range(outDims * 64L)
+      .select(expr("id div 64").as("i"), expr("id % 64").as("j"))
+      .withColumn("a",
+        ascii(substring(md5(concat(lit("rp:"), col("i"), lit(":"), col("j"))), 1, 1)))
+      .withColumn("s",
+        ((col("a") - when(col("a") >= 97, lit(87)).otherwise(lit(48)))
+          .bitwiseAND(lit(1)) * 2 - 1).cast("long"))
+      .select(col("i"), col("j"), col("s"))
+    val xq = Materialize.stage(emb.select(col("vec_id"),
+      expr("transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE) * 1000.0" +
+        " + 0.5) AS BIGINT))").as("xq")))
+    val proj = xq
+      .select(col("vec_id"), posexplode(col("xq")).as(Seq("j", "xj")))
+      .join(broadcast(signs), "j")
+      .groupBy(col("vec_id"), col("i"))
+      .agg(sum(col("s") * col("xj")).as("y"))
+    val t = Materialize.stage(xq.join(
+      proj.groupBy("vec_id").agg(
+        expr("transform(array_sort(collect_list(struct(i, y))), s -> s.y)")
+          .as("yq")),
+      "vec_id"))
+    val pairRatios = strides.map { k =>
+      t.as("a").join(t.as("b"), col("b.vec_id") === col("a.vec_id") + k)
+        .select(lit(k.toLong).as("stride"),
+          expr("aggregate(zip_with(a.xq, b.xq, (x, v) -> (x - v) * (x - v))," +
+            " CAST(0 AS BIGINT), (acc, v) -> acc + v)").as("d2_orig"),
+          expr("aggregate(zip_with(a.yq, b.yq, (x, v) -> (x - v) * (x - v))," +
+            " CAST(0 AS BIGINT), (acc, v) -> acc + v)").as("d2_proj"))
+    }.reduce(_ unionAll _)
+    pairRatios
+      .filter(col("d2_orig") > 0)
+      .withColumn("ratio_ppm",
+        expr(s"(1000000 * d2_proj) div ($outDims * d2_orig)"))
+      .groupBy("stride")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(ratio_ppm) div count(1)").as("mean_ratio_ppm"),
+        min(col("ratio_ppm")).as("min_ratio_ppm"),
+        max(col("ratio_ppm")).as("max_ratio_ppm"),
+        expr("(1000 * sum(CASE WHEN ratio_ppm BETWEEN 800000 AND 1200000" +
+          " THEN 1 ELSE 0 END)) div count(1)").as("within20_permille"))
+      .orderBy("stride")
+  }
 }

@@ -695,7 +695,63 @@ object SimilarityQueries {
           |  CAST(sum(abs(rq)) // count(*) AS BIGINT) AS mean_abs_q4,
           |  CAST(max(abs(rq)) AS BIGINT) AS max_abs_q4
           |FROM r GROUP BY label ORDER BY label""".stripMargin)),
+
+    // Johnson–Lindenstrauss ±1 projection (64 → 16 dims) with the
+    // distance-distortion audit over stride-sampled pairs — md5-parity
+    // signs, milli-quantized inputs, all-INT64 ratios on both engines
+    QueryDef("random_projection_audit",
+      (s, d) => Similarity.randomProjectionAudit(Tables.embeddings(s, d)),
+      Some(rpAuditSql)),
   )
+
+  /** JL-audit oracle: the same md5-nibble-parity sign matrix, integer
+    * projection, and stride pairs; DuckDB list subscripts are 1-based
+    * INTs (the pcaPowerSql convention). outDims/strides interpolate
+    * the operator's defaults. */
+  private def rpAuditSql: String = {
+    val hi = Similarity.Dim + 1
+    s"""WITH xq AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    e -> CAST(floor(CAST(e AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS xq
+       |  FROM embeddings),
+       |sg AS (
+       |  SELECT r // 64 AS i, r % 64 AS j,
+       |    CAST(2 * ((a - CASE WHEN a >= 97 THEN 87 ELSE 48 END) & 1) - 1
+       |         AS BIGINT) AS s
+       |  FROM (
+       |    SELECT r, ascii(substr(md5('rp:' || CAST(r // 64 AS VARCHAR) ||
+       |             ':' || CAST(r % 64 AS VARCHAR)), 1, 1)) AS a
+       |    FROM (SELECT unnest(range(0, ${16 * Similarity.Dim})) AS r) rr) nb),
+       |proj AS (
+       |  SELECT x.vec_id, sg.i,
+       |    CAST(sum(sg.s * x.xq[CAST(sg.j + 1 AS INT)]) AS BIGINT) AS y
+       |  FROM xq x CROSS JOIN sg GROUP BY 1, 2),
+       |ya AS (SELECT vec_id, array_agg(y ORDER BY i) AS yq
+       |       FROM proj GROUP BY vec_id),
+       |t AS (SELECT x.vec_id, x.xq, y.yq FROM xq x JOIN ya y USING (vec_id)),
+       |pr AS (
+       |  SELECT CAST(st.stride AS BIGINT) AS stride,
+       |    CAST(list_sum(list_transform(range(1, $hi), k ->
+       |      (a.xq[CAST(k AS INT)] - b.xq[CAST(k AS INT)]) *
+       |      (a.xq[CAST(k AS INT)] - b.xq[CAST(k AS INT)]))) AS BIGINT)
+       |      AS d2_orig,
+       |    CAST(list_sum(list_transform(range(1, 17), k ->
+       |      (a.yq[CAST(k AS INT)] - b.yq[CAST(k AS INT)]) *
+       |      (a.yq[CAST(k AS INT)] - b.yq[CAST(k AS INT)]))) AS BIGINT)
+       |      AS d2_proj
+       |  FROM (VALUES (1), (17), (289)) st(stride)
+       |  CROSS JOIN t a
+       |  JOIN t b ON b.vec_id = a.vec_id + st.stride),
+       |rt AS (SELECT stride, (1000000 * d2_proj) // (16 * d2_orig) AS ratio_ppm
+       |       FROM pr WHERE d2_orig > 0)
+       |SELECT stride, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(ratio_ppm) // count(*) AS BIGINT) AS mean_ratio_ppm,
+       |  CAST(min(ratio_ppm) AS BIGINT) AS min_ratio_ppm,
+       |  CAST(max(ratio_ppm) AS BIGINT) AS max_ratio_ppm,
+       |  CAST((1000 * sum(CASE WHEN ratio_ppm BETWEEN 800000 AND 1200000
+       |       THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS within20_permille
+       |FROM rt GROUP BY stride ORDER BY stride""".stripMargin
+  }
 
   /** Unrolled power-iteration oracle: round K's w is referenced by
     * both its max and its rescale → AS MATERIALIZED (the established

@@ -814,6 +814,41 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(r.getLong(4) == 1000L)
     assert(r.getLong(3) <= 1000L && r.getLong(3) > 0L)
   }
+
+  test("random_projection_audit: single-coordinate pairs project distance-exactly") {
+    // a ±1 sign projection maps a one-coordinate difference δ to ±δ in
+    // EVERY output dim, so d2_proj = outDims·δ² and the ratio is
+    // exactly 1 (1000000 ppm) whatever the sign matrix says — an
+    // analytic fixed point independent of the md5 parities
+    val base = (0 until 64).map(d => 0.001f * (d + 1))
+    val rows = (0L to 5L).map { v =>
+      val arr = base.toArray
+      // all vecs share base except coordinate 0, stepped 1 milli per
+      // vec — so CONSECUTIVE vecs differ in exactly one coordinate
+      arr(0) = arr(0) + 0.001f * v
+      (v, arr.toSeq, 0)
+    }
+    val emb6 = rows.toDF("vec_id", "embedding", "label")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"),
+        $"label")
+    val out = Similarity.randomProjectionAudit(emb6, 16, Seq(1)).collect()
+    assert(out.length == 1, s"got ${out.toSeq}")
+    val r = out.head
+    assert(r.getAs[Long]("n_pairs") == 5L, s"got $r")
+    assert(r.getAs[Long]("min_ratio_ppm") == 1000000L &&
+      r.getAs[Long]("max_ratio_ppm") == 1000000L &&
+      r.getAs[Long]("within20_permille") == 1000L,
+      s"one-coordinate pairs must project exactly: $r")
+    // real corpus: ratios concentrate near 1 (JL with 16 dims is loose
+    // but unbiased) — bound the mean, don't pin the tails
+    val real = Similarity.randomProjectionAudit(emb).collect()
+    assert(real.nonEmpty)
+    real.foreach { row =>
+      val mean = row.getAs[Long]("mean_ratio_ppm")
+      assert(mean > 500000L && mean < 1600000L,
+        s"mean distortion implausible for JL: $row")
+    }
+  }
 }
 
 /** Single-shot failure injector for the O16 dedup retry spec — a static
