@@ -253,6 +253,42 @@ object Pipeline {
       .orderBy("event_type")
   }
 
+  /** Benford expected leading-digit frequencies in permille,
+    * floor(1000·log10(1 + 1/d) + 0.5) for d = 1..9 — ONE Scala source
+    * interpolated into both the plan and the oracle (the ndcgGains
+    * shared-literal rule; they happen to sum to exactly 1000). */
+  private[graft] val benfordPermille: Seq[Long] =
+    (1 to 9).map(d => math.floor(1000.0 * math.log10(1.0 + 1.0 / d) + 0.5).toLong)
+
+  /** BENFORD LEADING-DIGIT AUDIT — the classic fabricated-data /
+    * broken-feed alarm: the first significant digit of organically
+    * scaled amounts follows log10(1+1/d); a uniform or truncated feed
+    * shows up as large signed deviations. Digit extraction is EXACT:
+    * values are 2-decimal, so round(value·100) is an integer on both
+    * engines and the leading digit is the first character of its
+    * decimal string — no log10/pow roundtrip anywhere near a power-of-
+    * ten boundary. Output per observed digit: count, observed and
+    * expected permille, signed deviation.
+    *
+    * Scale shape: one corpus pass partial-aggregates to ≤ 9 rows; the
+    * total-mass window runs over that 9-row table (the value_histogram
+    * bounded-aggregate class, PlanShapeSpec-allowlisted). */
+  def benfordAudit(events: DataFrame): DataFrame = {
+    val expCol = element_at(array(benfordPermille.map(lit): _*),
+      col("digit").cast("int"))
+    events.select(round(col("value") * 100).cast("long").as("cents"))
+      .filter(col("cents") > 0)
+      .groupBy(substring(col("cents").cast("string"), 1, 1).cast("long")
+        .as("digit"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("total", sum(col("n")).over(Window.partitionBy()))
+      .withColumn("obs_permille", expr("1000 * n div total"))
+      .withColumn("exp_permille", expCol)
+      .select(col("digit"), col("n"), col("obs_permille"), col("exp_permille"),
+        (col("obs_permille") - col("exp_permille")).as("dev_permille"))
+      .orderBy("digit")
+  }
+
   /** first/last/nth window battery: per customer (ordered by order date,
     * then key), the first and last order dates, the second order's key,
     * and the order count — emitted once per customer via rn=1. One

@@ -426,6 +426,30 @@ object PipelineQueries {
           |  bin AS ks_bin
           |FROM rk WHERE rn = 1 ORDER BY event_type""".stripMargin)),
 
+    QueryDef("benford_value_audit",
+      (s, d) => Pipeline.benfordAudit(Tables.events(s, d)), Some {
+        val vals = Pipeline.benfordPermille.zipWithIndex
+          .map { case (p, i) => s"(${i + 1}, ${p})" }.mkString(", ")
+        s"""WITH c AS (
+           |  SELECT CAST(round(value * 100) AS BIGINT) AS cents
+           |  FROM events WHERE CAST(round(value * 100) AS BIGINT) > 0),
+           |dg AS (
+           |  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+           |           AS digit,
+           |         CAST(count(*) AS BIGINT) AS n
+           |  FROM c GROUP BY 1),
+           |e(digit, exp_permille) AS (VALUES $vals),
+           |ob AS (
+           |  SELECT digit, n,
+           |    CAST((1000 * n) // sum(n) OVER () AS BIGINT) AS obs_permille
+           |  FROM dg)
+           |SELECT ob.digit, ob.n, ob.obs_permille,
+           |  CAST(e.exp_permille AS BIGINT) AS exp_permille,
+           |  CAST(ob.obs_permille - e.exp_permille AS BIGINT) AS dev_permille
+           |FROM ob JOIN e ON e.digit = ob.digit
+           |ORDER BY ob.digit""".stripMargin
+      }),
+
     QueryDef("window_first_last",
       (s, d) => Pipeline.firstLastOrders(s, d), Some(
         """SELECT o_custkey,

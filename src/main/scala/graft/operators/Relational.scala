@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.Exact._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -807,5 +807,53 @@ object Relational {
       .union(skew("lineitem.l_orderkey", Tables.lineitem(s, d),
         col("l_orderkey")))
       .orderBy("key_name")
+  }
+
+  /** REFERENTIAL-INTEGRITY AUDIT — the ingestion gate every star
+    * schema needs before joins are trusted: orphan foreign keys
+    * (child rows whose parent is missing — inner joins silently drop
+    * them), NULL foreign keys, and duplicated primary keys (joins
+    * silently FAN OUT through them). One row per check with the bad
+    * and total counts, so the downstream gate can threshold on a rate.
+    *
+    * Each orphan check is ONE left join against the parent's DISTINCT
+    * key set with a conditional count — n_bad and n_total ride the
+    * same aggregate, no anti-join second pass, and the distinct
+    * parent-side build keeps a (hypothetically) dup-keyed parent from
+    * fanning the child scan out. PK checks are count-vs-distinct on
+    * one pass. All equi-shuffles on the audited keys; nothing
+    * corpus-sized crosses. */
+  def fkIntegrity(s: SparkSession, d: String): DataFrame = {
+    def orphans(name: String, child: DataFrame, fk: Column,
+        parentKeys: DataFrame): DataFrame = {
+      val p = parentKeys.distinct()
+        .select(parentKeys.columns.head, parentKeys.columns.tail: _*)
+        .withColumn("has_parent", lit(1))
+      child.select(fk.as("fk"))
+        .join(p.withColumnRenamed(p.columns.head, "fk"), Seq("fk"), "left")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("fk").isNotNull && col("has_parent").isNull, 1L)
+            .otherwise(0L)).as("n_bad"))
+        .select(lit(name).as("check"), col("n_bad"), col("n_total"))
+    }
+    def dupPk(name: String, t: DataFrame, pk: Column): DataFrame =
+      t.agg(count(lit(1)).as("n_total"),
+          (count(lit(1)) - countDistinct(pk)).as("n_bad"))
+        .select(lit(name).as("check"), col("n_bad"), col("n_total"))
+    def nullFk(name: String, t: DataFrame, fk: Column): DataFrame =
+      t.agg(count(lit(1)).as("n_total"),
+          sum(when(fk.isNull, 1L).otherwise(0L)).as("n_bad"))
+        .select(lit(name).as("check"), col("n_bad"), col("n_total"))
+    val cust = Tables.customer(s, d)
+    val ord = Tables.orders(s, d)
+    val li = Tables.lineitem(s, d)
+    orphans("orders_orphan_custkey", ord, col("o_custkey"),
+        cust.select(col("c_custkey")))
+      .union(orphans("lineitem_orphan_orderkey", li, col("l_orderkey"),
+        ord.select(col("o_orderkey"))))
+      .union(dupPk("customer_dup_pk", cust, col("c_custkey")))
+      .union(dupPk("orders_dup_pk", ord, col("o_orderkey")))
+      .union(nullFk("orders_null_custkey", ord, col("o_custkey")))
+      .orderBy("check")
   }
 }

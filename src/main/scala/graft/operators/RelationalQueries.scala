@@ -444,6 +444,38 @@ object RelationalQueries {
 
     // join-key skew diagnostics: key-grain (max freq over mean) and
     // partition-grain (rows per md5-bucket mod 32) skew in permille
+    QueryDef("fk_integrity",
+      (s, d) => Relational.fkIntegrity(s, d), Some(
+        """SELECT 'orders_orphan_custkey' AS "check",
+          |  CAST(sum(CASE WHEN o_custkey IS NOT NULL AND c.c_custkey IS NULL
+          |       THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+          |  CAST(count(*) AS BIGINT) AS n_total
+          |FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+          |  ON c.c_custkey = o.o_custkey
+          |UNION ALL
+          |SELECT 'lineitem_orphan_orderkey',
+          |  CAST(sum(CASE WHEN l_orderkey IS NOT NULL AND o.o_orderkey IS NULL
+          |       THEN 1 ELSE 0 END) AS BIGINT),
+          |  CAST(count(*) AS BIGINT)
+          |FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+          |  ON o.o_orderkey = l.l_orderkey
+          |UNION ALL
+          |SELECT 'customer_dup_pk',
+          |  CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT),
+          |  CAST(count(*) AS BIGINT)
+          |FROM customer
+          |UNION ALL
+          |SELECT 'orders_dup_pk',
+          |  CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT),
+          |  CAST(count(*) AS BIGINT)
+          |FROM orders
+          |UNION ALL
+          |SELECT 'orders_null_custkey',
+          |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+          |  CAST(count(*) AS BIGINT)
+          |FROM orders
+          |ORDER BY "check"""".stripMargin)),
+
     QueryDef("key_skew_stats",
       (s, d) => Relational.keySkewStats(s, d),
       Some {

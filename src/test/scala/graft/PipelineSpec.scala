@@ -682,6 +682,29 @@ class PipelineSpec extends SparkSpec {
       s"got ${r2.toSeq}")
   }
 
+  test("benford_value_audit: exact digit extraction and permille arithmetic") {
+    // one value per digit 1..9, plus power-of-ten boundary cases that
+    // a log10-based digit would get wrong at float precision
+    val vals = (1 to 9).map(_.toDouble) ++ Seq(100.00, 99.99, 0.01)
+    val df = vals.zipWithIndex
+      .map { case (v, i) => (i.toLong, "view", v) }
+      .toDF("event_id", "event_type", "value")
+    val out = Pipeline.benfordAudit(df).collect()
+    val byDigit = out.map(r => r.getLong(0) -> r).toMap
+    // 12 values: digit 1 gets {1.0, 100.00, 0.01} = 3, digit 9 gets
+    // {9.0, 99.99} = 2, digits 2..8 one each
+    assert(byDigit(1L).getLong(1) == 3L && byDigit(9L).getLong(1) == 2L,
+      s"boundary digits wrong: ${out.toSeq}")
+    (2 to 8).foreach(d => assert(byDigit(d.toLong).getLong(1) == 1L))
+    out.foreach { r =>
+      assert(r.getLong(2) == 1000L * r.getLong(1) / 12 &&
+        r.getLong(4) == r.getLong(2) - r.getLong(3), s"arithmetic: $r")
+    }
+    // the interpolated Benford table itself: permilles sum to 1000
+    assert(Pipeline.benfordPermille.sum == 1000L &&
+      Pipeline.benfordPermille.head == 301L)
+  }
+
   test("lang_source_mi: MI is 0 under independence and H under determinism") {
     def docs(rows: Seq[(String, String)]) =
       rows.zipWithIndex.map { case ((l, s), i) => (i.toLong, l, s) }

@@ -290,10 +290,13 @@ class PlanShapeSpec extends SparkSpec {
     // (zipf_alpha de-allowlisted in round 11: its vocabulary ranking
     // now runs under the zipfRanks three-level partitioned
     // decomposition — no unpartitioned window anywhere in its plan.)
+    // benford_value_audit's total-mass window runs over the ≤9-row
+    // leading-digit aggregate — the value_histogram bin-table class
+    // (guard-commented at the definition).
     val allowedGlobal = Set("window_monthly_lag", "value_histogram",
       "cumulative_users", "recursive_quarterly_ema", "hybrid_search_rrf",
       "md5_global_rank", "negative_samples", "search_eval_ndcg",
-      "sequence_packing")
+      "sequence_packing", "benford_value_audit")
     assert(offenders.forall(allowedGlobal),
       s"unpartitioned windows outside the allowed exceptions: $offenders")
   }

@@ -115,4 +115,23 @@ class RelationalSpec extends SparkSpec {
       assert(r.getLong(5) <= r.getLong(6), "part_min <= part_max")
     }
   }
+
+  test("fk_integrity: five checks, totals match table counts, fixture is clean") {
+    val rows = operators.Relational.fkIntegrity(spark, sf0001).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("customer_dup_pk",
+      "lineitem_orphan_orderkey", "orders_dup_pk", "orders_null_custkey",
+      "orders_orphan_custkey"))
+    val byCheck = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2))).toMap
+    val nOrd = Tables.orders(spark, sf0001).count()
+    assert(byCheck("orders_orphan_custkey")._2 == nOrd &&
+      byCheck("orders_dup_pk")._2 == nOrd &&
+      byCheck("orders_null_custkey")._2 == nOrd)
+    assert(byCheck("lineitem_orphan_orderkey")._2 ==
+      Tables.lineitem(spark, sf0001).count())
+    assert(byCheck("customer_dup_pk")._2 ==
+      Tables.customer(spark, sf0001).count())
+    // the driver fixture is referentially clean — every check reads 0
+    rows.foreach(r => assert(r.getLong(1) == 0L, s"fixture not clean: $r"))
+  }
 }
