@@ -253,6 +253,68 @@ object Pipeline {
       .orderBy("event_type")
   }
 
+  /** POPULATION STABILITY INDEX — the ML-ops drift companion of
+    * [[ksDrift]]: where KS reports the worst single CDF gap, PSI
+    * Σ_b (p_b − q_b)·ln(p_b/q_b) accumulates mass-weighted log-ratio
+    * drift across all bins (every term ≥ 0; industry rule of thumb:
+    * < 0.1 stable, > 0.25 act). Same width-quantized grid as ksDrift;
+    * a compared-type bin with no reference mass is excluded from the
+    * sum (its log-ratio is infinite — the standard finite-sample
+    * convention) and counted in n_bins_skipped so the gate sees when
+    * exclusions carry real mass; reference-only bins are out of scope
+    * (ksDrift's CDF gap covers that direction).
+    *
+    * Exactness: the quantized-ln ladder (1e-4 units per ln factor,
+    * the docEntropy pattern) over integer cross-multiplied mass
+    * differences — per bin dm·t4 with dm = p·n_ref − q·n, t4 =
+    * ln4(p)+ln4(n_ref)−ln4(q)−ln4(n); the ÷(n·n_ref) lift happens
+    * once post-sum. Per-bin products are summed in DECIMAL(38,0)
+    * (HUGEINT on the oracle side): |dm| ≤ n·n_ref, so INT64 would
+    * overflow past ~10⁵ rows per type × wide grids. Quantization can
+    * leave an epsilon-negative total — sign/abs floor-div guard.
+    *
+    * Scale shape: identical to ksDrift — one corpus pass to the
+    * domain-bounded (bin, type) table; totals are windows partitioned
+    * per type over that table; the ref join is bin-keyed. */
+  def psiDrift(events: DataFrame, refType: String = "view",
+      width: Double = 1.0): DataFrame = {
+    def ln4(c: Column): Column =
+      floor(log(c.cast("double")) * lit(10000.0) + lit(0.5))
+    val counts = events
+      .groupBy(floor(col("value") / width).cast("long").as("bin"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("event_type"))))
+    val ref = counts.filter(col("event_type") === refType)
+      .select(col("bin"), col("cnt").as("q"), col("n").as("n_ref"))
+    counts.filter(col("event_type") =!= refType)
+      // left join: the compared side drives. n_bins_skipped counts the
+      // compared type's bins with no reference mass; reference-only
+      // bins are excluded entirely (attributing them per compared type
+      // needs the full grid — ksDrift's CDF covers that direction)
+      .join(ref, Seq("bin"), "left")
+      .withColumn("used", col("q").isNotNull)
+      .withColumn("dm",
+        when(col("used"),
+          col("cnt") * col("n_ref") - col("q") * col("n")).otherwise(lit(0L)))
+      .withColumn("t4",
+        when(col("used"),
+          ln4(col("cnt")) + ln4(col("n_ref")) - ln4(col("q")) - ln4(col("n")))
+          .otherwise(lit(0L)))
+      .groupBy(col("event_type"), col("n"))
+      .agg(max(col("n_ref")).as("n_ref"),
+        sum(when(col("used"), 1L).otherwise(0L)).as("n_bins_used"),
+        sum(when(col("used"), 0L).otherwise(1L)).as("n_bins_skipped"),
+        sum((col("dm") * col("t4")).cast(DecimalType38)).as("s"))
+      .select(col("event_type"), col("n"), col("n_ref"),
+        col("n_bins_used"), col("n_bins_skipped"),
+        expr("CAST(CASE WHEN s < 0 THEN -1 ELSE 1 END * " +
+          "((100 * abs(s)) div (n * n_ref)) AS BIGINT)").as("psi_micro"))
+      .orderBy("event_type")
+  }
+
+  private val DecimalType38 = org.apache.spark.sql.types.DecimalType(38, 0)
+
   /** Benford expected leading-digit frequencies in permille,
     * floor(1000·log10(1 + 1/d) + 0.5) for d = 1..9 — ONE Scala source
     * interpolated into both the plan and the oracle (the ndcgGains

@@ -426,6 +426,44 @@ object PipelineQueries {
           |  bin AS ks_bin
           |FROM rk WHERE rn = 1 ORDER BY event_type""".stripMargin)),
 
+    QueryDef("psi_drift",
+      (s, d) => Pipeline.psiDrift(Tables.events(s, d)), Some(
+        """WITH counts AS (
+          |  SELECT CAST(floor(value / 1.0) AS BIGINT) AS bin, event_type,
+          |         CAST(count(*) AS BIGINT) AS cnt
+          |  FROM events GROUP BY 1, 2),
+          |ct AS (
+          |  SELECT *, CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT)
+          |         AS n
+          |  FROM counts),
+          |rf AS (SELECT bin, cnt AS q, n AS n_ref FROM ct
+          |       WHERE event_type = 'view'),
+          |j AS (
+          |  SELECT x.event_type, x.n, rf.n_ref,
+          |    rf.q IS NOT NULL AS used,
+          |    CASE WHEN rf.q IS NOT NULL
+          |         THEN x.cnt * rf.n_ref - rf.q * x.n ELSE 0 END AS dm,
+          |    CASE WHEN rf.q IS NOT NULL THEN
+          |      CAST(floor(ln(CAST(x.cnt AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT)
+          |      + CAST(floor(ln(CAST(rf.n_ref AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT)
+          |      - CAST(floor(ln(CAST(rf.q AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT)
+          |      - CAST(floor(ln(CAST(x.n AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT)
+          |      ELSE 0 END AS t4
+          |  FROM (SELECT * FROM ct WHERE event_type <> 'view') x
+          |  LEFT JOIN rf USING (bin)),
+          |a AS (
+          |  SELECT event_type, n, max(n_ref) AS n_ref,
+          |    CAST(sum(CASE WHEN used THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS n_bins_used,
+          |    CAST(sum(CASE WHEN used THEN 0 ELSE 1 END) AS BIGINT)
+          |      AS n_bins_skipped,
+          |    sum(CAST(dm * t4 AS HUGEINT)) AS s
+          |  FROM j GROUP BY 1, 2)
+          |SELECT event_type, n, n_ref, n_bins_used, n_bins_skipped,
+          |  CAST(CASE WHEN s < 0 THEN -1 ELSE 1 END *
+          |       ((100 * abs(s)) // (n * n_ref)) AS BIGINT) AS psi_micro
+          |FROM a ORDER BY event_type""".stripMargin)),
+
     QueryDef("benford_value_audit",
       (s, d) => Pipeline.benfordAudit(Tables.events(s, d)), Some {
         val vals = Pipeline.benfordPermille.zipWithIndex

@@ -682,6 +682,35 @@ class PipelineSpec extends SparkSpec {
       s"got ${r2.toSeq}")
   }
 
+  test("psi_drift: identical distributions read ~0, known shift reproduces hand arithmetic") {
+    def ev(rows: Seq[(String, Double)]) =
+      rows.zipWithIndex.map { case ((t, v), i) => (i.toLong, t, v) }
+        .toDF("event_id", "event_type", "value")
+    // identical mass in every bin -> every dm is exactly 0
+    val same = ev((1 to 40).flatMap(i =>
+      Seq(("view", i.toDouble), ("click", i.toDouble))))
+    val r0 = Pipeline.psiDrift(same).collect()
+    assert(r0.length == 1 && r0(0).getAs[Long]("psi_micro") == 0L &&
+      r0(0).getAs[Long]("n_bins_skipped") == 0L, s"got ${r0.toSeq}")
+    // 2-bin hand case: ref 10/10, compared 15/5 (n = n_ref = 20).
+    // dm1 = 15*20-10*20 = 100, t4_1 = ln4(15)-ln4(10) = 27081-23026 =
+    // 4055; dm2 = -100, t4_2 = ln4(5)-ln4(10) = 16094-23026 = -6932.
+    // s = 405500 + 693200 = 1098700; psi = (100*s) div 400 = 274675
+    // (true PSI 0.25·ln3 + ... = 0.27465 — inside a quantum)
+    val shift = ev(
+      (1 to 10).map(_ => ("view", 0.5)) ++ (1 to 10).map(_ => ("view", 1.5)) ++
+      (1 to 15).map(_ => ("click", 0.5)) ++ (1 to 5).map(_ => ("click", 1.5)))
+    val r1 = Pipeline.psiDrift(shift).collect()
+    assert(r1.length == 1 && r1(0).getAs[Long]("psi_micro") == 274675L &&
+      r1(0).getAs[Long]("n_bins_used") == 2L, s"got ${r1.toSeq}")
+    // a compared-only bin is skipped, not summed
+    val skewed = ev(Seq(("view", 0.5), ("view", 0.5), ("click", 0.5),
+      ("click", 99.5)))
+    val r2 = Pipeline.psiDrift(skewed).collect()
+    assert(r2(0).getAs[Long]("n_bins_skipped") == 1L &&
+      r2(0).getAs[Long]("n_bins_used") == 1L, s"got ${r2.toSeq}")
+  }
+
   test("benford_value_audit: exact digit extraction and permille arithmetic") {
     // one value per digit 1..9, plus power-of-ten boundary cases that
     // a log10-based digit would get wrong at float precision
