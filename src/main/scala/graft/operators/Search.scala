@@ -331,6 +331,77 @@ object Search {
       .limit(k)
   }
 
+  /** MMR RE-RANKING (Carbonell & Goldstein 1998) — the GRADED
+    * diversifier: where [[bm25SearchDedupFor]] hard-collapses
+    * near-dup clusters, MMR greedily picks argmax of
+    * λ·relevance − (1−λ)·max-similarity-to-already-picked, trading
+    * relevance against redundancy continuously. Relevance is the
+    * rank-linear 10⁶ − (rank−1)·5·10⁴ over the BM25 top-`kCand`
+    * (rank-based, not raw-score-based — MMR needs both terms on one
+    * scale); similarity is exact word-3-gram Jaccard in ppm between
+    * candidate pairs. All integer; ties to the smaller doc_id.
+    *
+    * Scale shape: the candidate set is top-k-BOUNDED (≤ kCand docs),
+    * so the pair-sim self-join (≤ kCand² rows), the kSel greedy
+    * rounds, and their ≤ kCand-row argmax sorts are all constant-size
+    * post-processing of one posting-bounded probe — the standard
+    * rerank-stage contract (a 100 TB corpus changes the probe, not
+    * the rerank). Each round's selection STAGES (Materialize) because
+    * round r's lineage embeds rounds 1..r−1 (the pcaPower unrolled-
+    * loop rule). Gram extraction touches only the ≤ kCand candidate
+    * docs via a semi-join pushed into the documents scan. */
+  def mmrRerank(docs: DataFrame, idx: DataFrame, terms: Seq[String],
+      kSel: Int = 5, lambdaPermille: Long = 500L, kCand: Int = 20,
+      dl: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rw = Window.orderBy(col("score_micro").desc, col("doc_id").asc)
+    // ≤ kCand rows: the unpartitioned rank is the hybrid_search_rrf
+    // bounded-by-construction class (PlanShapeSpec-allowlisted)
+    val cand = Materialize.stage(
+      bm25SearchFor(idx, terms, kCand, dl)
+        .withColumn("rank", row_number().over(rw).cast("long"))
+        .select(col("doc_id"), col("rank"),
+          (lit(1000000L) - (col("rank") - 1) * 50000L).as("rel_ppm")))
+    val grams = Materialize.stage(Dedup.wordGrams(
+        docs.join(cand.select(col("doc_id")), Seq("doc_id"), "semi"))
+      .distinct())
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // both orientations so round lookups are one equi-join
+    val inter = grams.as("x").join(grams.as("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") =!= col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .agg(count(lit(1)).as("ni"))
+    val sims = Materialize.stage(inter
+      .join(sizes.select(col("doc_id").as("da"), col("sz").as("sa")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("sz").as("sb")), "db")
+      .select(col("da"), col("db"),
+        expr("ni * 1000000 div (sa + sb - ni)").as("sim_ppm")))
+    var sel: DataFrame = null
+    for (r <- 1 to kSel) {
+      val remaining =
+        if (sel == null) cand
+        else cand.join(sel.select(col("doc_id")), Seq("doc_id"), "anti")
+      val withSim =
+        if (sel == null) remaining.withColumn("maxsim_ppm", lit(0L))
+        else remaining
+          .join(sims.join(sel.select(col("doc_id").as("db")), "db")
+              .groupBy(col("da").as("doc_id"))
+              .agg(max(col("sim_ppm")).as("ms")),
+            Seq("doc_id"), "left")
+          .withColumn("maxsim_ppm", coalesce(col("ms"), lit(0L)))
+      val pick = withSim
+        .withColumn("mmr",
+          lit(lambdaPermille) * col("rel_ppm") -
+            lit(1000L - lambdaPermille) * col("maxsim_ppm"))
+        .orderBy(col("mmr").desc, col("doc_id").asc)
+        .limit(1)
+        .select(lit(r.toLong).as("pick"), col("doc_id"), col("rank"),
+          col("rel_ppm"), col("maxsim_ppm"), col("mmr"))
+      sel = Materialize.stage(if (sel == null) pick else sel.unionAll(pick))
+    }
+    sel.orderBy("pick")
+  }
+
   /** RETRIEVAL EVALUATION: NDCG@k of the BM25 ranking for an explicit
     * query, scored against a deterministic binary relevance oracle —
     * a document is relevant iff it contains ALL query terms (the

@@ -165,6 +165,76 @@ object SearchQueries {
        |FROM rk WHERE rn = 1
        |ORDER BY score_micro DESC, doc_id ASC LIMIT 20""".stripMargin
 
+  /** MMR oracle: the explicit-query BM25 chain feeds a rank-linear
+    * relevance table; candidate-pair word-3-gram Jaccard in ppm; the
+    * kSel greedy rounds unroll as MATERIALIZED CTEs (round r reads
+    * every earlier round — the pcaPowerSql unrolled-loop rule).
+    * λ = 500 permille and the 5·10⁴ rank step interpolate the
+    * operator's defaults. */
+  private def mmrSql(kSel: Int = 5): String = {
+    val rounds = (2 to kSel).map { r =>
+      val selUnion = (1 until r)
+        .map(i => s"SELECT doc_id FROM s$i").mkString(" UNION ALL ")
+      s"""s$r AS MATERIALIZED (
+         |  SELECT CAST($r AS BIGINT) AS pick, c.doc_id, c.rank, c.rel_ppm,
+         |    CAST(coalesce(mx.ms, 0) AS BIGINT) AS maxsim_ppm,
+         |    CAST(500 * c.rel_ppm - 500 * coalesce(mx.ms, 0) AS BIGINT) AS mmr
+         |  FROM r0 c
+         |  LEFT JOIN (SELECT sm.da AS doc_id, CAST(max(sm.sim_ppm) AS BIGINT) AS ms
+         |             FROM sm JOIN ($selUnion) sel ON sel.doc_id = sm.db
+         |             GROUP BY 1) mx ON mx.doc_id = c.doc_id
+         |  WHERE c.doc_id NOT IN ($selUnion)
+         |  ORDER BY mmr DESC, c.doc_id ASC LIMIT 1),""".stripMargin
+    }.mkString("\n")
+    val allRounds = (1 to kSel)
+      .map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")
+    s"""WITH $tfCtes,
+       |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |q AS (SELECT term, df FROM dft WHERE term IN $explicitTerms),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+       |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+       |w AS (
+       |  SELECT t.doc_id, t.tf,
+       |    CAST(floor((1000000.0 * ln(((st.n_docs - q.df + 0.5) / (q.df + 0.5)) + 1.0)) *
+       |         ((t.tf * 2.2) / (t.tf + (1.2 * (0.25 + (0.75 * (d.dl / st.avgdl))))))) AS BIGINT) AS w
+       |  FROM tf t JOIN q USING (term) JOIN dl d ON d.doc_id = t.doc_id
+       |  CROSS JOIN st),
+       |sc AS (
+       |  SELECT doc_id, CAST(sum(w) AS BIGINT) AS score_micro,
+       |         count(*) AS n_terms_matched, CAST(sum(tf) AS BIGINT) AS total_tf
+       |  FROM w GROUP BY doc_id),
+       |cnd AS (
+       |  SELECT doc_id,
+       |    CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id ASC)
+       |         AS BIGINT) AS rank
+       |  FROM sc QUALIFY rank <= 20),
+       |r0 AS (SELECT doc_id, rank,
+       |         CAST(1000000 - (rank - 1) * 50000 AS BIGINT) AS rel_ppm
+       |       FROM cnd),
+       |tw AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z'']+') AS w2
+       |       FROM documents WHERE doc_id IN (SELECT doc_id FROM cnd)),
+       |cg AS (SELECT DISTINCT doc_id,
+       |         unnest(list_transform(range(1, len(w2) - 1),
+       |           i -> w2[i] || ' ' || w2[i+1] || ' ' || w2[i+2])) AS g2
+       |       FROM tw WHERE len(w2) >= 3),
+       |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS szz FROM cg GROUP BY 1),
+       |ps AS (SELECT x.doc_id AS da, y.doc_id AS db, CAST(count(*) AS BIGINT) AS ni
+       |       FROM cg x JOIN cg y ON x.g2 = y.g2 AND x.doc_id <> y.doc_id
+       |       GROUP BY 1, 2),
+       |sm AS (SELECT da, db, (ni * 1000000) // (sa.szz + sb.szz - ni) AS sim_ppm
+       |       FROM ps JOIN sz sa ON sa.doc_id = ps.da
+       |               JOIN sz sb ON sb.doc_id = ps.db),
+       |s1 AS MATERIALIZED (
+       |  SELECT CAST(1 AS BIGINT) AS pick, doc_id, rank, rel_ppm,
+       |    CAST(0 AS BIGINT) AS maxsim_ppm,
+       |    CAST(500 * rel_ppm AS BIGINT) AS mmr
+       |  FROM r0 ORDER BY mmr DESC, doc_id ASC LIMIT 1),
+       |$rounds
+       |fin AS ($allRounds)
+       |SELECT pick, doc_id, rank, rel_ppm, maxsim_ppm, mmr
+       |FROM fin ORDER BY pick""".stripMargin
+  }
+
   /** NDCG@20 oracle: same literal gain table as the plan (generated
     * from the one Scala source [[Search.ndcgGains]]), relevance = docs
     * containing ALL three terms, ranking = the BM25 leg above. */
@@ -258,6 +328,16 @@ object SearchQueries {
         Seq("data", "query", "spark", "nosuchword"),
         dl = Some(SharedIntermediates.postingsDocLengths(s, d))),
       Some(bm25ExplicitSql)),
+
+    // graded diversification: MMR greedy rerank of the explicit-query
+    // top-20 (λ·rank-relevance − (1−λ)·max word-3-gram Jaccard to the
+    // already-picked set), 5 unrolled integer rounds on both engines
+    QueryDef("mmr_rerank",
+      (s, d) => Search.mmrRerank(graft.Tables.documents(s, d),
+        SharedIntermediates.postings(s, d),
+        Seq("data", "query", "spark", "nosuchword"),
+        dl = Some(SharedIntermediates.postingsDocLengths(s, d))),
+      Some(mmrSql())),
 
     // diversified search: the same explicit-query ranking collapsed to
     // one result per near-dup cluster (cluster map = the dedup

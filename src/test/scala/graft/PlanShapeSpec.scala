@@ -182,6 +182,10 @@ class PlanShapeSpec extends SparkSpec {
       // additionally crossJoins its two ONE-ROW aggregate legs
       // (dcg × idcg — bounded by construction)
       "keyword_search_explicit", "bm25_search_explicit", "search_eval_ndcg",
+      // round-12+: diversified/reranked twins of the explicit probe —
+      // the identical scorer (and its one-row corpus-stat broadcast
+      // scalar); mmr additionally argmaxes over ≤kCand-row rounds
+      "bm25_search_dedup", "mmr_rerank",
       // round-10 incremental-serving twin: identical scorer over the
       // union(base, delta) postings view — same one-row corpus-stat
       // broadcast scalar as bm25_search_explicit
@@ -293,10 +297,12 @@ class PlanShapeSpec extends SparkSpec {
     // benford_value_audit's total-mass window runs over the ≤9-row
     // leading-digit aggregate — the value_histogram bin-table class
     // (guard-commented at the definition).
+    // mmr_rerank ranks the BM25 top-20 candidate set — the
+    // hybrid_search_rrf bounded-by-construction class.
     val allowedGlobal = Set("window_monthly_lag", "value_histogram",
       "cumulative_users", "recursive_quarterly_ema", "hybrid_search_rrf",
       "md5_global_rank", "negative_samples", "search_eval_ndcg",
-      "sequence_packing", "benford_value_audit")
+      "sequence_packing", "benford_value_audit", "mmr_rerank")
     assert(offenders.forall(allowedGlobal),
       s"unpartitioned windows outside the allowed exceptions: $offenders")
   }

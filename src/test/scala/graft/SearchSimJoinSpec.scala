@@ -356,6 +356,43 @@ class SearchSimJoinSpec extends SparkSpec {
     assert(got((0L, 1L)) === 1.0)
   }
 
+  test("mmr_rerank: redundant runner-up is demoted below a diverse lower-ranked doc") {
+    import spark.implicits._
+    // doc 0: most relevant. doc 1: near-copy of doc 0 (same grams,
+    // one extra query term so it ranks #2 on relevance... actually
+    // ranks by BM25; what matters: 1 is gram-identical to 0, 2 is
+    // disjoint). Greedy round 2 must skip 1 (sim penalty 10^6) and
+    // take 2; round 3 takes the leftover 1.
+    val docs = Seq(
+      (0L, "data query spark data query spark data query spark"),
+      (1L, "data query spark data query spark data query"),
+      (2L, "wholly different words about nothing shared here data")
+    ).toDF("doc_id", "text")
+    val idx = Search.postings(docs)
+    val out = Search.mmrRerank(docs, idx,
+      Seq("data", "query", "spark"), kSel = 3).collect()
+    assert(out.map(r => (r.getAs[Long]("pick"), r.getAs[Long]("doc_id")))
+      .toSeq == Seq((1L, 0L), (2L, 2L), (3L, 1L)),
+      s"greedy order wrong: ${out.toSeq}")
+    // the demoted near-copy carries the full similarity penalty, the
+    // diverse pick carries none
+    val byPick = out.map(r => r.getAs[Long]("pick") -> r).toMap
+    assert(byPick(2L).getAs[Long]("maxsim_ppm") == 0L,
+      s"diverse pick penalized: ${byPick(2L)}")
+    assert(byPick(3L).getAs[Long]("maxsim_ppm") > 800000L,
+      s"near-copy not penalized: ${byPick(3L)}")
+    // registry-shape invariants on the real corpus
+    val real = Search.mmrRerank(
+      Tables.documents(spark, sf0001),
+      SharedIntermediates.postings(spark, sf0001),
+      Seq("data", "query", "spark", "nosuchword"),
+      dl = Some(SharedIntermediates.postingsDocLengths(spark, sf0001)))
+      .collect()
+    assert(real.map(_.getAs[Long]("pick")).toSeq == (1L to 5L),
+      s"picks must be 1..5: ${real.toSeq}")
+    assert(real.map(_.getAs[Long]("doc_id")).distinct.length == 5)
+  }
+
   test("bm25_search_dedup: one result per cluster, each the cluster's best scorer") {
     val idx = SharedIntermediates.postings(spark, sf0001)
     val clusters = SharedIntermediates.textClusters(spark, sf0001)
