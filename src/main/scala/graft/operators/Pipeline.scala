@@ -225,10 +225,15 @@ object Pipeline {
     * products to DECIMAL(38,0) on both engines. */
   def ksDrift(events: DataFrame, refType: String = "view",
       width: Double = 1.0): DataFrame = {
-    val counts = events
+    // STAGED: the bin-count aggregate feeds FOUR subtrees (grid bins,
+    // grid types, the grid join, and — through cum — both sides of
+    // the ref join); unstaged, each runs the corpus scan+aggregate as
+    // its own job (the bm25/StageAudit lesson, measured 9.6 s CPU at
+    // sf0.1 vs ~3 staged)
+    val counts = Materialize.stage(events
       .groupBy(floor(col("value") / width).cast("long").as("bin"),
         col("event_type"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("cnt")))
     val grid = counts.select(col("bin")).distinct()
       .crossJoin(counts.select(col("event_type")).distinct())
     val wCum = Window.partitionBy(col("event_type")).orderBy(col("bin"))
@@ -280,10 +285,12 @@ object Pipeline {
       width: Double = 1.0): DataFrame = {
     def ln4(c: Column): Column =
       floor(log(c.cast("double")) * lit(10000.0) + lit(0.5))
-    val counts = events
+    // staged for the same multi-consumer reason as ksDrift's counts
+    // (ref + compared sides both read it)
+    val counts = Materialize.stage(events
       .groupBy(floor(col("value") / width).cast("long").as("bin"),
         col("event_type"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("cnt")))
       .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("event_type"))))
     val ref = counts.filter(col("event_type") === refType)
       .select(col("bin"), col("cnt").as("q"), col("n").as("n_ref"))
