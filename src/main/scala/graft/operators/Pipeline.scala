@@ -220,9 +220,10 @@ object Pipeline {
     * argmax rank all run over that domain-bounded table. The grid
     * cross join is bins × types — both tiny aggregates by construction
     * (PlanShapeSpec-allowlisted BNLJ, the value_histogram bin-table
-    * class). INT64 guard: cum·n_ref ≤ n·n_ref, so the micro arithmetic
-    * holds to ~3·10⁹ rows per compared type; beyond that, lift the two
-    * products to DECIMAL(38,0) on both engines. */
+    * class). INT64 guard: cum·n_ref ≤ n·n_ref holds to ~3·10⁹ rows per
+    * compared type (lift those two cross-products to DECIMAL(38,0) on
+    * both engines beyond that); the 10⁶ micro lift itself rides
+    * DECIMAL/HUGEINT already, so it never tightens that bound. */
   def ksDrift(events: DataFrame, refType: String = "view",
       width: Double = 1.0): DataFrame = {
     // STAGED: the bin-count aggregate feeds FOUR subtrees (grid bins,
@@ -253,7 +254,8 @@ object Pipeline {
     d.withColumn("rn", row_number().over(wArg))
       .filter(col("rn") === 1)
       .select(col("event_type"), col("n"), col("n_ref"),
-        expr("1000000 * dnum div (n * n_ref)").as("ks_micro"),
+        expr("CAST(1000000 * CAST(dnum AS DECIMAL(38,0)) div (n * n_ref)" +
+          " AS BIGINT)").as("ks_micro"),
         col("bin").as("ks_bin"))
       .orderBy("event_type")
   }
@@ -312,7 +314,9 @@ object Pipeline {
       .agg(max(col("n_ref")).as("n_ref"),
         sum(when(col("used"), 1L).otherwise(0L)).as("n_bins_used"),
         sum(when(col("used"), 0L).otherwise(1L)).as("n_bins_skipped"),
-        sum((col("dm") * col("t4")).cast(DecimalType38)).as("s"))
+        // dm lifts to DECIMAL BEFORE the multiply — dm·t4 in INT64
+        // would overflow near 10⁸ rows/type (review finding)
+        sum(col("dm").cast(DecimalType38) * col("t4")).as("s"))
       .select(col("event_type"), col("n"), col("n_ref"),
         col("n_bins_used"), col("n_bins_skipped"),
         expr("CAST(CASE WHEN s < 0 THEN -1 ELSE 1 END * " +

@@ -422,7 +422,8 @@ object PipelineQueries {
           |            ORDER BY dnum DESC, bin) AS rn
           |  FROM d)
           |SELECT event_type, n, n_ref,
-          |  (1000000 * dnum) // (n * n_ref) AS ks_micro,
+          |  CAST((1000000 * CAST(dnum AS HUGEINT)) // (n * n_ref) AS BIGINT)
+          |    AS ks_micro,
           |  bin AS ks_bin
           |FROM rk WHERE rn = 1 ORDER BY event_type""".stripMargin)),
 
@@ -457,7 +458,7 @@ object PipelineQueries {
           |      AS n_bins_used,
           |    CAST(sum(CASE WHEN used THEN 0 ELSE 1 END) AS BIGINT)
           |      AS n_bins_skipped,
-          |    sum(CAST(dm * t4 AS HUGEINT)) AS s
+          |    sum(CAST(dm AS HUGEINT) * t4) AS s
           |  FROM j GROUP BY 1, 2)
           |SELECT event_type, n, n_ref, n_bins_used, n_bins_skipped,
           |  CAST(CASE WHEN s < 0 THEN -1 ELSE 1 END *

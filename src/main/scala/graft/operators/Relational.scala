@@ -826,9 +826,7 @@ object Relational {
   def fkIntegrity(s: SparkSession, d: String): DataFrame = {
     def orphans(name: String, child: DataFrame, fk: Column,
         parentKeys: DataFrame): DataFrame = {
-      val p = parentKeys.distinct()
-        .select(parentKeys.columns.head, parentKeys.columns.tail: _*)
-        .withColumn("has_parent", lit(1))
+      val p = parentKeys.distinct().withColumn("has_parent", lit(1))
       child.select(fk.as("fk"))
         .join(p.withColumnRenamed(p.columns.head, "fk"), Seq("fk"), "left")
         .agg(count(lit(1)).as("n_total"),

@@ -243,18 +243,26 @@ object Search {
     * semantics as [[keywordSearchFor]] (unknown terms contribute
     * nothing; all-OOV → empty result). */
   def bm25SearchFor(idx: DataFrame, terms: Seq[String],
-      k: Int = 20, dl: Option[DataFrame] = None): DataFrame = {
+      k: Int = 20, dl: Option[DataFrame] = None): DataFrame =
+    scoreBm25AllFor(idx, terms, dl)
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+      .limit(k)
+
+  /** Shared probe core of [[bm25SearchFor]] and [[bm25SearchDedupFor]]
+    * (review finding: the isin/stage/df chain had been copied): the
+    * posting-list-bounded explicit-query score table WITHOUT the final
+    * top-k cut. The static isin reaches the scan; the only corpus-wide
+    * piece left is the narrow doc-length aggregate — pass a precomputed
+    * `dl` (SharedIntermediates.postingsDocLengths) to amortize it away
+    * (values are identical either way). tf stages for the same reason
+    * as [[bm25Search]]: the df broadcast leg would otherwise re-run
+    * the probe scan as a separate job. */
+  private def scoreBm25AllFor(idx: DataFrame, terms: Seq[String],
+      dl: Option[DataFrame]): DataFrame = {
     require(terms.nonEmpty, "query needs at least one term")
-    // same posting-list-bounded probe shape as [[keywordSearchFor]]:
-    // the static isin reaches the scan; the only corpus-wide piece left
-    // is the narrow doc-length aggregate — pass a precomputed `dl`
-    // (SharedIntermediates.postingsDocLengths) to amortize it away
-    // (values are identical either way)
     val sub = idx.filter(col("tok").isin(terms.map(_.toLowerCase): _*))
-    // staged for the same reason as [[bm25Search]]: the df broadcast
-    // leg would otherwise re-run the probe scan as a separate job
     val tf = Materialize.stage(termFreq(sub))
-    scoreBm25(idx, tf, tf.groupBy("term").agg(count(lit(1)).as("df")), k, dl)
+    scoreBm25All(idx, tf, tf.groupBy("term").agg(count(lit(1)).as("df")), dl)
   }
 
   private def scoreBm25(idx: DataFrame, tf: DataFrame, q: DataFrame,
@@ -308,13 +316,7 @@ object Search {
   def bm25SearchDedupFor(idx: DataFrame, terms: Seq[String],
       clusters: DataFrame, k: Int = 20,
       dl: Option[DataFrame] = None): DataFrame = {
-    require(terms.nonEmpty, "query needs at least one term")
-    val sub = idx.filter(col("tok").isin(terms.map(_.toLowerCase): _*))
-    // staged for the same reason as [[bm25SearchFor]]: the df broadcast
-    // leg would otherwise re-run the probe scan as a separate job
-    val tf = Materialize.stage(termFreq(sub))
-    val scores = scoreBm25All(idx, tf,
-      tf.groupBy("term").agg(count(lit(1)).as("df")), dl)
+    val scores = scoreBm25AllFor(idx, terms, dl)
       .join(clusters.select(col("doc_id"), col("cluster_id")),
         Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
@@ -353,7 +355,6 @@ object Search {
   def mmrRerank(docs: DataFrame, idx: DataFrame, terms: Seq[String],
       kSel: Int = 5, lambdaPermille: Long = 500L, kCand: Int = 20,
       dl: Option[DataFrame] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val rw = Window.orderBy(col("score_micro").desc, col("doc_id").asc)
     // ≤ kCand rows: the unpartitioned rank is the hybrid_search_rrf
     // bounded-by-construction class (PlanShapeSpec-allowlisted)

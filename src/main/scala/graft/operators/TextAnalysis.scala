@@ -1543,8 +1543,11 @@ object TextAnalysis {
     * (lang, source) cell table — bounded by the DOMAIN product
     * (languages × sources), not N — then the marginal windows and the
     * final one-row aggregate run over that bounded table. Counts are
-    * BIGINT throughout; c·ln4(c) peaks at ~n·ln4(n) ≈ n·4·10⁵, so the
-    * micro arithmetic stays inside INT64 to n ≈ 10¹³ docs. */
+    * BIGINT throughout; c·ln4(c) peaks at ~n·ln4(n) ≈ n·4·10⁵, inside
+    * INT64 to n ≈ 10¹³ docs, and the ×100 micro lift rides
+    * DECIMAL(38,0) (review finding: in INT64 the lift would overflow
+    * ~100× earlier and silently wrap) so that bound is the binding
+    * one. */
   def langSourceMi(docs: DataFrame): DataFrame = {
     def ln4(c: Column): Column =
       floor(log(c.cast("double")) * lit(10000.0) + lit(0.5))
@@ -1562,10 +1565,12 @@ object TextAnalysis {
         sum(col("c") * ln4(col("cs"))).as("ss4"))
       .withColumn("lnn4", ln4(col("n_docs")))
       .select(col("n_docs"), col("n_langs"), col("n_sources"),
-        expr("100 * (n_docs * lnn4 - sl4) div n_docs").as("h_lang_micro"),
-        expr("100 * (n_docs * lnn4 - ss4) div n_docs").as("h_source_micro"),
+        expr("CAST(100 * CAST(n_docs * lnn4 - sl4 AS DECIMAL(38,0))" +
+          " div n_docs AS BIGINT)").as("h_lang_micro"),
+        expr("CAST(100 * CAST(n_docs * lnn4 - ss4 AS DECIMAL(38,0))" +
+          " div n_docs AS BIGINT)").as("h_source_micro"),
         expr("CAST(CASE WHEN n_docs * lnn4 + sj4 - sl4 - ss4 < 0 THEN -1 ELSE 1 END * " +
-          "((100 * abs(n_docs * lnn4 + sj4 - sl4 - ss4)) div n_docs) AS BIGINT)")
-          .as("mi_micro"))
+          "(100 * CAST(abs(n_docs * lnn4 + sj4 - sl4 - ss4) AS DECIMAL(38,0)) div n_docs)" +
+          " AS BIGINT)").as("mi_micro"))
   }
 }

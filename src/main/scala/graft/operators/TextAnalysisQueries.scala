@@ -933,10 +933,13 @@ object TextAnalysisQueries {
           |    CAST(sum(c * CAST(floor(ln(CAST(cs AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS ss4
           |  FROM m)
           |SELECT n_docs, n_langs, n_sources,
-          |  (100 * (n_docs * lnn4 - sl4)) // n_docs AS h_lang_micro,
-          |  (100 * (n_docs * lnn4 - ss4)) // n_docs AS h_source_micro,
+          |  CAST((100 * CAST(n_docs * lnn4 - sl4 AS HUGEINT)) // n_docs
+          |       AS BIGINT) AS h_lang_micro,
+          |  CAST((100 * CAST(n_docs * lnn4 - ss4 AS HUGEINT)) // n_docs
+          |       AS BIGINT) AS h_source_micro,
           |  CAST(CASE WHEN n_docs * lnn4 + sj4 - sl4 - ss4 < 0 THEN -1 ELSE 1 END *
-          |       ((100 * abs(n_docs * lnn4 + sj4 - sl4 - ss4)) // n_docs) AS BIGINT)
+          |       ((100 * CAST(abs(n_docs * lnn4 + sj4 - sl4 - ss4) AS HUGEINT))
+          |        // n_docs) AS BIGINT)
           |    AS mi_micro
           |FROM (SELECT *,
           |        CAST(floor(ln(CAST(n_docs AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT)
