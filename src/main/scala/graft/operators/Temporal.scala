@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.Exact._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -276,5 +276,127 @@ object Temporal {
     dailyTypePivot(events)
       .unpivot(Array(col("day")), types.map(col).toArray, "event_type", "n_events")
       .orderBy("day", "event_type")
+  }
+
+  /** KAPLAN–MEIER SURVIVAL — the time-to-event operator the funnel
+    * family lacks: the product-limit estimate of "how long from signup
+    * to first purchase", with users who never purchase CENSORED at the
+    * corpus horizon (dropping them would bias conversion fast — the
+    * whole point of KM). Day-grain: duration = floor days from first
+    * signup to first later purchase (event) or to the corpus max
+    * timestamp (censored). Standard convention: same-day censorings
+    * stay in the risk set for that day's deaths.
+    *
+    * Survival is emitted as the EXACT cumulative quantized-ln,
+    * lnS_micro(t) = 100·Σ_{t'≤t, d>0}(ln4(n−d) − ln4(n)) — a product
+    * of ratios is a sum of lns, and the 1e-4-quantized ladder is
+    * engine-exact where Π(1 − d/n) in doubles is order-dependent
+    * (S(t) = exp(lnS_micro/10⁶) for the reader). After an extinction
+    * day (d = n, survival exactly 0) lnS is NULL.
+    *
+    * Scale shape: two filtered per-user aggregates (one shuffle each
+    * on user_id, the scan's partition key), then everything collapses
+    * to the per-DAY table — bounded by the calendar, not by users —
+    * where the risk-set cumsum and lnS windows run (the
+    * value_histogram bounded-aggregate class). The corpus-horizon
+    * scalar is a one-row broadcast (the dedup_savings class). Output
+    * rows: event days only (d > 0), the standard KM step points. */
+  def survivalKm(events: DataFrame): DataFrame = {
+    def ln4(c: Column): Column =
+      floor(log(c.cast("double")) * lit(10000.0) + lit(0.5))
+    val su = events.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("s_ts"))
+    val pu = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val horizon = events.agg(max(col("ts")).as("h_ts"))
+    // after-signup lives in the JOIN condition: a user whose purchases
+    // all precede signup must survive the left join as a NULL row
+    // (censored), not vanish through a post-join filter
+    val firstP = su.join(pu,
+        col("p_user") === col("user_id") && col("p_ts") > col("s_ts"), "left")
+      .groupBy(col("user_id"), col("s_ts"))
+      .agg(min(col("p_ts")).as("fp_ts"))
+    val durations = firstP.crossJoin(broadcast(horizon))
+      .select(
+        // durations are nonnegative by the join condition, so integer
+        // div IS the floor — no float division near a day boundary
+        expr("CASE WHEN fp_ts IS NOT NULL THEN " +
+          "(unix_micros(fp_ts) - unix_micros(s_ts)) div 86400000000 ELSE " +
+          "(unix_micros(h_ts) - unix_micros(s_ts)) div 86400000000 END")
+          .as("t_day"),
+        col("fp_ts").isNotNull.as("is_event"))
+    val byDay = durations.groupBy("t_day")
+      .agg(sum(when(col("is_event"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("is_event"), 0L).otherwise(1L)).as("c"))
+    // day table is calendar-bounded: the unpartitioned windows below
+    // run over ≤ a-few-hundred rows by construction (allowlisted)
+    val wAll = Window.partitionBy()
+    val wCum = Window.orderBy(col("t_day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrev = Window.orderBy(col("t_day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byDay
+      .withColumn("n_risk", sum(col("d") + col("c")).over(wAll) -
+        coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
+      .withColumn("term",
+        when(col("d") > 0 && col("n_risk") > col("d"),
+          ln4(col("n_risk") - col("d")) - ln4(col("n_risk")))
+          .otherwise(lit(0L)))
+      .withColumn("ext",
+        max(when(col("d") === col("n_risk"), 1L).otherwise(0L)).over(wCum))
+      .withColumn("ln_s_micro",
+        when(col("ext") > 0, lit(null).cast("long"))
+          .otherwise(lit(100L) * sum(col("term")).over(wCum)))
+      .filter(col("d") > 0)
+      .select(col("t_day"), col("n_risk"), col("d").as("n_events"),
+        col("c").as("n_censored"), col("ln_s_micro"))
+      .orderBy("t_day")
+  }
+
+  /** TWO-PROPORTION A/B TEST — the experiment-readout operator:
+    * per-variant user counts and purchase-conversion counts, exact
+    * ppm rates, and the pooled two-proportion z² (≡ 1-dof χ²)
+    * significance on the LOG scale. The variant is `user_id % 2` —
+    * the deterministic stand-in for an assignment hash (swap in
+    * `pmod(hash(user_id), 2)` in production; the operator only needs
+    * SOME deterministic 2-way user split).
+    *
+    * Exactness: z² = (x₁n₀ − x₀n₁)²·N / (n₀n₁X(N−X)) is rational, so
+    * ln z² is a ±sum of integer lns — emitted as the quantized-ln
+    * micro value (the lang_source_mi ladder; sqrt/exp never run on
+    * either engine). The gate thresholds ln z² > ln 3.84 ≈ 1.346·10⁶
+    * for 95%. NULL when degenerate (no conversions, all conversions,
+    * or exactly equal rates — z = 0). INT64 guard: the cross products
+    * x·n stay inside INT64 to ~3·10⁹ users per variant; lift them to
+    * DECIMAL(38,0) beyond.
+    *
+    * Scale shape: one pass to per-(variant, user) conversion flags —
+    * partial-aggregated, keyed finer than user_id (the scan's
+    * partition key) — then a 2-row variant table and a 1-row report.
+    * No window, no cross join. */
+  def abConversionZtest(events: DataFrame): DataFrame = {
+    def ln4(e: String): String =
+      s"CAST(floor(ln(CAST(($e) AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT)"
+    val perUser = events
+      .groupBy((col("user_id") % 2).as("variant"), col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("conv"))
+    perUser.groupBy("variant")
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("x"))
+      .agg(
+        sum(when(col("variant") === 0, col("n"))).as("n0"),
+        sum(when(col("variant") === 0, col("x"))).as("x0"),
+        sum(when(col("variant") === 1, col("n"))).as("n1"),
+        sum(when(col("variant") === 1, col("x"))).as("x1"))
+      .select(col("n0"), col("x0"), col("n1"), col("x1"),
+        expr("CASE WHEN n0 > 0 THEN 1000000 * x0 div n0 END").as("p0_ppm"),
+        expr("CASE WHEN n1 > 0 THEN 1000000 * x1 div n1 END").as("p1_ppm"),
+        expr("CASE WHEN n0 > 0 AND n1 > 0 THEN " +
+          "1000000 * x1 div n1 - 1000000 * x0 div n0 END").as("diff_ppm"),
+        expr("CASE WHEN n0 > 0 AND n1 > 0 AND x0 + x1 > 0 " +
+          "AND x0 + x1 < n0 + n1 AND x1 * n0 <> x0 * n1 THEN " +
+          s"100 * (2 * ${ln4("abs(x1 * n0 - x0 * n1)")} + ${ln4("n0 + n1")}" +
+          s" - ${ln4("n0")} - ${ln4("n1")} - ${ln4("x0 + x1")}" +
+          s" - ${ln4("n0 + n1 - x0 - x1")}) END").as("ln_z2_micro"))
   }
 }

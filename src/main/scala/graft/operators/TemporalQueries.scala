@@ -206,6 +206,88 @@ object TemporalQueries {
           |    AS sum_value_milli
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // two-proportion A/B readout: per-variant conversion + pooled z²
+    // significance on the exact quantized-ln scale (z² is rational,
+    // so ln z² is a ±sum of integer lns — no sqrt/exp anywhere)
+    QueryDef("ab_conversion_ztest",
+      (s, d) => Temporal.abConversionZtest(Tables.events(s, d)), Some {
+        def ln4(e: String) =
+          s"CAST(floor(ln(CAST(($e) AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT)"
+        s"""WITH pu AS (
+           |  SELECT user_id % 2 AS variant, user_id,
+           |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+           |  FROM events GROUP BY 1, 2),
+           |bv AS (SELECT variant, CAST(count(*) AS BIGINT) AS n,
+           |         CAST(sum(conv) AS BIGINT) AS x
+           |       FROM pu GROUP BY 1),
+           |a AS (SELECT
+           |  CAST(sum(CASE WHEN variant = 0 THEN n END) AS BIGINT) AS n0,
+           |  CAST(sum(CASE WHEN variant = 0 THEN x END) AS BIGINT) AS x0,
+           |  CAST(sum(CASE WHEN variant = 1 THEN n END) AS BIGINT) AS n1,
+           |  CAST(sum(CASE WHEN variant = 1 THEN x END) AS BIGINT) AS x1
+           |  FROM bv)
+           |SELECT n0, x0, n1, x1,
+           |  CASE WHEN n0 > 0 THEN (1000000 * x0) // n0 END AS p0_ppm,
+           |  CASE WHEN n1 > 0 THEN (1000000 * x1) // n1 END AS p1_ppm,
+           |  CASE WHEN n0 > 0 AND n1 > 0
+           |    THEN (1000000 * x1) // n1 - (1000000 * x0) // n0 END AS diff_ppm,
+           |  CASE WHEN n0 > 0 AND n1 > 0 AND x0 + x1 > 0
+           |    AND x0 + x1 < n0 + n1 AND x1 * n0 <> x0 * n1 THEN
+           |    100 * (2 * ${ln4("abs(x1 * n0 - x0 * n1)")} + ${ln4("n0 + n1")}
+           |      - ${ln4("n0")} - ${ln4("n1")} - ${ln4("x0 + x1")}
+           |      - ${ln4("n0 + n1 - x0 - x1")}) END AS ln_z2_micro
+           |FROM a""".stripMargin
+      }),
+
+    // Kaplan–Meier signup→first-purchase survival; never-purchasers
+    // censored at the corpus horizon; survival as exact cumulative
+    // quantized-ln (a product of ratios is a sum of lns)
+    QueryDef("survival_km",
+      (s, d) => Temporal.survivalKm(Tables.events(s, d)), Some(
+        """WITH su AS (SELECT user_id, min(ts) AS s_ts FROM events
+          |            WHERE event_type = 'signup' GROUP BY 1),
+          |pu AS (SELECT user_id AS p_user, ts AS p_ts FROM events
+          |       WHERE event_type = 'purchase'),
+          |hz AS (SELECT max(ts) AS h_ts FROM events),
+          |fp AS (SELECT su.user_id, su.s_ts, min(p_ts) AS fp_ts
+          |       FROM su LEFT JOIN pu
+          |         ON p_user = su.user_id AND p_ts > su.s_ts
+          |       GROUP BY 1, 2),
+          |dur AS (
+          |  SELECT CASE WHEN fp_ts IS NOT NULL
+          |    THEN (epoch_us(fp_ts) - epoch_us(s_ts)) // 86400000000
+          |    ELSE (epoch_us(h_ts) - epoch_us(s_ts)) // 86400000000 END
+          |      AS t_day,
+          |    fp_ts IS NOT NULL AS is_event
+          |  FROM fp, hz),
+          |bd AS (SELECT t_day,
+          |    CAST(sum(CASE WHEN is_event THEN 1 ELSE 0 END) AS BIGINT) AS d,
+          |    CAST(sum(CASE WHEN is_event THEN 0 ELSE 1 END) AS BIGINT) AS c
+          |  FROM dur GROUP BY 1),
+          |rk AS (SELECT *,
+          |    CAST(sum(d + c) OVER ()
+          |      - coalesce(sum(d + c) OVER (ORDER BY t_day
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |      AS BIGINT) AS n_risk
+          |  FROM bd),
+          |tm AS (SELECT *,
+          |    CASE WHEN d > 0 AND n_risk > d THEN
+          |      CAST(floor(ln(CAST(n_risk - d AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT)
+          |      - CAST(floor(ln(CAST(n_risk AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT)
+          |    ELSE 0 END AS term,
+          |    max(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER (ORDER BY t_day
+          |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ext
+          |  FROM rk),
+          |o0 AS (SELECT t_day, n_risk, d, c,
+          |    CASE WHEN ext > 0 THEN NULL
+          |         ELSE 100 * CAST(sum(term) OVER (ORDER BY t_day
+          |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |              AS BIGINT) END AS ln_s_micro
+          |  FROM tm)
+          |SELECT t_day, n_risk, d AS n_events, c AS n_censored,
+          |  CAST(ln_s_micro AS BIGINT) AS ln_s_micro
+          |FROM o0 WHERE d > 0 ORDER BY t_day""".stripMargin)),
+
     QueryDef("event_funnel",
       (s, d) => Temporal.funnel(Tables.events(s, d)), Some(
         """WITH s AS (

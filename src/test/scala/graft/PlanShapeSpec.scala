@@ -184,8 +184,10 @@ class PlanShapeSpec extends SparkSpec {
       "keyword_search_explicit", "bm25_search_explicit", "search_eval_ndcg",
       // round-12+: diversified/reranked twins of the explicit probe —
       // the identical scorer (and its one-row corpus-stat broadcast
-      // scalar); mmr additionally argmaxes over ≤kCand-row rounds
-      "bm25_search_dedup", "mmr_rerank",
+      // scalar); mmr additionally argmaxes over ≤kCand-row rounds;
+      // survival_km crossJoins the ONE-ROW corpus-horizon scalar
+      // (the dedup_savings class)
+      "bm25_search_dedup", "mmr_rerank", "survival_km",
       // round-10 incremental-serving twin: identical scorer over the
       // union(base, delta) postings view — same one-row corpus-stat
       // broadcast scalar as bm25_search_explicit
@@ -302,7 +304,10 @@ class PlanShapeSpec extends SparkSpec {
     val allowedGlobal = Set("window_monthly_lag", "value_histogram",
       "cumulative_users", "recursive_quarterly_ema", "hybrid_search_rrf",
       "md5_global_rank", "negative_samples", "search_eval_ndcg",
-      "sequence_packing", "benford_value_audit", "mmr_rerank")
+      // survival_km's risk-set/lnS windows run over the calendar-
+      // bounded per-day table (guard-commented at the definition)
+      "sequence_packing", "benford_value_audit", "mmr_rerank",
+      "survival_km")
     assert(offenders.forall(allowedGlobal),
       s"unpartitioned windows outside the allowed exceptions: $offenders")
   }

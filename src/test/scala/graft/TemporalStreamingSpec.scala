@@ -72,6 +72,81 @@ class TemporalStreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("ab_conversion_ztest: hand-computed z² on the ln ladder, degenerate cases NULL") {
+    def ev(rows: Seq[(Long, String)]) =
+      rows.zipWithIndex.map { case ((u, t), i) =>
+        (i.toLong, u, t, "2024-01-01 00:00:00", 0.0) }
+        .toDF("event_id", "user_id", "event_type", "tss", "value")
+        .select($"event_id", $"user_id", $"event_type",
+          $"tss".cast("timestamp").as("ts"), $"value")
+    // 10 users per variant (evens=0, odds=1); x0=2, x1=5:
+    // z² = 30²·20/(10·10·7·13) = 1.978, ln z² = 0.6821 → 682100 micro
+    // on the quantized ladder (hand sum of the six ln4 terms)
+    val base = (0L to 19L).map(u => (u, "view"))
+    val conv = Seq(0L, 2L).map((_, "purchase")) ++
+      Seq(1L, 3L, 5L, 7L, 9L).map((_, "purchase"))
+    val r = operators.Temporal.abConversionZtest(ev(base ++ conv)).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((10L, 2L, 10L, 5L)), s"counts: $r")
+    assert(r.getLong(4) == 200000L && r.getLong(5) == 500000L &&
+      r.getLong(6) == 300000L, s"rates: $r")
+    assert(r.getLong(7) ==
+      100L * (2 * 34012L + 29957L - 23026L - 23026L - 19459L - 25649L),
+      s"ln_z2: $r")
+    // exactly equal rates → z = 0 → NULL significance
+    val eq = ev((0L to 19L).map(u => (u, "view")) ++
+      Seq(0L, 1L).map((_, "purchase")))
+    assert(operators.Temporal.abConversionZtest(eq).collect()(0).isNullAt(7))
+    // zero conversions anywhere → NULL
+    val zero = ev((0L to 19L).map(u => (u, "view")))
+    assert(operators.Temporal.abConversionZtest(zero).collect()(0).isNullAt(7))
+  }
+
+  test("survival_km: hand-computed product-limit, censoring keeps risk-set semantics") {
+    def ev(rows: Seq[(Long, String, String)]) =
+      rows.zipWithIndex.map { case ((u, t, ts), i) =>
+        (i.toLong, u, t, ts, 0.0) }
+        .toDF("event_id", "user_id", "event_type", "tss", "value")
+        .select($"event_id", $"user_id", $"event_type",
+          $"tss".cast("timestamp").as("ts"), $"value")
+    // 4 signups at t0; u1 purchases day 1, u2 day 2; u3/u4 never →
+    // censored at the horizon (day 2); u5 purchased BEFORE signup →
+    // censored too, not dropped. KM: S(1)=4/5·... risk day1 = 5
+    val df = ev(Seq(
+      (1L, "signup", "2024-01-01 00:00:00"),
+      (2L, "signup", "2024-01-01 00:00:00"),
+      (3L, "signup", "2024-01-01 00:00:00"),
+      (4L, "signup", "2024-01-01 00:00:00"),
+      (5L, "signup", "2024-01-01 00:00:00"),
+      (5L, "purchase", "2023-12-31 00:00:00"),
+      (1L, "purchase", "2024-01-02 00:00:00"),
+      (2L, "purchase", "2024-01-03 00:00:00"),
+      (9L, "view", "2024-01-03 00:00:00")))
+    val out = operators.Temporal.survivalKm(df).collect()
+    assert(out.length == 2, s"got ${out.toSeq}")
+    val d1 = out(0); val d2 = out(1)
+    // day 1: 5 at risk, 1 event; lnS = 100·(ln4(4) − ln4(5))
+    assert((d1.getLong(0), d1.getLong(1), d1.getLong(2), d1.getLong(3)) ==
+      ((1L, 5L, 1L, 0L)), s"day1: $d1")
+    assert(d1.getLong(4) == 100L * (13863L - 16094L), s"day1 lnS: $d1")
+    // day 2: 4 at risk (censored-at-2 still in the risk set), 1 event,
+    // 3 censored; lnS adds ln4(3) − ln4(4)
+    assert((d2.getLong(0), d2.getLong(1), d2.getLong(2), d2.getLong(3)) ==
+      ((2L, 4L, 1L, 3L)), s"day2: $d2")
+    assert(d2.getLong(4) == 100L * (13863L - 16094L + 10986L - 13863L),
+      s"day2 lnS: $d2")
+    // extinction: everyone converts on the same day → survival exactly
+    // 0, lnS NULL from that day
+    val ext = ev(Seq(
+      (1L, "signup", "2024-01-01 00:00:00"),
+      (2L, "signup", "2024-01-01 00:00:00"),
+      (1L, "purchase", "2024-01-02 00:00:00"),
+      (2L, "purchase", "2024-01-02 00:00:00")))
+    val eo = operators.Temporal.survivalKm(ext).collect()
+    assert(eo.length == 1 && eo(0).isNullAt(4) &&
+      eo(0).getLong(1) == 2L && eo(0).getLong(2) == 2L, s"got ${eo.toSeq}")
+  }
+
   test("dedup_streamed: planted intra- and cross-batch replays vanish, genuine rows survive") {
     val streamed = EventsStream.dedupStreamedQuery(spark, sf0001)
       .collect().map(_.toSeq).toSet
