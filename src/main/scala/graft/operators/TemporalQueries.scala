@@ -16,6 +16,18 @@ object TemporalQueries {
            |  $sumValue / CAST(count(value) AS DOUBLE) AS avg_value
            |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin)),
 
+    // the FIFTH streamed gate: the tumbling aggregate above executed
+    // as a REAL watermarked stream (state-store windows, sentinel
+    // flush) under the same batch grouping — counts + exact milli sums
+    QueryDef("window_tumbling_streamed",
+      (s, d) => graft.streaming.EventsStream.tumblingStreamedQuery(s, d),
+      Some(
+        """SELECT CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS ws_ms,
+          |  event_type, count(*) AS n_events,
+          |  CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)
+          |    AS sum_value_milli
+          |FROM events GROUP BY 1, 2 ORDER BY ws_ms, event_type""".stripMargin)),
+
     QueryDef("window_sliding",
       (s, d) => Temporal.sliding(Tables.events(s, d)), Some(
         s"""WITH b AS (

@@ -686,6 +686,52 @@ object EventsStream {
       .orderBy("user_id", "session_id")
   }
 
+  /** The FIFTH streamed gate — the canonical streaming operation,
+    * WATERMARKED TUMBLING-WINDOW AGGREGATION, executed for real and
+    * held to the batch `window_tumbling` oracle shape: hourly windows
+    * × event_type with counts and exact milli-quantized value sums
+    * accumulate in the state store and flush append-mode once the
+    * watermark passes each window's end (the sentinel advances it
+    * past the last real window; the sentinel's own still-open window
+    * never reaches the sink, and its type is filtered belt-and-
+    * braces). Values are 2-decimal, so per-event milli quantization
+    * makes the state-store accumulation order-independent — the same
+    * reason sessionize_streamed emits millis. */
+  def tumblingStreamedQuery(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("ts"), col("event_type"),
+        round(col("value") * 1000).cast("long").as("value_milli"))
+    val outSchema = "ws TIMESTAMP, event_type STRING, n_events LONG, " +
+      "sum_value_milli LONG"
+    val maxTsRow = ev.agg(max(unix_millis(col("ts")))).head()
+    if (maxTsRow.isNullAt(0))
+      return spark.createDataFrame(
+        new java.util.ArrayList[Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "ws_ms LONG, event_type STRING, n_events LONG, " +
+            "sum_value_milli LONG"))
+    val maxTs = maxTsRow.getLong(0)
+    val gate = new StreamedGate(spark, "tumb_stream", ev,
+      "ts TIMESTAMP, event_type STRING, value_milli LONG",
+      s => s.withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value_milli")).as("sum_value_milli"))
+        .select(col("w.start").as("ws"), col("event_type"),
+          col("n_events"), col("sum_value_milli")))
+    gate.runOnce()
+    import spark.implicits._
+    gate.append(Seq((new java.sql.Timestamp(maxTs + 2L * 86400000),
+        "zzz_sentinel", 0L))
+      .toDF("ts", "event_type", "value_milli"))
+    gate.runOnce()
+    gate.sink(outSchema)
+      .filter(col("event_type") =!= "zzz_sentinel")
+      .select(unix_millis(col("ws")).as("ws_ms"), col("event_type"),
+        col("n_events"), col("sum_value_milli"))
+      .orderBy("ws_ms", "event_type")
+  }
+
   /** The FOURTH streamed gate — streaming DEDUPLICATION executed for
     * real: exact-duplicate events are PLANTED (every 7th event appears
     * twice inside micro-batch 0; every 13th is replayed again as a

@@ -72,6 +72,20 @@ class TemporalStreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("window_tumbling_streamed equals the batch hourly aggregate (streaming ≡ batch)") {
+    val streamed = EventsStream.tumblingStreamedQuery(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    val batch = Tables.events(spark, sf0001)
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(round($"value" * 1000).cast("long")).as("sum_value_milli"))
+      .select(unix_millis($"w.start").as("ws_ms"), $"event_type",
+        $"n_events", $"sum_value_milli")
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty && streamed == batch,
+      s"stream/batch window tables differ: ${streamed.size} vs ${batch.size}")
+  }
+
   test("ab_conversion_ztest: hand-computed z² on the ln ladder, degenerate cases NULL") {
     def ev(rows: Seq[(Long, String)]) =
       rows.zipWithIndex.map { case ((u, t), i) =>
