@@ -913,6 +913,35 @@ object TextAnalysisQueries {
           |FROM pairs LEFT JOIN inter USING (source_a, source_b)
           |ORDER BY source_a, source_b""".stripMargin)),
 
+    QueryDef("source_lang_entropy",
+      (s, d) => TextAnalysis.sourceLangEntropy(Tables.documents(s, d)), Some(
+        """WITH cells AS (
+          |  SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+          |  FROM documents GROUP BY 1, 2),
+          |rk AS (
+          |  SELECT *, row_number() OVER (PARTITION BY source
+          |            ORDER BY c DESC, lang ASC) AS rn
+          |  FROM cells),
+          |a AS (
+          |  SELECT source,
+          |    CAST(sum(c) AS BIGINT) AS n_docs,
+          |    CAST(count(*) AS BIGINT) AS n_langs,
+          |    max(CASE WHEN rn = 1 THEN lang END) AS top_lang,
+          |    CAST(max(CASE WHEN rn = 1 THEN c END) AS BIGINT) AS top_c,
+          |    CAST(sum(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 10000.0 + 0.5)
+          |         AS BIGINT)) AS BIGINT) AS s4
+          |  FROM rk GROUP BY source)
+          |SELECT source, n_docs, n_langs, top_lang,
+          |  (1000 * top_c) // n_docs AS top_share_permille,
+          |  CAST(CASE WHEN n_docs * ln4n - s4 < 0 THEN -1 ELSE 1 END *
+          |       ((100 * abs(n_docs * ln4n - s4)) // n_docs) AS BIGINT)
+          |    AS entropy_micro
+          |FROM (SELECT *,
+          |        CAST(floor(ln(CAST(n_docs AS DOUBLE)) * 10000.0 + 0.5)
+          |             AS BIGINT) AS ln4n
+          |      FROM a) af
+          |ORDER BY source""".stripMargin)),
+
     QueryDef("lang_source_mi",
       (s, d) => TextAnalysis.langSourceMi(Tables.documents(s, d)), Some(
         """WITH cells AS (

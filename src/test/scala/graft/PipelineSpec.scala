@@ -711,6 +711,27 @@ class PipelineSpec extends SparkSpec {
       r2(0).getAs[Long]("n_bins_used") == 1L, s"got ${r2.toSeq}")
   }
 
+  test("source_lang_entropy: pure source reads 0, uniform mix reads ln k") {
+    def docs(rows: Seq[(String, String)]) =
+      rows.zipWithIndex.map { case ((l, s), i) => (i.toLong, l, s) }
+        .toDF("doc_id", "lang", "source")
+    val df = docs(
+      Seq.fill(8)(("en", "pure")) ++
+      Seq("en", "de", "fr", "es").flatMap(l => Seq.fill(3)((l, "mixed"))))
+    val out = TextAnalysis.sourceLangEntropy(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val p = out("pure")
+    assert(p.getLong(1) == 8L && p.getLong(2) == 1L &&
+      p.getString(3) == "en" && p.getLong(4) == 1000L &&
+      p.getLong(5) == 0L, s"pure: $p")
+    val m = out("mixed")
+    // uniform over 4 langs: H = ln 4 = 1386300 micro on the ladder
+    // (12·ln4(12) − 4·3·ln4(3) = 12·(24849 − 10986) → ·100/12)
+    assert(m.getLong(2) == 4L && m.getLong(4) == 250L &&
+      m.getLong(5) == 100L * (24849L - 10986L), s"mixed: $m")
+    assert(m.getString(3) == "de", "tie must break to the smallest lang")
+  }
+
   test("benford_value_audit: exact digit extraction and permille arithmetic") {
     // one value per digit 1..9, plus power-of-ten boundary cases that
     // a log10-based digit would get wrong at float precision
