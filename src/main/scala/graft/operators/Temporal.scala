@@ -353,6 +353,50 @@ object Temporal {
       .orderBy("t_day")
   }
 
+  /** ORDERED FUNNEL — the strict-sequence product-analytics funnel
+    * [[funnel]] does not express: signup → view → purchase must occur
+    * in TEMPORAL ORDER (each step strictly after the user's earliest
+    * completion of the previous one — the standard "first touch then
+    * progression" convention; a view before signup does not count).
+    * One row per step with users reached and conversion vs step 1.
+    *
+    * Scale shape: a chain of per-user min aggregates, each one
+    * equi-join on user_id (the scan's partition key) with the step
+    * predicate inside the LEFT join condition (the survivalKm lesson:
+    * post-join filters would DROP non-progressing users instead of
+    * keeping them as nulls); the final 3-row unpivot reads one
+    * 1-row count aggregate. */
+  def orderedFunnel(events: DataFrame): DataFrame = {
+    val s1 = events.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val v = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("vu"), col("ts").as("vts"))
+    val s2 = s1.join(v, col("vu") === col("user_id") && col("vts") > col("t1"),
+        "left")
+      .groupBy(col("user_id"), col("t1")).agg(min(col("vts")).as("t2"))
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"))
+    val s3 = s2.join(p, col("pu") === col("user_id") && col("pts") > col("t2"),
+        "left")
+      .groupBy(col("user_id"), col("t1"), col("t2"))
+      .agg(min(col("pts")).as("t3"))
+    s3.agg(count(col("t1")).as("n1"), count(col("t2")).as("n2"),
+        count(col("t3")).as("n3"))
+      .select(explode(array(
+          struct(lit(1L).as("step"), lit("signup").as("step_name"),
+            col("n1").as("n_users")),
+          struct(lit(2L).as("step"), lit("view").as("step_name"),
+            col("n2").as("n_users")),
+          struct(lit(3L).as("step"), lit("purchase").as("step_name"),
+            col("n3").as("n_users")))).as("s"),
+        col("n1"))
+      .select(col("s.step").as("step"), col("s.step_name").as("step_name"),
+        col("s.n_users").as("n_users"),
+        expr("CASE WHEN n1 > 0 THEN 1000 * s.n_users div n1 END")
+          .as("conv_permille"))
+      .orderBy("step")
+  }
+
   /** TWO-PROPORTION A/B TEST — the experiment-readout operator:
     * per-variant user counts and purchase-conversion counts, exact
     * ppm rates, and the pooled two-proportion z² (≡ 1-dof χ²)

@@ -218,6 +218,34 @@ object TemporalQueries {
           |    AS sum_value_milli
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // strict-sequence funnel: signup → view → purchase in temporal
+    // order, each step after the user's earliest previous-step time
+    QueryDef("ordered_funnel",
+      (s, d) => Temporal.orderedFunnel(Tables.events(s, d)), Some(
+        """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+          |            WHERE event_type = 'signup' GROUP BY 1),
+          |s2 AS (SELECT s1.user_id, s1.t1, min(v.ts) AS t2
+          |       FROM s1 LEFT JOIN events v
+          |         ON v.user_id = s1.user_id AND v.event_type = 'view'
+          |            AND v.ts > s1.t1
+          |       GROUP BY 1, 2),
+          |s3 AS (SELECT s2.user_id, s2.t1, s2.t2, min(p.ts) AS t3
+          |       FROM s2 LEFT JOIN events p
+          |         ON p.user_id = s2.user_id AND p.event_type = 'purchase'
+          |            AND p.ts > s2.t2
+          |       GROUP BY 1, 2, 3),
+          |c AS (SELECT CAST(count(t1) AS BIGINT) AS n1,
+          |        CAST(count(t2) AS BIGINT) AS n2,
+          |        CAST(count(t3) AS BIGINT) AS n3 FROM s3),
+          |st(step, step_name) AS (VALUES (1, 'signup'), (2, 'view'),
+          |                               (3, 'purchase'))
+          |SELECT CAST(step AS BIGINT) AS step, step_name,
+          |  CASE step WHEN 1 THEN n1 WHEN 2 THEN n2 ELSE n3 END AS n_users,
+          |  CASE WHEN n1 > 0 THEN
+          |    (1000 * CASE step WHEN 1 THEN n1 WHEN 2 THEN n2 ELSE n3 END) // n1
+          |  END AS conv_permille
+          |FROM st, c ORDER BY step""".stripMargin)),
+
     // two-proportion A/B readout: per-variant conversion + pooled z²
     // significance on the exact quantized-ln scale (z² is rational,
     // so ln z² is a ±sum of integer lns — no sqrt/exp anywhere)

@@ -72,6 +72,34 @@ class TemporalStreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("ordered_funnel: strict temporal order, out-of-order steps do not count") {
+    def ev(rows: Seq[(Long, String, String)]) =
+      rows.zipWithIndex.map { case ((u, t, ts), i) =>
+        (i.toLong, u, t, ts, 0.0) }
+        .toDF("event_id", "user_id", "event_type", "tss", "value")
+        .select($"event_id", $"user_id", $"event_type",
+          $"tss".cast("timestamp").as("ts"), $"value")
+    // u1 completes in order; u2's view precedes signup (step 2 not
+    // reached); u3's purchase precedes its view (step 3 not reached);
+    // u4 never signs up (not in the funnel at all)
+    val df = ev(Seq(
+      (1L, "signup", "2024-01-01 00:00:00"),
+      (1L, "view", "2024-01-01 01:00:00"),
+      (1L, "purchase", "2024-01-01 02:00:00"),
+      (2L, "view", "2024-01-01 00:00:00"),
+      (2L, "signup", "2024-01-01 01:00:00"),
+      (3L, "signup", "2024-01-01 00:00:00"),
+      (3L, "purchase", "2024-01-01 01:00:00"),
+      (3L, "view", "2024-01-01 02:00:00"),
+      (4L, "view", "2024-01-01 00:00:00")))
+    val out = operators.Temporal.orderedFunnel(df).collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq ==
+      Seq((1L, "signup", 3L, 1000L), (2L, "view", 2L, 666L),
+        (3L, "purchase", 1L, 333L)),
+      s"got ${out.toSeq}")
+  }
+
   test("window_tumbling_streamed equals the batch hourly aggregate (streaming ≡ batch)") {
     val streamed = EventsStream.tumblingStreamedQuery(spark, sf0001)
       .collect().map(_.toSeq).toSet
