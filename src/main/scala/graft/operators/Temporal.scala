@@ -353,6 +353,64 @@ object Temporal {
       .orderBy("t_day")
   }
 
+  /** Power-iteration depth of [[markovStationary]] — shared with the
+    * oracle generator so plan and SQL unroll identically. 8 rounds on
+    * a handful of well-connected states lands within a few ppm of the
+    * analytic fixed point (error ~|λ₂|⁸; spec-pinned on a two-state
+    * chain with known π). The CONTRACT is the 8-step orbit itself —
+    * that is what the oracle hash gates. */
+  val MarkovIters = 8
+
+  /** MARKOV STATIONARY DISTRIBUTION — where does user attention
+    * settle? The stationary π of the event-type transition chain
+    * (πP = π), the one-number-per-state summary the transition TABLE
+    * (`event_transitions`) doesn't give. Computed by `MarkovIters`
+    * unrolled power-iteration rounds in EXACT integer arithmetic:
+    * transition probabilities quantized once to ppm, each round
+    * π'_j = Σ_i π_i·p_ij renormalized to Σ = 10⁶ by integer floor-div
+    * — both engines walk the identical orbit (the embeddingPcaPower
+    * contract: the oracle pins the k-step orbit). Σπ_i·p_ij ≤ 10¹²
+    * and the ×10⁶ lift ≤ 10¹⁸, inside INT64 by construction
+    * regardless of corpus size (the matrix is ppm-quantized).
+    *
+    * Scale shape: ONE corpus pass (the lag window, partitioned by
+    * user_id — the scan's partition key) collapses to the
+    * |types|²-row matrix; every round is a join+aggregate over that
+    * domain-bounded table with bounded unpartitioned windows
+    * (allowlisted, the value_histogram class). Each round stages —
+    * round k's lineage embeds rounds 1..k−1 (the pcaPower rule). */
+  def markovStationary(events: DataFrame,
+      iters: Int = MarkovIters): DataFrame = {
+    val wl = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(wl))
+      .filter(col("from_type").isNotNull)
+    val m = Materialize.stage(pairs
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("nij"))
+      .withColumn("ni",
+        sum(col("nij")).over(Window.partitionBy(col("from_type"))))
+      .select(col("from_type"), col("to_type"),
+        expr("1000000 * nij div ni").as("p_ppm")))
+    var v = Materialize.stage(
+      m.select(col("from_type").as("t")).distinct()
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy()))
+        .select(col("t"), expr("1000000 div cnt").as("pi")))
+    for (_ <- 1 to iters) {
+      v = Materialize.stage(
+        v.join(m, col("t") === col("from_type"))
+          .groupBy(col("to_type"))
+          .agg(sum(col("pi") * col("p_ppm")).as("raw"))
+          .withColumn("tot", sum(col("raw")).over(Window.partitionBy()))
+          .select(col("to_type").as("t"),
+            expr("1000000 * raw div tot").as("pi")))
+    }
+    v.select(col("t").as("event_type"), col("pi").as("pi_ppm"))
+      .orderBy("event_type")
+  }
+
   /** ORDERED FUNNEL — the strict-sequence product-analytics funnel
     * [[funnel]] does not express: signup → view → purchase must occur
     * in TEMPORAL ORDER (each step strictly after the user's earliest

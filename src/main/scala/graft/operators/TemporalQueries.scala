@@ -218,6 +218,38 @@ object TemporalQueries {
           |    AS sum_value_milli
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // stationary distribution of the event-type transition chain via
+    // MarkovIters unrolled integer power-iteration rounds (ppm matrix,
+    // floor-div renormalization — the pcaPower orbit contract)
+    QueryDef("markov_stationary",
+      (s, d) => Temporal.markovStationary(Tables.events(s, d)), Some {
+        val rounds = (1 to Temporal.MarkovIters).map { k =>
+          s"""r$k AS (SELECT m.tt AS t, CAST(sum(v.pi * m.p_ppm) AS BIGINT) AS raw
+             |  FROM v${k - 1} v JOIN m ON m.ft = v.t GROUP BY 1),
+             |v$k AS MATERIALIZED (
+             |  SELECT t, CAST((1000000 * raw) // (sum(raw) OVER ()) AS BIGINT)
+             |    AS pi
+             |  FROM r$k),""".stripMargin
+        }.mkString("\n")
+        s"""WITH pr AS (
+           |  SELECT event_type AS tt,
+           |    lag(event_type) OVER (PARTITION BY user_id
+           |        ORDER BY ts, event_id) AS ft
+           |  FROM events),
+           |m AS MATERIALIZED (
+           |  SELECT ft, tt, (1000000 * nij) // ni AS p_ppm FROM (
+           |    SELECT ft, tt, CAST(count(*) AS BIGINT) AS nij,
+           |      CAST(sum(count(*)) OVER (PARTITION BY ft) AS BIGINT) AS ni
+           |    FROM pr WHERE ft IS NOT NULL GROUP BY ft, tt) x),
+           |v0 AS MATERIALIZED (
+           |  SELECT t, CAST(1000000 // (count(*) OVER ()) AS BIGINT) AS pi
+           |  FROM (SELECT DISTINCT ft AS t FROM m) s),
+           |$rounds
+           |fin AS (SELECT t, pi FROM v${Temporal.MarkovIters})
+           |SELECT t AS event_type, pi AS pi_ppm FROM fin
+           |ORDER BY event_type""".stripMargin
+      }),
+
     // strict-sequence funnel: signup → view → purchase in temporal
     // order, each step after the user's earliest previous-step time
     QueryDef("ordered_funnel",

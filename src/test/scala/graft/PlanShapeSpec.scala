@@ -306,8 +306,10 @@ class PlanShapeSpec extends SparkSpec {
       "md5_global_rank", "negative_samples", "search_eval_ndcg",
       // survival_km's risk-set/lnS windows run over the calendar-
       // bounded per-day table (guard-commented at the definition)
+      // markov_stationary's init/renormalize windows run over the
+      // |event-type|-bounded state table (guard-commented there)
       "sequence_packing", "benford_value_audit", "mmr_rerank",
-      "survival_km")
+      "survival_km", "markov_stationary")
     assert(offenders.forall(allowedGlobal),
       s"unpartitioned windows outside the allowed exceptions: $offenders")
   }

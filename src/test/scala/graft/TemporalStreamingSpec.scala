@@ -72,6 +72,31 @@ class TemporalStreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("markov_stationary: symmetric cycle exact, biased chain hits the analytic fixed point") {
+    def ev(types: Seq[String]) =
+      types.zipWithIndex.map { case (t, i) =>
+        (i.toLong, 1L, t, s"2024-01-01 00:${"%02d".format(i)}:00", 0.0) }
+        .toDF("event_id", "user_id", "event_type", "tss", "value")
+        .select($"event_id", $"user_id", $"event_type",
+          $"tss".cast("timestamp").as("ts"), $"value")
+    // perfect A↔B alternation: π = (1/2, 1/2) EXACTLY at every round
+    // (the integer arithmetic is symmetric, so no drift is possible)
+    val cyc = operators.Temporal.markovStationary(
+      ev(Seq("a", "b", "a", "b", "a", "b", "a"))).collect()
+    assert(cyc.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 500000L), ("b", 500000L)), s"got ${cyc.toSeq}")
+    // P(a→a)=3/4, P(a→b)=1/4, P(b→a)=1 → π = (0.8, 0.2); 8 rounds
+    // from uniform decay the error by |λ₂|⁸ = 0.25⁸ → within a few ppm
+    val bias = operators.Temporal.markovStationary(
+      ev(Seq("a", "a", "a", "a", "b", "a", "a", "a", "a", "b", "a")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(bias("a") - 800000L) <= 20 &&
+      math.abs(bias("b") - 200000L) <= 20, s"got $bias")
+    // mass conservation: renormalization keeps Σπ within the
+    // floor-div loss (< |states| ppm)
+    assert(math.abs(bias.values.sum - 1000000L) < 2)
+  }
+
   test("ordered_funnel: strict temporal order, out-of-order steps do not count") {
     def ev(rows: Seq[(Long, String, String)]) =
       rows.zipWithIndex.map { case ((u, t, ts), i) =>
