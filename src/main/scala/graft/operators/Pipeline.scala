@@ -326,6 +326,40 @@ object Pipeline {
 
   private val DecimalType38 = org.apache.spark.sql.types.DecimalType(38, 0)
 
+  /** GROUPED EXACT PERCENTILES — per-group p10/p50/p90 as true order
+    * statistics on the cent grid (the grouped companion of the global
+    * `agg_percentiles`; the approx twin is `agg_approx_percentiles`).
+    * Rank convention: the "lower" order statistic, index
+    * 1 + (q·(n−1)) div 1 computed in pure integer arithmetic
+    * ((n−1) div 10, (n−1) div 2, (9·(n−1)) div 10) — no interpolation,
+    * no doubles, so both engines pick the identical element even when
+    * q·(n−1) is fractional. Ties on the value are irrelevant by
+    * construction (any tied row carries the same cents).
+    *
+    * Scale shape: one rank window PER GROUP (partitioned by
+    * event_type — the honest exact path is a per-group sort; that is
+    * what "exact percentile" costs, and the approx sketch exists for
+    * when it's too much), then a per-group conditional aggregate.
+    * Nothing global, nothing unpartitioned. */
+  def groupedPercentiles(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+    val wn = Window.partitionBy(col("event_type"))
+    events
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("n")).as("n"),
+        max(when(col("rn") === expr("1 + (n - 1) div 10"), col("cents")))
+          .as("p10_cent"),
+        max(when(col("rn") === expr("1 + (n - 1) div 2"), col("cents")))
+          .as("p50_cent"),
+        max(when(col("rn") === expr("1 + (9 * (n - 1)) div 10"), col("cents")))
+          .as("p90_cent"))
+      .orderBy("event_type")
+  }
+
   /** Benford expected leading-digit frequencies in permille,
     * floor(1000·log10(1 + 1/d) + 0.5) for d = 1..9 — ONE Scala source
     * interpolated into both the plan and the oracle (the ndcgGains

@@ -427,6 +427,24 @@ object PipelineQueries {
           |  bin AS ks_bin
           |FROM rk WHERE rn = 1 ORDER BY event_type""".stripMargin)),
 
+    QueryDef("grouped_percentiles",
+      (s, d) => Pipeline.groupedPercentiles(Tables.events(s, d)), Some(
+        """WITH c AS (
+          |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+          |  FROM events),
+          |r AS (
+          |  SELECT event_type, cents,
+          |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY cents)
+          |         AS BIGINT) AS rn,
+          |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+          |  FROM c)
+          |SELECT event_type, max(n) AS n,
+          |  max(CASE WHEN rn = 1 + (n - 1) // 10 THEN cents END) AS p10_cent,
+          |  max(CASE WHEN rn = 1 + (n - 1) // 2 THEN cents END) AS p50_cent,
+          |  max(CASE WHEN rn = 1 + (9 * (n - 1)) // 10 THEN cents END)
+          |    AS p90_cent
+          |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     QueryDef("psi_drift",
       (s, d) => Pipeline.psiDrift(Tables.events(s, d)), Some(
         """WITH counts AS (

@@ -353,6 +353,46 @@ object Temporal {
       .orderBy("t_day")
   }
 
+  /** HOUR-OF-DAY SEASONALITY AUDIT — per event type, the 24-bin
+    * hour-of-day profile reduced to the three numbers a scheduler or
+    * anomaly gate wants: the peak hour with its traffic share, and
+    * the χ² distance from a uniform profile (χ² = Σ(n_h − n/24)² /
+    * (n/24), algebraically = Σ(24·n_h − n)² / (24n) — pure integers,
+    * summed in DECIMAL/HUGEINT since the squares reach 24³·n²).
+    * A flat feed (bot traffic, replayed logs) reads χ² ≈ 0 where
+    * organic diurnal traffic reads large; hours with zero events
+    * still contribute (24·0 − n)² through the n-term identity below.
+    *
+    * Scale shape: one corpus pass to the (type × ≤24 hour) table;
+    * the missing-hour mass is algebraic — Σ over OBSERVED hours of
+    * (24n_h − n)² plus (24 − h_obs)·n² for absent hours — so no grid
+    * completion is needed; windows partition per type over ≤24 rows. */
+  def hourlySeasonality(events: DataFrame): DataFrame = {
+    val byHour = events
+      .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hr"))
+      .agg(count(lit(1)).as("nh"))
+    val wT = Window.partitionBy(col("event_type"))
+    val wPk = Window.partitionBy(col("event_type"))
+      .orderBy(col("nh").desc, col("hr").asc)
+    byHour
+      .withColumn("n", sum(col("nh")).over(wT))
+      .withColumn("rn", row_number().over(wPk))
+      .groupBy(col("event_type"), col("n"))
+      .agg(
+        count(lit(1)).as("h_obs"),
+        max(when(col("rn") === 1, col("hr"))).as("peak_hour"),
+        max(when(col("rn") === 1, col("nh"))).as("peak_nh"),
+        // lift BEFORE the square — (24·n_h − n)² in INT64 would wrap
+        // past n ≈ 1.3·10⁸ (the review-caught overflow class)
+        sum(expr("CAST(24 * nh - n AS DECIMAL(38,0)) * (24 * nh - n)"))
+          .as("s2"))
+      .select(col("event_type"), col("n"), col("peak_hour"),
+        expr("1000 * peak_nh div n").as("peak_share_permille"),
+        expr("CAST(1000000 * (s2 + (24 - h_obs) * (CAST(n AS DECIMAL(38,0)) * n))" +
+          " div (24 * n) AS BIGINT)").as("chi2_uniform_micro"))
+      .orderBy("event_type")
+  }
+
   /** Power-iteration depth of [[markovStationary]] — shared with the
     * oracle generator so plan and SQL unroll identically. 8 rounds on
     * a handful of well-connected states lands within a few ppm of the

@@ -218,6 +218,33 @@ object TemporalQueries {
           |    AS sum_value_milli
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // hour-of-day profile per type: peak hour + share + exact χ² vs
+    // uniform (absent hours contribute algebraically — no grid)
+    QueryDef("hourly_seasonality",
+      (s, d) => Temporal.hourlySeasonality(Tables.events(s, d)), Some(
+        """WITH bh AS (
+          |  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+          |         CAST(count(*) AS BIGINT) AS nh
+          |  FROM events GROUP BY 1, 2),
+          |r AS (
+          |  SELECT *,
+          |    CAST(sum(nh) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+          |    row_number() OVER (PARTITION BY event_type
+          |        ORDER BY nh DESC, hr ASC) AS rn
+          |  FROM bh),
+          |a AS (
+          |  SELECT event_type, n,
+          |    CAST(count(*) AS BIGINT) AS h_obs,
+          |    max(CASE WHEN rn = 1 THEN hr END) AS peak_hour,
+          |    CAST(max(CASE WHEN rn = 1 THEN nh END) AS BIGINT) AS peak_nh,
+          |    sum(CAST(24 * nh - n AS HUGEINT) * (24 * nh - n)) AS s2
+          |  FROM r GROUP BY 1, 2)
+          |SELECT event_type, n, peak_hour,
+          |  (1000 * peak_nh) // n AS peak_share_permille,
+          |  CAST((1000000 * (s2 + (24 - h_obs) * (CAST(n AS HUGEINT) * n)))
+          |       // (24 * n) AS BIGINT) AS chi2_uniform_micro
+          |FROM a ORDER BY event_type""".stripMargin)),
+
     // stationary distribution of the event-type transition chain via
     // MarkovIters unrolled integer power-iteration rounds (ppm matrix,
     // floor-div renormalization — the pcaPower orbit contract)

@@ -72,6 +72,40 @@ class TemporalStreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("hourly_seasonality: uniform profile reads chi2=0, single-hour spike reads 23n") {
+    def ev(hours: Seq[Int]) =
+      hours.zipWithIndex.map { case (h, i) =>
+        (i.toLong, 1L, "view", f"2024-01-01 $h%02d:00:00", 0.0) }
+        .toDF("event_id", "user_id", "event_type", "tss", "value")
+        .select($"event_id", $"user_id", $"event_type",
+          $"tss".cast("timestamp").as("ts"), $"value")
+    // exactly one event per hour: 24·n_h − n = 0 everywhere → χ² = 0
+    val flat = operators.Temporal.hourlySeasonality(ev(0 until 24)).collect()(0)
+    assert(flat.getLong(4) == 0L && flat.getLong(3) == 41L, s"flat: $flat")
+    // all 24 events in hour 5: χ² = 23·n exactly (552 → 552e6 micro)
+    val spike = operators.Temporal.hourlySeasonality(
+      ev(Seq.fill(24)(5))).collect()(0)
+    assert(spike.getLong(2) == 5L && spike.getLong(3) == 1000L &&
+      spike.getLong(4) == 552000000L, s"spike: $spike")
+  }
+
+  test("grouped_percentiles: order statistics hit the exact ranks") {
+    def ev(rows: Seq[(String, Double)]) =
+      rows.zipWithIndex.map { case ((t, v), i) => (i.toLong, t, v) }
+        .toDF("event_id", "event_type", "value")
+    // values 1..100: lower order statistics at ranks 10/50/90
+    val df = ev((1 to 100).map(i => ("a", i.toDouble)) ++ Seq(("b", 7.25)))
+    val out = operators.Pipeline.groupedPercentiles(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert((a.getLong(1), a.getLong(2), a.getLong(3), a.getLong(4)) ==
+      ((100L, 1000L, 5000L, 9000L)), s"a: $a")
+    // singleton group: every rank formula resolves to row 1
+    val b = out("b")
+    assert((b.getLong(1), b.getLong(2), b.getLong(3), b.getLong(4)) ==
+      ((1L, 725L, 725L, 725L)), s"b: $b")
+  }
+
   test("markov_stationary: symmetric cycle exact, biased chain hits the analytic fixed point") {
     def ev(types: Seq[String]) =
       types.zipWithIndex.map { case (t, i) =>
