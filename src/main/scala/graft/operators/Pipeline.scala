@@ -679,6 +679,49 @@ object Pipeline {
       .limit(30)
   }
 
+  /** TOKEN PMI — collocation strength for every pair of the top-K
+    * document-frequency tokens: PMI(a,b) = ln(n_ab·N / (n_a·n_b)) in
+    * exact quantized-ln micro-nats (positive = the pair co-occurs
+    * more than independence predicts — a collocation; negative =
+    * topical repulsion). The cooccurrence query reports raw counts;
+    * this is the normalized signal a phrase-mining pass thresholds.
+    *
+    * Scale shape: identical candidate bounding to tokenCooccurrence —
+    * the top-K vocabulary broadcasts into the doc-token stream, the
+    * pair self-join is bounded by K²/2 OUTPUT keys (per-doc fan-in ≤
+    * K), and the df/N attachments are broadcast-tiny (the frequent
+    * table STAGES: it feeds the filter and both df joins). Output is
+    * ALL co-occurring top-K pairs (≤ K²/2 rows) in key order — no
+    * cherry-picked metric ordering. */
+  def tokenPmi(docs: DataFrame, topK: Int = 20): DataFrame = {
+    def ln4(c: Column): Column =
+      floor(log(c.cast("double")) * lit(10000.0) + lit(0.5))
+    val toks = docs.select(col("doc_id"),
+      explode(array_distinct(
+        regexp_extract_all(lower(col("text")), lit(WordCount.TokenPattern), lit(0))))
+        .as("token"))
+    val nDocs = docs.agg(count(lit(1)).as("n_corpus"))
+    val frequent = Materialize.stage(
+      toks.groupBy(col("token")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("token").asc).limit(topK))
+    val ft = toks.join(broadcast(frequent.select(col("token"))), "token")
+    ft.select(col("doc_id"), col("token").as("tok_a"))
+      .join(ft.select(col("doc_id"), col("token").as("tok_b")), "doc_id")
+      .filter(col("tok_a") < col("tok_b"))
+      .groupBy(col("tok_a"), col("tok_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .join(broadcast(frequent.select(col("token").as("tok_a"),
+        col("df").as("df_a"))), "tok_a")
+      .join(broadcast(frequent.select(col("token").as("tok_b"),
+        col("df").as("df_b"))), "tok_b")
+      .crossJoin(broadcast(nDocs))
+      .select(col("tok_a"), col("tok_b"), col("n_ab"), col("df_a"),
+        col("df_b"),
+        (lit(100L) * (ln4(col("n_ab")) + ln4(col("n_corpus")) -
+          ln4(col("df_a")) - ln4(col("df_b")))).as("pmi_micro"))
+      .orderBy("tok_a", "tok_b")
+  }
+
   /** Point-in-time feature join with a STALENESS BOUND — the feature-
     * store primitive: each purchase gets the user's latest at-or-before
     * signup timestamp, but only if it is at most 7 days old (stale

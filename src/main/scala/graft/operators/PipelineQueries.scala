@@ -288,6 +288,33 @@ object PipelineQueries {
           |GROUP BY 1, 2
           |ORDER BY n_docs DESC, tok_a, tok_b LIMIT 30""".stripMargin)),
 
+    QueryDef("token_pmi",
+      (s, d) => Pipeline.tokenPmi(Tables.documents(s, d)), Some(
+        """WITH toks AS (
+          |  SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS token
+          |  FROM documents),
+          |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM documents),
+          |freq AS (
+          |  SELECT token, CAST(count(*) AS BIGINT) AS df FROM toks
+          |  GROUP BY token ORDER BY df DESC, token LIMIT 20),
+          |ft AS (SELECT doc_id, token FROM toks
+          |       WHERE token IN (SELECT token FROM freq)),
+          |pr AS (
+          |  SELECT a.token AS tok_a, b.token AS tok_b,
+          |         CAST(count(*) AS BIGINT) AS n_ab
+          |  FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.token < b.token
+          |  GROUP BY 1, 2)
+          |SELECT tok_a, tok_b, n_ab, fa.df AS df_a, fb.df AS df_b,
+          |  100 * (CAST(floor(ln(CAST(n_ab AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT)
+          |    + CAST(floor(ln(CAST(n_corpus AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT)
+          |    - CAST(floor(ln(CAST(fa.df AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT)
+          |    - CAST(floor(ln(CAST(fb.df AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT))
+          |    AS pmi_micro
+          |FROM pr JOIN freq fa ON fa.token = pr.tok_a
+          |        JOIN freq fb ON fb.token = pr.tok_b
+          |        CROSS JOIN nn
+          |ORDER BY tok_a, tok_b""".stripMargin)),
+
     QueryDef("point_in_time_signup",
       (s, d) => Pipeline.pointInTimeSignup(Tables.events(s, d)), Some(
         """WITH ev AS (

@@ -711,6 +711,29 @@ class PipelineSpec extends SparkSpec {
       r2(0).getAs[Long]("n_bins_used") == 1L, s"got ${r2.toSeq}")
   }
 
+  test("token_pmi: perfect collocation reads ln(N/df), independence reads ~0") {
+    def docs(texts: Seq[String]) =
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+    // "alpha beta" always together in 2 of 8 docs; "gamma delta"
+    // independent (each in 4 docs, together in 2 = expected)
+    val df = docs(Seq(
+      "alpha beta gamma delta", "alpha beta gamma delta",
+      "gamma filler one", "gamma filler two",
+      "delta filler three", "delta filler four",
+      "filler five six", "filler seven eight"))
+    val out = operators.Pipeline.tokenPmi(df, topK = 20).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    // alpha+beta: n_ab=2, df=2 each, N=8 → PMI = ln(2·8/4) = ln 4
+    val ab = out(("alpha", "beta"))
+    assert(ab.getLong(2) == 2L && ab.getLong(5) == 100L * 13863L,
+      s"collocation: $ab")
+    // gamma+delta: n_ab=2, df=4 each → true PMI = ln(16/16) = 0; the
+    // quantized ladder leaves at most one 1e-4 quantum of residue
+    val gd = out(("delta", "gamma"))
+    assert(math.abs(gd.getLong(5)) <= 100L, s"independent pair: $gd")
+  }
+
   test("source_lang_entropy: pure source reads 0, uniform mix reads ln k") {
     def docs(rows: Seq[(String, String)]) =
       rows.zipWithIndex.map { case ((l, s), i) => (i.toLong, l, s) }

@@ -255,7 +255,10 @@ class PlanShapeSpec extends SparkSpec {
       // round-12+: ks_drift's CDF grid is bins × types — two
       // domain-bounded aggregates (the value_histogram bin-table
       // class), guard-commented at the definition
-      "ks_drift")
+      "ks_drift",
+      // token_pmi: the one-row corpus-count broadcast onto the ≤K²/2
+      // pair table (the negative_samples pattern)
+      "token_pmi")
     SparkEntry.registry.foreach { q =>
       val plan = q.fn(spark, sf0001).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
