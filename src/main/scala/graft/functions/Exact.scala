@@ -32,6 +32,16 @@ object Exact {
   def discPrice(price: Column, discount: Column): Column =
     dec2(price) * (lit(1).cast(DecimalType(18, 2)) - dec2(discount))
 
+  /** Quantized natural log, floor(ln(x)·10⁴ + 0.5) as BIGINT — the ONE
+    * definition of the engine-portable ln ladder (entropy/MI/PSI/
+    * Kaplan–Meier/PMI all sum these as integers; summed raw doubles
+    * would be partition-order-dependent). Oracle SQL mirrors the same
+    * expression verbatim. Hoisted here after a review found 6 inline
+    * copies — a rounding-convention change must happen in exactly one
+    * place or the cross-engine hash gates diverge silently. */
+  def ln4(c: Column): Column =
+    floor(log(c.cast("double")) * lit(10000.0) + lit(0.5))
+
   /** Sample stddev via exact decimal sums: sqrt((Σx² − (Σx)²/n)/(n−1)),
     * evaluated in double with a fixed operation order both engines share. */
   def stddevD(c: Column): Column = {

@@ -285,8 +285,6 @@ object Pipeline {
     * per type over that table; the ref join is bin-keyed. */
   def psiDrift(events: DataFrame, refType: String = "view",
       width: Double = 1.0): DataFrame = {
-    def ln4(c: Column): Column =
-      floor(log(c.cast("double")) * lit(10000.0) + lit(0.5))
     // staged for the same multi-consumer reason as ksDrift's counts
     // (ref + compared sides both read it)
     val counts = Materialize.stage(events
@@ -658,16 +656,24 @@ object Pipeline {
     * standard a-priori step — pair enumeration is bounded by K²/2
     * regardless of corpus size). One shuffle for the frequency fit, the
     * tiny frequent set broadcasts back, pairs shuffle on the pair key. */
-  def tokenCooccurrence(docs: DataFrame, topK: Int = 20): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      explode(array_distinct(
-        regexp_extract_all(lower(col("text")), lit(WordCount.TokenPattern), lit(0))))
-        .as("token"))
-    // top-K via orderBy+limit → TakeOrderedAndProject (O(K) per
-    // partition), NOT a global row_number window over the whole vocab
-    val frequent = toks.groupBy(col("token")).agg(count(lit(1)).as("df"))
+  /** Per-doc DISTINCT token stream — the shared front of the
+    * cooccurrence/PMI pair (review finding: the block had been
+    * copied; the matching regex is hardcoded in BOTH oracles, so one
+    * definition keeps plan and SQL from drifting apart). */
+  private def distinctDocTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(array_distinct(toks)).as("token"))
+
+  /** Top-K document-frequency vocabulary with the deterministic tie
+    * (df desc, token asc) — orderBy+limit → TakeOrderedAndProject
+    * (O(K) per partition), NOT a global row_number window over the
+    * whole vocabulary. */
+  private def topDfTokens(tokStream: DataFrame, topK: Int): DataFrame =
+    tokStream.groupBy(col("token")).agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("token").asc).limit(topK)
-      .select(col("token"))
+
+  def tokenCooccurrence(docs: DataFrame, topK: Int = 20): DataFrame = {
+    val toks = distinctDocTokens(docs)
+    val frequent = topDfTokens(toks, topK).select(col("token"))
     val ft = toks.join(broadcast(frequent), "token")
     val a = ft.select(col("doc_id"), col("token").as("tok_a"))
     val b = ft.select(col("doc_id"), col("token").as("tok_b"))
@@ -694,16 +700,9 @@ object Pipeline {
     * ALL co-occurring top-K pairs (≤ K²/2 rows) in key order — no
     * cherry-picked metric ordering. */
   def tokenPmi(docs: DataFrame, topK: Int = 20): DataFrame = {
-    def ln4(c: Column): Column =
-      floor(log(c.cast("double")) * lit(10000.0) + lit(0.5))
-    val toks = docs.select(col("doc_id"),
-      explode(array_distinct(
-        regexp_extract_all(lower(col("text")), lit(WordCount.TokenPattern), lit(0))))
-        .as("token"))
+    val toks = distinctDocTokens(docs)
     val nDocs = docs.agg(count(lit(1)).as("n_corpus"))
-    val frequent = Materialize.stage(
-      toks.groupBy(col("token")).agg(count(lit(1)).as("df"))
-        .orderBy(col("df").desc, col("token").asc).limit(topK))
+    val frequent = Materialize.stage(topDfTokens(toks, topK))
     val ft = toks.join(broadcast(frequent.select(col("token"))), "token")
     ft.select(col("doc_id"), col("token").as("tok_a"))
       .join(ft.select(col("doc_id"), col("token").as("tok_b")), "doc_id")

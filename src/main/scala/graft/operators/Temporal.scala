@@ -302,8 +302,6 @@ object Temporal {
     * scalar is a one-row broadcast (the dedup_savings class). Output
     * rows: event days only (d > 0), the standard KM step points. */
   def survivalKm(events: DataFrame): DataFrame = {
-    def ln4(c: Column): Column =
-      floor(log(c.cast("double")) * lit(10000.0) + lit(0.5))
     val su = events.filter(col("event_type") === "signup")
       .groupBy(col("user_id")).agg(min(col("ts")).as("s_ts"))
     val pu = events.filter(col("event_type") === "purchase")
@@ -413,6 +411,19 @@ object Temporal {
     * and the ×10⁶ lift ≤ 10¹⁸, inside INT64 by construction
     * regardless of corpus size (the matrix is ppm-quantized).
     *
+    * State space: transitions into terminal-only types (a type never
+    * observed as a predecessor) are CENSORED before quantization, so
+    * each kept row renormalizes over kept targets and the orbit
+    * conserves mass (review finding: without this a sink-only type's
+    * inflow vanished at the next round's join and the orbit
+    * oscillated). The censoring is ONE level — a type whose every
+    * successor is itself terminal (a 2-step dead end) is outside this
+    * operator's contract; such chains have no stationary distribution
+    * on the observed support and want absorbing-chain analysis, not
+    * this. On any chain whose non-terminal part is closed (the events
+    * corpus and the spec fixtures), the result is the stationary π of
+    * the censored chain.
+    *
     * Scale shape: ONE corpus pass (the lag window, partitioned by
     * user_id — the scan's partition key) collapses to the
     * |types|²-row matrix; every round is a join+aggregate over that
@@ -427,9 +438,14 @@ object Temporal {
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("from_type", lag(col("event_type"), 1).over(wl))
       .filter(col("from_type").isNotNull)
-    val m = Materialize.stage(pairs
+    val counts = pairs
       .groupBy(col("from_type"), col("event_type").as("to_type"))
       .agg(count(lit(1)).as("nij"))
+    // censor transitions into terminal-only types BEFORE the ppm
+    // quantization so each kept row renormalizes over kept targets
+    val m = Materialize.stage(counts
+      .join(counts.select(col("from_type").as("to_type")).distinct(),
+        Seq("to_type"), "semi")
       .withColumn("ni",
         sum(col("nij")).over(Window.partitionBy(col("from_type"))))
       .select(col("from_type"), col("to_type"),

