@@ -659,7 +659,14 @@ object Pipeline {
   /** Per-doc DISTINCT token stream — the shared front of the
     * cooccurrence/PMI pair (review finding: the block had been
     * copied; the matching regex is hardcoded in BOTH oracles, so one
-    * definition keeps plan and SQL from drifting apart). */
+    * definition keeps plan and SQL from drifting apart). NOT staged
+    * here: tokenCooccurrence's pair self-join reuses ONE exchange for
+    * both sides, and interleaved measurement shows a checkpoint makes
+    * it SLOWER (10.7 → 14.5 s CPU isolated — the write outweighs the
+    * saved vocabulary-leg pass); tokenPmi, whose staged-frequent build
+    * cannot share that exchange, stages at its own call site
+    * (9.6 → 6.1 s). The stage-or-not call is per consumer, measured —
+    * not a blanket rule. */
   private def distinctDocTokens(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(array_distinct(toks)).as("token"))
 
@@ -700,7 +707,11 @@ object Pipeline {
     * ALL co-occurring top-K pairs (≤ K²/2 rows) in key order — no
     * cherry-picked metric ordering. */
   def tokenPmi(docs: DataFrame, topK: Int = 20): DataFrame = {
-    val toks = distinctDocTokens(docs)
+    // staged: the vocabulary build and BOTH pair-join sides read the
+    // stream, and the staged-frequent leg cannot share the self-join's
+    // exchange (measured 9.6 → 6.1 s CPU isolated; see the helper's
+    // scaladoc for why tokenCooccurrence deliberately does NOT stage)
+    val toks = Materialize.stage(distinctDocTokens(docs))
     val nDocs = docs.agg(count(lit(1)).as("n_corpus"))
     val frequent = Materialize.stage(topDfTokens(toks, topK))
     val ft = toks.join(broadcast(frequent.select(col("token"))), "token")
