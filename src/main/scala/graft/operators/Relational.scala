@@ -809,6 +809,50 @@ object Relational {
       .orderBy("key_name")
   }
 
+  /** PER-NATION GINI COEFFICIENT of customer spend — the inequality
+    * audit behind "is this market whale-driven?": G = (2·Σ i·x_(i)) /
+    * (n·Σx) − (n+1)/n over each nation's customers sorted by total
+    * order value (orderless customers count as zero spend — dropping
+    * them understates inequality). Emitted in permille by one integer
+    * floor-division: (1000·(2·Σi·x_i − (n+1)·Σx)) div (n·Σx); the
+    * rank-weighted sum is tie-order-invariant (equal x swap freely),
+    * so the (spend, custkey) sort is deterministic AND the value is
+    * sort-stable. Σi·x rides DECIMAL(38,0) (i ≤ n, x unbounded — the
+    * INT64 product is the documented overflow class). Zero-revenue
+    * nations emit NULL (G undefined).
+    *
+    * Scale shape: one per-customer spend aggregate (shuffle on the
+    * order FK), one broadcast-joined nation attach, one rank window
+    * PER NATION (the grouped_percentiles honest-exact-path class),
+    * one per-nation aggregate. Nothing global. */
+  def revenueGini(s: SparkSession, d: String): DataFrame = {
+    val spend = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey"))
+      .join(Tables.orders(s, d)
+          .groupBy(col("o_custkey"))
+          .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents")),
+        col("o_custkey") === col("c_custkey"), "left")
+      .select(col("c_nationkey"), col("c_custkey"),
+        coalesce(col("cents"), lit(0L)).as("x"))
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("x"), col("c_custkey"))
+    spend
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_custs"),
+        sum(col("x")).as("total_cents"),
+        sum(col("i").cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+          col("x")).as("six"))
+      .join(broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey").as("c_nationkey"), col("n_name"))),
+        "c_nationkey")
+      .select(col("n_name"), col("n_custs"), col("total_cents"),
+        expr("CAST(CASE WHEN total_cents > 0 THEN " +
+          "(1000 * (2 * six - (n_custs + 1) * CAST(total_cents AS DECIMAL(38,0))))" +
+          " div (n_custs * total_cents) END AS BIGINT)").as("gini_permille"))
+      .orderBy("n_name")
+  }
+
   /** REFERENTIAL-INTEGRITY AUDIT — the ingestion gate every star
     * schema needs before joins are trusted: orphan foreign keys
     * (child rows whose parent is missing — inner joins silently drop

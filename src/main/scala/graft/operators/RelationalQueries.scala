@@ -444,6 +444,34 @@ object RelationalQueries {
 
     // join-key skew diagnostics: key-grain (max freq over mean) and
     // partition-grain (rows per md5-bucket mod 32) skew in permille
+    QueryDef("revenue_gini",
+      (s, d) => Relational.revenueGini(s, d), Some(
+        """WITH oc AS (
+          |  SELECT o_custkey,
+          |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+          |      AS cents
+          |  FROM orders GROUP BY 1),
+          |x AS (
+          |  SELECT c.c_nationkey, c.c_custkey,
+          |    coalesce(oc.cents, 0) AS x
+          |  FROM customer c LEFT JOIN oc ON oc.o_custkey = c.c_custkey),
+          |r AS (
+          |  SELECT c_nationkey, x,
+          |    CAST(row_number() OVER (PARTITION BY c_nationkey
+          |        ORDER BY x, c_custkey) AS BIGINT) AS i
+          |  FROM x),
+          |a AS (
+          |  SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_custs,
+          |    CAST(sum(x) AS BIGINT) AS total_cents,
+          |    sum(CAST(i AS HUGEINT) * x) AS six
+          |  FROM r GROUP BY 1)
+          |SELECT n.n_name, a.n_custs, a.total_cents,
+          |  CAST(CASE WHEN total_cents > 0 THEN
+          |    (1000 * (2 * six - (n_custs + 1) * CAST(total_cents AS HUGEINT)))
+          |    // (n_custs * total_cents) END AS BIGINT) AS gini_permille
+          |FROM a JOIN nation n ON n.n_nationkey = a.c_nationkey
+          |ORDER BY n.n_name""".stripMargin)),
+
     QueryDef("fk_integrity",
       (s, d) => Relational.fkIntegrity(s, d), Some(
         """SELECT 'orders_orphan_custkey' AS "check",

@@ -116,6 +116,37 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("revenue_gini matches an independent per-nation recompute") {
+    val got = operators.Relational.revenueGini(spark, sf0001).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    // brute-force oracle in plain Scala from the raw tables
+    val spendByCust = Tables.orders(spark, sf0001)
+      .groupBy($"o_custkey")
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val custs = Tables.customer(spark, sf0001)
+      .join(Tables.nation(spark, sf0001),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"n_name", $"c_custkey").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    custs.groupBy(_._1).foreach { case (nation, cs) =>
+      val xs = cs.map(c => spendByCust.getOrElse(c._2, 0L)).sorted
+      val n = xs.length.toLong
+      val tot = xs.sum
+      val six = xs.zipWithIndex.map { case (x, i) =>
+        BigInt(i + 1) * x }.sum
+      val expect =
+        if (tot == 0) None
+        else Some(((BigInt(1000) * (2 * six - BigInt(n + 1) * tot)) /
+          (BigInt(n) * tot)).toLong)
+      assert(got(nation) == ((n, tot, expect)),
+        s"$nation: got ${got(nation)}, want ($n, $tot, $expect)")
+      expect.foreach(g => assert(g >= 0 && g < 1000))
+    }
+  }
+
   test("fk_integrity: five checks, totals match table counts, fixture is clean") {
     val rows = operators.Relational.fkIntegrity(spark, sf0001).collect()
     assert(rows.map(_.getString(0)).toSeq == Seq("customer_dup_pk",
