@@ -847,9 +847,13 @@ object Relational {
         .select(col("n_nationkey").as("c_nationkey"), col("n_name"))),
         "c_nationkey")
       .select(col("n_name"), col("n_custs"), col("total_cents"),
+        // the divisor rides DECIMAL(38,0) too (advisor r12): at ~sf30+
+        // n_custs × total_cents per nation passes 2^63 and an INT64
+        // product would wrap silently in Spark while DuckDB raises
         expr("CAST(CASE WHEN total_cents > 0 THEN " +
           "(1000 * (2 * six - (n_custs + 1) * CAST(total_cents AS DECIMAL(38,0))))" +
-          " div (n_custs * total_cents) END AS BIGINT)").as("gini_permille"))
+          " div (n_custs * CAST(total_cents AS DECIMAL(38,0))) END AS BIGINT)")
+          .as("gini_permille"))
       .orderBy("n_name")
   }
 

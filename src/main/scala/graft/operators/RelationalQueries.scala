@@ -468,7 +468,8 @@ object RelationalQueries {
           |SELECT n.n_name, a.n_custs, a.total_cents,
           |  CAST(CASE WHEN total_cents > 0 THEN
           |    (1000 * (2 * six - (n_custs + 1) * CAST(total_cents AS HUGEINT)))
-          |    // (n_custs * total_cents) END AS BIGINT) AS gini_permille
+          |    // (n_custs * CAST(total_cents AS HUGEINT)) END AS BIGINT)
+          |    AS gini_permille
           |FROM a JOIN nation n ON n.n_nationkey = a.c_nationkey
           |ORDER BY n.n_name""".stripMargin)),
 

@@ -30,6 +30,16 @@ import org.apache.spark.sql.functions._
   * TakeOrderedAndProject, never a full-vocabulary window. */
 object Search {
 
+  /** MMR defaults — the ONE source for both the plan ([[mmrRerank]])
+    * and the DuckDB oracle (SearchQueries.mmrSql), per the
+    * benfordPermille shared-literal rule: registering mmr_rerank with
+    * non-default λ / rank-step / candidate-cut arguments cannot
+    * silently diverge plan from oracle, because the oracle
+    * interpolates these same constants. */
+  val MmrLambdaPermille: Long = 500L
+  val MmrRankStepPpm: Long = 50000L
+  val MmrKCand: Int = 20
+
   /** The positional inverted index: one (tok, doc_id, pos) row per
     * token occurrence; pos is the 0-based token position within the
     * document (reported 1-based at query output). */
@@ -353,7 +363,8 @@ object Search {
     * loop rule). Gram extraction touches only the ≤ kCand candidate
     * docs via a semi-join pushed into the documents scan. */
   def mmrRerank(docs: DataFrame, idx: DataFrame, terms: Seq[String],
-      kSel: Int = 5, lambdaPermille: Long = 500L, kCand: Int = 20,
+      kSel: Int = 5, lambdaPermille: Long = MmrLambdaPermille,
+      kCand: Int = MmrKCand,
       dl: Option[DataFrame] = None): DataFrame = {
     val rw = Window.orderBy(col("score_micro").desc, col("doc_id").asc)
     // ≤ kCand rows: the unpartitioned rank is the hybrid_search_rrf
@@ -362,7 +373,7 @@ object Search {
       bm25SearchFor(idx, terms, kCand, dl)
         .withColumn("rank", row_number().over(rw).cast("long"))
         .select(col("doc_id"), col("rank"),
-          (lit(1000000L) - (col("rank") - 1) * 50000L).as("rel_ppm")))
+          (lit(1000000L) - (col("rank") - 1) * MmrRankStepPpm).as("rel_ppm")))
     val grams = Materialize.stage(Dedup.wordGrams(
         docs.join(cand.select(col("doc_id")), Seq("doc_id"), "semi"))
       .distinct())

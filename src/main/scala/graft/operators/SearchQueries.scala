@@ -169,16 +169,23 @@ object SearchQueries {
     * relevance table; candidate-pair word-3-gram Jaccard in ppm; the
     * kSel greedy rounds unroll as MATERIALIZED CTEs (round r reads
     * every earlier round — the pcaPowerSql unrolled-loop rule).
-    * λ = 500 permille and the 5·10⁴ rank step interpolate the
-    * operator's defaults. */
+    * λ, the rank step, and the candidate cut interpolate the
+    * operator's [[Search.MmrLambdaPermille]]/[[Search.MmrRankStepPpm]]/
+    * [[Search.MmrKCand]] constants (advisor r12: hardcoded 500/50000/20
+    * literals would silently diverge plan from oracle if the query were
+    * ever registered with non-default arguments). */
   private def mmrSql(kSel: Int = 5): String = {
+    val lam = Search.MmrLambdaPermille
+    val lamC = 1000L - lam
+    val step = Search.MmrRankStepPpm
+    val kCand = Search.MmrKCand
     val rounds = (2 to kSel).map { r =>
       val selUnion = (1 until r)
         .map(i => s"SELECT doc_id FROM s$i").mkString(" UNION ALL ")
       s"""s$r AS MATERIALIZED (
          |  SELECT CAST($r AS BIGINT) AS pick, c.doc_id, c.rank, c.rel_ppm,
          |    CAST(coalesce(mx.ms, 0) AS BIGINT) AS maxsim_ppm,
-         |    CAST(500 * c.rel_ppm - 500 * coalesce(mx.ms, 0) AS BIGINT) AS mmr
+         |    CAST($lam * c.rel_ppm - $lamC * coalesce(mx.ms, 0) AS BIGINT) AS mmr
          |  FROM r0 c
          |  LEFT JOIN (SELECT sm.da AS doc_id, CAST(max(sm.sim_ppm) AS BIGINT) AS ms
          |             FROM sm JOIN ($selUnion) sel ON sel.doc_id = sm.db
@@ -207,9 +214,9 @@ object SearchQueries {
        |  SELECT doc_id,
        |    CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id ASC)
        |         AS BIGINT) AS rank
-       |  FROM sc QUALIFY rank <= 20),
+       |  FROM sc QUALIFY rank <= $kCand),
        |r0 AS (SELECT doc_id, rank,
-       |         CAST(1000000 - (rank - 1) * 50000 AS BIGINT) AS rel_ppm
+       |         CAST(1000000 - (rank - 1) * $step AS BIGINT) AS rel_ppm
        |       FROM cnd),
        |tw AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z'']+') AS w2
        |       FROM documents WHERE doc_id IN (SELECT doc_id FROM cnd)),
@@ -227,7 +234,7 @@ object SearchQueries {
        |s1 AS MATERIALIZED (
        |  SELECT CAST(1 AS BIGINT) AS pick, doc_id, rank, rel_ppm,
        |    CAST(0 AS BIGINT) AS maxsim_ppm,
-       |    CAST(500 * rel_ppm AS BIGINT) AS mmr
+       |    CAST($lam * rel_ppm AS BIGINT) AS mmr
        |  FROM r0 ORDER BY mmr DESC, doc_id ASC LIMIT 1),
        |$rounds
        |fin AS ($allRounds)

@@ -1555,9 +1555,12 @@ object TextAnalysis {
       .withColumn("ln4n", ln4(col("n_docs")))
       .select(col("source"), col("n_docs"), col("n_langs"), col("top_lang"),
         expr("1000 * top_c div n_docs").as("top_share_permille"),
+        // the ×100 micro lift rides DECIMAL(38,0) — the langSourceMi
+        // convention (advisor r12): an INT64 lift would overflow ~100×
+        // earlier (at ~2·10¹¹ docs/source) and silently wrap
         expr("CAST(CASE WHEN n_docs * ln4n - s4 < 0 THEN -1 ELSE 1 END * " +
-          "((100 * abs(n_docs * ln4n - s4)) div n_docs) AS BIGINT)")
-          .as("entropy_micro"))
+          "((100 * CAST(abs(n_docs * ln4n - s4) AS DECIMAL(38,0))) div n_docs)" +
+          " AS BIGINT)").as("entropy_micro"))
       .orderBy("source")
   }
 

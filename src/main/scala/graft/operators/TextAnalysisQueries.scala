@@ -934,8 +934,8 @@ object TextAnalysisQueries {
           |SELECT source, n_docs, n_langs, top_lang,
           |  (1000 * top_c) // n_docs AS top_share_permille,
           |  CAST(CASE WHEN n_docs * ln4n - s4 < 0 THEN -1 ELSE 1 END *
-          |       ((100 * abs(n_docs * ln4n - s4)) // n_docs) AS BIGINT)
-          |    AS entropy_micro
+          |       ((100 * CAST(abs(n_docs * ln4n - s4) AS HUGEINT)) // n_docs)
+          |    AS BIGINT) AS entropy_micro
           |FROM (SELECT *,
           |        CAST(floor(ln(CAST(n_docs AS DOUBLE)) * 10000.0 + 0.5)
           |             AS BIGINT) AS ln4n
