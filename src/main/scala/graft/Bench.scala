@@ -72,9 +72,15 @@ object Bench {
     * Absent or unparsable history → empty map (first round, no diff).
     * The third element is the baseline's recorded fixed-work calibration
     * (min of its start/end reps; -1 when the file predates calibration)
-    * — the regression diff divides by it to cancel host-speed drift. */
+    * — the regression diff divides by it to cancel host-speed drift.
+    * The fourth is the baseline's per-key index_build map (r12 verdict
+    * item 4: index_build_total doubled with zero gate coverage), keyed
+    * with the content fingerprint suffix stripped — the `@hash` varies
+    * when testdata regenerates, the `name:args` prefix is the stable
+    * identity of a build. */
   private def prevRoundTimes(sfDir: String)
-      : (Map[String, Double], Map[String, Double], Double) = try {
+      : (Map[String, Double], Map[String, Double], Double,
+         Map[String, Double]) = try {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     def mapOf(node: com.fasterxml.jackson.databind.JsonNode,
         field: String): Map[String, Double] = {
@@ -84,24 +90,29 @@ object Bench {
       b.result()
     }
     def queriesOf(node: com.fasterxml.jackson.databind.JsonNode)
-        : (Map[String, Double], Map[String, Double], Double) = {
+        : (Map[String, Double], Map[String, Double], Double,
+           Map[String, Double]) = {
       // a detail file records the sf dir it ran at; comparing against a
       // different scale factor would flag every query — skip it. Compare
       // normalized basenames so path spelling ("/a/sf0.1" vs "sf0.1")
       // doesn't bypass the guard; ANY mismatch skips the file.
       def normSf(s: String): String = s.stripSuffix("/").split('/').last
       val sf = node.path("sf").asText("")
-      if (sf.nonEmpty && normSf(sf) != normSf(sfDir)) (Map.empty, Map.empty, -1.0)
+      if (sf.nonEmpty && normSf(sf) != normSf(sfDir))
+        (Map.empty, Map.empty, -1.0, Map.empty)
       else {
         val cal = node.path("calib_cpu_sec")
         val (cs, ce) = (cal.path("start").asDouble(-1.0),
           cal.path("end").asDouble(-1.0))
         val c = if (cs > 0 && ce > 0) math.min(cs, ce) else math.max(cs, ce)
-        (mapOf(node, "queries"), mapOf(node, "cpu"), c)
+        (mapOf(node, "queries"), mapOf(node, "cpu"), c,
+          mapOf(node, "index_build").map { case (k, v) =>
+            buildKeyOf(k) -> v })
       }
     }
     def fromFile(p: String)
-        : (Map[String, Double], Map[String, Double], Double) = try {
+        : (Map[String, Double], Map[String, Double], Double,
+           Map[String, Double]) = try {
       val root = om.readTree(new java.io.File(p))
       if (root.has("queries")) queriesOf(root)
       else if (root.has("tail"))
@@ -110,10 +121,12 @@ object Bench {
             .takeWhile(_ >= 0).map(l.substring(_))
         }.map(s => try queriesOf(om.readTree(s)) catch {
           case _: Throwable =>
-            (Map.empty[String, Double], Map.empty[String, Double], -1.0) })
-          .find(_._1.nonEmpty).getOrElse((Map.empty, Map.empty, -1.0))
-      else (Map.empty, Map.empty, -1.0)
-    } catch { case _: Throwable => (Map.empty, Map.empty, -1.0) }
+            (Map.empty[String, Double], Map.empty[String, Double], -1.0,
+              Map.empty[String, Double]) })
+          .find(_._1.nonEmpty)
+          .getOrElse((Map.empty, Map.empty, -1.0, Map.empty))
+      else (Map.empty, Map.empty, -1.0, Map.empty)
+    } catch { case _: Throwable => (Map.empty, Map.empty, -1.0, Map.empty) }
     val files = Option(new java.io.File(".").listFiles()).toSeq.flatten
     val detail = files.filter(f => f.getName == "bench_detail.json" ||
         f.getName.matches("BENCH_r\\d+_local\\.json"))
@@ -122,10 +135,19 @@ object Bench {
       .sortBy(f => f.getName.replaceAll("\\D", "").toInt).lastOption.map(_.getPath)
     (sys.env.get("GRAFT_PREV_BENCH").toSeq ++ detail ++ driverArt)
       .iterator.map(fromFile).find(_._1.nonEmpty)
-      .getOrElse((Map.empty, Map.empty, -1.0))
+      .getOrElse((Map.empty, Map.empty, -1.0, Map.empty))
   } catch { case e: Throwable =>
     System.err.println(s"[bench] no previous-round baseline: $e")
-    (Map.empty, Map.empty, -1.0) }
+    (Map.empty, Map.empty, -1.0, Map.empty) }
+
+  /** Stable cross-round identity of an index-build key: the
+    * `name:args` prefix with the trailing `@<content fingerprint>`
+    * stripped (the fingerprint changes whenever testdata regenerates,
+    * which is every driver round). */
+  private def buildKeyOf(k: String): String = {
+    val i = k.lastIndexOf('@')
+    if (i > 0) k.substring(0, i) else k
+  }
 
   /** FIXED-WORK CPU CALIBRATION (r10 verdict item 4): a deterministic
     * xorshift spin — zero I/O, zero shuffle, a constant instruction
@@ -359,7 +381,7 @@ object Bench {
     // that burned three rounds of judging on phantom wall-clock
     // regressions; wall-clock remains the fallback for history written
     // before CPU was recorded. Read BEFORE overwriting bench_detail.json.
-    val (prev, prevCpu, prevCalib) = prevRoundTimes(sfDir)
+    val (prev, prevCpu, prevCalib, prevBuilds) = prevRoundTimes(sfDir)
     // CPU numbers are normalized by the fixed-work calibration ratio
     // (advisor r11: the scaladoc promised it but the gate diffed raw
     // CPU, so host-speed drift could fake or mask regressions). The
@@ -397,6 +419,37 @@ object Bench {
     val buildJson = builds.toSeq.sortBy(-_._2)
       .map { case (k, v) => s"\"$k\":${r3(v)}" }.mkString("{", ",", "}")
     val buildTotal = r3(builds.values.sum)
+    // Index-build regression gate (r12 verdict item 4: the build total
+    // doubled with zero gate coverage — every query was individually
+    // flat while 20 s of new one-time builds rode in unflagged). Same
+    // protocol as the per-query gate — keys are fingerprint-stripped
+    // for cross-round identity, the baseline is scaled by the fixed-
+    // work calibration ratio, and a build flags at >1.5× with >0.5 s
+    // absolute delta (builds are wall seconds; the higher floor keeps
+    // sub-second builds out of JVM-noise territory). NEW keys flag at
+    // any cost ≥ 2 s ("new:<key>") so a fresh expensive build is
+    // surfaced rather than hidden in the total.
+    val buildRegressions: Map[String, Double] =
+      if (prevBuilds.isEmpty) Map.empty
+      else builds.toSeq.map { case (k0, v) => (buildKeyOf(k0), v) }
+        .groupMapReduce(_._1)(_._2)(_ + _)
+        .flatMap { case (k, v) =>
+          prevBuilds.get(k) match {
+            case Some(p0) if p0 > 0 =>
+              val p = p0 * calibRatio
+              if (v > p * 1.5 && v - p > 0.5)
+                Some(k -> math.round(v / p * 100.0) / 100.0)
+              else None
+            case _ =>
+              if (v >= 2.0) Some(s"new:$k" -> r3(v).toDouble) else None
+          }
+        }
+    if (buildRegressions.nonEmpty)
+      System.err.println("[bench] index-build regressions: " +
+        buildRegressions.toSeq.sortBy(-_._2)
+          .map { case (k, v) => f"$k=$v%.2f" }.mkString(", "))
+    val buildRegJson = buildRegressions.toSeq.sortBy(-_._2)
+      .map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val cpuJson = cpuSecs.map { case (k, v) => s"\"$k\":${r3(v)}" }
       .mkString("{", ",", "}")
     val cpuTotal = r3(cpuSecs.values.sum)
@@ -408,7 +461,7 @@ object Bench {
     // / "queries" for context; the regression detector already prefers
     // CPU when both rounds carry it.
     val calibJson = s"""{"start":${r3(calibStart)},"end":${r3(calibEnd)}}"""
-    val detailed = s"""{"metric":"cpu_total","value":$cpuTotal,"unit":"sec","wall_total":$total,"queries":$qs,"cpu":$cpuJson,"errors":$errJson,"regressions":$regJson,"index_build":$buildJson,"index_build_total":$buildTotal,"calib_cpu_sec":$calibJson,"sf":"$sfDir"}"""
+    val detailed = s"""{"metric":"cpu_total","value":$cpuTotal,"unit":"sec","wall_total":$total,"queries":$qs,"cpu":$cpuJson,"errors":$errJson,"regressions":$regJson,"index_build":$buildJson,"index_build_total":$buildTotal,"index_build_regressions":$buildRegJson,"calib_cpu_sec":$calibJson,"sf":"$sfDir"}"""
     // Full detail to a committed file (next round's regression baseline,
     // and the judge's full-precision record) — from any run that covered
     // the whole registry (a blank GRAFT_ONLY counts); a filtered run
