@@ -774,6 +774,33 @@ class TemporalStreamingSpec extends SparkSpec {
       s"stream/batch transition tables differ: ${streamed.size} vs ${batch.size}")
   }
 
+  test("StreamedGate: two constructions of the same gate in one JVM leave ONE corpus copy") {
+    // r12 verdict item 3: long-lived Verify/bench loops re-run streamed
+    // registry entries; each construction writes a corpus-sized backlog
+    // copy under the work root, and without the construction-time
+    // cleanup those accumulate per run. The gate deletes THIS pid's
+    // prior dirs for the same prefix, so after a double run exactly one
+    // work dir (the live one) remains.
+    def workDirs(): Seq[java.io.File] = {
+      val root = new java.io.File(
+        sys.env.getOrElse("GRAFT_STREAM_WORK_DIR", sys.props("java.io.tmpdir")))
+      val pfx = s"graft_trans_stream_${ProcessHandle.current().pid()}_"
+      Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isDirectory && f.getName.startsWith(pfx)).toSeq
+    }
+    val r1 = EventsStream.transitionsStreamedQuery(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    val after1 = workDirs()
+    assert(after1.size == 1, s"expected 1 work dir after run 1, got $after1")
+    val r2 = EventsStream.transitionsStreamedQuery(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    val after2 = workDirs()
+    assert(after2.size == 1, s"expected 1 work dir after run 2, got $after2")
+    assert(after2.head.getName != after1.head.getName,
+      "run 2 must be a FRESH dir (run 1's copy deleted), not a reuse")
+    assert(r1 == r2 && r1.nonEmpty, "both runs must produce the same table")
+  }
+
   test("sessionize_streamed: real AvailableNow run reproduces the batch sessionizer exactly") {
     val streamed = EventsStream.sessionizeStreamedQuery(spark, sf0001)
       .collect().map(_.toSeq).toSet
