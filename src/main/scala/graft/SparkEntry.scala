@@ -26,7 +26,8 @@ object SparkEntry {
     TokenizerQueries.defs ++
     PipelineQueries.defs ++
     TemporalQueries.defs ++
-    MultimodalQueries.defs
+    MultimodalQueries.defs ++
+    StatsQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's one real query: word-count + Top-20

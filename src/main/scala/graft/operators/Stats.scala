@@ -1,0 +1,236 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Classical statistics as exact-arithmetic Spark plans — the
+  * hypothesis-test/correlation readouts an experimentation or data-QA
+  * pipeline runs over its fact tables. Every operator follows the
+  * engine's exactness discipline (no float aggregation anywhere):
+  * inputs are milli/cent-quantized to integers, test statistics are
+  * reduced to RATIONAL forms whose numerator/denominator are exact
+  * integer aggregates, and any transcendental (ln for a significance
+  * readout) runs the quantized-ln ladder `floor(ln(x)·10⁴ + 0.5)` on
+  * a single integer argument — identical on both engines — so the
+  * DuckDB oracle pins every row bit-for-bit.
+  *
+  * Reference scope: the reference engine (a word-count MapReduce,
+  * coordinator.py:1-234) has no statistics surface; these generalize
+  * its per-key SUM reduce (worker.py exposed_reduce) to the moment/
+  * rank aggregates the same shuffle shape supports. */
+object Stats {
+
+  /** Quantized-ln SQL fragment (the lang_source_mi ladder). */
+  private def ln4(e: String): String =
+    s"CAST(floor(ln(CAST(($e) AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT)"
+
+  private val Dec = DecimalType(38, 0)
+
+  /** SPEARMAN RANK CORRELATION of (quantity, extendedprice) per
+    * return flag — the monotone-association readout (robust to the
+    * price tail where Pearson is not). Average ranks for ties, kept
+    * integer as DOUBLE-RANKS: for a tie run of size c starting at min
+    * rank r, the average rank is r + (c−1)/2, so twice it is the
+    * integer 2r + c − 1. With ρ = (nΣab − ΣaΣb) /
+    * √((nΣa² − (Σa)²)(nΣb² − (Σb)²)) over double-ranks a, b (the ×2
+    * cancels), the SIGN of the numerator is exact and ln ρ² is a
+    * ±sum of integer lns → emitted as sign + ln_rho2_micro (the
+    * ab_conversion_ztest ladder; ρ = ±exp(ln_rho2_micro/2·10⁻⁶)).
+    * NULL ladder when degenerate (constant column or zero numerator).
+    *
+    * Exactness bounds: double-ranks ≤ 2n, so per-row a², a·b ≤ 4n²
+    * stay INT64 past n = 10⁹; the SUMS ride DECIMAL(38,0) (Σa² ≈ 4n³
+    * passes 2⁶³ at n ≈ 1.3×10⁶ — sf1 group size), as do the n·Σ − Σ·Σ
+    * cross terms (≈ 4n⁴ < 10³⁸ to n ≈ 10⁹).
+    *
+    * Scale shape: two rank windows + one count window per (flag,
+    * value) — all partitioned by the flag (the grouped_percentiles /
+    * revenue_gini honest-exact-rank class: a 3-key partition is the
+    * price of exact ranks; the skew ceiling is the largest group,
+    * same as any exact-quantile path), then one per-flag aggregate.
+    * Nothing unpartitioned, nothing corpus-sized crosses. */
+  def spearmanQuantityPrice(li: DataFrame): DataFrame = {
+    val base = li.select(col("l_returnflag").as("flag"),
+      round(col("l_quantity")).cast("long").as("q"),
+      round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    def dblRank(v: String): Column = {
+      val r = rank().over(Window.partitionBy(col("flag")).orderBy(col(v)))
+      val c = count(lit(1)).over(Window.partitionBy(col("flag"), col(v)))
+      (r.cast("long") * 2 + c - 1)
+    }
+    base
+      .withColumn("a", dblRank("q"))
+      .withColumn("b", dblRank("cents"))
+      .groupBy("flag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("a").cast(Dec)).as("sa"), sum(col("b").cast(Dec)).as("sb"),
+        sum((col("a") * col("a")).cast(Dec)).as("saa"),
+        sum((col("b") * col("b")).cast(Dec)).as("sbb"),
+        sum((col("a") * col("b")).cast(Dec)).as("sab"))
+      .select(col("flag"), col("n"),
+        expr("n * sab - sa * sb").as("num"),
+        expr("n * saa - sa * sa").as("dx"),
+        expr("n * sbb - sb * sb").as("dy"))
+      .select(col("flag"), col("n"),
+        expr("CAST(CASE WHEN num < 0 THEN -1 WHEN num > 0 THEN 1 ELSE 0 END" +
+          " AS BIGINT)").as("rho_sign"),
+        expr("CASE WHEN num <> 0 AND dx > 0 AND dy > 0 THEN " +
+          s"100 * (2 * ${ln4("abs(num)")} - ${ln4("dx")} - ${ln4("dy")})" +
+          " END").as("ln_rho2_micro"))
+      .orderBy("flag")
+  }
+
+  /** χ² INDEPENDENCE TEST of lang × source — the significance twin of
+    * [[TextAnalysis.langSourceMi]]: where MI measures the SIZE of the
+    * dependence in nats, χ² = N·(Σ c_xy²/(c_x·c_y) − 1) measures its
+    * evidence against independence (≈ dof under the null). χ² is
+    * RATIONAL, so no ladder is needed: each cell contributes the
+    * exact floor-div term 1000·N·c² div (c_x·c_y) in milli units and
+    * the term-wise floors are the deterministic quantization (both
+    * engines floor the same non-negative integers). Output one row:
+    * (n_docs, n_langs, n_sources, dof, chi2_milli).
+    *
+    * INT64/DECIMAL bounds: c_x·c_y < N² (INT64 to N ≈ 3×10⁹); the
+    * 1000·N·c² numerator rides DECIMAL(38,0) (would pass 2⁶³ at
+    * N ≈ 2×10⁶ docs in one cell).
+    *
+    * Scale shape: identical to langSourceMi — one corpus pass
+    * partial-aggregates to the domain-bounded (lang, source) cell
+    * table, marginals are windows over that bounded table, the report
+    * is a one-row aggregate. */
+  def chi2LangSource(docs: DataFrame): DataFrame = {
+    val cells = docs.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("c"))
+    cells
+      .withColumn("cl", sum(col("c")).over(Window.partitionBy(col("lang"))))
+      .withColumn("cs", sum(col("c")).over(Window.partitionBy(col("source"))))
+      .withColumn("nn", sum(col("c")).over(Window.partitionBy()))
+      .agg(
+        max(col("nn")).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(expr("(1000 * CAST(nn AS DECIMAL(38,0)) * c * c) div (cl * cs)"))
+          .as("s"))
+      .select(col("n_docs"), col("n_langs"), col("n_sources"),
+        ((col("n_langs") - 1) * (col("n_sources") - 1)).as("dof"),
+        expr("CAST(s - 1000 * n_docs AS BIGINT)").as("chi2_milli"))
+  }
+
+  /** WELCH'S UNEQUAL-VARIANCE t-TEST of event `value` between the
+    * view and purchase populations — the continuous-metric experiment
+    * readout beside [[Temporal.abConversionZtest]]'s proportion test.
+    * Values milli-quantize; with S = Σv, Q = Σv² per group, the
+    * t² statistic is rational:
+    *   t² = (S₁n₂ − S₂n₁)²·(n₁−1)(n₂−1) / den,
+    *   den = n₂²(n₁Q₁ − S₁²)(n₂−1) + n₁²(n₂Q₂ − S₂²)(n₁−1),
+    * so sign(mean diff) is exact and ln t² rides the ladder. Means
+    * are reported as exact milli floor-divs (values non-negative —
+    * no sign-split needed). NULL ladder when degenerate (a group
+    * empty/singleton, zero pooled variance, or equal scaled means).
+    *
+    * DECIMAL bounds (documented per the revenue_gini rule): A = S·n ≈
+    * n²·v̄ and den ≈ n₂³·n₁·Q₁ ≈ n⁴·v̄² — den < 10³⁸ holds to n ≈ 3×10⁷
+    * rows per group at the events value scale (v ≤ 10⁵ milli); beyond
+    * that, pre-aggregate per user first (the same rollup a 100 TB
+    * pipeline already does to de-autocorrelate its units).
+    *
+    * Scale shape: ONE corpus pass partial-aggregates both groups'
+    * (n, S, Q) moment triples — a 2-row shuffle — then a 1-row
+    * report. No window, no join. */
+  def welchTtest(events: DataFrame,
+      typeA: String = "view", typeB: String = "purchase"): DataFrame = {
+    events
+      .filter(col("event_type").isin(typeA, typeB))
+      .select(when(col("event_type") === typeA, 0L).otherwise(1L).as("g"),
+        expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").as("v"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"), sum(col("v").cast(Dec)).as("s"),
+        sum((col("v") * col("v")).cast(Dec)).as("q"))
+      .agg(
+        sum(when(col("g") === 0, col("n"))).as("n1"),
+        sum(when(col("g") === 0, col("s"))).as("s1"),
+        sum(when(col("g") === 0, col("q"))).as("q1"),
+        sum(when(col("g") === 1, col("n"))).as("n2"),
+        sum(when(col("g") === 1, col("s"))).as("s2"),
+        sum(when(col("g") === 1, col("q"))).as("q2"))
+      .select(
+        col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
+        expr("CAST(CASE WHEN n1 > 0 THEN s1 div n1 END AS BIGINT)")
+          .as("mean1_milli"),
+        expr("CAST(CASE WHEN n2 > 0 THEN s2 div n2 END AS BIGINT)")
+          .as("mean2_milli"),
+        expr("CAST(CASE WHEN s2 * n1 > s1 * n2 THEN 1 " +
+          "WHEN s2 * n1 < s1 * n2 THEN -1 ELSE 0 END AS BIGINT)")
+          .as("diff_sign"),
+        expr("CASE WHEN n1 > 1 AND n2 > 1 AND s1 * n2 <> s2 * n1 AND " +
+          "n2 * n2 * (n1 * q1 - s1 * s1) * (n2 - 1) + " +
+          "n1 * n1 * (n2 * q2 - s2 * s2) * (n1 - 1) > 0 THEN " +
+          s"100 * (2 * ${ln4("abs(s1 * n2 - s2 * n1)")}" +
+          s" + ${ln4("(n1 - 1) * (n2 - 1)")}" +
+          s" - ${ln4("n2 * n2 * (n1 * q1 - s1 * s1) * (n2 - 1) + " +
+            "n1 * n1 * (n2 * q2 - s2 * s2) * (n1 - 1)")})" +
+          " END").as("ln_t2_micro"))
+  }
+
+  /** MANN–WHITNEY U TEST of event `value` between the view and
+    * purchase populations — the rank-based (distribution-free) twin
+    * of [[welchTtest]]: U detects stochastic dominance without any
+    * normality assumption, the standard A/B readout for skewed
+    * metrics. 2U₁ = 2R₁ − 2·n₁(n₁+1)/2 is an EXACT INTEGER under
+    * average-rank ties (double-ranks again) and is emitted directly
+    * (`u1_x2`); the normal-approximation significance uses the
+    * tie-corrected variance, rational throughout:
+    *   z² = (2U₁ − n₁n₂)²·3·N(N−1) / (4·... ) reduced to the ladder
+    *   ln z² = 2·ln|2U₁ − n₁n₂| + ln 3 + ln(N(N−1))
+    *           − ln(n₁n₂) − ln(N³ − N − ΣT),  T = Σ(t³ − t) per tie.
+    * NULL ladder when degenerate (z = 0 or all values tied).
+    *
+    * The rank pass is NOT a corpus window: values milli-quantize into
+    * a DOMAIN-BOUNDED grid (event value ∈ [0,100] → ≤ 10⁵ + 1
+    * distinct cells), the corpus partial-aggregates to per-cell
+    * (total, group-1) counts, and the running-rank cumulative runs
+    * over that bounded cell table (the value_histogram/benford
+    * bounded-global-window class — guard comment here, allowlisted in
+    * PlanShapeSpec). Per-cell average double-rank for a run of c at
+    * cumulative offset F is 2F + c + 1, so R₁ doubles to
+    * Σ c₁·(2F + c + 1). INT64 bounds: R₁·2 ≤ 2n₁N (INT64 past
+    * N = 10⁹); N³ rides DECIMAL(38,0) (passes 2⁶³ at N ≈ 2×10⁶).
+    *
+    * Scale shape: one corpus pass → ≤ 10⁵-row cell table → bounded
+    * window → one-row report. */
+  def mannWhitney(events: DataFrame,
+      typeA: String = "view", typeB: String = "purchase"): DataFrame = {
+    val cells = events
+      .filter(col("event_type").isin(typeA, typeB))
+      .select(expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").as("v"),
+        when(col("event_type") === typeA, 1L).otherwise(0L).as("is1"))
+      .groupBy("v")
+      .agg(count(lit(1)).as("c"), sum(col("is1")).as("c1"))
+    // bounded global window: runs over the <= 100001-row milli-value
+    // cell table, never the corpus (PlanShapeSpec-allowlisted)
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cells
+      .withColumn("f", coalesce(sum(col("c")).over(w), lit(0L)))
+      .agg(
+        sum(col("c1")).as("n1"), sum(col("c") - col("c1")).as("n2"),
+        sum(col("c")).as("nn"),
+        sum(col("c1") * (col("f") * 2 + col("c") + 1)).as("r1d"),
+        sum(((col("c") * col("c") * col("c")) - col("c")).cast(Dec)).as("t3"))
+      .select(col("n1"), col("n2"),
+        (col("r1d") - col("n1") * (col("n1") + 1)).as("u1_x2"),
+        col("nn"), col("t3"))
+      .select(col("n1"), col("n2"), col("u1_x2"),
+        expr("CAST(CASE WHEN u1_x2 > n1 * n2 THEN 1 " +
+          "WHEN u1_x2 < n1 * n2 THEN -1 ELSE 0 END AS BIGINT)")
+          .as("z_sign"),
+        expr("CASE WHEN n1 > 0 AND n2 > 0 AND u1_x2 <> n1 * n2 AND " +
+          "CAST(nn AS DECIMAL(38,0)) * nn * nn - nn - t3 > 0 THEN " +
+          s"100 * (2 * ${ln4("abs(u1_x2 - n1 * n2)")} + ${ln4("3")}" +
+          s" + ${ln4("nn * (nn - 1)")} - ${ln4("n1 * n2")}" +
+          s" - ${ln4("CAST(nn AS DECIMAL(38,0)) * nn * nn - nn - t3")})" +
+          " END").as("ln_z2_micro"))
+  }
+}

@@ -1,0 +1,147 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+
+/** Driver-contract wiring for the classical-statistics suite
+  * ([[Stats]]). Every oracle mirrors the plan's integer reduction
+  * term-for-term — rank windows, floor-div quantizations, and the
+  * quantized-ln ladder — so each test statistic hash-matches exactly. */
+object StatsQueries {
+
+  /** The lang_source_mi quantized-ln ladder, shared by every oracle. */
+  private def ln4(e: String) =
+    s"CAST(floor(ln(CAST(($e) AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT)"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Spearman rank correlation per return flag: average-rank ties as
+    // integer double-ranks, sign + quantized-ln rho^2 ladder
+    QueryDef("spearman_corr",
+      (s, d) => Stats.spearmanQuantityPrice(Tables.lineitem(s, d)), Some(
+        s"""WITH base AS (
+           |  SELECT l_returnflag AS flag,
+           |    CAST(round(l_quantity) AS BIGINT) AS q,
+           |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+           |  FROM lineitem),
+           |r AS (
+           |  SELECT flag,
+           |    2 * rank() OVER (PARTITION BY flag ORDER BY q)
+           |      + count(*) OVER (PARTITION BY flag, q) - 1 AS a,
+           |    2 * rank() OVER (PARTITION BY flag ORDER BY cents)
+           |      + count(*) OVER (PARTITION BY flag, cents) - 1 AS b
+           |  FROM base),
+           |agg AS (
+           |  SELECT flag, CAST(count(*) AS BIGINT) AS n,
+           |    sum(CAST(a AS HUGEINT)) AS sa, sum(CAST(b AS HUGEINT)) AS sb,
+           |    sum(CAST(a AS HUGEINT) * a) AS saa,
+           |    sum(CAST(b AS HUGEINT) * b) AS sbb,
+           |    sum(CAST(a AS HUGEINT) * b) AS sab
+           |  FROM r GROUP BY flag),
+           |t AS (
+           |  SELECT flag, n, n * sab - sa * sb AS num,
+           |    n * saa - sa * sa AS dx, n * sbb - sb * sb AS dy
+           |  FROM agg)
+           |SELECT flag, n,
+           |  CAST(CASE WHEN num < 0 THEN -1 WHEN num > 0 THEN 1 ELSE 0 END
+           |       AS BIGINT) AS rho_sign,
+           |  CASE WHEN num <> 0 AND dx > 0 AND dy > 0 THEN
+           |    100 * (2 * ${ln4("abs(num)")} - ${ln4("dx")} - ${ln4("dy")})
+           |  END AS ln_rho2_micro
+           |FROM t ORDER BY flag""".stripMargin)),
+
+    // chi-square independence of lang x source: rational statistic —
+    // term-wise floor-div in milli units, no ladder needed
+    QueryDef("chi2_lang_source",
+      (s, d) => Stats.chi2LangSource(Tables.documents(s, d)), Some(
+        """WITH cells AS (
+          |  SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+          |  FROM documents GROUP BY 1, 2),
+          |m AS (
+          |  SELECT *, sum(c) OVER (PARTITION BY lang) AS cl,
+          |    sum(c) OVER (PARTITION BY source) AS cs,
+          |    sum(c) OVER () AS nn
+          |  FROM cells)
+          |SELECT CAST(max(nn) AS BIGINT) AS n_docs,
+          |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+          |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+          |  CAST((count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1)
+          |       AS BIGINT) AS dof,
+          |  CAST(sum((1000 * CAST(nn AS HUGEINT) * c * c) // (cl * cs))
+          |       - 1000 * max(nn) AS BIGINT) AS chi2_milli
+          |FROM m""".stripMargin)),
+
+    // Welch's unequal-variance t: moment triples per group, rational
+    // t^2 via integer cross-multiplication, ladder for ln t^2
+    QueryDef("welch_ttest",
+      (s, d) => Stats.welchTtest(Tables.events(s, d)), Some(
+        s"""WITH v AS (
+           |  SELECT CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS g,
+           |    CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v
+           |  FROM events WHERE event_type IN ('view', 'purchase')),
+           |m AS (
+           |  SELECT g, CAST(count(*) AS BIGINT) AS n,
+           |    sum(CAST(v AS HUGEINT)) AS s, sum(CAST(v AS HUGEINT) * v) AS q
+           |  FROM v GROUP BY g),
+           |a AS (SELECT
+           |  CAST(sum(CASE WHEN g = 0 THEN n END) AS BIGINT) AS n1,
+           |  sum(CASE WHEN g = 0 THEN s END) AS s1,
+           |  sum(CASE WHEN g = 0 THEN q END) AS q1,
+           |  CAST(sum(CASE WHEN g = 1 THEN n END) AS BIGINT) AS n2,
+           |  sum(CASE WHEN g = 1 THEN s END) AS s2,
+           |  sum(CASE WHEN g = 1 THEN q END) AS q2
+           |  FROM m)
+           |SELECT n1, n2,
+           |  CAST(CASE WHEN n1 > 0 THEN s1 // n1 END AS BIGINT)
+           |    AS mean1_milli,
+           |  CAST(CASE WHEN n2 > 0 THEN s2 // n2 END AS BIGINT)
+           |    AS mean2_milli,
+           |  CAST(CASE WHEN s2 * n1 > s1 * n2 THEN 1
+           |       WHEN s2 * n1 < s1 * n2 THEN -1 ELSE 0 END AS BIGINT)
+           |    AS diff_sign,
+           |  CASE WHEN n1 > 1 AND n2 > 1 AND s1 * n2 <> s2 * n1 AND
+           |    n2 * n2 * (n1 * q1 - s1 * s1) * (n2 - 1) +
+           |    n1 * n1 * (n2 * q2 - s2 * s2) * (n1 - 1) > 0 THEN
+           |    100 * (2 * ${ln4("abs(s1 * n2 - s2 * n1)")}
+           |      + ${ln4("(n1 - 1) * (n2 - 1)")}
+           |      - ${ln4("n2 * n2 * (n1 * q1 - s1 * s1) * (n2 - 1) + " +
+                          "n1 * n1 * (n2 * q2 - s2 * s2) * (n1 - 1)")})
+           |  END AS ln_t2_micro
+           |FROM a""".stripMargin)),
+
+    // Mann-Whitney U via the domain-bounded milli-value cell table:
+    // exact integer 2*U1, tie-corrected variance on the ladder
+    QueryDef("mannwhitney_value",
+      (s, d) => Stats.mannWhitney(Tables.events(s, d)), Some(
+        s"""WITH cells AS (
+           |  SELECT CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v,
+           |    CAST(count(*) AS BIGINT) AS c,
+           |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+           |         AS BIGINT) AS c1
+           |  FROM events WHERE event_type IN ('view', 'purchase')
+           |  GROUP BY 1),
+           |f AS (
+           |  SELECT *, CAST(coalesce(sum(c) OVER (ORDER BY v
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |    AS BIGINT) AS f
+           |  FROM cells),
+           |a AS (
+           |  SELECT CAST(sum(c1) AS BIGINT) AS n1,
+           |    CAST(sum(c - c1) AS BIGINT) AS n2,
+           |    CAST(sum(c) AS BIGINT) AS nn,
+           |    CAST(sum(c1 * (f * 2 + c + 1)) AS BIGINT) AS r1d,
+           |    sum(CAST(c * c * c - c AS HUGEINT)) AS t3
+           |  FROM f),
+           |u AS (SELECT n1, n2, nn, t3,
+           |        r1d - n1 * (n1 + 1) AS u1_x2 FROM a)
+           |SELECT n1, n2, CAST(u1_x2 AS BIGINT) AS u1_x2,
+           |  CAST(CASE WHEN u1_x2 > n1 * n2 THEN 1
+           |       WHEN u1_x2 < n1 * n2 THEN -1 ELSE 0 END AS BIGINT)
+           |    AS z_sign,
+           |  CASE WHEN n1 > 0 AND n2 > 0 AND u1_x2 <> n1 * n2 AND
+           |    CAST(nn AS HUGEINT) * nn * nn - nn - t3 > 0 THEN
+           |    100 * (2 * ${ln4("abs(u1_x2 - n1 * n2)")} + ${ln4("3")}
+           |      + ${ln4("nn * (nn - 1)")} - ${ln4("n1 * n2")}
+           |      - ${ln4("CAST(nn AS HUGEINT) * nn * nn - nn - t3")})
+           |  END AS ln_z2_micro
+           |FROM u""".stripMargin)))
+}

@@ -312,7 +312,12 @@ class PlanShapeSpec extends SparkSpec {
       // markov_stationary's init/renormalize windows run over the
       // |event-type|-bounded state table (guard-commented there)
       "sequence_packing", "benford_value_audit", "mmr_rerank",
-      "survival_km", "markov_stationary")
+      "survival_km", "markov_stationary",
+      // chi2's marginal/total windows run over the |langs|x|sources|-
+      // bounded cell table; mannwhitney's running-rank cumulative runs
+      // over the <=100001-row milli-value cell table (guard comments
+      // at both definitions)
+      "chi2_lang_source", "mannwhitney_value")
     assert(offenders.forall(allowedGlobal),
       s"unpartitioned windows outside the allowed exceptions: $offenders")
   }
