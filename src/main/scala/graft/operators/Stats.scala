@@ -233,4 +233,167 @@ object Stats {
           s" - ${ln4("CAST(nn AS DECIMAL(38,0)) * nn * nn - nn - t3")})" +
           " END").as("ln_z2_micro"))
   }
+
+  /** LAG-k AUTOCORRELATION of the daily event-count series — the
+    * seasonality/memory readout of an ingestion monitor (lag-7 spikes
+    * = weekly cycle; lag-1 near 1 = trending volume; all ≈ 0 =
+    * stationary noise). The ACF is RATIONAL after clearing the mean:
+    * with S = Σx, n = #days, r_k = Σ(n·x_t − S)(n·x_{t+k} − S) /
+    * Σ(n·x_t − S)² over INDEX-aligned pairs (t from a dense
+    * row-number over observed days, so a calendar gap shifts indices
+    * identically on both engines), emitted as the exact signed
+    * permille sign·(1000·|num| div den) — floor-div on non-negative
+    * magnitudes only, the sign-split rule. DECIMAL(38,0) everywhere a
+    * product of two (n·x − S) terms rides (at 10¹⁰ events/day ×
+    * 365 days the cross term reaches ~10²⁵).
+    *
+    * Scale shape: one corpus pass partial-aggregates to the
+    * CALENDAR-BOUNDED daily table (≤ n_days rows forever); the index
+    * window, the k-shift self-joins, and the final aggregates all run
+    * over that bounded table (guard: the global window is over days,
+    * never events — PlanShapeSpec-allowlisted). */
+  def autocorrDaily(events: DataFrame,
+      lags: Seq[Int] = Seq(1, 2, 7)): DataFrame = {
+    val daily = events.groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    // bounded global windows: <= n_days rows (calendar-bounded).
+    // STAGED: the deviation table feeds den plus both sides of every
+    // lag self-join (2|lags|+1 consumers) — unstaged, each would
+    // re-run the corpus daily aggregate as its own job (the ks_drift
+    // staging rule)
+    val t = Materialize.stage(daily
+      .withColumn("t", row_number().over(Window.orderBy(col("day"))).cast("long"))
+      .withColumn("s", sum(col("x")).over(Window.partitionBy()))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .select(col("t"), (col("n") * col("x") - col("s")).cast(Dec).as("d"),
+        col("n")))
+    val den = t.agg(sum(expr("d * d")).as("den"),
+      max(col("n")).as("n_days"))
+    lags.map { k =>
+      t.as("a")
+        .join(t.as("b"), col("b.t") === col("a.t") + k)
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(expr("a.d * b.d")).as("num"))
+        .select(lit(k.toLong).as("lag"), col("n_pairs"), col("num"))
+    }.reduce(_ unionAll _)
+      .crossJoin(den)
+      .select(col("lag"), col("n_days"), col("n_pairs"),
+        expr("CAST(CASE WHEN den > 0 AND n_pairs > 0 THEN " +
+          "CASE WHEN num < 0 THEN -1 ELSE 1 END * " +
+          "((1000 * abs(num)) div den) END AS BIGINT)").as("r_permille"))
+      .orderBy("lag")
+  }
+
+  /** PER-NATION OLS REVENUE TREND — the monthly-slope readout of a
+    * revenue dashboard: least-squares slope of (month index, monthly
+    * cents) per nation, exact in micro-cents-per-month. x is the
+    * ABSOLUTE month index year·12 + month (slope is shift-invariant,
+    * so no per-nation min pass), y the exact cent sum; slope =
+    * (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) emitted as the signed floor-div
+    * micro value (sign-split). NULL when a nation has < 2 months.
+    * DECIMAL(38,0) sums (n·Σxy ≈ n²·x·ȳ passes 2⁶³ around 10¹⁴ cents
+    * of monthly revenue).
+    *
+    * Scale shape: one shuffle on the order FK to attach nations
+    * (customer side broadcast-joined to the 25-row nation table), one
+    * partial-aggregated (nation, month) rollup — bounded by
+    * |nations|×|months| — then per-nation 5-moment aggregates over
+    * that bounded table. */
+  def olsTrendNation(s: org.apache.spark.sql.SparkSession, d: String)
+      : DataFrame = {
+    val monthly = graft.Tables.orders(s, d)
+      .join(graft.Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(graft.Tables.nation(s, d)
+        .select(col("n_nationkey").as("c_nationkey"), col("n_name"))),
+        "c_nationkey")
+      .groupBy(col("n_name"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("x"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("y"))
+    monthly.groupBy("n_name")
+      .agg(count(lit(1)).as("n_months"),
+        sum(col("y")).as("total_cents"),
+        sum(col("x").cast(Dec)).as("sx"), sum(col("y").cast(Dec)).as("sy"),
+        sum((col("x") * col("x")).cast(Dec)).as("sxx"),
+        sum((col("x").cast(Dec) * col("y"))).as("sxy"))
+      .select(col("n_name"), col("n_months"), col("total_cents"),
+        expr("n_months * sxy - sx * sy").as("num"),
+        expr("n_months * sxx - sx * sx").as("den"))
+      .select(col("n_name"), col("n_months"), col("total_cents"),
+        expr("CAST(CASE WHEN den > 0 THEN " +
+          "CASE WHEN num < 0 THEN -1 ELSE 1 END * " +
+          "((1000000 * abs(num)) div den) END AS BIGINT)")
+          .as("slope_microcents_per_month"))
+      .orderBy("n_name")
+  }
+
+  /** CUSUM LEVEL-SHIFT SCAN over the daily event-count series — the
+    * changepoint detector of an ingestion monitor: S_t = Σ_{i≤t}
+    * (x_i − x̄) peaks at the most likely mean-shift point. n·S_t =
+    * n·cum_t − t·S is INTEGER, so the argmax day and the peak are
+    * exact; ties break to the EARLIEST day (the canonical changepoint
+    * convention). One row: (n_days, total, peak day, signed peak
+    * n·S_t, peak as permille of n·total).
+    *
+    * Scale shape: corpus → calendar-bounded daily table; the running
+    * cumulative and the top-1 sort run over that bounded table
+    * (PlanShapeSpec-allowlisted global window). */
+  def cusumDaily(events: DataFrame): DataFrame = {
+    val daily = events.groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    // bounded global windows over the <= n_days daily table
+    val t = daily
+      .withColumn("t", row_number().over(Window.orderBy(col("day"))).cast("long"))
+      .withColumn("cum", sum(col("x"))
+        .over(Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("s", sum(col("x")).over(Window.partitionBy()))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .select(col("day"), col("t"), col("n"), col("s"),
+        (col("n").cast(Dec) * col("cum") - col("t").cast(Dec) * col("s"))
+          .as("ns"))
+    t.orderBy(abs(col("ns")).desc, col("day").asc).limit(1)
+      .select(col("n").as("n_days"), col("s").as("total_events"),
+        col("day").as("peak_day"),
+        expr("CAST(ns AS BIGINT)").as("peak_cusum_n"),
+        expr("CAST(CASE WHEN s > 0 THEN " +
+          "CASE WHEN ns < 0 THEN -1 ELSE 1 END * " +
+          "((1000 * abs(ns)) div (n * CAST(s AS DECIMAL(38,0)))) END" +
+          " AS BIGINT)").as("peak_permille"))
+  }
+
+  /** INTER-ARRIVAL BURSTINESS — per-user event-gap dispersion, the
+    * arrival-process health check (CV² = var/mean² of gaps: 1000‰ for
+    * a Poisson process, ≫ 1000 for bursty sessions, ≪ 1000 for
+    * metronomic bots). Gaps are whole SECONDS (floor of the millis
+    * delta — keeps g² inside INT64 to 292-year gaps) over each user's
+    * (ts, event_id)-ordered stream; with S = Σg, Q = Σg²,
+    * CV²_milli = 1000·n·(nQ − S²) div ((n−1)·S²) — exact sample-
+    * variance cross-multiplication, DECIMAL(38,0) sums. One row:
+    * (n_gaps, mean_gap_sec, cv2_milli).
+    *
+    * Scale shape: the lag window is PARTITIONED by user (the
+    * sessionize class — scales with the per-user stream, never
+    * global); the moments partial-aggregate to one row. */
+  def interarrivalBurstiness(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"),
+        (unix_millis(col("ts")) - unix_millis(lag(col("ts"), 1).over(w)))
+          .as("gms"))
+      .filter(col("gms").isNotNull)
+      .select(expr("gms div 1000").as("g"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("g").cast(Dec)).as("s"),
+        sum((col("g") * col("g")).cast(Dec)).as("q"))
+      .select(col("n_gaps"),
+        expr("CAST(CASE WHEN n_gaps > 0 THEN s div n_gaps END AS BIGINT)")
+          .as("mean_gap_sec"),
+        expr("CAST(CASE WHEN n_gaps > 1 AND s > 0 THEN " +
+          "(1000 * n_gaps * (n_gaps * q - s * s)) div ((n_gaps - 1) * s * s)" +
+          " END AS BIGINT)").as("cv2_milli"))
+  }
 }

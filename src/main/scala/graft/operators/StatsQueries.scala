@@ -143,5 +143,109 @@ object StatsQueries {
            |      + ${ln4("nn * (nn - 1)")} - ${ln4("n1 * n2")}
            |      - ${ln4("CAST(nn AS HUGEINT) * nn * nn - nn - t3")})
            |  END AS ln_z2_micro
-           |FROM u""".stripMargin)))
+           |FROM u""".stripMargin)),
+
+    // lag-k autocorrelation of the daily count series: rational ACF
+    // after clearing the mean (x n^2), signed permille floor-div
+    QueryDef("autocorr_daily",
+      (s, d) => Stats.autocorrDaily(Tables.events(s, d)), Some {
+        val lagSelects = Seq(1, 2, 7).map { k =>
+          s"""SELECT CAST($k AS BIGINT) AS lag,
+             |  CAST(count(*) AS BIGINT) AS n_pairs, sum(a.d * b.d) AS num
+             |FROM d a JOIN d b ON b.t = a.t + $k""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH daily AS (
+           |  SELECT date_trunc('day', ts) AS day,
+           |    CAST(count(*) AS BIGINT) AS x
+           |  FROM events GROUP BY 1),
+           |t AS (
+           |  SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+           |    CAST(sum(x) OVER () AS BIGINT) AS s,
+           |    CAST(count(*) OVER () AS BIGINT) AS n, x
+           |  FROM daily),
+           |d AS (SELECT t, CAST(n * x - s AS HUGEINT) AS d, n FROM t),
+           |den AS (SELECT sum(d * d) AS den, CAST(max(n) AS BIGINT) AS n_days
+           |        FROM d),
+           |lq AS ($lagSelects)
+           |SELECT lag, n_days, n_pairs,
+           |  CAST(CASE WHEN den > 0 AND n_pairs > 0 THEN
+           |    (CASE WHEN num < 0 THEN -1 ELSE 1 END) *
+           |    ((1000 * abs(num)) // den) END AS BIGINT) AS r_permille
+           |FROM lq, den ORDER BY lag""".stripMargin
+      }),
+
+    // per-nation OLS slope of monthly revenue in exact micro-cents
+    QueryDef("ols_trend_nation",
+      (s, d) => Stats.olsTrendNation(s, d), Some(
+        """WITH monthly AS (
+          |  SELECT n.n_name,
+          |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+          |      AS x,
+          |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+          |      AS y
+          |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+          |  JOIN nation n ON n.n_nationkey = c.c_nationkey
+          |  GROUP BY 1, 2),
+          |a AS (
+          |  SELECT n_name, CAST(count(*) AS BIGINT) AS n_months,
+          |    CAST(sum(y) AS BIGINT) AS total_cents,
+          |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+          |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+          |    sum(CAST(x AS HUGEINT) * y) AS sxy
+          |  FROM monthly GROUP BY 1)
+          |SELECT n_name, n_months, total_cents,
+          |  CAST(CASE WHEN n_months * sxx - sx * sx > 0 THEN
+          |    (CASE WHEN n_months * sxy - sx * sy < 0 THEN -1 ELSE 1 END) *
+          |    ((1000000 * abs(n_months * sxy - sx * sy))
+          |     // (n_months * sxx - sx * sx)) END AS BIGINT)
+          |    AS slope_microcents_per_month
+          |FROM a ORDER BY n_name""".stripMargin)),
+
+    // CUSUM level-shift scan: integer n*S_t peak + earliest argmax day
+    QueryDef("cusum_daily",
+      (s, d) => Stats.cusumDaily(Tables.events(s, d)), Some(
+        """WITH daily AS (
+          |  SELECT date_trunc('day', ts) AS day,
+          |    CAST(count(*) AS BIGINT) AS x
+          |  FROM events GROUP BY 1),
+          |t AS (
+          |  SELECT day,
+          |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+          |    CAST(sum(x) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+          |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+          |    CAST(sum(x) OVER () AS BIGINT) AS s,
+          |    CAST(count(*) OVER () AS BIGINT) AS n
+          |  FROM daily),
+          |p AS (
+          |  SELECT day, n, s,
+          |    CAST(n AS HUGEINT) * cum - CAST(t AS HUGEINT) * s AS ns
+          |  FROM t ORDER BY abs(ns) DESC, day ASC LIMIT 1)
+          |SELECT n AS n_days, s AS total_events, day AS peak_day,
+          |  CAST(ns AS BIGINT) AS peak_cusum_n,
+          |  CAST(CASE WHEN s > 0 THEN
+          |    (CASE WHEN ns < 0 THEN -1 ELSE 1 END) *
+          |    ((1000 * abs(ns)) // (n * CAST(s AS HUGEINT))) END AS BIGINT)
+          |    AS peak_permille
+          |FROM p""".stripMargin)),
+
+    // inter-arrival CV^2 in milli (1000 = Poisson): whole-second gaps,
+    // exact sample-variance cross-multiplication
+    QueryDef("interarrival_burstiness",
+      (s, d) => Stats.interarrivalBurstiness(Tables.events(s, d)), Some(
+        """WITH g0 AS (
+          |  SELECT epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+          |    PARTITION BY user_id ORDER BY ts, event_id) AS gms
+          |  FROM events),
+          |g AS (SELECT gms // 1000 AS g FROM g0 WHERE gms IS NOT NULL),
+          |a AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS n_gaps,
+          |    sum(CAST(g AS HUGEINT)) AS s, sum(CAST(g AS HUGEINT) * g) AS q
+          |  FROM g)
+          |SELECT n_gaps,
+          |  CAST(CASE WHEN n_gaps > 0 THEN s // n_gaps END AS BIGINT)
+          |    AS mean_gap_sec,
+          |  CAST(CASE WHEN n_gaps > 1 AND s > 0 THEN
+          |    (1000 * n_gaps * (n_gaps * q - s * s))
+          |    // ((n_gaps - 1) * s * s) END AS BIGINT) AS cv2_milli
+          |FROM a""".stripMargin)))
 }

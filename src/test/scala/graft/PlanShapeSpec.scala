@@ -182,6 +182,9 @@ class PlanShapeSpec extends SparkSpec {
       // additionally crossJoins its two ONE-ROW aggregate legs
       // (dcg × idcg — bounded by construction)
       "keyword_search_explicit", "bm25_search_explicit", "search_eval_ndcg",
+      // round-13 autocorr: the one-row denominator aggregate
+      // crossJoined onto the <= |lags|-row numerator table
+      "autocorr_daily",
       // round-12+: diversified/reranked twins of the explicit probe —
       // the identical scorer (and its one-row corpus-stat broadcast
       // scalar); mmr additionally argmaxes over ≤kCand-row rounds;
@@ -317,7 +320,10 @@ class PlanShapeSpec extends SparkSpec {
       // bounded cell table; mannwhitney's running-rank cumulative runs
       // over the <=100001-row milli-value cell table (guard comments
       // at both definitions)
-      "chi2_lang_source", "mannwhitney_value")
+      "chi2_lang_source", "mannwhitney_value",
+      // autocorr/cusum: index/cumulative/total windows run over the
+      // calendar-bounded daily table, never events (guard-commented)
+      "autocorr_daily", "cusum_daily")
     assert(offenders.forall(allowedGlobal),
       s"unpartitioned windows outside the allowed exceptions: $offenders")
   }

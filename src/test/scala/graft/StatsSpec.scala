@@ -87,6 +87,81 @@ class StatsSpec extends SparkSpec {
     assert(r2(0).getLong(2) == 1L, s"2U1 must be 1 under the tie: ${r2.toSeq}")
   }
 
+  private def tsOf(day: Int, i: Int): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(f"2024-01-$day%02d 00:${i / 60}%02d:${i % 60}%02d")
+
+  test("autocorr: alternating daily series gives r1 = -(n-1)/n, r2 = (n-2)/n, empty lag NULL") {
+    // days 1..6 with counts 5,1,5,1,5,1: deviations alternate ±2n, so
+    // lag-1 products are all -4n², lag-2 all +4n²; den = 4n²·n →
+    // r1 = -⌊1000·5/6⌋ = -833, r2 = ⌊1000·4/6⌋ = 666; lag-7 has no
+    // pairs → NULL
+    val rows = for {
+      d <- 1 to 6
+      i <- 0 until (if (d % 2 == 1) 5 else 1)
+    } yield Tuple1(tsOf(d, i))
+    val r = Stats.autocorrDaily(rows.toDF("ts")).collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(2),
+      if (x.isNullAt(3)) None else Some(x.getLong(3)))).toSeq ==
+      Seq((1L, 5L, Some(-833L)), (2L, 4L, Some(666L)), (7L, 0L, None)),
+      s"got ${r.toSeq}")
+  }
+
+  test("cusum: step series peaks at the shift point with the exact integer peak") {
+    // counts 1,1,1,5,5,5 (n=6, S=18): n·S_t = -12,-24,-36,-24,-12,0 →
+    // peak at day 3, value -36, permille -⌊36000/108⌋ = -333
+    val rows = for {
+      d <- 1 to 6
+      i <- 0 until (if (d <= 3) 1 else 5)
+    } yield Tuple1(tsOf(d, i))
+    val r = Stats.cusumDaily(rows.toDF("ts")).collect()
+    assert(r.length == 1 && r(0).getLong(0) == 6L && r(0).getLong(1) == 18L
+      && r(0).getTimestamp(2).toString.startsWith("2024-01-03")
+      && r(0).getLong(3) == -36L && r(0).getLong(4) == -333L,
+      s"got ${r.toSeq}")
+  }
+
+  test("interarrival: hand fixture CV^2 and mean; Poisson-free exactness") {
+    // one user, events at 0s/10s/30s: gaps 10, 20 → mean 15,
+    // CV² = 2·(2·500 − 900)/(1·900) = 2/9 → milli ⌊200000/900⌋ = 222
+    val rows = Seq((1L, tsOf(1, 0), 1L), (1L, tsOf(1, 10), 2L),
+      (1L, tsOf(1, 30), 3L))
+    val r = Stats.interarrivalBurstiness(
+      rows.toDF("user_id", "ts", "event_id")).collect()
+    assert(r.toSeq == Seq(Row(2L, 15L, 222L)), s"got ${r.toSeq}")
+  }
+
+  test("ols trend: slope matches a plain-Scala recompute on sf0.001") {
+    val got = Stats.olsTrendNation(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(3)) None
+        else Some(r.getLong(3)))).toMap
+    // independent recompute: collect (nation, month, cents) and run the
+    // textbook formula in BigInt
+    val monthly = Tables.orders(spark, sf0001)
+      .join(Tables.customer(spark, sf0001)
+        .selectExpr("c_custkey", "c_nationkey"),
+        $"o_custkey" === $"c_custkey")
+      .join(Tables.nation(spark, sf0001)
+        .selectExpr("n_nationkey AS c_nationkey", "n_name"), "c_nationkey")
+      .selectExpr("n_name",
+        "CAST(year(o_orderdate) * 12 + month(o_orderdate) AS LONG) AS x",
+        "CAST(round(o_totalprice * 100) AS LONG) AS cents")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = monthly.groupBy(_._1).map { case (nat, rs) =>
+      val ym = rs.groupBy(_._2).map { case (x, g) =>
+        (BigInt(x), BigInt(g.map(_._3).sum)) }.toSeq
+      val n = BigInt(ym.size)
+      val (sx, sy) = (ym.map(_._1).sum, ym.map(_._2).sum)
+      val sxx = ym.map(p => p._1 * p._1).sum
+      val sxy = ym.map(p => p._1 * p._2).sum
+      val num = n * sxy - sx * sy
+      val den = n * sxx - sx * sx
+      nat -> (if (den > 0) Some((num.sign * ((num.abs * 1000000) / den)).toLong)
+        else None)
+    }
+    assert(got == expect, s"mismatch: ${got.toSeq.sorted.take(3)} vs " +
+      s"${expect.toSeq.sorted.take(3)}")
+  }
+
   test("mannwhitney: all values tied degenerates to NULL ladder") {
     val allTied = ev(Seq(("view", 0.001), ("view", 0.001),
       ("purchase", 0.001), ("purchase", 0.001)))
