@@ -27,7 +27,8 @@ object SparkEntry {
     PipelineQueries.defs ++
     TemporalQueries.defs ++
     MultimodalQueries.defs ++
-    StatsQueries.defs
+    StatsQueries.defs ++
+    BehaviorQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's one real query: word-count + Top-20

@@ -185,6 +185,10 @@ class PlanShapeSpec extends SparkSpec {
       // round-13 autocorr: the one-row denominator aggregate
       // crossJoined onto the <= |lags|-row numerator table
       "autocorr_daily",
+      // round-13 behavior: one-row total/stat aggregates crossJoined
+      // onto bounded tables (basket top-20, triangle census pair,
+      // trigram top-20)
+      "basket_lift", "triangle_copurchase", "event_trigrams",
       // round-12+: diversified/reranked twins of the explicit probe —
       // the identical scorer (and its one-row corpus-stat broadcast
       // scalar); mmr additionally argmaxes over ≤kCand-row rounds;
@@ -323,7 +327,10 @@ class PlanShapeSpec extends SparkSpec {
       "chi2_lang_source", "mannwhitney_value",
       // autocorr/cusum: index/cumulative/total windows run over the
       // calendar-bounded daily table, never events (guard-commented)
-      "autocorr_daily", "cusum_daily")
+      "autocorr_daily", "cusum_daily",
+      // rfm's three rank windows run over the customer DIMENSION
+      // (honest-exact-quantile class, guard-commented at the def)
+      "rfm_segments")
     assert(offenders.forall(allowedGlobal),
       s"unpartitioned windows outside the allowed exceptions: $offenders")
   }
