@@ -301,7 +301,13 @@ object Temporal {
     * value_histogram bounded-aggregate class). The corpus-horizon
     * scalar is a one-row broadcast (the dedup_savings class). Output
     * rows: event days only (d > 0), the standard KM step points. */
-  def survivalKm(events: DataFrame): DataFrame = {
+  /** Shared signup→first-purchase survival DAY TABLE (t_day, d, c,
+    * n_risk) feeding [[survivalKm]] and [[nelsonAalen]] — one
+    * definition so the two estimators can never disagree on risk
+    * sets. Day table is calendar-bounded: the unpartitioned windows
+    * run over ≤ a-few-hundred rows by construction (allowlisted for
+    * both consumers). */
+  private def survivalDayTable(events: DataFrame): DataFrame = {
     val su = events.filter(col("event_type") === "signup")
       .groupBy(col("user_id")).agg(min(col("ts")).as("s_ts"))
     val pu = events.filter(col("event_type") === "purchase")
@@ -326,16 +332,18 @@ object Temporal {
     val byDay = durations.groupBy("t_day")
       .agg(sum(when(col("is_event"), 1L).otherwise(0L)).as("d"),
         sum(when(col("is_event"), 0L).otherwise(1L)).as("c"))
-    // day table is calendar-bounded: the unpartitioned windows below
-    // run over ≤ a-few-hundred rows by construction (allowlisted)
     val wAll = Window.partitionBy()
-    val wCum = Window.orderBy(col("t_day"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wPrev = Window.orderBy(col("t_day"))
       .rowsBetween(Window.unboundedPreceding, -1)
     byDay
       .withColumn("n_risk", sum(col("d") + col("c")).over(wAll) -
         coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
+  }
+
+  def survivalKm(events: DataFrame): DataFrame = {
+    val wCum = Window.orderBy(col("t_day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    survivalDayTable(events)
       .withColumn("term",
         when(col("d") > 0 && col("n_risk") > col("d"),
           ln4(col("n_risk") - col("d")) - ln4(col("n_risk")))
@@ -348,6 +356,37 @@ object Temporal {
       .filter(col("d") > 0)
       .select(col("t_day"), col("n_risk"), col("d").as("n_events"),
         col("c").as("n_censored"), col("ln_s_micro"))
+      .orderBy("t_day")
+  }
+
+  /** NELSON–AALEN CUMULATIVE HAZARD — the estimator twin of
+    * [[survivalKm]]: H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ over the SAME risk-set day
+    * table ([[survivalDayTable]] — one definition, so KM and NA can
+    * never disagree on who was at risk). Where KM needs the
+    * quantized-ln ladder (a product of survival factors), the hazard
+    * is a plain SUM of rationals, so each day's increment quantizes
+    * term-wise to the exact integer 10⁶·d div n and the cumulative is
+    * an exact BIGINT — no ladder, no transcendental anywhere. The
+    * term-wise floor is the deterministic quantization (both engines
+    * floor the same non-negative integers); the documented bias is
+    * < #event-days micro-units, the same contract as the chi2_milli
+    * term-wise floors. Output per event day: (t_day, n_risk,
+    * n_events, n_censored, h_micro).
+    *
+    * Scale shape: identical to survivalKm — corpus passes reduce to
+    * the calendar-bounded day table; the cumulative runs over ≤ a
+    * few hundred rows (allowlisted). */
+  def nelsonAalen(events: DataFrame): DataFrame = {
+    val wCum = Window.orderBy(col("t_day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    survivalDayTable(events)
+      .withColumn("inc",
+        when(col("d") > 0 && col("n_risk") > 0,
+          expr("(1000000 * d) div n_risk")).otherwise(lit(0L)))
+      .withColumn("h_micro", sum(col("inc")).over(wCum))
+      .filter(col("d") > 0)
+      .select(col("t_day"), col("n_risk"), col("d").as("n_events"),
+        col("c").as("n_censored"), col("h_micro"))
       .orderBy("t_day")
   }
 

@@ -491,5 +491,47 @@ object TemporalQueries {
           |FROM (UNPIVOT p ON click, error, purchase, signup, "view"
           |      INTO NAME event_type VALUE n_events)
           |ORDER BY day, event_type""".stripMargin)),
+
+    // Nelson-Aalen cumulative hazard over the SAME risk-set day table
+    // as survival_km: plain sum of exact term-wise 10^6*d//n floors —
+    // no ladder needed (the hazard is a sum of rationals, not a
+    // product)
+    QueryDef("nelson_aalen",
+      (s, d) => Temporal.nelsonAalen(Tables.events(s, d)), Some(
+        """WITH su AS (SELECT user_id, min(ts) AS s_ts FROM events
+          |            WHERE event_type = 'signup' GROUP BY 1),
+          |pu AS (SELECT user_id AS p_user, ts AS p_ts FROM events
+          |       WHERE event_type = 'purchase'),
+          |hz AS (SELECT max(ts) AS h_ts FROM events),
+          |fp AS (SELECT su.user_id, su.s_ts, min(p_ts) AS fp_ts
+          |       FROM su LEFT JOIN pu
+          |         ON p_user = su.user_id AND p_ts > su.s_ts
+          |       GROUP BY 1, 2),
+          |dur AS (
+          |  SELECT CASE WHEN fp_ts IS NOT NULL
+          |    THEN (epoch_us(fp_ts) - epoch_us(s_ts)) // 86400000000
+          |    ELSE (epoch_us(h_ts) - epoch_us(s_ts)) // 86400000000 END
+          |      AS t_day,
+          |    fp_ts IS NOT NULL AS is_event
+          |  FROM fp, hz),
+          |bd AS (SELECT t_day,
+          |    CAST(sum(CASE WHEN is_event THEN 1 ELSE 0 END) AS BIGINT) AS d,
+          |    CAST(sum(CASE WHEN is_event THEN 0 ELSE 1 END) AS BIGINT) AS c
+          |  FROM dur GROUP BY 1),
+          |rk AS (SELECT *,
+          |    CAST(sum(d + c) OVER ()
+          |      - coalesce(sum(d + c) OVER (ORDER BY t_day
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |      AS BIGINT) AS n_risk
+          |  FROM bd),
+          |cm AS (SELECT t_day, n_risk, d, c,
+          |    CAST(sum(CASE WHEN d > 0 AND n_risk > 0
+          |        THEN (1000000 * d) // n_risk ELSE 0 END)
+          |      OVER (ORDER BY t_day
+          |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |      AS BIGINT) AS h_micro
+          |  FROM rk)
+          |SELECT t_day, n_risk, d AS n_events, c AS n_censored, h_micro
+          |FROM cm WHERE d > 0 ORDER BY t_day""".stripMargin)),
   )
 }

@@ -1612,4 +1612,148 @@ object TextAnalysis {
           "(100 * CAST(abs(n_docs * lnn4 + sj4 - sl4 - ss4) AS DECIMAL(38,0)) div n_docs)" +
           " AS BIGINT)").as("mi_micro"))
   }
+
+  /** G² LOG-LIKELIHOOD KEYNESS (Dunning 1993) — per source, the most
+    * DISTINCTIVE tokens among the top-`kCand` global vocabulary: for
+    * each (token w, source s) 2×2 table (a = occurrences of w in s,
+    * b = w elsewhere, c = other tokens in s, d = the rest),
+    * G² = 2·[Σ_cells x·ln x − Σ_margins m·ln m + N·ln N], every term
+    * an integer times a quantized ln → the lang_source_mi ladder makes
+    * the statistic exact (zero cells contribute 0 by the x·ln x → 0
+    * convention). Keyness sorts the phrase-cloud a corpus browser
+    * shows per source; the sign (a·N vs (a+b)(a+c)) says enriched vs
+    * depleted. Output: top-`kSel` per source by (g2 desc, token asc).
+    *
+    * Scale shape: one token-count pass shuffles on (source, token)
+    * with partial aggregation; the candidate vocabulary is a
+    * TakeOrdered top-kCand broadcast; the cell table is bounded by
+    * kCand × |sources|, everything after it bounded-table work (the
+    * per-source top window partitions by source). */
+  def tokenKeynessG2(docs: DataFrame, kCand: Int = 50,
+      kSel: Int = 3): DataFrame = {
+    val occ = Materialize.stage(docs
+      .select(col("source"),
+        explode(regexp_extract_all(lower(col("text")),
+          lit(WordCount.TokenPattern), lit(0))).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("a")))
+    val cand = occ.groupBy(col("token")).agg(sum(col("a")).as("cw"))
+      .orderBy(col("cw").desc, col("token").asc).limit(kCand)
+    val srcTot = occ.groupBy(col("source")).agg(sum(col("a")).as("ts"))
+    val nTot = occ.agg(sum(col("a")).as("nn"))
+    // dense kCand × |sources| grid: a candidate absent from a source
+    // still scores (a = 0 depletion)
+    val grid = cand.crossJoin(srcTot)
+      .join(occ, Seq("source", "token"), "left")
+      .withColumn("a", coalesce(col("a"), lit(0L)))
+      .crossJoin(broadcast(nTot))
+    def f(e: String): String = s"CASE WHEN ($e) > 0 THEN ($e) * " +
+      s"CAST(floor(ln(CAST(($e) AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT)" +
+      " ELSE 0 END"
+    // x·ln4(x) stays INT64 to N ≈ 10¹³ token occurrences (the
+    // langSourceMi bound — binding here too); the ×200 lift and the
+    // a·N cross products ride DECIMAL(38,0) (the ×100-lift review
+    // class: INT64 would wrap ~100× earlier)
+    val scored = grid.select(col("source"), col("token"), col("a"),
+      col("cw"), col("ts"), col("nn"),
+      expr("CAST(200 * CAST(" +
+        f("a") + " + " + f("cw - a") + " + " + f("ts - a") + " + " +
+        f("nn - cw - ts + a") + " - " + f("cw") + " - " + f("nn - cw") +
+        " - " + f("ts") + " - " + f("nn - ts") + " + " + f("nn") +
+        " AS DECIMAL(38,0)) AS BIGINT)").as("g2_micro"),
+      expr("CAST(CASE WHEN CAST(a AS DECIMAL(38,0)) * nn > " +
+        "CAST(cw AS DECIMAL(38,0)) * ts THEN 1 " +
+        "WHEN CAST(a AS DECIMAL(38,0)) * nn < " +
+        "CAST(cw AS DECIMAL(38,0)) * ts THEN -1 ELSE 0 END AS BIGINT)")
+        .as("enriched_sign"))
+    scored
+      .withColumn("rn", row_number().over(Window.partitionBy(col("source"))
+        .orderBy(col("g2_micro").desc, col("token").asc)))
+      .filter(col("rn") <= kSel)
+      .select(col("source"), col("rn").cast("long").as("rank"),
+        col("token"), col("a").as("n_in_source"), col("cw").as("n_total"),
+        col("enriched_sign"), col("g2_micro"))
+      .orderBy("source", "rank")
+  }
+
+  /** READABILITY PROFILE per language — the Flesch-reading-ease
+    * family computed from three exact integer corpus totals: words W
+    * (the tokenizer), sentences S (terminator runs `[.!?]+` + 1 per
+    * doc — every doc has ≥ 1 sentence), and vowel-group "syllables" Y
+    * (`[aeiouy]+` runs in the lowercased text — the standard cheap
+    * syllable proxy). The published score is the QUANTIZED
+    * composition: wps_milli = 10³·W div S, spw_milli = 10³·Y div W,
+    * fre_milli = 206835 − (1015·wps_milli) div 1000 −
+    * (84600·spw_milli) div 1000 — a deterministic function of the two
+    * quantized ratios (documented as such; the real-valued FRE
+    * differs from it by < 1 milli-unit per quantization step). For
+    * non-Latin scripts (zh) the vowel proxy reads low — the per-lang
+    * grouping is exactly what makes that visible instead of averaged
+    * away.
+    *
+    * Scale shape: one corpus pass of three regexp counts per doc
+    * (map-only), partial-aggregated per language — the wordcount
+    * shuffle shape, |langs| output rows. */
+  def readabilityScores(docs: DataFrame): DataFrame = {
+    docs
+      .select(col("lang"),
+        // lit(pattern), not an embedded SQL string literal — the token
+        // pattern contains an apostrophe
+        size(regexp_extract_all(lower(col("text")),
+          lit(WordCount.TokenPattern), lit(0))).cast("long").as("w"),
+        (size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))) + 1)
+          .cast("long").as("s"),
+        size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"),
+          lit(0))).cast("long").as("y"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("n_words"),
+        sum(col("s")).as("n_sentences"), sum(col("y")).as("n_syllables"))
+      .select(col("lang"), col("n_docs"), col("n_words"),
+        col("n_sentences"), col("n_syllables"),
+        expr("1000 * n_words div n_sentences").as("wps_milli"),
+        expr("CASE WHEN n_words > 0 THEN 1000 * n_syllables div n_words" +
+          " END").as("spw_milli"))
+      .withColumn("fre_milli",
+        expr("CASE WHEN spw_milli IS NOT NULL THEN 206835" +
+          " - (1015 * wps_milli) div 1000 - (84600 * spw_milli) div 1000" +
+          " END"))
+      .orderBy("lang")
+  }
+
+  /** VOCABULARY GROWTH CURVE (the Heaps-law readout): distinct-token
+    * count as the corpus is consumed in doc_id order, at decile
+    * checkpoints — the curve a tokenizer-budget decision reads
+    * (flattening = diminishing new-vocabulary returns; linear = the
+    * corpus keeps surprising you). Each token's FIRST document
+    * (min doc_id over the distinct doc-token stream) assigns it to
+    * the decile where it enters the vocabulary; the cumulative over
+    * the 10-row decile table is the curve. Exact integers throughout.
+    *
+    * Scale shape: distinct (doc, token) shuffles once on the token
+    * key for the min-doc aggregate (wordcount shape); deciles come
+    * from one broadcast doc-count scalar; the cumulative window runs
+    * over 10 rows. */
+  def vocabGrowth(docs: DataFrame): DataFrame = {
+    val firstDoc = docs
+      .select(col("doc_id"),
+        explode(array_distinct(regexp_extract_all(lower(col("text")),
+          lit(WordCount.TokenPattern), lit(0)))).as("token"))
+      .groupBy(col("token")).agg(min(col("doc_id")).as("fd"))
+    // doc_id need not be 0-based-dense: rank by the value's position
+    // in [min, max+1) — decile = 10·(fd − min) div span + 1, capped
+    val byDecile = firstDoc
+      .crossJoin(broadcast(docs.agg(min(col("doc_id")).as("d0"),
+        (max(col("doc_id")) - min(col("doc_id")) + 1).as("span"))))
+      .select(expr("least(10 * (fd - d0) div span + 1, 10)").as("decile"))
+      .groupBy("decile").agg(count(lit(1)).as("new_tokens"))
+    // DENSE 10-row grid: a decile where no token first appears is a
+    // data point (the curve has flattened), not a missing row
+    docs.sparkSession.range(1, 11).select(col("id").as("decile"))
+      .join(byDecile, Seq("decile"), "left")
+      .withColumn("new_tokens", coalesce(col("new_tokens"), lit(0L)))
+      .withColumn("vocab_size", sum(col("new_tokens"))
+        .over(Window.orderBy(col("decile"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy("decile")
+  }
 }

@@ -974,5 +974,105 @@ object TextAnalysisQueries {
           |        CAST(floor(ln(CAST(n_docs AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT)
           |          AS lnn4
           |      FROM a) af""".stripMargin)),
+
+    // G^2 keyness: per-source distinctive tokens among the top-50
+    // global vocabulary, exact via the quantized-ln ladder
+    QueryDef("token_keyness_g2",
+      (s, d) => TextAnalysis.tokenKeynessG2(Tables.documents(s, d)), Some {
+        def f(e: String) = s"CASE WHEN ($e) > 0 THEN ($e) * " +
+          s"CAST(floor(ln(CAST(($e) AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT)" +
+          " ELSE 0 END"
+        s"""WITH occ AS (
+           |  SELECT source, t AS token, CAST(count(*) AS BIGINT) AS a
+           |  FROM (SELECT source,
+           |          unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS t
+           |        FROM documents)
+           |  GROUP BY 1, 2),
+           |cand AS (SELECT token, CAST(sum(a) AS BIGINT) AS cw FROM occ
+           |         GROUP BY 1 ORDER BY cw DESC, token LIMIT 50),
+           |st AS (SELECT source, CAST(sum(a) AS BIGINT) AS ts FROM occ
+           |       GROUP BY 1),
+           |nt AS (SELECT CAST(sum(a) AS BIGINT) AS nn FROM occ),
+           |grid AS (
+           |  SELECT st.source, cand.token, cand.cw, st.ts,
+           |    coalesce(occ.a, 0) AS a, nn
+           |  FROM cand CROSS JOIN st
+           |  LEFT JOIN occ ON occ.source = st.source
+           |    AND occ.token = cand.token, nt),
+           |sc AS (
+           |  SELECT source, token, a, cw, ts, nn,
+           |    CAST(200 * CAST(${f("a")} + ${f("cw - a")} + ${f("ts - a")}
+           |      + ${f("nn - cw - ts + a")} - ${f("cw")} - ${f("nn - cw")}
+           |      - ${f("ts")} - ${f("nn - ts")} + ${f("nn")}
+           |      AS HUGEINT) AS BIGINT) AS g2_micro,
+           |    CAST(CASE WHEN CAST(a AS HUGEINT) * nn >
+           |        CAST(cw AS HUGEINT) * ts THEN 1
+           |      WHEN CAST(a AS HUGEINT) * nn <
+           |        CAST(cw AS HUGEINT) * ts THEN -1 ELSE 0 END AS BIGINT)
+           |      AS enriched_sign
+           |  FROM grid),
+           |rk AS (SELECT *, row_number() OVER (PARTITION BY source
+           |         ORDER BY g2_micro DESC, token) AS rn FROM sc)
+           |SELECT source, CAST(rn AS BIGINT) AS rank, token,
+           |  a AS n_in_source, cw AS n_total, enriched_sign, g2_micro
+           |FROM rk WHERE rn <= 3 ORDER BY source, rank""".stripMargin
+      }),
+
+    // readability profile per language: three exact integer totals +
+    // the quantized Flesch composition
+    QueryDef("readability_scores",
+      (s, d) => TextAnalysis.readabilityScores(Tables.documents(s, d)), Some(
+        """WITH per AS (
+          |  SELECT lang,
+          |    CAST(len(regexp_extract_all(lower(text), '[a-z'']+'))
+          |      AS BIGINT) AS w,
+          |    CAST(len(regexp_extract_all(text, '[.!?]+')) + 1 AS BIGINT)
+          |      AS s,
+          |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+          |      AS BIGINT) AS y
+          |  FROM documents),
+          |a AS (
+          |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+          |    CAST(sum(w) AS BIGINT) AS n_words,
+          |    CAST(sum(s) AS BIGINT) AS n_sentences,
+          |    CAST(sum(y) AS BIGINT) AS n_syllables
+          |  FROM per GROUP BY 1)
+          |SELECT lang, n_docs, n_words, n_sentences, n_syllables,
+          |  (1000 * n_words) // n_sentences AS wps_milli,
+          |  CASE WHEN n_words > 0 THEN (1000 * n_syllables) // n_words END
+          |    AS spw_milli,
+          |  CASE WHEN n_words > 0 THEN 206835
+          |    - (1015 * ((1000 * n_words) // n_sentences)) // 1000
+          |    - (84600 * ((1000 * n_syllables) // n_words)) // 1000 END
+          |    AS fre_milli
+          |FROM a ORDER BY lang""".stripMargin)),
+
+    // vocabulary growth curve: first-occurrence decile of every token,
+    // cumulative distinct-vocab size at decile checkpoints
+    QueryDef("vocab_growth",
+      (s, d) => TextAnalysis.vocabGrowth(Tables.documents(s, d)), Some(
+        """WITH fd AS (
+          |  SELECT t AS token, CAST(min(doc_id) AS BIGINT) AS fd
+          |  FROM (SELECT doc_id, unnest(list_distinct(
+          |          regexp_extract_all(lower(text), '[a-z'']+'))) AS t
+          |        FROM documents)
+          |  GROUP BY 1),
+          |nd AS (SELECT CAST(min(doc_id) AS BIGINT) AS d0,
+          |  CAST(max(doc_id) - min(doc_id) + 1 AS BIGINT) AS span
+          |  FROM documents),
+          |bd AS (
+          |  SELECT least(10 * (fd - d0) // span + 1, 10) AS decile,
+          |    CAST(count(*) AS BIGINT) AS new_tokens
+          |  FROM fd, nd GROUP BY 1),
+          |dn AS (
+          |  SELECT CAST(g.decile AS BIGINT) AS decile,
+          |    CAST(coalesce(bd.new_tokens, 0) AS BIGINT) AS new_tokens
+          |  FROM (SELECT unnest(range(1, 11)) AS decile) g
+          |  LEFT JOIN bd ON bd.decile = g.decile)
+          |SELECT decile, new_tokens,
+          |  CAST(sum(new_tokens) OVER (ORDER BY decile
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          |    AS vocab_size
+          |FROM dn ORDER BY decile""".stripMargin)),
   )
 }

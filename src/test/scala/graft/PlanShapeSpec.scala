@@ -195,6 +195,11 @@ class PlanShapeSpec extends SparkSpec {
       // survival_km crossJoins the ONE-ROW corpus-horizon scalar
       // (the dedup_savings class)
       "bm25_search_dedup", "mmr_rerank", "survival_km",
+      // round-13: nelson_aalen shares survival_km's one-row horizon
+      // scalar; keyness crossJoins the 50-row candidate vocabulary
+      // onto the |sources| totals (bounded grid) + the one-row corpus
+      // total; vocab_growth crossJoins the one-row d0/span scalar
+      "nelson_aalen", "token_keyness_g2", "vocab_growth",
       // round-10 incremental-serving twin: identical scorer over the
       // union(base, delta) postings view — same one-row corpus-stat
       // broadcast scalar as bm25_search_explicit
@@ -330,7 +335,10 @@ class PlanShapeSpec extends SparkSpec {
       "autocorr_daily", "cusum_daily",
       // rfm's three rank windows run over the customer DIMENSION
       // (honest-exact-quantile class, guard-commented at the def)
-      "rfm_segments")
+      "rfm_segments",
+      // nelson_aalen shares survival_km's calendar-bounded day-table
+      // windows; vocab_growth's cumulative runs over the 10-row grid
+      "nelson_aalen", "vocab_growth")
     assert(offenders.forall(allowedGlobal),
       s"unpartitioned windows outside the allowed exceptions: $offenders")
   }
