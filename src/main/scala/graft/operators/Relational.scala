@@ -902,4 +902,136 @@ object Relational {
       .union(nullFk("orders_null_custkey", ord, col("o_custkey")))
       .orderBy("check")
   }
+
+  /** THEIL INEQUALITY INDEX of customer spend per nation — the
+    * decomposable twin of [[revenueGini]] (Theil is additive across
+    * subgroups, which is why composition audits prefer it): T =
+    * (1/S)·Σ xᵢ·ln(xᵢ·n/S) over POSITIVE spends (the standard Theil
+    * domain; zero-spend customers are counted in n_custs_total but
+    * excluded from n — published separately so nothing is hidden).
+    * Exact via the quantized-ln ladder: T_micro = 100·(Σ x·ln4(x) +
+    * S·(ln4(n) − ln4(S))) div S, every term integer, DECIMAL(38,0)
+    * sums (x·ln4(x) ≈ 10⁷·2·10⁵ per customer — the sum passes 2⁶³
+    * near 10⁷ customers/nation). Sign-split floor-div (T can
+    * epsilon-negative under quantization).
+    *
+    * Scale shape: same as revenueGini minus the rank window — one
+    * FK-shuffle spend aggregate, a broadcast nation attach, one
+    * per-nation moment aggregate. No window at all. */
+  def revenueTheil(s: SparkSession, d: String): DataFrame = {
+    val spend = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey"))
+      .join(Tables.orders(s, d)
+          .groupBy(col("o_custkey"))
+          .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents")),
+        col("o_custkey") === col("c_custkey"), "left")
+      .select(col("c_nationkey"), coalesce(col("cents"), lit(0L)).as("x"))
+    spend.groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_custs_total"),
+        sum(when(col("x") > 0, 1L).otherwise(0L)).as("n_pos"),
+        sum(col("x")).as("s"),
+        sum(when(col("x") > 0, col("x") * ln4(col("x"))).otherwise(0L)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("xl4"))
+      .join(broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey").as("c_nationkey"), col("n_name"))),
+        "c_nationkey")
+      .select(col("n_name"), col("n_custs_total"), col("n_pos"), col("s")
+          .as("total_cents"),
+        expr("CAST(CASE WHEN s > 0 AND n_pos > 0 THEN " +
+          "CASE WHEN xl4 + CAST(s AS DECIMAL(38,0)) * (" + lnq4("n_pos") +
+          " - " + lnq4("s") + ") < 0 THEN -1 ELSE 1 END * " +
+          "((100 * abs(xl4 + CAST(s AS DECIMAL(38,0)) * (" + lnq4("n_pos") +
+          " - " + lnq4("s") + "))) div s) END AS BIGINT)")
+          .as("theil_micro"))
+      .orderBy("n_name")
+  }
+
+  /** Quantized-ln SQL fragment (expression-string form of
+    * [[graft.functions.Exact.ln4]], for expr() call sites). */
+  private def lnq4(e: String): String =
+    s"CAST(floor(ln(CAST(($e) AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT)"
+
+  /** SUPPLIER REVENUE CONCENTRATION (HHI) per region — the
+    * market-structure audit: Herfindahl–Hirschman index of supplier
+    * revenue shares within each region, exact in ppm as
+    * (10⁶·Σxᵢ²) div S² (10⁶ = monopoly, 10⁶/n = perfect competition
+    * — published alongside n_suppliers so the floor is visible).
+    * Σx² and S² ride DECIMAL(38,0) (x ≈ 10⁹ cents/supplier squares
+    * past 2⁶³ immediately; the ×10⁶ ppm lift is the documented
+    * overflow class).
+    *
+    * Scale shape: lineitem shuffles ONCE on l_suppkey (partial
+    * aggregation); supplier→nation→region attach is two broadcast
+    * joins (25/5-row dims); the per-region rollup is bounded by
+    * |regions|. */
+  def supplierHhi(s: SparkSession, d: String): DataFrame = {
+    val Dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val bySupp = Tables.lineitem(s, d)
+      .groupBy(col("l_suppkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("x"))
+    bySupp
+      .join(broadcast(Tables.supplier(s, d)
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))),
+        "l_suppkey")
+      .join(broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey").as("s_nationkey"), col("n_regionkey"))),
+        "s_nationkey")
+      .join(broadcast(Tables.region(s, d)
+        .select(col("r_regionkey").as("n_regionkey"), col("r_name"))),
+        "n_regionkey")
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("x")).as("total_cents"),
+        sum((col("x").cast(Dec) * col("x"))).as("xx"))
+      .select(col("r_name"), col("n_suppliers"), col("total_cents"),
+        expr("CAST(CASE WHEN total_cents > 0 THEN (1000000 * xx) div " +
+          "(CAST(total_cents AS DECIMAL(38,0)) * total_cents) END AS BIGINT)")
+          .as("hhi_ppm"))
+      .orderBy("r_name")
+  }
+
+  /** LORENZ CURVE DECILES of customer spend — the distribution
+    * readout behind [[revenueGini]]'s single number: customers ranked
+    * by spend (orderless customers at zero), cut into ten exact
+    * rank-deciles, each row the decile's customer count, cent mass,
+    * share, and cumulative share (the Lorenz ordinate, permille).
+    * Decile = ⌈10·rank/n⌉ via the rfm integral; the bottom-heavy
+    * cumulative is over the 10-row decile table.
+    *
+    * Scale shape: the rank window runs over the customer DIMENSION
+    * (the rfm_segments honest-exact-quantile class, allowlisted);
+    * everything after is 10-row work. */
+  def lorenzDeciles(s: SparkSession, d: String): DataFrame = {
+    val spend = Tables.customer(s, d)
+      .select(col("c_custkey"))
+      .join(Tables.orders(s, d)
+          .groupBy(col("o_custkey"))
+          .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents")),
+        col("o_custkey") === col("c_custkey"), "left")
+      .select(col("c_custkey"), coalesce(col("cents"), lit(0L)).as("x"))
+    // honest-exact global rank over the customer dimension (allowlisted)
+    val ranked = spend
+      .withColumn("r", row_number()
+        .over(Window.orderBy(col("x"), col("c_custkey"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("decile", expr("(r * 10 + n - 1) div n"))
+    val byDecile = ranked.groupBy("decile")
+      .agg(count(lit(1)).as("n_custs"), sum(col("x")).as("cents"))
+    val tot = byDecile.agg(sum(col("cents")).as("tc"))
+    byDecile.crossJoin(broadcast(tot))
+      // the ×1000 share lifts ride DECIMAL(38,0): 1000·cents passes
+      // 2⁶³ near 10¹⁶ cents of decile revenue (the revenue_gini
+      // divisor review class)
+      .select(col("decile"), col("n_custs"), col("cents"),
+        expr("CAST(CASE WHEN tc > 0 THEN " +
+          "(1000 * CAST(cents AS DECIMAL(38,0))) div tc END AS BIGINT)")
+          .as("share_permille"),
+        col("tc"))
+      .withColumn("cum_share_permille",
+        expr("CAST(CASE WHEN tc > 0 THEN (1000 * CAST(sum(cents) OVER (" +
+          "ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)" +
+          " AS DECIMAL(38,0))) div tc END AS BIGINT)"))
+      .drop("tc")
+      .orderBy("decile")
+  }
 }

@@ -531,6 +531,95 @@ object RelationalQueries {
           "SELECT CAST(l_orderkey AS VARCHAR) AS k FROM lineitem")
         s"""SELECT * FROM ($ev UNION ALL $li) u ORDER BY key_name""".stripMargin
       }),
+
+    // Theil inequality per nation: decomposable twin of revenue_gini,
+    // quantized-ln ladder over positive spends
+    QueryDef("revenue_theil",
+      (s, d) => Relational.revenueTheil(s, d), Some {
+        def ln4(e: String) =
+          s"CAST(floor(ln(CAST(($e) AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT)"
+        s"""WITH oc AS (
+           |  SELECT o_custkey,
+           |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           |      AS cents
+           |  FROM orders GROUP BY 1),
+           |x AS (
+           |  SELECT c.c_nationkey, coalesce(oc.cents, 0) AS x
+           |  FROM customer c LEFT JOIN oc ON oc.o_custkey = c.c_custkey),
+           |a AS (
+           |  SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_custs_total,
+           |    CAST(sum(CASE WHEN x > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_pos,
+           |    CAST(sum(x) AS BIGINT) AS s,
+           |    sum(CASE WHEN x > 0 THEN CAST(x AS HUGEINT) * ${ln4("x")}
+           |        ELSE 0 END) AS xl4
+           |  FROM x GROUP BY 1)
+           |SELECT n.n_name, a.n_custs_total, a.n_pos, a.s AS total_cents,
+           |  CAST(CASE WHEN s > 0 AND n_pos > 0 THEN
+           |    (CASE WHEN xl4 + CAST(s AS HUGEINT) *
+           |       (${ln4("n_pos")} - ${ln4("s")}) < 0 THEN -1 ELSE 1 END) *
+           |    ((100 * abs(xl4 + CAST(s AS HUGEINT) *
+           |       (${ln4("n_pos")} - ${ln4("s")}))) // s) END AS BIGINT)
+           |    AS theil_micro
+           |FROM a JOIN nation n ON n.n_nationkey = a.c_nationkey
+           |ORDER BY n.n_name""".stripMargin
+      }),
+
+    // supplier revenue HHI per region: exact ppm concentration
+    QueryDef("supplier_hhi",
+      (s, d) => Relational.supplierHhi(s, d), Some(
+        """WITH bs AS (
+          |  SELECT l_suppkey,
+          |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+          |      AS BIGINT) AS x
+          |  FROM lineitem GROUP BY 1),
+          |a AS (
+          |  SELECT r.r_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+          |    CAST(sum(x) AS BIGINT) AS total_cents,
+          |    sum(CAST(x AS HUGEINT) * x) AS xx
+          |  FROM bs JOIN supplier s ON s.s_suppkey = bs.l_suppkey
+          |  JOIN nation n ON n.n_nationkey = s.s_nationkey
+          |  JOIN region r ON r.r_regionkey = n.n_regionkey
+          |  GROUP BY 1)
+          |SELECT r_name, n_suppliers, total_cents,
+          |  CAST(CASE WHEN total_cents > 0 THEN (1000000 * xx) //
+          |    (CAST(total_cents AS HUGEINT) * total_cents) END AS BIGINT)
+          |    AS hhi_ppm
+          |FROM a ORDER BY r_name""".stripMargin)),
+
+    // Lorenz deciles of customer spend: exact rank-decile cut +
+    // cumulative share (the curve behind revenue_gini)
+    QueryDef("lorenz_deciles",
+      (s, d) => Relational.lorenzDeciles(s, d), Some(
+        """WITH oc AS (
+          |  SELECT o_custkey,
+          |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+          |      AS cents
+          |  FROM orders GROUP BY 1),
+          |x AS (
+          |  SELECT c.c_custkey, coalesce(oc.cents, 0) AS x
+          |  FROM customer c LEFT JOIN oc ON oc.o_custkey = c.c_custkey),
+          |r AS (
+          |  SELECT x,
+          |    CAST(row_number() OVER (ORDER BY x, c_custkey) AS BIGINT)
+          |      AS r,
+          |    CAST(count(*) OVER () AS BIGINT) AS n
+          |  FROM x),
+          |bd AS (
+          |  SELECT (r * 10 + n - 1) // n AS decile,
+          |    CAST(count(*) AS BIGINT) AS n_custs,
+          |    CAST(sum(x) AS BIGINT) AS cents
+          |  FROM r GROUP BY 1),
+          |tc AS (SELECT CAST(sum(cents) AS BIGINT) AS tc FROM bd)
+          |SELECT decile, n_custs, cents,
+          |  CAST(CASE WHEN tc > 0 THEN
+          |    (1000 * CAST(cents AS HUGEINT)) // tc END AS BIGINT)
+          |    AS share_permille,
+          |  CAST(CASE WHEN tc > 0 THEN
+          |    (1000 * CAST(sum(cents) OVER (ORDER BY decile
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |      AS HUGEINT)) // tc END AS BIGINT) AS cum_share_permille
+          |FROM bd, tc ORDER BY decile""".stripMargin)),
   )
 
   private def hexBig(nNib: Int): String = TextAnalysisQueries.hexBigSql(nNib)

@@ -200,6 +200,9 @@ class PlanShapeSpec extends SparkSpec {
       // onto the |sources| totals (bounded grid) + the one-row corpus
       // total; vocab_growth crossJoins the one-row d0/span scalar
       "nelson_aalen", "token_keyness_g2", "vocab_growth",
+      // lorenz crossJoins the one-row total-cents scalar onto the
+      // 10-row decile table
+      "lorenz_deciles",
       // round-10 incremental-serving twin: identical scorer over the
       // union(base, delta) postings view — same one-row corpus-stat
       // broadcast scalar as bm25_search_explicit
@@ -338,7 +341,11 @@ class PlanShapeSpec extends SparkSpec {
       "rfm_segments",
       // nelson_aalen shares survival_km's calendar-bounded day-table
       // windows; vocab_growth's cumulative runs over the 10-row grid
-      "nelson_aalen", "vocab_growth")
+      "nelson_aalen", "vocab_growth",
+      // lorenz's rank window runs over the customer DIMENSION (the
+      // rfm_segments honest-exact-quantile class); its cumulative
+      // runs over the 10-row decile table
+      "lorenz_deciles")
     assert(offenders.forall(allowedGlobal),
       s"unpartitioned windows outside the allowed exceptions: $offenders")
   }
