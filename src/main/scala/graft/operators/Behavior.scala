@@ -30,17 +30,33 @@ object Behavior {
     * cappedBandsPlan discipline; no cap is needed for this schema and
     * none is silently applied). Per-part counts join back by part
     * key; the final top-20 is a TakeOrdered, never a global sort. */
-  def basketLift(li: DataFrame, k: Int = 20): DataFrame = {
-    val items = Materialize.stage(
-      li.select(col("l_orderkey").as("okey"), col("l_partkey").as("p"))
-        .distinct())
-    val nOrders = items.select(countDistinct(col("okey")).as("n_orders"))
-    val partN = items.groupBy(col("p")).agg(count(lit(1)).as("np"))
-    val pairs = items.as("a")
+  /** Distinct (order, part) basket projection. */
+  def basketItems(li: DataFrame): DataFrame =
+    li.select(col("l_orderkey").as("okey"), col("l_partkey").as("p"))
+      .distinct()
+
+  /** Oriented co-purchase pair counts (p1 < p2, n12) — the ONE pair
+    * aggregation [[basketLift]] and [[trianglesCoPurchase]] both
+    * consume; the registry builds it once as a content-keyed cached
+    * index (SharedIntermediates.coPurchasePairs — the two entries
+    * independently re-ran this Σs² join, 2×~9 s CPU at sf0.1). */
+  def pairCounts(items: DataFrame): DataFrame =
+    items.as("a")
       .join(items.as("b"),
         col("a.okey") === col("b.okey") && col("a.p") < col("b.p"))
       .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
       .agg(count(lit(1)).as("n12"))
+
+  def basketLift(li: DataFrame, k: Int = 20): DataFrame = {
+    val items = Materialize.stage(basketItems(li))
+    basketLiftFrom(items, pairCounts(items), k)
+  }
+
+  /** [[basketLift]] over PREBUILT items/pairs (the shared-index path). */
+  def basketLiftFrom(items: DataFrame, pairs: DataFrame,
+      k: Int = 20): DataFrame = {
+    val nOrders = items.select(countDistinct(col("okey")).as("n_orders"))
+    val partN = items.groupBy(col("p")).agg(count(lit(1)).as("np"))
     pairs
       .orderBy(col("n12").desc, col("p1"), col("p2")).limit(k)
       .join(partN.select(col("p").as("p1"), col("np").as("n1")), "p1")
@@ -74,19 +90,16 @@ object Behavior {
     * 100 TB raise minCo, identical plan; the operator publishes
     * n_edges so the knob is auditable). Everything shuffles on node
     * keys; nothing corpus-sized crosses unpartitioned. */
-  def trianglesCoPurchase(li: DataFrame, minCo: Int = 2): DataFrame = {
-    val items = Materialize.stage(
-      li.select(col("l_orderkey").as("okey"), col("l_partkey").as("p"))
-        .distinct())
+  def trianglesCoPurchase(li: DataFrame, minCo: Int = 2): DataFrame =
+    trianglesFrom(pairCounts(Materialize.stage(basketItems(li))), minCo)
+
+  /** [[trianglesCoPurchase]] over PREBUILT pair counts. */
+  def trianglesFrom(pairs: DataFrame, minCo: Int = 2): DataFrame = {
     // oriented sparse edge set (a < b, thresholded) — staged: feeds
     // the degree aggregate and all three legs of the triangle join
-    val edges = Materialize.stage(items.as("x")
-      .join(items.as("y"),
-        col("x.okey") === col("y.okey") && col("x.p") < col("y.p"))
-      .groupBy(col("x.p").as("a"), col("y.p").as("b"))
-      .agg(count(lit(1)).as("co"))
-      .filter(col("co") >= minCo)
-      .select(col("a"), col("b")))
+    val edges = Materialize.stage(pairs
+      .filter(col("n12") >= minCo)
+      .select(col("p1").as("a"), col("p2").as("b")))
     val tri = edges.as("e1")
       .join(edges.as("e2"), col("e2.a") === col("e1.b"))
       .join(edges.as("e3"),

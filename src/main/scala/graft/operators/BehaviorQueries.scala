@@ -11,7 +11,8 @@ object BehaviorQueries {
     // market-basket association rules: top-20 part pairs with exact
     // integer support/confidence/lift
     QueryDef("basket_lift",
-      (s, d) => Behavior.basketLift(Tables.lineitem(s, d)), Some(
+      (s, d) => Behavior.basketLiftFrom(SharedIntermediates.basketItems(s, d),
+        SharedIntermediates.coPurchasePairs(s, d)), Some(
         """WITH items AS (
           |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS p
           |  FROM lineitem),
@@ -35,7 +36,8 @@ object BehaviorQueries {
     // co-purchase triangle census: thresholded oriented edges, exact
     // triangle/wedge counts + global clustering coefficient
     QueryDef("triangle_copurchase",
-      (s, d) => Behavior.trianglesCoPurchase(Tables.lineitem(s, d)), Some(
+      (s, d) => Behavior.trianglesFrom(
+        SharedIntermediates.coPurchasePairs(s, d)), Some(
         """WITH items AS (
           |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS p
           |  FROM lineitem),

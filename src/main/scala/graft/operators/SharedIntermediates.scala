@@ -247,6 +247,21 @@ object SharedIntermediates {
       s2)
   }
 
+  /** Distinct (order, part) basket projection — shared by the two
+    * co-purchase entries. */
+  def basketItems(s: SparkSession, d: String): DataFrame =
+    cached(s, keyOf(s, "basketItems", d))(
+      Behavior.basketItems(Tables.lineitem(s, d)))
+
+  /** Oriented co-purchase pair counts — the maintained MARKET-BASKET
+    * index: basket_lift and triangle_copurchase both probe it (each
+    * had re-run the Σs² order-key self-join; measured ~9 s CPU per
+    * entry per bench pass at sf0.1). */
+  def coPurchasePairs(s: SparkSession, d: String): DataFrame = {
+    val it = basketItems(s, d) // resolve BEFORE cached() — no nesting
+    cached(s, keyOf(s, "coPurchasePairs", d))(Behavior.pairCounts(it))
+  }
+
   /** Connected components over [[textPairs]]. */
   def textClusters(s: SparkSession, d: String): DataFrame = {
     val tp = textPairs(s, d)
