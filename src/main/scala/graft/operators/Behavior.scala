@@ -14,6 +14,10 @@ object Behavior {
 
   private val Dec = DecimalType(38, 0)
 
+  /** Shared plan/oracle literals (the Search.MmrLambdaPermille rule). */
+  val BasketTopK = 20
+  val TriangleMinCo = 2
+
   /** MARKET-BASKET ASSOCIATION RULES over parts co-purchased in one
     * order: support / confidence / lift for the top-20 part pairs.
     * All ratios are exact integer floor-divs: support_ppm =
@@ -47,14 +51,14 @@ object Behavior {
       .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
       .agg(count(lit(1)).as("n12"))
 
-  def basketLift(li: DataFrame, k: Int = 20): DataFrame = {
+  def basketLift(li: DataFrame, k: Int = BasketTopK): DataFrame = {
     val items = Materialize.stage(basketItems(li))
     basketLiftFrom(items, pairCounts(items), k)
   }
 
   /** [[basketLift]] over PREBUILT items/pairs (the shared-index path). */
   def basketLiftFrom(items: DataFrame, pairs: DataFrame,
-      k: Int = 20): DataFrame = {
+      k: Int = BasketTopK): DataFrame = {
     val nOrders = items.select(countDistinct(col("okey")).as("n_orders"))
     val partN = items.groupBy(col("p")).agg(count(lit(1)).as("np"))
     pairs
@@ -90,11 +94,13 @@ object Behavior {
     * 100 TB raise minCo, identical plan; the operator publishes
     * n_edges so the knob is auditable). Everything shuffles on node
     * keys; nothing corpus-sized crosses unpartitioned. */
-  def trianglesCoPurchase(li: DataFrame, minCo: Int = 2): DataFrame =
+  def trianglesCoPurchase(li: DataFrame,
+      minCo: Int = TriangleMinCo): DataFrame =
     trianglesFrom(pairCounts(Materialize.stage(basketItems(li))), minCo)
 
   /** [[trianglesCoPurchase]] over PREBUILT pair counts. */
-  def trianglesFrom(pairs: DataFrame, minCo: Int = 2): DataFrame = {
+  def trianglesFrom(pairs: DataFrame,
+      minCo: Int = TriangleMinCo): DataFrame = {
     // oriented sparse edge set (a < b, thresholded) — staged: feeds
     // the degree aggregate and all three legs of the triangle join
     val edges = Materialize.stage(pairs
@@ -155,7 +161,8 @@ object Behavior {
     // honest-exact global ranks over the customer DIMENSION
     // (allowlisted; see scaladoc). ⌈4r/n⌉ as the integral
     // (4r + n − 1) div n — `div`, not `/` (Spark `/` on longs is
-    // DOUBLE division).
+    // DOUBLE division). row_number() is IntegerType: this exact-rank
+    // path holds to 2³¹ customers (review-documented bound).
     def rk(order: Seq[org.apache.spark.sql.Column]) =
       row_number().over(Window.orderBy(order: _*)).cast("long")
     perCust
@@ -189,13 +196,16 @@ object Behavior {
   def eventTrigrams(events: DataFrame, k: Int = 20): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-    val grams = events
+    // STAGED: the ≤|types|³-row trigram table feeds the total scalar
+    // AND the probe side — unstaged, the corpus lag-window pass sits
+    // twice in the plan (review finding; the ks_drift staging rule)
+    val grams = Materialize.stage(events
       .select(col("user_id"), col("event_type").as("t3"),
         lag(col("event_type"), 1).over(w).as("t2"),
         lag(col("event_type"), 2).over(w).as("t1"))
       .filter(col("t1").isNotNull)
       .groupBy(col("t1"), col("t2"), col("t3"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")))
     val total = grams.agg(sum(col("n")).as("total"))
     grams.crossJoin(broadcast(total))
       .select(col("t1"), col("t2"), col("t3"), col("n"),

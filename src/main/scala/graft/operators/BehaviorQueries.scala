@@ -13,7 +13,7 @@ object BehaviorQueries {
     QueryDef("basket_lift",
       (s, d) => Behavior.basketLiftFrom(SharedIntermediates.basketItems(s, d),
         SharedIntermediates.coPurchasePairs(s, d)), Some(
-        """WITH items AS (
+        s"""WITH items AS (
           |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS p
           |  FROM lineitem),
           |no AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_orders
@@ -24,7 +24,8 @@ object BehaviorQueries {
           |  SELECT a.p AS p1, b.p AS p2, CAST(count(*) AS BIGINT) AS n12
           |  FROM items a JOIN items b ON a.okey = b.okey AND a.p < b.p
           |  GROUP BY 1, 2),
-          |top AS (SELECT * FROM pr ORDER BY n12 DESC, p1, p2 LIMIT 20)
+          |top AS (SELECT * FROM pr ORDER BY n12 DESC, p1, p2
+          |        LIMIT ${Behavior.BasketTopK})
           |SELECT t.p1, t.p2, t.n12, a.np AS n1, b.np AS n2,
           |  (1000000 * t.n12) // n_orders AS support_ppm,
           |  (1000000 * t.n12) // a.np AS conf_p1_to_p2_ppm,
@@ -38,13 +39,13 @@ object BehaviorQueries {
     QueryDef("triangle_copurchase",
       (s, d) => Behavior.trianglesFrom(
         SharedIntermediates.coPurchasePairs(s, d)), Some(
-        """WITH items AS (
+        s"""WITH items AS (
           |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS p
           |  FROM lineitem),
           |e AS (
           |  SELECT x.p AS a, y.p AS b
           |  FROM items x JOIN items y ON x.okey = y.okey AND x.p < y.p
-          |  GROUP BY 1, 2 HAVING count(*) >= 2),
+          |  GROUP BY 1, 2 HAVING count(*) >= ${Behavior.TriangleMinCo}),
           |tri AS (
           |  SELECT CAST(count(*) AS BIGINT) AS n_triangles
           |  FROM e e1 JOIN e e2 ON e2.a = e1.b

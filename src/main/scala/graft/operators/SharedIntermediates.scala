@@ -247,6 +247,27 @@ object SharedIntermediates {
       s2)
   }
 
+  /** Per-customer lifetime spend (c_custkey, c_nationkey, cents) with
+    * orderless customers at zero — the ONE spend rollup the
+    * inequality family (revenue_gini, revenue_theil, lorenz_deciles)
+    * probes; each had re-run the same orders-scale FK shuffle
+    * (review finding, the coPurchasePairs class), and a single
+    * definition keeps the three entries' spend semantics from
+    * drifting. */
+  def customerSpend(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    cached(s, keyOf(s, "customerSpend", d))(
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"))
+        .join(Tables.orders(s, d)
+            .groupBy(col("o_custkey"))
+            .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+              .as("cents0")),
+          col("o_custkey") === col("c_custkey"), "left")
+        .select(col("c_custkey"), col("c_nationkey"),
+          coalesce(col("cents0"), lit(0L)).as("cents")))
+  }
+
   /** Distinct (order, part) basket projection — shared by the two
     * co-purchase entries. */
   def basketItems(s: SparkSession, d: String): DataFrame =

@@ -28,6 +28,15 @@ object Stats {
 
   private val Dec = DecimalType(38, 0)
 
+  /** Two-sample test population labels and ACF lags — the ONE source
+    * for both the plans and the DuckDB oracles (the
+    * Search.MmrLambdaPermille shared-literal rule: registering a
+    * query with non-default arguments must not silently diverge plan
+    * from oracle). */
+  val AbGroupA = "view"
+  val AbGroupB = "purchase"
+  val AutocorrLags: Seq[Int] = Seq(1, 2, 7)
+
   /** SPEARMAN RANK CORRELATION of (quantity, extendedprice) per
     * return flag — the monotone-association readout (robust to the
     * price tail where Pearson is not). Average ranks for ties, kept
@@ -43,7 +52,11 @@ object Stats {
     * Exactness bounds: double-ranks ≤ 2n, so per-row a², a·b ≤ 4n²
     * stay INT64 past n = 10⁹; the SUMS ride DECIMAL(38,0) (Σa² ≈ 4n³
     * passes 2⁶³ at n ≈ 1.3×10⁶ — sf1 group size), as do the n·Σ − Σ·Σ
-    * cross terms (≈ 4n⁴ < 10³⁸ to n ≈ 10⁹).
+    * cross terms (≈ 4n⁴ < 10³⁸ to n ≈ 10⁹). The BINDING bound is
+    * Spark's rank()/count-window output width (IntegerType): the exact
+    * rank path holds to 2³¹ rows PER GROUP (review finding) — beyond
+    * that, derive the double-ranks from a (flag, value) cell table
+    * (the mannWhitney trick) instead of a row window.
     *
     * Scale shape: two rank windows + one count window per (flag,
     * value) — all partitioned by the flag (the grouped_percentiles /
@@ -140,7 +153,7 @@ object Stats {
     * (n, S, Q) moment triples — a 2-row shuffle — then a 1-row
     * report. No window, no join. */
   def welchTtest(events: DataFrame,
-      typeA: String = "view", typeB: String = "purchase"): DataFrame = {
+      typeA: String = AbGroupA, typeB: String = AbGroupB): DataFrame = {
     events
       .filter(col("event_type").isin(typeA, typeB))
       .select(when(col("event_type") === typeA, 0L).otherwise(1L).as("g"),
@@ -201,7 +214,7 @@ object Stats {
     * Scale shape: one corpus pass → ≤ 10⁵-row cell table → bounded
     * window → one-row report. */
   def mannWhitney(events: DataFrame,
-      typeA: String = "view", typeB: String = "purchase"): DataFrame = {
+      typeA: String = AbGroupA, typeB: String = AbGroupB): DataFrame = {
     val cells = events
       .filter(col("event_type").isin(typeA, typeB))
       .select(expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").as("v"),
@@ -253,7 +266,7 @@ object Stats {
     * over that bounded table (guard: the global window is over days,
     * never events — PlanShapeSpec-allowlisted). */
   def autocorrDaily(events: DataFrame,
-      lags: Seq[Int] = Seq(1, 2, 7)): DataFrame = {
+      lags: Seq[Int] = AutocorrLags): DataFrame = {
     val daily = events.groupBy(date_trunc("day", col("ts")).as("day"))
       .agg(count(lit(1)).as("x"))
     // bounded global windows: <= n_days rows (calendar-bounded).

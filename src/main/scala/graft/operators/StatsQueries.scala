@@ -75,9 +75,11 @@ object StatsQueries {
     QueryDef("welch_ttest",
       (s, d) => Stats.welchTtest(Tables.events(s, d)), Some(
         s"""WITH v AS (
-           |  SELECT CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS g,
+           |  SELECT CASE WHEN event_type = '${Stats.AbGroupA}' THEN 0
+           |    ELSE 1 END AS g,
            |    CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v
-           |  FROM events WHERE event_type IN ('view', 'purchase')),
+           |  FROM events
+           |  WHERE event_type IN ('${Stats.AbGroupA}', '${Stats.AbGroupB}')),
            |m AS (
            |  SELECT g, CAST(count(*) AS BIGINT) AS n,
            |    sum(CAST(v AS HUGEINT)) AS s, sum(CAST(v AS HUGEINT) * v) AS q
@@ -115,9 +117,10 @@ object StatsQueries {
         s"""WITH cells AS (
            |  SELECT CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v,
            |    CAST(count(*) AS BIGINT) AS c,
-           |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
-           |         AS BIGINT) AS c1
-           |  FROM events WHERE event_type IN ('view', 'purchase')
+           |    CAST(sum(CASE WHEN event_type = '${Stats.AbGroupA}' THEN 1
+           |         ELSE 0 END) AS BIGINT) AS c1
+           |  FROM events
+           |  WHERE event_type IN ('${Stats.AbGroupA}', '${Stats.AbGroupB}')
            |  GROUP BY 1),
            |f AS (
            |  SELECT *, CAST(coalesce(sum(c) OVER (ORDER BY v
@@ -149,7 +152,7 @@ object StatsQueries {
     // after clearing the mean (x n^2), signed permille floor-div
     QueryDef("autocorr_daily",
       (s, d) => Stats.autocorrDaily(Tables.events(s, d)), Some {
-        val lagSelects = Seq(1, 2, 7).map { k =>
+        val lagSelects = Stats.AutocorrLags.map { k =>
           s"""SELECT CAST($k AS BIGINT) AS lag,
              |  CAST(count(*) AS BIGINT) AS n_pairs, sum(a.d * b.d) AS num
              |FROM d a JOIN d b ON b.t = a.t + $k""".stripMargin

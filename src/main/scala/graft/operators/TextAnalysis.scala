@@ -1629,8 +1629,13 @@ object TextAnalysis {
     * TakeOrdered top-kCand broadcast; the cell table is bounded by
     * kCand × |sources|, everything after it bounded-table work (the
     * per-source top window partitions by source). */
-  def tokenKeynessG2(docs: DataFrame, kCand: Int = 50,
-      kSel: Int = 3): DataFrame = {
+  /** Keyness candidate/selection cuts — shared plan/oracle literals
+    * (the Search.MmrLambdaPermille rule). */
+  val KeynessKCand = 50
+  val KeynessKSel = 3
+
+  def tokenKeynessG2(docs: DataFrame, kCand: Int = KeynessKCand,
+      kSel: Int = KeynessKSel): DataFrame = {
     val occ = Materialize.stage(docs
       .select(col("source"),
         explode(regexp_extract_all(lower(col("text")),

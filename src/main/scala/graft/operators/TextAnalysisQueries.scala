@@ -989,7 +989,8 @@ object TextAnalysisQueries {
            |        FROM documents)
            |  GROUP BY 1, 2),
            |cand AS (SELECT token, CAST(sum(a) AS BIGINT) AS cw FROM occ
-           |         GROUP BY 1 ORDER BY cw DESC, token LIMIT 50),
+           |         GROUP BY 1 ORDER BY cw DESC, token
+           |         LIMIT ${TextAnalysis.KeynessKCand}),
            |st AS (SELECT source, CAST(sum(a) AS BIGINT) AS ts FROM occ
            |       GROUP BY 1),
            |nt AS (SELECT CAST(sum(a) AS BIGINT) AS nn FROM occ),
@@ -1015,7 +1016,8 @@ object TextAnalysisQueries {
            |         ORDER BY g2_micro DESC, token) AS rn FROM sc)
            |SELECT source, CAST(rn AS BIGINT) AS rank, token,
            |  a AS n_in_source, cw AS n_total, enriched_sign, g2_micro
-           |FROM rk WHERE rn <= 3 ORDER BY source, rank""".stripMargin
+           |FROM rk WHERE rn <= ${TextAnalysis.KeynessKSel}
+           |ORDER BY source, rank""".stripMargin
       }),
 
     // readability profile per language: three exact integer totals +
