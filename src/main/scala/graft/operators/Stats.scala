@@ -377,6 +377,101 @@ object Stats {
           " AS BIGINT)").as("peak_permille"))
   }
 
+  /** KENDALL τ-b of (quantity, discount) — the concordance twin of
+    * [[spearmanQuantityPrice]], computed WITHOUT any per-row rank:
+    * both variables live on BOUNDED domains (≤ 50 quantities × ≤ 11
+    * discount steps), so the corpus partial-aggregates to a ≤ 550-row
+    * cell table and ALL pair counting happens on cell-pair products:
+    * C = Σ n_ij·n_i'j' over strictly-concordant cell pairs, D over
+    * strictly-discordant ones, tie terms from the marginals. τ-b =
+    * (C−D)/√((n₀−n₁)(n₀−n₂)) → sign exact, ln τ² on the quantized-ln
+    * ladder. This is the EXACT path that scales where the rank-window
+    * Spearman is dimension-bound: no global order anywhere, pair
+    * counts are integer products of cell counts.
+    *
+    * DECIMAL(38,0) everywhere a product of two counts rides (C ≈ n²/2
+    * passes 2⁶³ at n ≈ 4×10⁹; n₀ = n(n−1)/2 likewise).
+    *
+    * Scale shape: one corpus pass → bounded cell table (staged: feeds
+    * marginals and both self-join sides) → ≤ 550²-row cell-pair join →
+    * one-row report. */
+  def kendallTauQuantityDiscount(li: DataFrame): DataFrame = {
+    val cells = Materialize.stage(li
+      .select(round(col("l_quantity")).cast("long").as("q"),
+        round(col("l_discount") * 100).cast("long").as("disc"))
+      .groupBy("q", "disc").agg(count(lit(1)).as("c")))
+    val conc = cells.as("a").join(cells.as("b"),
+        col("a.q") < col("b.q") && col("a.disc") < col("b.disc"))
+      .agg(sum((col("a.c").cast(Dec) * col("b.c"))).as("nc"))
+    val disco = cells.as("a").join(cells.as("b"),
+        col("a.q") < col("b.q") && col("a.disc") > col("b.disc"))
+      .agg(sum((col("a.c").cast(Dec) * col("b.c"))).as("nd"))
+    // published pair counts are BIGINT: they hold to n ≈ 4×10⁹ rows
+    // (C ≈ n²/2 vs 2⁶³); the τ ladder itself stays DECIMAL-exact
+    val marg = cells.agg(
+      sum(col("c")).as("n"),
+      count(lit(1)).as("n_cells"))
+    val tx = cells.groupBy("q").agg(sum(col("c")).as("r"))
+      .agg(sum((col("r").cast(Dec) * (col("r") - 1))).as("tx2"))
+    val ty = cells.groupBy("disc").agg(sum(col("c")).as("s"))
+      .agg(sum((col("s").cast(Dec) * (col("s") - 1))).as("ty2"))
+    marg.crossJoin(conc).crossJoin(disco).crossJoin(tx).crossJoin(ty)
+      .select(col("n"), col("n_cells"),
+        // a degenerate corpus (all one value) leaves the concordant/
+        // discordant joins EMPTY → NULL sums, which are zero pairs
+        expr("CAST(coalesce(nc, 0) AS DECIMAL(38,0))").as("n_conc"),
+        expr("CAST(coalesce(nd, 0) AS DECIMAL(38,0))").as("n_disc"),
+        expr("CAST(n AS DECIMAL(38,0)) * (n - 1) div 2").as("n0"),
+        expr("tx2 div 2").as("n1"), expr("ty2 div 2").as("n2"))
+      .select(col("n"), col("n_cells"),
+        col("n_conc").cast("long").as("n_conc"),
+        col("n_disc").cast("long").as("n_disc"),
+        expr("CAST(CASE WHEN n_conc > n_disc THEN 1 " +
+          "WHEN n_conc < n_disc THEN -1 ELSE 0 END AS BIGINT)")
+          .as("tau_sign"),
+        expr("CASE WHEN n_conc <> n_disc AND n0 > n1 AND n0 > n2 THEN " +
+          s"100 * (2 * ${ln4("abs(n_conc - n_disc)")}" +
+          s" - ${ln4("n0 - n1")} - ${ln4("n0 - n2")}) END")
+          .as("ln_tau2_micro"))
+  }
+
+  /** PAGE–HINKLEY UPWARD-SHIFT SCAN over the daily count series — the
+    * one-sided sequential twin of [[cusumDaily]]: PH_t = (n·S_t) −
+    * min_{t'≤t}(n·S_t'), the gap between the mean-cleared cumulative
+    * and its running minimum; a mean INCREASE makes PH climb from the
+    * shift onset (the running-min day) while [[cusumDaily]]'s |S_t|
+    * peak finds the single most likely changepoint of either sign.
+    * All integer (the cusum n-scaling), argmax ties to the earliest
+    * day. One row: (n_days, total, onset/alarm days, peak PH in
+    * n-scaled units, permille of n·total).
+    *
+    * Scale shape: corpus → calendar-bounded daily table; the
+    * cumulative, running-min, and top-1 run over that bounded table
+    * (allowlisted). */
+  def pageHinkleyDaily(events: DataFrame): DataFrame = {
+    val daily = events.groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    // bounded global windows over the <= n_days daily table
+    val wCum = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val t = daily
+      .withColumn("t", row_number().over(Window.orderBy(col("day"))).cast("long"))
+      .withColumn("cum", sum(col("x")).over(wCum))
+      .withColumn("s", sum(col("x")).over(Window.partitionBy()))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("ns",
+        col("n").cast(Dec) * col("cum") - col("t").cast(Dec) * col("s"))
+      .withColumn("runmin", min(col("ns")).over(wCum))
+      .withColumn("ph", col("ns") - col("runmin"))
+    t.orderBy(col("ph").desc, col("day").asc).limit(1)
+      .select(col("n").as("n_days"), col("s").as("total_events"),
+        col("day").as("alarm_day"),
+        expr("CAST(ph AS BIGINT)").as("ph_peak_n"),
+        expr("CAST(CASE WHEN s > 0 THEN (1000 * ph) div " +
+          "(n * CAST(s AS DECIMAL(38,0))) END AS BIGINT)")
+          .as("ph_peak_permille"))
+  }
+
   /** INTER-ARRIVAL BURSTINESS — per-user event-gap dispersion, the
     * arrival-process health check (CV² = var/mean² of gaps: 1000‰ for
     * a Poisson process, ≫ 1000 for bursty sessions, ≪ 1000 for

@@ -231,6 +231,75 @@ object StatsQueries {
           |    AS peak_permille
           |FROM p""".stripMargin)),
 
+    // Kendall tau-b over the bounded (quantity, discount) cell table:
+    // pair counts as cell-pair products, no global rank anywhere
+    QueryDef("kendall_tau",
+      (s, d) => Stats.kendallTauQuantityDiscount(Tables.lineitem(s, d)),
+      Some(
+        s"""WITH cells AS (
+           |  SELECT CAST(round(l_quantity) AS BIGINT) AS q,
+           |    CAST(round(l_discount * 100) AS BIGINT) AS disc,
+           |    CAST(count(*) AS BIGINT) AS c
+           |  FROM lineitem GROUP BY 1, 2),
+           |conc AS (SELECT sum(CAST(a.c AS HUGEINT) * b.c) AS nc
+           |  FROM cells a JOIN cells b ON a.q < b.q AND a.disc < b.disc),
+           |disco AS (SELECT sum(CAST(a.c AS HUGEINT) * b.c) AS nd
+           |  FROM cells a JOIN cells b ON a.q < b.q AND a.disc > b.disc),
+           |marg AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+           |  CAST(count(*) AS BIGINT) AS n_cells FROM cells),
+           |tx AS (SELECT sum(CAST(r AS HUGEINT) * (r - 1)) AS tx2
+           |  FROM (SELECT CAST(sum(c) AS BIGINT) AS r FROM cells
+           |        GROUP BY q) t1),
+           |ty AS (SELECT sum(CAST(s AS HUGEINT) * (s - 1)) AS ty2
+           |  FROM (SELECT CAST(sum(c) AS BIGINT) AS s FROM cells
+           |        GROUP BY disc) t2),
+           |t AS (SELECT n, n_cells,
+           |  coalesce(nc, 0) AS nc, coalesce(nd, 0) AS nd,
+           |  (CAST(n AS HUGEINT) * (n - 1)) // 2 AS n0,
+           |  tx2 // 2 AS n1, ty2 // 2 AS n2
+           |  FROM marg, conc, disco, tx, ty)
+           |SELECT n, n_cells,
+           |  CAST(nc AS BIGINT) AS n_conc, CAST(nd AS BIGINT) AS n_disc,
+           |  CAST(CASE WHEN nc > nd THEN 1 WHEN nc < nd THEN -1 ELSE 0 END
+           |       AS BIGINT) AS tau_sign,
+           |  CASE WHEN nc <> nd AND n0 > n1 AND n0 > n2 THEN
+           |    100 * (2 * ${ln4("abs(nc - nd)")} - ${ln4("n0 - n1")}
+           |      - ${ln4("n0 - n2")}) END AS ln_tau2_micro
+           |FROM t""".stripMargin)),
+
+    // Page-Hinkley upward-shift scan: cusum's n-scaled cumulative
+    // minus its running minimum, earliest-day argmax
+    QueryDef("page_hinkley",
+      (s, d) => Stats.pageHinkleyDaily(Tables.events(s, d)), Some(
+        """WITH daily AS (
+          |  SELECT date_trunc('day', ts) AS day,
+          |    CAST(count(*) AS BIGINT) AS x
+          |  FROM events GROUP BY 1),
+          |t AS (
+          |  SELECT day,
+          |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+          |    CAST(sum(x) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+          |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+          |    CAST(sum(x) OVER () AS BIGINT) AS s,
+          |    CAST(count(*) OVER () AS BIGINT) AS n
+          |  FROM daily),
+          |u AS (
+          |  SELECT day, n, s,
+          |    CAST(n AS HUGEINT) * cum - CAST(t AS HUGEINT) * s AS ns
+          |  FROM t),
+          |v AS (
+          |  SELECT day, n, s, ns,
+          |    ns - min(ns) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+          |      PRECEDING AND CURRENT ROW) AS ph
+          |  FROM u),
+          |p AS (SELECT * FROM v ORDER BY ph DESC, day ASC LIMIT 1)
+          |SELECT n AS n_days, s AS total_events, day AS alarm_day,
+          |  CAST(ph AS BIGINT) AS ph_peak_n,
+          |  CAST(CASE WHEN s > 0 THEN
+          |    (1000 * ph) // (n * CAST(s AS HUGEINT)) END AS BIGINT)
+          |    AS ph_peak_permille
+          |FROM p""".stripMargin)),
+
     // inter-arrival CV^2 in milli (1000 = Poisson): whole-second gaps,
     // exact sample-variance cross-multiplication
     QueryDef("interarrival_burstiness",

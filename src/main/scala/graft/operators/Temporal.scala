@@ -307,19 +307,25 @@ object Temporal {
     * sets. Day table is calendar-bounded: the unpartitioned windows
     * run over ≤ a-few-hundred rows by construction (allowlisted for
     * both consumers). */
-  private def survivalDayTable(events: DataFrame): DataFrame = {
+  /** Per-user (signup ts, first at-or-after purchase ts) — the ONE
+    * definition the survival estimators and [[conversionWindows]]
+    * share. After-signup lives in the JOIN condition: a user whose
+    * purchases all precede signup must survive the left join as a
+    * NULL row (censored), not vanish through a post-join filter. */
+  private def firstPurchaseAfterSignup(events: DataFrame): DataFrame = {
     val su = events.filter(col("event_type") === "signup")
       .groupBy(col("user_id")).agg(min(col("ts")).as("s_ts"))
     val pu = events.filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
-    val horizon = events.agg(max(col("ts")).as("h_ts"))
-    // after-signup lives in the JOIN condition: a user whose purchases
-    // all precede signup must survive the left join as a NULL row
-    // (censored), not vanish through a post-join filter
-    val firstP = su.join(pu,
+    su.join(pu,
         col("p_user") === col("user_id") && col("p_ts") > col("s_ts"), "left")
       .groupBy(col("user_id"), col("s_ts"))
       .agg(min(col("p_ts")).as("fp_ts"))
+  }
+
+  private def survivalDayTable(events: DataFrame): DataFrame = {
+    val horizon = events.agg(max(col("ts")).as("h_ts"))
+    val firstP = firstPurchaseAfterSignup(events)
     val durations = firstP.crossJoin(broadcast(horizon))
       .select(
         // durations are nonnegative by the join condition, so integer
@@ -389,6 +395,84 @@ object Temporal {
         col("c").as("n_censored"), col("h_micro"))
       .orderBy("t_day")
   }
+
+  /** Conversion-window ladder (micros) — shared plan/oracle literals
+    * (the Search.MmrLambdaPermille rule): 1 h, 24 h, 7 d. */
+  val ConversionWindowsUs: Seq[Long] =
+    Seq(3600L, 86400L, 604800L).map(_ * 1000000L)
+
+  /** CONVERSION WITHIN TIME WINDOWS — the funnel-latency readout
+    * beside [[survivalKm]]'s full curve: of all signed-up users, how
+    * many purchased within 1 h / 24 h / 7 d of signup. Shares
+    * [[firstPurchaseAfterSignup]] with the survival estimators (one
+    * cohort definition), durations in exact micros. Output one row
+    * per window: (window_hours, n_signups, n_converted, rate ppm).
+    *
+    * Scale shape: two filtered corpus passes reduce to the per-user
+    * cohort table (staged — each window row re-reads it), then each
+    * window is a one-row aggregate; the 3-row output unions. */
+  def conversionWindows(events: DataFrame,
+      windowsUs: Seq[Long] = ConversionWindowsUs): DataFrame = {
+    val fp = Materialize.stage(firstPurchaseAfterSignup(events)
+      .select(col("s_ts"), col("fp_ts"),
+        (unix_micros(col("fp_ts")) - unix_micros(col("s_ts")))
+          .as("delta_us")))
+    windowsUs.map { w =>
+      fp.agg(count(lit(1)).as("n_signups"),
+          sum(when(col("delta_us").isNotNull && col("delta_us") <= w, 1L)
+            .otherwise(0L)).as("n_converted"))
+        .select(lit(w / 3600000000L).as("window_hours"),
+          col("n_signups"), col("n_converted"),
+          expr("CASE WHEN n_signups > 0 THEN " +
+            "1000000 * n_converted div n_signups END").as("rate_ppm"))
+    }.reduce(_ unionAll _).orderBy("window_hours")
+  }
+
+  /** SEQUENCE ENTROPY RATE — the conditional next-event entropy
+    * H(next | prev) of per-user event streams, in exact micro-nats:
+    * the predictability readout of a behavioral feed (≈ 0 = scripted
+    * sequences; ≈ ln |types| = memoryless). Transition cells come
+    * from the SAME per-user lag pass as event_transitions; with
+    * c_ab = transition counts and c_a = from-state marginals,
+    * H = (Σ c_ab·(ln c_a − ln c_ab)) / N on the quantized-ln ladder
+    * (term ≥ 0, so the micro value floors a non-negative quantity;
+    * epsilon sign-split guard anyway). Emitted with the unconditional
+    * next-symbol entropy H(next) for the information-gain reading
+    * (H(next) − H(next|prev) = I(prev; next)).
+    *
+    * Scale shape: one user-partitioned lag pass partial-aggregates to
+    * the ≤ |types|²-row cell table; marginals are windows over that
+    * bounded table; one-row report. */
+  def entropyRate(events: DataFrame): DataFrame = {
+    def ln4c(c: org.apache.spark.sql.Column) =
+      graft.functions.Exact.ln4(c)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val cells = events
+      .select(col("user_id"), col("event_type").as("to_t"),
+        lag(col("event_type"), 1).over(w).as("from_t"))
+      .filter(col("from_t").isNotNull)
+      .groupBy(col("from_t"), col("to_t"))
+      .agg(count(lit(1)).as("c"))
+    val Dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    cells
+      .withColumn("ca", sum(col("c")).over(Window.partitionBy(col("from_t"))))
+      .withColumn("cb", sum(col("c")).over(Window.partitionBy(col("to_t"))))
+      .agg(sum(col("c")).as("n_transitions"),
+        countDistinct(col("from_t")).as("n_states"),
+        sum((col("c") * (ln4c(col("ca")) - ln4c(col("c")))).cast(Dec))
+          .as("hc4"),
+        sum((col("c") * ln4c(col("cb"))).cast(Dec)).as("sb4"))
+      .select(col("n_transitions"), col("n_states"),
+        expr("CAST((100 * hc4) div n_transitions AS BIGINT)")
+          .as("h_cond_micro"),
+        expr("CAST((100 * (CAST(n_transitions AS DECIMAL(38,0)) * " +
+          s"${lnq4x("n_transitions")} - sb4)) div n_transitions AS BIGINT)")
+          .as("h_next_micro"))
+  }
+
+  private def lnq4x(e: String): String =
+    s"CAST(floor(ln(CAST(($e) AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT)"
 
   /** HOUR-OF-DAY SEASONALITY AUDIT — per event type, the 24-bin
     * hour-of-day profile reduced to the three numbers a scheduler or

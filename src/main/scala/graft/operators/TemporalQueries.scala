@@ -533,5 +533,66 @@ object TemporalQueries {
           |  FROM rk)
           |SELECT t_day, n_risk, d AS n_events, c AS n_censored, h_micro
           |FROM cm WHERE d > 0 ORDER BY t_day""".stripMargin)),
+
+    // conversion within 1h/24h/7d of signup — shares the survival
+    // cohort definition; windows interpolate ConversionWindowsUs
+    QueryDef("conversion_windows",
+      (s, d) => Temporal.conversionWindows(Tables.events(s, d)), Some {
+        val values = Temporal.ConversionWindowsUs
+          .map(w => s"(${w / 3600000000L}, $w)").mkString(", ")
+        s"""WITH su AS (SELECT user_id, min(ts) AS s_ts FROM events
+           |            WHERE event_type = 'signup' GROUP BY 1),
+           |pu AS (SELECT user_id AS p_user, ts AS p_ts FROM events
+           |       WHERE event_type = 'purchase'),
+           |fp AS (SELECT su.user_id, su.s_ts, min(p_ts) AS fp_ts
+           |       FROM su LEFT JOIN pu
+           |         ON p_user = su.user_id AND p_ts > su.s_ts
+           |       GROUP BY 1, 2),
+           |dd AS (SELECT epoch_us(fp_ts) - epoch_us(s_ts) AS delta_us
+           |       FROM fp),
+           |w(window_hours, wus) AS (VALUES $values)
+           |SELECT CAST(window_hours AS BIGINT) AS window_hours,
+           |  CAST(count(*) AS BIGINT) AS n_signups,
+           |  CAST(sum(CASE WHEN delta_us IS NOT NULL AND delta_us <= wus
+           |       THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+           |  CASE WHEN count(*) > 0 THEN
+           |    (1000000 * CAST(sum(CASE WHEN delta_us IS NOT NULL AND
+           |       delta_us <= wus THEN 1 ELSE 0 END) AS BIGINT))
+           |    // count(*) END AS rate_ppm
+           |FROM dd, w GROUP BY window_hours, wus
+           |ORDER BY window_hours""".stripMargin
+      }),
+
+    // conditional next-event entropy (exact micro-nats): both
+    // entropies are nonnegative BY FLOOR MONOTONICITY (ca >= c ->
+    // ln4(ca) >= ln4(c)), so no sign-split is needed
+    QueryDef("entropy_rate",
+      (s, d) => Temporal.entropyRate(Tables.events(s, d)), Some {
+        def ln4(e: String) =
+          s"CAST(floor(ln(CAST(($e) AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT)"
+        s"""WITH g0 AS (
+           |  SELECT event_type AS to_t,
+           |    lag(event_type) OVER (PARTITION BY user_id
+           |      ORDER BY ts, event_id) AS from_t
+           |  FROM events),
+           |cells AS (SELECT from_t, to_t, CAST(count(*) AS BIGINT) AS c
+           |          FROM g0 WHERE from_t IS NOT NULL GROUP BY 1, 2),
+           |m AS (SELECT *,
+           |        CAST(sum(c) OVER (PARTITION BY from_t) AS BIGINT) AS ca,
+           |        CAST(sum(c) OVER (PARTITION BY to_t) AS BIGINT) AS cb
+           |      FROM cells),
+           |a AS (SELECT CAST(sum(c) AS BIGINT) AS n_transitions,
+           |        CAST(count(DISTINCT from_t) AS BIGINT) AS n_states,
+           |        sum(CAST(c AS HUGEINT) * (${ln4("ca")} - ${ln4("c")}))
+           |          AS hc4,
+           |        sum(CAST(c AS HUGEINT) * ${ln4("cb")}) AS sb4
+           |      FROM m)
+           |SELECT n_transitions, n_states,
+           |  CAST((100 * hc4) // n_transitions AS BIGINT) AS h_cond_micro,
+           |  CAST((100 * (CAST(n_transitions AS HUGEINT) *
+           |    ${ln4("n_transitions")} - sb4)) // n_transitions AS BIGINT)
+           |    AS h_next_micro
+           |FROM a""".stripMargin
+      }),
   )
 }

@@ -203,6 +203,9 @@ class PlanShapeSpec extends SparkSpec {
       // lorenz crossJoins the one-row total-cents scalar onto the
       // 10-row decile table
       "lorenz_deciles",
+      // kendall_tau crossJoins its four one-row aggregate legs
+      // (concordant/discordant/tie sums) onto the one-row marginal
+      "kendall_tau",
       // round-10 incremental-serving twin: identical scorer over the
       // union(base, delta) postings view — same one-row corpus-stat
       // broadcast scalar as bm25_search_explicit
@@ -345,7 +348,10 @@ class PlanShapeSpec extends SparkSpec {
       // lorenz's rank window runs over the customer DIMENSION (the
       // rfm_segments honest-exact-quantile class); its cumulative
       // runs over the 10-row decile table
-      "lorenz_deciles")
+      "lorenz_deciles",
+      // page_hinkley shares cusum_daily's calendar-bounded daily-table
+      // windows (cumulative + running min + total)
+      "page_hinkley")
     assert(offenders.forall(allowedGlobal),
       s"unpartitioned windows outside the allowed exceptions: $offenders")
   }

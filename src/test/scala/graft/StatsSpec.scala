@@ -162,6 +162,44 @@ class StatsSpec extends SparkSpec {
       s"${expect.toSeq.sorted.take(3)}")
   }
 
+  private def liQd(rows: Seq[(Double, Double)]) =
+    rows.toDF("l_quantity", "l_discount")
+
+  test("kendall: perfect concordance/discordance and the hand tie fixture") {
+    val up = liQd(Seq((1.0, 0.01), (2.0, 0.02), (3.0, 0.03)))
+    val r1 = Stats.kendallTauQuantityDiscount(up).collect()(0)
+    assert(r1.getLong(4) == 1L && r1.getLong(5) == 0L,
+      s"tau=+1 must emit sign 1, ln tau^2 = 0: $r1")
+    val down = liQd(Seq((1.0, 0.03), (2.0, 0.02), (3.0, 0.01)))
+    val r2 = Stats.kendallTauQuantityDiscount(down).collect()(0)
+    assert(r2.getLong(4) == -1L && r2.getLong(5) == 0L, s"got $r2")
+    // q = (1,1,2), disc = (1,2,3): C=2, D=0, n0=3, n1=1 (the q tie),
+    // n2=0 → tau_b² = 4/6 → ladder 100·(2·6931 − 6931 − 10986) = −405500
+    val tie = liQd(Seq((1.0, 0.01), (1.0, 0.02), (2.0, 0.03)))
+    val r3 = Stats.kendallTauQuantityDiscount(tie).collect()(0)
+    assert(r3.getLong(2) == 2L && r3.getLong(3) == 0L
+      && r3.getLong(4) == 1L && r3.getLong(5) == -405500L, s"got $r3")
+    // degenerate: all identical → zero pairs either way, NULL ladder
+    val const = liQd(Seq((1.0, 0.01), (1.0, 0.01)))
+    val r4 = Stats.kendallTauQuantityDiscount(const).collect()(0)
+    assert(r4.getLong(2) == 0L && r4.getLong(3) == 0L
+      && r4.getLong(4) == 0L && r4.isNullAt(5), s"got $r4")
+  }
+
+  test("page-hinkley: upward step peaks at the series end with the exact gap") {
+    // counts 1,1,1,5,5,5: nS_t = -12,-24,-36,-24,-12,0; running min
+    // -36 from day 3 → PH = 0,0,0,12,24,36 peaks at day 6 = 36;
+    // permille = 36000 // 108 = 333
+    val rows = for {
+      d <- 1 to 6
+      i <- 0 until (if (d <= 3) 1 else 5)
+    } yield Tuple1(tsOf(d, i))
+    val r = Stats.pageHinkleyDaily(rows.toDF("ts")).collect()(0)
+    assert(r.getLong(0) == 6L && r.getLong(1) == 18L
+      && r.getTimestamp(2).toString.startsWith("2024-01-06")
+      && r.getLong(3) == 36L && r.getLong(4) == 333L, s"got $r")
+  }
+
   test("mannwhitney: all values tied degenerates to NULL ladder") {
     val allTied = ev(Seq(("view", 0.001), ("view", 0.001),
       ("purchase", 0.001), ("purchase", 0.001)))

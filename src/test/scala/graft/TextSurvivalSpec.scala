@@ -39,6 +39,34 @@ class TextSurvivalSpec extends SparkSpec {
     }
   }
 
+  test("conversion windows: hand cohort converts at exactly one of three horizons") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t30m = java.sql.Timestamp.valueOf("2024-01-01 00:30:00")
+    val t3d = java.sql.Timestamp.valueOf("2024-01-04 00:00:00")
+    // u1 converts in 30 min (all three windows); u2 converts in 3 days
+    // (only the 168 h window); u3 never converts
+    val ev = Seq((1L, t0, 1L, "signup"), (1L, t30m, 2L, "purchase"),
+      (2L, t0, 3L, "signup"), (2L, t3d, 4L, "purchase"),
+      (3L, t0, 5L, "signup"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val r = Temporal.conversionWindows(ev).collect().map(_.toSeq)
+    assert(r.toSeq == Seq(
+      Seq(1L, 3L, 1L, 333333L), Seq(24L, 3L, 1L, 333333L),
+      Seq(168L, 3L, 2L, 666666L)), s"got ${r.toSeq}")
+  }
+
+  test("entropy rate: a deterministic alternating chain has zero conditional entropy") {
+    val ts = (i: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$i%02d")
+    // a,b,a,b: transitions a→b (x2), b→a (x1) — every from-state fully
+    // determines the next → H(next|prev) = 0 exactly; H(next) =
+    // ln3 − (2/3)ln2 → ladder (100·(3·10986 − 2·6931)) // 3 = 636533
+    val ev = Seq((1L, ts(1), 1L, "a"), (1L, ts(2), 2L, "b"),
+      (1L, ts(3), 3L, "a"), (1L, ts(4), 4L, "b"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val r = Temporal.entropyRate(ev).collect()(0)
+    assert(r.toSeq == Seq(3L, 2L, 0L, 636533L), s"got $r")
+  }
+
   test("keyness: an exclusive token scores the exact 12·ln2 G² with sign +1") {
     // s0 = 'zzz zzz zzz', s1 = 'aaa aaa aaa': for (zzz, s0) the 2x2 is
     // diagonal (3,0,0,3) → G² = 12·ln2; ladder: f(3)=3·10986,
