@@ -1012,4 +1012,50 @@ object Pipeline {
           .as("same_cluster"))
       .orderBy("doc_id", "slot")
   }
+
+  /** COLUMN PROFILER — the ingestion-time data-profile every pipeline
+    * runs before trusting a new feed: per column, row/null/distinct
+    * counts plus typed min/max (numeric columns as exact BIGINT —
+    * value milli-quantized, ts as epoch micros; string columns as
+    * lexical min/max over the ASCII event-type domain). One row per
+    * profiled column; numeric and string extrema ride separate typed
+    * columns (NULL where not applicable) so no cross-engine
+    * double→string formatting is ever compared.
+    *
+    * Scale shape: ONE corpus aggregate computes every stat — the
+    * multi-countDistinct expands map-side (Spark's EXPAND: 5× rows
+    * into one shuffle, still a single scan), the per-column rows then
+    * unpivot from a 1-row struct array. No per-column re-scan — the
+    * naive profiler's O(columns) passes collapse to O(1). */
+  def columnProfile(events: DataFrame): DataFrame = {
+    val prof = events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").as("value_milli"),
+        unix_micros(col("ts")).as("ts_us"))
+    def numStats(c: String) = struct(lit(c).as("column"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+      countDistinct(col(c)).as("n_distinct"),
+      min(col(c)).as("min_num"), max(col(c)).as("max_num"),
+      lit(null).cast("string").as("min_str"),
+      lit(null).cast("string").as("max_str"))
+    def strStats(c: String) = struct(lit(c).as("column"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+      countDistinct(col(c)).as("n_distinct"),
+      lit(null).cast("long").as("min_num"),
+      lit(null).cast("long").as("max_num"),
+      min(col(c)).as("min_str"), max(col(c)).as("max_str"))
+    prof.agg(count(lit(1)).as("n_rows"),
+        numStats("event_id").as("s1"), numStats("user_id").as("s2"),
+        strStats("event_type").as("s3"), numStats("value_milli").as("s4"),
+        numStats("ts_us").as("s5"))
+      .select(col("n_rows"),
+        explode(array(col("s1"), col("s2"), col("s3"), col("s4"),
+          col("s5"))).as("s"))
+      .select(col("s.column").as("column"), col("n_rows"),
+        col("s.n_nulls").as("n_nulls"),
+        col("s.n_distinct").as("n_distinct"),
+        col("s.min_num").as("min_num"), col("s.max_num").as("max_num"),
+        col("s.min_str").as("min_str"), col("s.max_str").as("max_str"))
+      .orderBy("column")
+  }
 }

@@ -619,5 +619,44 @@ object PipelineQueries {
            |  coalesce(c2.cluster_id = j.cluster_id, false) AS same_cluster
            |FROM j LEFT JOIN cl c2 ON c2.doc_id = j.neg_id
            |ORDER BY j.doc_id, j.slot""".stripMargin)),
+
+    // single-pass column profiler: typed extrema (numeric as exact
+    // BIGINT, strings lexical) so no double->string format crosses
+    QueryDef("column_profile",
+      (s, d) => Pipeline.columnProfile(Tables.events(s, d)), Some {
+        def num(c: String) =
+          s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_nulls,
+             |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+             |  CAST(min($c) AS BIGINT) AS min_num,
+             |  CAST(max($c) AS BIGINT) AS max_num,
+             |  CAST(NULL AS VARCHAR) AS min_str,
+             |  CAST(NULL AS VARCHAR) AS max_str
+             |FROM p""".stripMargin
+        def str(c: String) =
+          s"""SELECT '$c', CAST(count(*) AS BIGINT),
+             |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |  CAST(count(DISTINCT $c) AS BIGINT),
+             |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+             |  min($c), max($c)
+             |FROM p""".stripMargin
+        s"""WITH p AS (
+           |  SELECT event_id, user_id, event_type,
+           |    CAST(floor(value * 1000 + 0.5) AS BIGINT) AS value_milli,
+           |    epoch_us(ts) AS ts_us
+           |  FROM events)
+           |SELECT * FROM (
+           |${num("event_id")}
+           |UNION ALL
+           |${num("user_id")}
+           |UNION ALL
+           |${str("event_type")}
+           |UNION ALL
+           |${num("value_milli")}
+           |UNION ALL
+           |${num("ts_us")}) u
+           |ORDER BY "column"""".stripMargin
+      }),
   )
 }

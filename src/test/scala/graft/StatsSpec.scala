@@ -200,6 +200,22 @@ class StatsSpec extends SparkSpec {
       && r.getLong(3) == 36L && r.getLong(4) == 333L, s"got $r")
   }
 
+  test("column profile: hand fixture counts, typed extrema, null accounting") {
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2024-01-02 00:00:00")
+    val f = Seq((1L, t1, 7L, "view", 1.5), (2L, t2, 7L, "purchase", 2.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = graft.operators.Pipeline.columnProfile(f).collect()
+      .map(x => x.getString(0) -> x).toMap
+    val et = r("event_type")
+    assert(et.getLong(1) == 2L && et.getLong(2) == 0L && et.getLong(3) == 2L
+      && et.getString(6) == "purchase" && et.getString(7) == "view", s"$et")
+    val vm = r("value_milli")
+    assert(vm.getLong(4) == 1500L && vm.getLong(5) == 2000L, s"$vm")
+    val uid = r("user_id")
+    assert(uid.getLong(3) == 1L && uid.getLong(4) == 7L, s"$uid")
+  }
+
   test("mannwhitney: all values tied degenerates to NULL ladder") {
     val allTied = ev(Seq(("view", 0.001), ("view", 0.001),
       ("purchase", 0.001), ("purchase", 0.001)))
