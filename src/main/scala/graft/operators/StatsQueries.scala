@@ -15,27 +15,44 @@ object StatsQueries {
   val defs: Seq[QueryDef] = Seq(
 
     // Spearman rank correlation per return flag: average-rank ties as
-    // integer double-ranks, sign + quantized-ln rho^2 ladder
+    // integer double-ranks DERIVED FROM THE BOUNDED (flag, value) CELL
+    // GRID (per-cell 2F + c + 1, the mannwhitney cumulative — no
+    // per-row rank on either engine), sign + quantized-ln rho^2 ladder
     QueryDef("spearman_corr",
       (s, d) => Stats.spearmanQuantityPrice(Tables.lineitem(s, d)), Some(
-        s"""WITH base AS (
+        s"""WITH joint AS (
            |  SELECT l_returnflag AS flag,
            |    CAST(round(l_quantity) AS BIGINT) AS q,
-           |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
-           |  FROM lineitem),
+           |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+           |    CAST(count(*) AS BIGINT) AS c
+           |  FROM lineitem GROUP BY 1, 2, 3),
+           |qm AS (
+           |  SELECT flag, q,
+           |    2 * CAST(coalesce(sum(cc) OVER (PARTITION BY flag ORDER BY q
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      AS BIGINT) + cc + 1 AS a
+           |  FROM (SELECT flag, q, CAST(sum(c) AS BIGINT) AS cc
+           |        FROM joint GROUP BY 1, 2) t1),
+           |cm AS (
+           |  SELECT flag, cents,
+           |    2 * CAST(coalesce(sum(cc) OVER (PARTITION BY flag
+           |      ORDER BY cents
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      AS BIGINT) + cc + 1 AS b
+           |  FROM (SELECT flag, cents, CAST(sum(c) AS BIGINT) AS cc
+           |        FROM joint GROUP BY 1, 2) t2),
            |r AS (
-           |  SELECT flag,
-           |    2 * rank() OVER (PARTITION BY flag ORDER BY q)
-           |      + count(*) OVER (PARTITION BY flag, q) - 1 AS a,
-           |    2 * rank() OVER (PARTITION BY flag ORDER BY cents)
-           |      + count(*) OVER (PARTITION BY flag, cents) - 1 AS b
-           |  FROM base),
+           |  SELECT j.flag, j.c, qm.a, cm.b
+           |  FROM joint j
+           |  JOIN qm ON qm.flag = j.flag AND qm.q = j.q
+           |  JOIN cm ON cm.flag = j.flag AND cm.cents = j.cents),
            |agg AS (
-           |  SELECT flag, CAST(count(*) AS BIGINT) AS n,
-           |    sum(CAST(a AS HUGEINT)) AS sa, sum(CAST(b AS HUGEINT)) AS sb,
-           |    sum(CAST(a AS HUGEINT) * a) AS saa,
-           |    sum(CAST(b AS HUGEINT) * b) AS sbb,
-           |    sum(CAST(a AS HUGEINT) * b) AS sab
+           |  SELECT flag, CAST(sum(c) AS BIGINT) AS n,
+           |    sum(CAST(c AS HUGEINT) * a) AS sa,
+           |    sum(CAST(c AS HUGEINT) * b) AS sb,
+           |    sum(CAST(c AS HUGEINT) * a * a) AS saa,
+           |    sum(CAST(c AS HUGEINT) * b * b) AS sbb,
+           |    sum(CAST(c AS HUGEINT) * a * b) AS sab
            |  FROM r GROUP BY flag),
            |t AS (
            |  SELECT flag, n, n * sab - sa * sb AS num,

@@ -356,6 +356,32 @@ class PlanShapeSpec extends SparkSpec {
       s"unpartitioned windows outside the allowed exceptions: $offenders")
   }
 
+  test("spearman derives its ranks from cell tables — no window ever sees corpus rows") {
+    // r13 verdict item 1: the old plan ranked corpus rows under a
+    // 3-value partition key (one task sorts ~n/3 rows at 100 TB). The
+    // rewrite computes per-cell double-ranks 2F+c+1 over the bounded
+    // (flag, value) marginal grids, so EVERY window in the plan must
+    // sit above an aggregation (cell-table input), never a bare scan.
+    // The staged joint table hides its own corpus aggregate behind a
+    // checkpoint scan, so the window inputs here are the marginal
+    // GROUP BYs over that bounded table — assert each Window node's
+    // subtree contains an Aggregate, and that no rank()/row_number()
+    // (the per-row rank path, IntegerType-capped at 2^31/group)
+    // survives anywhere.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val plan = operators.Stats.spearmanQuantityPrice(
+      Tables.lineitem(spark, sf0001)).queryExecution.optimizedPlan
+    val windows = plan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, "expected the marginal cumulative windows")
+    windows.foreach { w =>
+      assert(w.child.collectFirst { case a: Aggregate => a }.isDefined,
+        s"a spearman window runs over un-aggregated rows:\n$w")
+    }
+    val planStr = plan.toString
+    assert(!planStr.contains("rank(") && !planStr.contains("row_number("),
+      s"spearman must not use a per-row rank:\n$planStr")
+  }
+
   test("spread kill-switch leaves the scan plan untouched") {
     // spark.graft.spread.enabled=false is the cluster deployment mode:
     // the single-row-group spreader (a toy-environment repair) must
