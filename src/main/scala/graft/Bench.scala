@@ -105,9 +105,14 @@ object Bench {
         val (cs, ce) = (cal.path("start").asDouble(-1.0),
           cal.path("end").asDouble(-1.0))
         val c = if (cs > 0 && ce > 0) math.min(cs, ce) else math.max(cs, ce)
+        // baseline builds get the SAME fingerprint-strip + duplicate-SUM
+        // reduction as the current round (advisor r13: Map.map let a
+        // stripped-key collision keep only the last value, undercounting
+        // the baseline and faking a >1.5x flag)
         (mapOf(node, "queries"), mapOf(node, "cpu"), c,
-          mapOf(node, "index_build").map { case (k, v) =>
-            buildKeyOf(k) -> v })
+          mapOf(node, "index_build").toSeq
+            .map { case (k, v) => buildKeyOf(k) -> v }
+            .groupMapReduce(_._1)(_._2)(_ + _))
       }
     }
     def fromFile(p: String)
@@ -410,6 +415,37 @@ object Bench {
     }
     val regJson = regressions.map { case (k, v) => s"\"$k\":$v" }
       .mkString("{", ",", "}")
+    // WALL-axis regression map (r13 verdict item 2: the arbiter lived
+    // in prose). Task-CPU attribution inflates up to 5x on sub-second
+    // queries under memory-bus/SMT contention — invisible to the
+    // register-only calibration spin — so a CPU-only flag set burns a
+    // round of adjudication on phantom regressions (25 of r13's 29 CPU
+    // flags were flat on wall). Same thresholds and calibration
+    // normalization as the CPU map, applied to best-observed wall
+    // (min of warm/timed — already a 2-sample noise floor). The GATE is
+    // regressions_both: a query is a real regression only when BOTH
+    // axes flag it; either single-axis map alone is the documented
+    // attribution-drift class.
+    val regressionsWall = results.flatMap { case (n, t) =>
+      prev.get(n) match {
+        case Some(p0) if p0 > 0 && t > 0 =>
+          val p = p0 * calibRatio
+          if (t > p * 1.5 && t - p > 0.25)
+            Some(n -> math.round(t / p * 100.0) / 100.0)
+          else None
+        case _ => None
+      }
+    }
+    val regressionsBoth = regressions.filter { case (n, _) =>
+      regressionsWall.contains(n) }
+    def regMapJson(m: Iterable[(String, Double)]): String =
+      m.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    val regWallJson = regMapJson(regressionsWall)
+    val regBothJson = regMapJson(regressionsBoth)
+    if (regressionsBoth.nonEmpty)
+      System.err.println("[bench] BOTH-AXIS regressions (the gate): " +
+        regressionsBoth.toSeq.sortBy(-_._2)
+          .map { case (k, v) => f"$k=$v%.2f" }.mkString(", "))
     // One-time index-build cost (band tables, centroid/codebook builds,
     // shared pair tables). The warm pass pays it and the timed pass
     // serves the memoized build — correct amortized accounting for an
@@ -461,7 +497,7 @@ object Bench {
     // / "queries" for context; the regression detector already prefers
     // CPU when both rounds carry it.
     val calibJson = s"""{"start":${r3(calibStart)},"end":${r3(calibEnd)}}"""
-    val detailed = s"""{"metric":"cpu_total","value":$cpuTotal,"unit":"sec","wall_total":$total,"queries":$qs,"cpu":$cpuJson,"errors":$errJson,"regressions":$regJson,"index_build":$buildJson,"index_build_total":$buildTotal,"index_build_regressions":$buildRegJson,"calib_cpu_sec":$calibJson,"sf":"$sfDir"}"""
+    val detailed = s"""{"metric":"cpu_total","value":$cpuTotal,"unit":"sec","wall_total":$total,"queries":$qs,"cpu":$cpuJson,"errors":$errJson,"regressions":$regJson,"regressions_wall":$regWallJson,"regressions_both":$regBothJson,"index_build":$buildJson,"index_build_total":$buildTotal,"index_build_regressions":$buildRegJson,"calib_cpu_sec":$calibJson,"sf":"$sfDir"}"""
     // Full detail to a committed file (next round's regression baseline,
     // and the judge's full-precision record) — from any run that covered
     // the whole registry (a blank GRAFT_ONLY counts); a filtered run
@@ -489,7 +525,9 @@ object Bench {
     val errC = cap8(errors.map { case (k, v) => k -> s"\"$v\"" }, errors.size)
     val regC = cap8(regressions.toSeq.sortBy(-_._2).map { case (k, v) => k -> v.toString },
       regressions.size)
-    println(s"""{"metric":"cpu_total","value":$cpuTotal,"unit":"sec","wall_total":$total,"nqueries":${results.size},"detail":"bench_detail.json","errors":$errC,"regressions":$regC,"index_build_total":$buildTotal,"calib_cpu_sec":$calibJson,"sf":"$sfDir"}""")
+    val regBothC = cap8(regressionsBoth.toSeq.sortBy(-_._2)
+      .map { case (k, v) => k -> v.toString }, regressionsBoth.size)
+    println(s"""{"metric":"cpu_total","value":$cpuTotal,"unit":"sec","wall_total":$total,"nqueries":${results.size},"detail":"bench_detail.json","errors":$errC,"regressions":$regC,"regressions_both":$regBothC,"index_build_total":$buildTotal,"calib_cpu_sec":$calibJson,"sf":"$sfDir"}""")
     spark.stop()
     // daemon worker threads may hold a wedged query; don't let them block exit
     sys.exit(0)

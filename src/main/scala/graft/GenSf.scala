@@ -143,7 +143,7 @@ object GenSf {
       "element_at(array('click','error','purchase','signup','view'), " +
         "CAST(pmod(xxhash64(id, 73), 5) + 1 AS INT)) AS event_type",
       // exponential-ish: -mean·ln(u) clipped, like the observed tail
-      s"round(least(-50.0 * ln(1.0 - ${u("id", 74)} * 0.99999), 599.0), 2) AS value",
+      s"round(least(-50.0 * ln(1.0 - ${u("id", 74)} * 0.99999), ${Tables.MaxEventValue}), 2) AS value",
       "concat('{\"k\": ', pmod(xxhash64(id, 75), 100), '}') AS props"))
 
     // documents: 31-word vocab, 8..95 words/doc; text is a pure

@@ -11,6 +11,16 @@ import org.apache.spark.sql.functions.expr
   * `.explain("formatted")` → PushedFilters / ReadSchema).
   */
 object Tables {
+  /** Data-model cap on `events.value` — the generator clamps its
+    * exponential tail here (GenSf events: `least(..., MaxEventValue)`;
+    * the driver's testdata observes the same bound). Operators whose
+    * scale argument rests on a bounded milli-value grid (mannWhitney's
+    * ≤ MaxEventValue·1000 + 1 cell table) guard against this ONE
+    * constant, so the documented bound cannot drift from the data
+    * (advisor r13: the comment claimed 100 while the generator wrote
+    * 599). */
+  val MaxEventValue = 599.0
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 

@@ -160,9 +160,13 @@ object Stats {
     *   t² = (S₁n₂ − S₂n₁)²·(n₁−1)(n₂−1) / den,
     *   den = n₂²(n₁Q₁ − S₁²)(n₂−1) + n₁²(n₂Q₂ − S₂²)(n₁−1),
     * so sign(mean diff) is exact and ln t² rides the ladder. Means
-    * are reported as exact milli floor-divs (values non-negative —
-    * no sign-split needed). NULL ladder when degenerate (a group
-    * empty/singleton, zero pooled variance, or equal scaled means).
+    * are reported as exact SIGN-SPLIT milli floor-divs
+    * (sign·(|S| div n) — Spark's `div` truncates toward zero while
+    * DuckDB's `//` floors, so a negative sum would diverge without
+    * the split; advisor r13 made the repo rule unconditional here
+    * rather than lean on the generator's non-negative value domain).
+    * NULL ladder when degenerate (a group empty/singleton, zero
+    * pooled variance, or equal scaled means).
     *
     * DECIMAL bounds (documented per the revenue_gini rule): A = S·n ≈
     * n²·v̄ and den ≈ n₂³·n₁·Q₁ ≈ n⁴·v̄² — den < 10³⁸ holds to n ≈ 3×10⁷
@@ -191,9 +195,11 @@ object Stats {
         sum(when(col("g") === 1, col("q"))).as("q2"))
       .select(
         col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
-        expr("CAST(CASE WHEN n1 > 0 THEN s1 div n1 END AS BIGINT)")
+        expr("CAST(CASE WHEN n1 > 0 THEN CASE WHEN s1 < 0 " +
+          "THEN -((-s1) div n1) ELSE s1 div n1 END END AS BIGINT)")
           .as("mean1_milli"),
-        expr("CAST(CASE WHEN n2 > 0 THEN s2 div n2 END AS BIGINT)")
+        expr("CAST(CASE WHEN n2 > 0 THEN CASE WHEN s2 < 0 " +
+          "THEN -((-s2) div n2) ELSE s2 div n2 END END AS BIGINT)")
           .as("mean2_milli"),
         expr("CAST(CASE WHEN s2 * n1 > s1 * n2 THEN 1 " +
           "WHEN s2 * n1 < s1 * n2 THEN -1 ELSE 0 END AS BIGINT)")
@@ -222,28 +228,46 @@ object Stats {
     * NULL ladder when degenerate (z = 0 or all values tied).
     *
     * The rank pass is NOT a corpus window: values milli-quantize into
-    * a DOMAIN-BOUNDED grid (event value ∈ [0,100] → ≤ 10⁵ + 1
-    * distinct cells), the corpus partial-aggregates to per-cell
-    * (total, group-1) counts, and the running-rank cumulative runs
-    * over that bounded cell table (the value_histogram/benford
-    * bounded-global-window class — guard comment here, allowlisted in
-    * PlanShapeSpec). Per-cell average double-rank for a run of c at
-    * cumulative offset F is 2F + c + 1, so R₁ doubles to
-    * Σ c₁·(2F + c + 1). INT64 bounds: R₁·2 ≤ 2n₁N (INT64 past
-    * N = 10⁹); N³ rides DECIMAL(38,0) (passes 2⁶³ at N ≈ 2×10⁶).
+    * a DOMAIN-BOUNDED grid (event value ∈ [0, Tables.MaxEventValue]
+    * — the generator's clamp, 599.0 → ≤ 599,001 milli cells; the
+    * bound derives from that ONE shared constant and is ENFORCED by
+    * an assert_true guard on the quantized values, so out-of-contract
+    * data fails loudly instead of silently growing the global-window
+    * table — advisor r13 + verdict item 6), the corpus
+    * partial-aggregates to per-cell (total, group-1) counts, and the
+    * running-rank cumulative runs over that bounded cell table (the
+    * value_histogram/benford bounded-global-window class — guard
+    * comment here, allowlisted in PlanShapeSpec). Per-cell average
+    * double-rank for a run of c at cumulative offset F is 2F + c + 1,
+    * so R₁ doubles to Σ c₁·(2F + c + 1). INT64 bounds: R₁·2 ≤ 2n₁N
+    * (INT64 past N = 10⁹); N³ rides DECIMAL(38,0) (passes 2⁶³ at
+    * N ≈ 2×10⁶).
     *
     * Scale shape: one corpus pass → ≤ 10⁵-row cell table → bounded
     * window → one-row report. */
   def mannWhitney(events: DataFrame,
       typeA: String = AbGroupA, typeB: String = AbGroupB): DataFrame = {
+    // value-domain guard: the bounded-window argument is a CONTRACT
+    // with the data model (events.value ∈ [0, Tables.MaxEventValue]);
+    // violate it and this fails the query instead of silently sorting
+    // an unbounded cell table in one task. assert_true returns NULL on
+    // pass → coalesce keeps the filter a tautology; Catalyst may push
+    // it below the aggregate (a per-row compare — negligible either
+    // side of the shuffle).
+    val maxMilli = math.round(graft.Tables.MaxEventValue * 1000)
     val cells = events
       .filter(col("event_type").isin(typeA, typeB))
       .select(expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").as("v"),
         when(col("event_type") === typeA, 1L).otherwise(0L).as("is1"))
+      .filter(coalesce(assert_true(col("v").between(0L, maxMilli),
+        lit(s"mannWhitney: events.value outside [0, " +
+          s"${graft.Tables.MaxEventValue}] breaks the bounded " +
+          "cell-table contract (Tables.MaxEventValue)")), lit(true)))
       .groupBy("v")
       .agg(count(lit(1)).as("c"), sum(col("is1")).as("c1"))
-    // bounded global window: runs over the <= 100001-row milli-value
-    // cell table, never the corpus (PlanShapeSpec-allowlisted)
+    // bounded global window: runs over the <= 599,001-row milli-value
+    // cell table (Tables.MaxEventValue * 1000 + 1), never the corpus
+    // (PlanShapeSpec-allowlisted)
     val w = Window.orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, -1)
     cells

@@ -110,9 +110,11 @@ object StatsQueries {
            |  sum(CASE WHEN g = 1 THEN q END) AS q2
            |  FROM m)
            |SELECT n1, n2,
-           |  CAST(CASE WHEN n1 > 0 THEN s1 // n1 END AS BIGINT)
+           |  CAST(CASE WHEN n1 > 0 THEN CASE WHEN s1 < 0
+           |    THEN -((-s1) // n1) ELSE s1 // n1 END END AS BIGINT)
            |    AS mean1_milli,
-           |  CAST(CASE WHEN n2 > 0 THEN s2 // n2 END AS BIGINT)
+           |  CAST(CASE WHEN n2 > 0 THEN CASE WHEN s2 < 0
+           |    THEN -((-s2) // n2) ELSE s2 // n2 END END AS BIGINT)
            |    AS mean2_milli,
            |  CAST(CASE WHEN s2 * n1 > s1 * n2 THEN 1
            |       WHEN s2 * n1 < s1 * n2 THEN -1 ELSE 0 END AS BIGINT)

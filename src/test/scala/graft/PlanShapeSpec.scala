@@ -333,7 +333,8 @@ class PlanShapeSpec extends SparkSpec {
       "survival_km", "markov_stationary",
       // chi2's marginal/total windows run over the |langs|x|sources|-
       // bounded cell table; mannwhitney's running-rank cumulative runs
-      // over the <=100001-row milli-value cell table (guard comments
+      // over the <= 599,001-row milli-value cell table (bounded and
+      // assert_true-guarded by Tables.MaxEventValue; guard comments
       // at both definitions)
       "chi2_lang_source", "mannwhitney_value",
       // autocorr/cusum: index/cumulative/total windows run over the

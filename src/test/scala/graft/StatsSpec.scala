@@ -72,6 +72,33 @@ class StatsSpec extends SparkSpec {
       s"equal scaled means must yield sign 0 + NULL ladder: ${r2.toSeq}")
   }
 
+  test("welch: negative sums publish sign-split means (never engine-divergent floor-div)") {
+    // view {-1.0, -2.001} → S1 = -3001 milli: sign-split gives
+    // -(3001 div 2) = -1500 on BOTH engines; a bare floor-div would be
+    // -1501 in DuckDB vs -1500 in Spark's truncating div — the exact
+    // divergence the advisor flagged
+    val f = ev(Seq(("view", -1.0), ("view", -2.001),
+      ("purchase", 2.0), ("purchase", 6.0)))
+    val r = Stats.welchTtest(f).collect()
+    assert(r(0).getLong(2) == -1500L && r(0).getLong(3) == 4000L,
+      s"got ${r.toSeq}")
+  }
+
+  test("mannwhitney: out-of-domain values fail the bounded-cell-table contract loudly") {
+    // the <= 599,001-cell bound is a CONTRACT with Tables.MaxEventValue
+    // (the generator clamp); data past it must error, not silently
+    // grow the global-window table
+    val bad = ev(Seq(("view", Tables.MaxEventValue + 1.0), ("purchase", 1.0)))
+    val e = intercept[Exception] { Stats.mannWhitney(bad).collect() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("bounded cell-table contract")),
+      s"expected the domain-guard error, got: $e")
+    // the cap itself (and 0) pass
+    val ok = ev(Seq(("view", Tables.MaxEventValue), ("purchase", 0.0)))
+    assert(Stats.mannWhitney(ok).collect().length == 1)
+  }
+
   test("mannwhitney: exact 2*U1 under separation and under ties") {
     // disjoint: view {1,2} < purchase {3,4} → U1 = 0, z_sign = -1
     val sep = ev(Seq(("view", 0.001), ("view", 0.002),
