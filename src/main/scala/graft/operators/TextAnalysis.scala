@@ -981,6 +981,104 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Total sample budget for [[stratifiedNeyman]] — shared with the
+    * oracle SQL (the MmrLambdaPermille shared-literal rule). */
+  val NeymanBudget = 128
+
+  /** NEYMAN-ALLOCATED stratified sample over (lang, source) — the
+    * evaluation-harness sampler the r13 verdict asked for: where
+    * [[stratifiedFixedK]] gives every stratum the same quota and
+    * [[temperatureMix]] softens proportional rates, Neyman allocation
+    * spends a FIXED total budget K where it buys the most variance
+    * reduction: k_h ∝ N_h·S_h (stratum size × stratum std-dev of the
+    * token count). Fully integer-exact:
+    *
+    *  - stratum variance numerator v_h = n·Σt² − (Σt)² is an exact
+    *    DECIMAL(38,0) integer (token counts are small ints; the n·Q
+    *    product passes 2⁶³ near n ≈ 10⁶, so the moments ride DECIMAL);
+    *  - the irrational S_h is quantized ONCE through the
+    *    [[temperatureMix]] trick — w_h = n_h·⌊2²⁰·√(v_h/(n_h(n_h−1)))⌋
+    *    with the sqrt/division a single fixed IEEE-double expression
+    *    mirrored literally in the oracle (deterministic cross-engine;
+    *    singleton/constant strata get w_h = 0);
+    *  - the apportionment is exact HAMILTON (largest remainder):
+    *    floor share (K·w_h) div W, one extra for the top-r remainders
+    *    (r = K − Σfloor), ties broken by (remainder desc, lang,
+    *    source); K·w_h rides DECIMAL. All-zero weights fall back to
+    *    proportional-to-n_h allocation (same ladder on n_h);
+    *  - allocations are CAPPED at n_h with no redistribution (a
+    *    single-pass bound, documented — redistribution is an iterative
+    *    fixpoint a sampler run nightly doesn't need);
+    *  - realization is the [[stratifiedFixedK]] shape: md5-rank within
+    *    the stratum, keep rk ≤ k_h.
+    *
+    * Output: the per-stratum audit (n_docs, integer Neyman weight,
+    * k_alloc, realized n_sampled, first sampled doc as a membership
+    * witness) — n_sampled == min(k_alloc, n_docs) by construction,
+    * and the witness pins the realized membership cross-engine.
+    *
+    * Scale shape: ONE corpus pass partial-aggregates the (lang,
+    * source) moment table (domain-bounded: |langs|·|sources| cells
+    * forever); the Hamilton rank and deficit cross-join run over that
+    * bounded table (PlanShapeSpec-allowlisted global window + one-row
+    * broadcast); the realization windows partition by stratum (the
+    * [[stratifiedFixedK]] honest-exact-rank class — the heaviest
+    * stratum bounds the task; a per-stratum TakeOrdered bucket
+    * prefilter is the documented escalation); the quota join onto the
+    * corpus broadcasts the bounded allocation table. */
+  def stratifiedNeyman(docs: DataFrame, k: Int = NeymanBudget): DataFrame = {
+    val strata = Materialize.stage(docs
+      .select(col("lang"), col("source"), size(toks).cast("long").as("t"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n"),
+        sum(col("t").cast("decimal(38,0)")).as("s"),
+        sum((col("t") * col("t")).cast("decimal(38,0)")).as("qq")))
+    val weighted = strata.select(col("lang"), col("source"), col("n"),
+      expr("CAST(CASE WHEN n > 1 AND n * qq - s * s > 0 THEN " +
+        "floor(sqrt(CAST(n * qq - s * s AS DOUBLE) / " +
+        "CAST(n * (n - 1) AS DOUBLE)) * 1048576.0) ELSE 0 END " +
+        "AS DECIMAL(38,0)) * n").as("w"))
+    val tot = weighted.agg(sum(col("w")).as("w_total"),
+      sum(col("n").cast("decimal(38,0)")).as("n_total"))
+    // one-row totals broadcast onto the bounded strata table, then the
+    // Hamilton floor/remainder split; all-zero weights (every stratum
+    // constant-length) degrade to proportional-to-size allocation
+    val alloc0 = weighted.crossJoin(broadcast(tot))
+      .select(col("lang"), col("source"), col("n"), col("w"),
+        expr(s"CASE WHEN w_total > 0 THEN ($k * w) div w_total " +
+          s"ELSE ($k * CAST(n AS DECIMAL(38,0))) div n_total END").as("fl"),
+        expr(s"CASE WHEN w_total > 0 THEN ($k * w) % w_total " +
+          s"ELSE ($k * CAST(n AS DECIMAL(38,0))) % n_total END").as("rem"))
+    val deficit = alloc0.agg(sum(col("fl")).as("fl_sum"))
+    // bounded global window: ranks the <= |langs|*|sources| strata
+    // table for the largest-remainder extras, never corpus rows
+    // (PlanShapeSpec-allowlisted)
+    val alloc = alloc0
+      .withColumn("pos", row_number()
+        .over(Window.orderBy(col("rem").desc, col("lang"), col("source")))
+        .cast("long"))
+      .crossJoin(broadcast(deficit))
+      .select(col("lang"), col("source"), col("n"), col("w"),
+        least(col("fl") +
+          when(col("pos") <= lit(k.toLong) - col("fl_sum"), 1L).otherwise(0L),
+          col("n")).as("k_alloc"))
+    val rkw = Window.partitionBy(col("lang"), col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val sampled = docs.select(col("doc_id"), col("lang"), col("source"))
+      .withColumn("rk", row_number().over(rkw).cast("long"))
+      .join(broadcast(alloc.select(col("lang"), col("source"), col("k_alloc"))),
+        Seq("lang", "source"))
+      .filter(col("rk") <= col("k_alloc"))
+    val counts = sampled.groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_sampled"), min(col("doc_id")).as("first_doc"))
+    alloc.join(counts, Seq("lang", "source"), "left")
+      .select(col("lang"), col("source"), col("n").as("n_docs"),
+        col("w").cast("long").as("w_neyman"), col("k_alloc"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        col("first_doc"))
+      .orderBy("lang", "source")
+  }
+
   /** SPLIT-DRIFT detection: KL(split ‖ corpus) over token unigram
     * distributions, per train/val/test split (the held-out-set sanity
     * check a training pipeline runs — a val set whose token mix diverges

@@ -600,6 +600,70 @@ object TextAnalysisQueries {
           |  FROM documents)
           |WHERE rk <= 16 ORDER BY lang, rk""".stripMargin)),
 
+    // Neyman-allocated stratified sample: integer weights n·⌊2^20·S⌋,
+    // exact Hamilton apportionment of the shared budget, md5-ranked
+    // realization — the whole chain (weights, quotas, realized counts,
+    // membership witness) hash-exact cross-engine
+    QueryDef("stratified_neyman",
+      (s, d) => TextAnalysis.stratifiedNeyman(Tables.documents(s, d)), Some(
+        s"""WITH rows0 AS (
+           |  SELECT lang, source,
+           |    CAST(len(regexp_extract_all(lower(text), '[a-z'']+'))
+           |         AS BIGINT) AS t
+           |  FROM documents),
+           |strata AS (
+           |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+           |    sum(CAST(t AS HUGEINT)) AS s,
+           |    sum(CAST(t * t AS HUGEINT)) AS qq
+           |  FROM rows0 GROUP BY 1, 2),
+           |w AS (
+           |  SELECT lang, source, n,
+           |    CAST(CASE WHEN n > 1 AND n * qq - s * s > 0 THEN
+           |      floor(sqrt(CAST(n * qq - s * s AS DOUBLE) /
+           |        CAST(n * (n - 1) AS DOUBLE)) * 1048576.0) ELSE 0 END
+           |      AS HUGEINT) * n AS w
+           |  FROM strata),
+           |t AS (SELECT sum(w) AS w_total,
+           |             sum(CAST(n AS HUGEINT)) AS n_total FROM w),
+           |a0 AS (
+           |  SELECT lang, source, n, w,
+           |    CASE WHEN w_total > 0
+           |      THEN (${TextAnalysis.NeymanBudget} * w) // w_total
+           |      ELSE (${TextAnalysis.NeymanBudget} * CAST(n AS HUGEINT))
+           |           // n_total END AS fl,
+           |    CASE WHEN w_total > 0
+           |      THEN (${TextAnalysis.NeymanBudget} * w) % w_total
+           |      ELSE (${TextAnalysis.NeymanBudget} * CAST(n AS HUGEINT))
+           |           % n_total END AS rem
+           |  FROM w, t),
+           |d AS (SELECT sum(fl) AS fl_sum FROM a0),
+           |a AS (
+           |  SELECT lang, source, n, w,
+           |    least(fl + CASE WHEN CAST(row_number() OVER (
+           |        ORDER BY rem DESC, lang, source) AS HUGEINT)
+           |      <= ${TextAnalysis.NeymanBudget} - fl_sum
+           |      THEN 1 ELSE 0 END, CAST(n AS HUGEINT)) AS k_alloc
+           |  FROM a0, d),
+           |rk AS (
+           |  SELECT doc_id, lang, source, CAST(row_number() OVER (
+           |    PARTITION BY lang, source
+           |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           |    AS BIGINT) AS rk
+           |  FROM documents),
+           |sampled AS (
+           |  SELECT rk.lang, rk.source, rk.doc_id
+           |  FROM rk JOIN a USING (lang, source)
+           |  WHERE rk.rk <= CAST(a.k_alloc AS BIGINT)),
+           |c AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_sampled,
+           |        min(doc_id) AS first_doc FROM sampled GROUP BY 1, 2)
+           |SELECT a.lang, a.source, a.n AS n_docs,
+           |  CAST(a.w AS BIGINT) AS w_neyman,
+           |  CAST(a.k_alloc AS BIGINT) AS k_alloc,
+           |  CAST(coalesce(c.n_sampled, 0) AS BIGINT) AS n_sampled,
+           |  c.first_doc
+           |FROM a LEFT JOIN c USING (lang, source)
+           |ORDER BY lang, source""".stripMargin)),
+
     // α=0.5 temperature mixing — integer-thresholded so the keep
     // decisions (not just the rates) are hash-exact cross-engine
     QueryDef("temperature_mix",

@@ -452,6 +452,35 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(tB.toDouble / tT - math.sqrt(4.0 / 100)) < 0.01)
   }
 
+  test("neyman sampler: hand-computed weights, Hamilton extras, caps, realization") {
+    // arithmetic 3-progressions make S_h EXACT: token counts {a-d, a,
+    // a+d} give v = 6d^2 and v/(n(n-1)) = d^2, so w = 3*d*2^20 on
+    // paper. Strata: A=(en,s0) counts {1,3,5} -> w = 6291456;
+    // C=(en,s1) counts {1,2,3} -> w = 3145728; B=(de,s0) counts {2,2}
+    // (zero variance) -> w = 0. W = 9437184. K=5 Hamilton:
+    // A: 31457280 // W = 3 rem 3145728; C: 15728640 // W = 1 rem
+    // 6291456; B: 0. fl_sum = 4, one extra -> C (larger remainder).
+    // k_alloc = A 3 (== n, all sampled), C 2, B 0.
+    def words(n: Int) = (1 to n).map(i => "w" + i).mkString(" ")
+    val docs = Seq(
+      (1L, "en", "s0", words(1)), (2L, "en", "s0", words(3)),
+      (3L, "en", "s0", words(5)),
+      (4L, "en", "s1", words(1)), (5L, "en", "s1", words(2)),
+      (6L, "en", "s1", words(3)),
+      (7L, "de", "s0", words(2)), (8L, "de", "s0", words(2))
+    ).toDF("doc_id", "lang", "source", "text")
+    val got = TextAnalysis.stratifiedNeyman(docs, k = 5).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          if (r.isNullAt(6)) -1L else r.getLong(6))).toMap
+    assert(got(("en", "s0")) == ((3L, 6291456L, 3L, 3L, 1L)), s"$got")
+    assert(got(("en", "s1"))._1 == 3L && got(("en", "s1"))._2 == 3145728L
+      && got(("en", "s1"))._3 == 2L && got(("en", "s1"))._4 == 2L, s"$got")
+    assert(got(("de", "s0")) == ((2L, 0L, 0L, 0L, -1L)), s"$got")
+    // budget conserved: total realized == min(K, reachable)
+    assert(got.values.map(_._4).sum == 5L)
+  }
+
   test("token KL drift: non-negative up to quantization, totals conserved") {
     val rows = TextAnalysis.tokenKlDrift(Tables.documents(spark, sf0001)).collect()
     assert(rows.map(_.getString(0)).toSet === Set("train", "val", "test"))

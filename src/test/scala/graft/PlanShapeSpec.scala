@@ -276,7 +276,11 @@ class PlanShapeSpec extends SparkSpec {
       "ks_drift",
       // token_pmi: the one-row corpus-count broadcast onto the ≤K²/2
       // pair table (the negative_samples pattern)
-      "token_pmi")
+      "token_pmi",
+      // stratified_neyman: the one-row weight-total and floor-sum
+      // aggregates crossJoined onto the |langs|x|sources|-bounded
+      // strata table (the dedup_savings bounded pattern)
+      "stratified_neyman")
     SparkEntry.registry.foreach { q =>
       val plan = q.fn(spark, sf0001).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
@@ -352,7 +356,11 @@ class PlanShapeSpec extends SparkSpec {
       "lorenz_deciles",
       // page_hinkley shares cusum_daily's calendar-bounded daily-table
       // windows (cumulative + running min + total)
-      "page_hinkley")
+      "page_hinkley",
+      // stratified_neyman's Hamilton-remainder rank runs over the
+      // |langs|x|sources|-bounded strata table (guard-commented at the
+      // definition); the realization window is partitioned per stratum
+      "stratified_neyman")
     assert(offenders.forall(allowedGlobal),
       s"unpartitioned windows outside the allowed exceptions: $offenders")
   }
