@@ -7,15 +7,19 @@ import graft.{QueryDef, Tables}
   * uses the exact same md5-derived signatures as the Spark side. */
 object DedupQueries {
 
-  /** CTE producing (doc_id, sh) word-3-gram distinct shingles. */
-  private[operators] val wordShinglesCte =
-    """t AS (
-      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z'']+') AS w
-      |  FROM documents),
-      |s AS (
-      |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
-      |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
-      |  FROM t WHERE len(w) >= 3)""".stripMargin
+  /** CTE producing (doc_id, sh) word-3-gram distinct shingles.
+    * `docsWhere` restricts the base corpus (the [[DocSlice]]
+    * measurement mode — empty for every normal entry). */
+  private[operators] def wordShinglesCteFor(docsWhere: String): String =
+    s"""t AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z'']+') AS w
+       |  FROM documents$docsWhere),
+       |s AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+       |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+       |  FROM t WHERE len(w) >= 3)""".stripMargin
+
+  private[operators] val wordShinglesCte = wordShinglesCteFor("")
 
   /** CTE producing (doc_id, sh) char-5-gram distinct shingles. */
   private val charShinglesCte =
@@ -236,11 +240,17 @@ object DedupQueries {
        |FROM ag, ec, tri""".stripMargin
 
   /** Ensemble dedup oracle: text pairs ∪ embedding pairs → the same
-    * recursive transitive closure as the clusters oracle. */
+    * recursive transitive closure as the clusters oracle. Under
+    * [[DocSlice]] (sf1 measurement mode) the TEXT side rebuilds from
+    * the sliced corpus — cap included — exactly as the Spark side
+    * does; the embedding side stays whole (8k sf1 vectors are
+    * oracle-feasible; only the text-pair closure was not). */
   private val ensembleClustersSql =
-    s"""WITH RECURSIVE ${SimilarityQueries.embPairCtes(0.35)},
+    s"""WITH RECURSIVE ${SimilarityQueries.embPairCtes(0.35,
+          DocSlice.vecsWhere)},
        |tp AS (
-       |  SELECT doc_a, doc_b FROM (${nearDupSql(wordShinglesCte, 0.7)}) nd),
+       |  SELECT doc_a, doc_b FROM (${nearDupSql(
+            wordShinglesCteFor(DocSlice.docsWhere), 0.7)}) nd),
        |prs AS (
        |  SELECT doc_a, doc_b FROM tp
        |  UNION SELECT vec_a, vec_b FROM ep),
@@ -295,8 +305,27 @@ object DedupQueries {
       Some(pagerankSql)),
 
     QueryDef("dedup_ensemble_clusters",
-      (s, d) => Dedup.ensembleDedupClustersFrom(
-        SharedIntermediates.textPairs(s, d), SharedIntermediates.embPairs(s, d)),
+      (s, d) =>
+        if (DocSlice.limit.isEmpty && DocSlice.vecLimit.isEmpty)
+          Dedup.ensembleDedupClustersFrom(
+            SharedIntermediates.textPairs(s, d),
+            SharedIntermediates.embPairs(s, d))
+        else {
+          // sf1 measurement mode: rebuild both pair pipelines from the
+          // sliced corpora (band cap and LSH plane count re-derived
+          // over the slice, matching the oracle); the shared durable
+          // indexes cover the FULL corpus and must not serve here
+          val docs = DocSlice.docs(Tables.documents(s, d))
+          val bands = Dedup.cappedBands(Dedup.wordGrams(docs),
+            Dedup.MaxBandBucket)
+          val ep =
+            if (DocSlice.vecLimit.isEmpty) SharedIntermediates.embPairs(s, d)
+            else Similarity.embeddingNearDup(
+              DocSlice.vecs(Tables.embeddings(s, d)), 0.35)
+          Dedup.ensembleDedupClustersFrom(
+            Dedup.nearDupPairsFromBands(docs, bands, Dedup.wordGrams, 0.7),
+            ep)
+        },
       Some(ensembleClustersSql)),
 
     QueryDef("near_dup_graph_stats",

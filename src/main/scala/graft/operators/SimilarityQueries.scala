@@ -91,10 +91,15 @@ object SimilarityQueries {
 
   /** CTE chain `pl, s0, s, ep` ending in the thresholded same-bucket
     * embedding pair set (vec_a < vec_b) — shared by the standalone
-    * near-dup query and the ensemble dedup oracle. */
-  private[operators] def embPairCtes(threshold: Double): String =
-    s"""pl AS ($planesSql),
-       |s0 AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings, pl),
+    * near-dup query and the ensemble dedup oracle. `vecsWhere`
+    * restricts the base corpus (the [[DocSlice]] sf1 measurement
+    * mode; empty everywhere else) — it applies to BOTH the plane-count
+    * CTE and the signature base, exactly like the Spark side deriving
+    * planesFor from the sliced count. */
+  private[operators] def embPairCtes(threshold: Double,
+      vecsWhere: String = ""): String =
+    s"""pl AS ($planesSql$vecsWhere),
+       |s0 AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings, pl$vecsWhere),
        |s AS (
        |  SELECT vec_id, embedding, bucket FROM (
        |    SELECT *, count(*) OVER (PARTITION BY bucket) AS bn FROM s0)

@@ -410,12 +410,16 @@ object TextAnalysisQueries {
            |FROM s GROUP BY doc_id, sid ORDER BY doc_id, span_start""".stripMargin
       }),
 
+    // DocSlice (sf1 measurement mode): the span-arithmetic oracle is
+    // DuckDB-infeasible at 50k docs; both sides restrict to the same
+    // deterministic doc-id range there. Inert when the env is unset.
     QueryDef("substring_dedup_clean",
-      (s, d) => TextAnalysis.substringDedupClean(Tables.documents(s, d)), Some {
+      (s, d) => TextAnalysis.substringDedupClean(
+        DocSlice.docs(Tables.documents(s, d))), Some {
         val gram = (1 to 8).map(j => s"w[i+${j - 1}]").mkString(" || ' ' || ")
         s"""WITH t AS (
            |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z'']+') AS w
-           |  FROM documents),
+           |  FROM documents${DocSlice.docsWhere}),
            |wins AS (
            |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 6), i ->
            |    struct_pack(p := i, g := $gram))) AS u
