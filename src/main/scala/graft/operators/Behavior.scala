@@ -158,6 +158,16 @@ object Behavior {
       .select(col("c_custkey"), col("last_day"),
         coalesce(col("freq"), lit(0L)).as("freq"),
         coalesce(col("cents"), lit(0L)).as("cents")))
+    rfmFrom(perCust)
+  }
+
+  /** The rank-window → quartile-code → segment-aggregate stage of
+    * [[rfmSegments]], over any (c_custkey, last_day, freq, cents)
+    * dimension table — factored out so [[graft.RankDimFlagship]] can
+    * drive the EXACT shipped window shape at 10⁸ synthetic rows (r13
+    * verdict item 7: measure the honest-exact-rank allowlist class at
+    * dimension scale instead of arguing it). */
+  def rfmFrom(perCust: DataFrame): DataFrame = {
     // honest-exact global ranks over the customer DIMENSION
     // (allowlisted; see scaladoc). ⌈4r/n⌉ as the integral
     // (4r + n − 1) div n — `div`, not `/` (Spark `/` on longs is

@@ -396,6 +396,139 @@ object Temporal {
       .orderBy("t_day")
   }
 
+  /** LOG-RANK TEST of time-to-first-purchase between the two A/B
+    * variants (`user_id % 2` — the [[abConversionZtest]] assignment):
+    * the time-to-event twin of that proportion test, and exactly the
+    * score test of a Cox proportional-hazards model at β = 0 — the
+    * honest answer to "Cox regression" for an engine that refuses
+    * iterative float optimization in a hash-gated query. Per event
+    * day i with nᵢ at risk (n₁ᵢ in variant 1) and dᵢ events (d₁ᵢ in
+    * variant 1): O₁ = Σ d₁ᵢ is an exact BIGINT; the expectation and
+    * hypergeometric variance are sums of rationals with day-varying
+    * denominators, so each day's term quantizes to an exact micro
+    * floor-div (the [[nelsonAalen]] term-wise contract — bias
+    * < #event-days micro-units, documented):
+    *   e1ᵢ = (10⁶·dᵢ·n₁ᵢ) div nᵢ
+    *   vᵢ  = (10⁶·dᵢ·n₁ᵢ·(nᵢ−n₁ᵢ)·(nᵢ−dᵢ)) div (nᵢ²·(nᵢ−1)).
+    * z² = (O₁−E₁)²/V rides the quantized-ln ladder:
+    *   ln z² = 2·ln|10⁶·O₁ − e1_micro| − ln v_micro − ln 10⁶.
+    * NULL ladder when degenerate (V = 0 or O₁ exactly on target).
+    *
+    * DECIMAL bounds: the vᵢ numerator is 10⁶·n⁴-scale → DECIMAL(38,0)
+    * holds to cohorts of n ≈ 10⁸ signup users; past that, the same
+    * per-user pre-aggregation contract as welchTtest applies.
+    *
+    * Scale shape: the cohort derivation is [[survivalKm]]'s (user-
+    * dimension aggregates + one broadcast horizon row); per-variant
+    * day counts partial-aggregate to the CALENDAR-BOUNDED day table;
+    * the risk-set cumulatives are windows over that bounded table
+    * (allowlisted, the survival_km class); one one-row report. */
+  def logrankConversion(events: DataFrame): DataFrame = {
+    val horizon = events.agg(max(col("ts")).as("h_ts"))
+    val su = events.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("s_ts"))
+    val pu = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val firstP = su.join(pu,
+        col("p_user") === col("user_id") && col("p_ts") > col("s_ts"), "left")
+      .groupBy(col("user_id"), col("s_ts"))
+      .agg(min(col("p_ts")).as("fp_ts"))
+    val durations = firstP.crossJoin(broadcast(horizon))
+      .select((col("user_id") % 2).as("variant"),
+        expr("CASE WHEN fp_ts IS NOT NULL THEN " +
+          "(unix_micros(fp_ts) - unix_micros(s_ts)) div 86400000000 ELSE " +
+          "(unix_micros(h_ts) - unix_micros(s_ts)) div 86400000000 END")
+          .as("t_day"),
+        col("fp_ts").isNotNull.as("is_event"))
+    val byDay = durations.groupBy("t_day")
+      .agg(sum(when(col("is_event"), 1L).otherwise(0L)).as("d"),
+        count(lit(1)).as("tot"),
+        sum(when(col("is_event") && col("variant") === 1, 1L).otherwise(0L))
+          .as("d1"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("tot1"))
+    // bounded global windows over the calendar-bounded day table
+    // (allowlisted): risk sets = total minus everyone who left earlier
+    val wAll = Window.partitionBy()
+    val wPrev = Window.orderBy(col("t_day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byDay
+      .withColumn("n", sum(col("tot")).over(wAll) -
+        coalesce(sum(col("tot")).over(wPrev), lit(0L)))
+      .withColumn("n1", sum(col("tot1")).over(wAll) -
+        coalesce(sum(col("tot1")).over(wPrev), lit(0L)))
+      .agg(
+        sum(col("tot")).as("n_users"), sum(col("tot1")).as("n_users1"),
+        sum(col("d1")).as("o1"),
+        sum(expr("CASE WHEN d > 0 THEN " +
+          "(1000000 * CAST(d AS DECIMAL(38,0)) * n1) div n ELSE 0 END"))
+          .as("e1m"),
+        sum(expr("CASE WHEN d > 0 AND n > 1 THEN " +
+          "(1000000 * CAST(d AS DECIMAL(38,0)) * n1 * (n - n1) * (n - d))" +
+          " div (CAST(n AS DECIMAL(38,0)) * n * (n - 1)) ELSE 0 END"))
+          .as("vm"))
+      .select(col("n_users"), col("n_users1"), col("o1"),
+        expr("CAST(e1m AS BIGINT)").as("e1_micro"),
+        expr("CAST(vm AS BIGINT)").as("v_micro"),
+        expr("CAST(CASE WHEN 1000000 * o1 > e1m THEN 1 " +
+          "WHEN 1000000 * o1 < e1m THEN -1 ELSE 0 END AS BIGINT)")
+          .as("z_sign"),
+        expr("CASE WHEN vm > 0 AND 1000000 * o1 <> e1m THEN " +
+          s"100 * (2 * ${exprLn4("abs(1000000 * o1 - e1m)")}" +
+          s" - ${exprLn4("vm")} - ${exprLn4("1000000")}) END")
+          .as("ln_z2_micro"))
+  }
+
+  /** The lang_source_mi quantized-ln SQL fragment (string-expression
+    * form — the Column ln4 lives in functions.Exact). */
+  private def exprLn4(e: String): String =
+    s"CAST(floor(ln(CAST(($e) AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT)"
+
+  /** COHORT RETENTION MATRIX — the signup-week × week-offset triangle
+    * every growth dashboard opens with: of the users who signed up in
+    * cohort week c, what share was active (ANY event) k weeks later?
+    * The SIGNUP-anchored weekly RATE twin of
+    * [[Pipeline.retentionCohorts]] (which cohorts every user by
+    * first-SEEN day and reports raw counts): anchoring on the signup
+    * event excludes pre-signup activity, the weekly grain is the
+    * dashboard convention, and the permille column is the exact rate.
+    * Weeks are INTEGER day buckets, not calendar weeks:
+    * day = unix_micros div 86400·10⁶, cohort = signup_day div 7,
+    * offset = (event_day − signup_day) div 7 — engine-independent
+    * arithmetic (date_trunc('week') Monday conventions never enter).
+    * Retention is the exact permille floor-div (non-negative, no
+    * sign-split needed). Pre-signup events are excluded (offset ≥ 0 by
+    * the filter, so `div` IS the floor).
+    *
+    * Scale shape: signup table = one user-dimension aggregate; ONE
+    * corpus shuffle joins events to it on user_id (stats-planned, no
+    * hint — the user dimension is corpus-scale/10⁴ but not broadcast-
+    * small at 100 TB); the (cohort, offset, user) distinct partial-
+    * aggregates to user grain; the final grid is ≤ weeks² cells. */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val su = events.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(min(unix_micros(col("ts"))).as("s_us"))
+      .select(col("user_id"), expr("s_us div 86400000000").as("s_day"))
+      .withColumn("cohort_week", expr("s_day div 7"))
+    val cohortSizes = su.groupBy("cohort_week")
+      .agg(count(lit(1)).as("n_cohort"))
+    events
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("e_day"))
+      .join(su, "user_id")
+      .filter(col("e_day") >= col("s_day"))
+      .select(col("cohort_week"),
+        expr("(e_day - s_day) div 7").as("offset_weeks"), col("user_id"))
+      .distinct()
+      .groupBy("cohort_week", "offset_weeks")
+      .agg(count(lit(1)).as("n_active"))
+      .join(cohortSizes, "cohort_week")
+      .select(col("cohort_week"), col("offset_weeks"), col("n_cohort"),
+        col("n_active"),
+        expr("(1000 * n_active) div n_cohort").as("retention_permille"))
+      .orderBy("cohort_week", "offset_weeks")
+  }
+
   /** Conversion-window ladder (micros) — shared plan/oracle literals
     * (the Search.MmrLambdaPermille rule): 1 h, 24 h, 7 d. */
   val ConversionWindowsUs: Seq[Long] =

@@ -534,6 +534,97 @@ object TemporalQueries {
           |SELECT t_day, n_risk, d AS n_events, c AS n_censored, h_micro
           |FROM cm WHERE d > 0 ORDER BY t_day""".stripMargin)),
 
+    // log-rank test of time-to-first-purchase between the user_id % 2
+    // A/B variants (the Cox score test at beta = 0): exact O1, micro
+    // floor-div expectation/variance terms per event day, z^2 ladder
+    QueryDef("logrank_conversion",
+      (s, d) => Temporal.logrankConversion(Tables.events(s, d)), Some {
+        def ln4(e: String) =
+          s"CAST(floor(ln(CAST(($e) AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT)"
+        s"""WITH su AS (SELECT user_id, min(ts) AS s_ts FROM events
+           |            WHERE event_type = 'signup' GROUP BY 1),
+           |pu AS (SELECT user_id AS p_user, ts AS p_ts FROM events
+           |       WHERE event_type = 'purchase'),
+           |hz AS (SELECT max(ts) AS h_ts FROM events),
+           |fp AS (SELECT su.user_id, su.s_ts, min(p_ts) AS fp_ts
+           |       FROM su LEFT JOIN pu
+           |         ON p_user = su.user_id AND p_ts > su.s_ts
+           |       GROUP BY 1, 2),
+           |dur AS (
+           |  SELECT user_id % 2 AS variant,
+           |    CASE WHEN fp_ts IS NOT NULL
+           |      THEN (epoch_us(fp_ts) - epoch_us(s_ts)) // 86400000000
+           |      ELSE (epoch_us(h_ts) - epoch_us(s_ts)) // 86400000000 END
+           |      AS t_day,
+           |    fp_ts IS NOT NULL AS is_event
+           |  FROM fp, hz),
+           |bd AS (SELECT t_day,
+           |    CAST(sum(CASE WHEN is_event THEN 1 ELSE 0 END) AS BIGINT) AS d,
+           |    CAST(count(*) AS BIGINT) AS tot,
+           |    CAST(sum(CASE WHEN is_event AND variant = 1 THEN 1 ELSE 0 END)
+           |         AS BIGINT) AS d1,
+           |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS tot1
+           |  FROM dur GROUP BY 1),
+           |rk AS (SELECT *,
+           |    CAST(sum(tot) OVER ()
+           |      - coalesce(sum(tot) OVER (ORDER BY t_day
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      AS BIGINT) AS n,
+           |    CAST(sum(tot1) OVER ()
+           |      - coalesce(sum(tot1) OVER (ORDER BY t_day
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      AS BIGINT) AS n1
+           |  FROM bd),
+           |a AS (SELECT
+           |    CAST(sum(tot) AS BIGINT) AS n_users,
+           |    CAST(sum(tot1) AS BIGINT) AS n_users1,
+           |    CAST(sum(d1) AS BIGINT) AS o1,
+           |    sum(CASE WHEN d > 0 THEN
+           |      (1000000 * CAST(d AS HUGEINT) * n1) // n
+           |      ELSE 0 END) AS e1m,
+           |    sum(CASE WHEN d > 0 AND n > 1 THEN
+           |      (1000000 * CAST(d AS HUGEINT) * n1 * (n - n1) * (n - d))
+           |      // (CAST(n AS HUGEINT) * n * (n - 1)) ELSE 0 END) AS vm
+           |  FROM rk)
+           |SELECT n_users, n_users1, o1,
+           |  CAST(e1m AS BIGINT) AS e1_micro, CAST(vm AS BIGINT) AS v_micro,
+           |  CAST(CASE WHEN 1000000 * o1 > e1m THEN 1
+           |       WHEN 1000000 * o1 < e1m THEN -1 ELSE 0 END AS BIGINT)
+           |    AS z_sign,
+           |  CASE WHEN vm > 0 AND 1000000 * o1 <> e1m THEN
+           |    100 * (2 * ${ln4("abs(1000000 * o1 - e1m)")}
+           |      - ${ln4("vm")} - ${ln4("1000000")}) END AS ln_z2_micro
+           |FROM a""".stripMargin
+      }),
+
+    // signup-week x week-offset retention triangle: integer day/week
+    // buckets (no calendar-week conventions), exact permille floor-div
+    QueryDef("cohort_retention",
+      (s, d) => Temporal.cohortRetention(Tables.events(s, d)), Some(
+        """WITH su AS (
+          |  SELECT user_id,
+          |    epoch_us(min(ts)) // 86400000000 AS s_day
+          |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+          |sc AS (SELECT user_id, s_day, s_day // 7 AS cohort_week FROM su),
+          |cs AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_cohort
+          |       FROM sc GROUP BY 1),
+          |act AS (
+          |  SELECT DISTINCT sc.cohort_week,
+          |    (e.e_day - sc.s_day) // 7 AS offset_weeks, e.user_id
+          |  FROM (SELECT user_id, epoch_us(ts) // 86400000000 AS e_day
+          |        FROM events) e
+          |  JOIN sc ON sc.user_id = e.user_id
+          |  WHERE e.e_day >= sc.s_day),
+          |ao AS (SELECT cohort_week, offset_weeks,
+          |         CAST(count(*) AS BIGINT) AS n_active
+          |       FROM act GROUP BY 1, 2)
+          |SELECT ao.cohort_week, ao.offset_weeks, cs.n_cohort, ao.n_active,
+          |  CAST((1000 * n_active) // n_cohort AS BIGINT)
+          |    AS retention_permille
+          |FROM ao JOIN cs USING (cohort_week)
+          |ORDER BY cohort_week, offset_weeks""".stripMargin)),
+
     // conversion within 1h/24h/7d of signup — shares the survival
     // cohort definition; windows interpolate ConversionWindowsUs
     QueryDef("conversion_windows",

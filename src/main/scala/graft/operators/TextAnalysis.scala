@@ -1079,6 +1079,44 @@ object TextAnalysis {
       .orderBy("lang", "source")
   }
 
+  /** Sample size and the quantized ln(2²⁰) anchor for
+    * [[weightedSampleAes]] — shared with the oracle SQL (the
+    * MmrLambdaPermille shared-literal rule). 138629 =
+    * ⌊ln(2²⁰)·10⁴ + 0.5⌋. */
+  val AesSampleK = 64
+  val AesLnMax = 138629L
+
+  /** WEIGHTED SAMPLE WITHOUT REPLACEMENT — Efraimidis–Spirakis A-ES
+    * (the standard distributed one-pass weighted reservoir): each doc
+    * draws u ~ U(0,1] and keeps key u^(1/w); the k LARGEST keys are an
+    * exact weighted sample without replacement. Here w = token count
+    * (sample long docs proportionally — the data-mixing use), u is the
+    * deterministic 20-bit md5 draw, and the key order is made
+    * INTEGER-EXACT instead of float: maximizing u^(1/w) is minimizing
+    * (−ln u)/w, −ln u quantizes to the ladder penalty
+    * p = AesLnMax − ⌊ln(u20+1)·10⁴ + 0.5⌋ ≥ 0 (u = (u20+1)/2²⁰, so
+    * the ln(2²⁰) anchor cancels the scale), and the published key is
+    * the exact non-negative floor-div (10⁶·p) div w — both engines
+    * sort the same integers. Zero-token docs are excluded (w = 0 has
+    * no A-ES key).
+    *
+    * Scale shape: the key is map-side arithmetic on the scan; the
+    * sample is TakeOrderedAndProject (k per partition, k at the
+    * driver — the [[fixedSizeSample]] shape, no global sort). */
+  def weightedSampleAes(docs: DataFrame, k: Int = AesSampleK): DataFrame = {
+    val u = (0 until 5).map(i => md5Nibble(i) * (1 << (4 * (4 - i))))
+      .reduce(_ + _).cast("long")
+    docs
+      .select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
+        u.as("u20"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("pen", lit(AesLnMax) - ln4(col("u20") + 1).cast("long"))
+      .withColumn("key_q", expr("(1000000 * pen) div n_tokens"))
+      .orderBy(col("key_q").asc, col("doc_id").asc).limit(k)
+      .select(col("doc_id"), col("n_tokens"), col("key_q"))
+      .orderBy("doc_id")
+  }
+
   /** SPLIT-DRIFT detection: KL(split ‖ corpus) over token unigram
     * distributions, per train/val/test split (the held-out-set sanity
     * check a training pipeline runs — a val set whose token mix diverges

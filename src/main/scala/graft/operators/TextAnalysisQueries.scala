@@ -668,6 +668,28 @@ object TextAnalysisQueries {
            |FROM a LEFT JOIN c USING (lang, source)
            |ORDER BY lang, source""".stripMargin)),
 
+    // Efraimidis-Spirakis weighted sample: minimize the exact integer
+    // key (10^6 * ladder-penalty) div token-weight — both engines sort
+    // the same integers, TakeOrdered realization
+    QueryDef("weighted_sample_aes",
+      (s, d) => TextAnalysis.weightedSampleAes(Tables.documents(s, d)), Some(
+        s"""WITH w AS (
+           |  SELECT doc_id,
+           |    CAST(len(regexp_extract_all(lower(text), '[a-z'']+'))
+           |         AS BIGINT) AS n_tokens,
+           |    ${u20Sql("doc_id")} AS u20
+           |  FROM documents),
+           |k AS (
+           |  SELECT doc_id, n_tokens,
+           |    (1000000 * (${TextAnalysis.AesLnMax}
+           |      - CAST(floor(ln(CAST(u20 + 1 AS DOUBLE)) * 10000.0 + 0.5)
+           |             AS BIGINT))) // n_tokens AS key_q
+           |  FROM w WHERE n_tokens > 0)
+           |SELECT doc_id, n_tokens, CAST(key_q AS BIGINT) AS key_q FROM (
+           |  SELECT * FROM k
+           |  ORDER BY key_q, doc_id LIMIT ${TextAnalysis.AesSampleK})
+           |ORDER BY doc_id""".stripMargin)),
+
     // α=0.5 temperature mixing — integer-thresholded so the keep
     // decisions (not just the rates) are hash-exact cross-engine
     QueryDef("temperature_mix",

@@ -452,6 +452,37 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(tB.toDouble / tT - math.sqrt(4.0 / 100)) < 0.01)
   }
 
+  test("weighted A-ES sample matches a plain-Scala recompute of the exact keys") {
+    val d = Tables.documents(spark, sf0001)
+    val got = TextAnalysis.weightedSampleAes(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.size == TextAnalysis.AesSampleK)
+    // independent recompute: md5 20-bit u, ladder penalty, floor-div
+    // key, 64 smallest (key, doc_id)
+    def md5hex(s: String) = {
+      val m = java.security.MessageDigest.getInstance("MD5")
+      m.digest(s.getBytes).map("%02x".format(_)).mkString
+    }
+    val tok = "[a-z']+".r
+    val all = d.select("doc_id", "text").collect().flatMap { r =>
+      val w = tok.findAllIn(r.getString(1).toLowerCase).length.toLong
+      if (w == 0) None else {
+        val u20 = md5hex(r.getLong(0).toString).take(5)
+          .foldLeft(0L)((a, c) => a * 16 + Integer.parseInt(c.toString, 16))
+        val pen = TextAnalysis.AesLnMax -
+          math.floor(math.log((u20 + 1).toDouble) * 10000.0 + 0.5).toLong
+        Some((r.getLong(0), w, (1000000L * pen) / w))
+      }
+    }
+    val expect = all.sortBy(t => (t._3, t._1)).take(TextAnalysis.AesSampleK)
+      .sortBy(_._1).toSeq
+    assert(got == expect, s"sample disagrees with the recompute")
+    // stability under repartitioning (TakeOrdered, not partition luck)
+    val again = TextAnalysis.weightedSampleAes(d.repartition(13)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(again == got)
+  }
+
   test("neyman sampler: hand-computed weights, Hamilton extras, caps, realization") {
     // arithmetic 3-progressions make S_h EXACT: token counts {a-d, a,
     // a+d} give v = 6d^2 and v/(n(n-1)) = d^2, so w = 3*d*2^20 on

@@ -200,6 +200,8 @@ class PlanShapeSpec extends SparkSpec {
       // onto the |sources| totals (bounded grid) + the one-row corpus
       // total; vocab_growth crossJoins the one-row d0/span scalar
       "nelson_aalen", "token_keyness_g2", "vocab_growth",
+      // logrank_conversion shares survival_km's one-row horizon scalar
+      "logrank_conversion",
       // lorenz crossJoins the one-row total-cents scalar onto the
       // 10-row decile table
       "lorenz_deciles",
@@ -350,6 +352,9 @@ class PlanShapeSpec extends SparkSpec {
       // nelson_aalen shares survival_km's calendar-bounded day-table
       // windows; vocab_growth's cumulative runs over the 10-row grid
       "nelson_aalen", "vocab_growth",
+      // logrank_conversion's risk-set cumulatives run over the same
+      // calendar-bounded per-variant day table (guard-commented)
+      "logrank_conversion",
       // lorenz's rank window runs over the customer DIMENSION (the
       // rfm_segments honest-exact-quantile class); its cumulative
       // runs over the 10-row decile table

@@ -39,6 +39,52 @@ class TextSurvivalSpec extends SparkSpec {
     }
   }
 
+  test("logrank: hand fixture O/E/V terms, sign, and ladder") {
+    // variants by user_id % 2: u0,u2 → 0; u1,u3 → 1. All sign up at
+    // t0; u0 and u1 convert on day 1, u2 on day 2, u3 censored day 3.
+    // Day 1: n=4, n1=2, d=2, d1=1 → e1 = (10⁶·2·2) div 4 = 1,000,000,
+    //   v = (10⁶·2·2·2·2) div (16·3) = 333,333.
+    // Day 2: n=2, n1=1, d=1, d1=0 → e1 = 500,000, v = 250,000.
+    // O1 = 1 → 10⁶·O1 − E1 = −500,000 (sign −1);
+    // ln z² = 100·(2·ln4(5·10⁵) − ln4(583333) − ln4(10⁶))
+    //       = 100·(2·131224 − 132765 − 138155) = −847,200.
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (0L, ts("2024-01-01 00:00:00"), 1L, "signup"),
+      (1L, ts("2024-01-01 00:00:00"), 2L, "signup"),
+      (2L, ts("2024-01-01 00:00:00"), 3L, "signup"),
+      (3L, ts("2024-01-01 00:00:00"), 4L, "signup"),
+      (0L, ts("2024-01-02 01:00:00"), 5L, "purchase"),
+      (1L, ts("2024-01-02 02:00:00"), 6L, "purchase"),
+      (2L, ts("2024-01-03 01:00:00"), 7L, "purchase"),
+      (3L, ts("2024-01-04 00:30:00"), 8L, "click"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val r = Temporal.logrankConversion(ev).collect()
+    assert(r.toSeq == Seq(Row(4L, 2L, 1L, 1500000L, 583333L, -1L, -847200L)),
+      s"got ${r.toSeq}")
+  }
+
+  test("cohort retention: two-week fixture with exact permille floor-divs") {
+    // X = 2024-01-04 is epoch day 19726 = 7·2818, so cohorts split
+    // cleanly: A,B sign up in week 2818, C in week 2819. A purchases
+    // at offset 1 (day X+8), C at offset 1 (day X+15); signups
+    // themselves are offset-0 activity.
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val base = java.time.LocalDate.of(2024, 1, 4).toEpochDay / 7
+    val ev = Seq(
+      (10L, ts("2024-01-04 08:00:00"), 1L, "signup"),
+      (11L, ts("2024-01-04 09:00:00"), 2L, "signup"),
+      (12L, ts("2024-01-11 08:00:00"), 3L, "signup"),
+      (10L, ts("2024-01-12 10:00:00"), 4L, "purchase"),
+      (12L, ts("2024-01-19 10:00:00"), 5L, "purchase"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val r = Temporal.cohortRetention(ev).collect()
+    assert(r.toSeq == Seq(
+      Row(base, 0L, 2L, 2L, 1000L), Row(base, 1L, 2L, 1L, 500L),
+      Row(base + 1, 0L, 1L, 1L, 1000L), Row(base + 1, 1L, 1L, 1L, 1000L)),
+      s"got ${r.toSeq} (base $base)")
+  }
+
   test("conversion windows: hand cohort converts at exactly one of three horizons") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     val t30m = java.sql.Timestamp.valueOf("2024-01-01 00:30:00")
