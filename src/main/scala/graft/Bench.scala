@@ -108,9 +108,13 @@ object Bench {
         // baseline builds get the SAME fingerprint-strip + duplicate-SUM
         // reduction as the current round (advisor r13: Map.map let a
         // stripped-key collision keep only the last value, undercounting
-        // the baseline and faking a >1.5x flag)
+        // the baseline and faking a >1.5x flag). Unparsable entries read
+        // as mapOf's -1.0 sentinel — drop them BEFORE summing or they
+        // deflate a sibling value under the same stripped key (review
+        // finding).
         (mapOf(node, "queries"), mapOf(node, "cpu"), c,
           mapOf(node, "index_build").toSeq
+            .filter(_._2 >= 0)
             .map { case (k, v) => buildKeyOf(k) -> v }
             .groupMapReduce(_._1)(_._2)(_ + _))
       }
@@ -420,16 +424,19 @@ object Bench {
     // queries under memory-bus/SMT contention — invisible to the
     // register-only calibration spin — so a CPU-only flag set burns a
     // round of adjudication on phantom regressions (25 of r13's 29 CPU
-    // flags were flat on wall). Same thresholds and calibration
-    // normalization as the CPU map, applied to best-observed wall
-    // (min of warm/timed — already a 2-sample noise floor). The GATE is
+    // flags were flat on wall). Same thresholds as the CPU map, over
+    // RAW best-observed wall (min of warm/timed — already a 2-sample
+    // noise floor): the calibration spin probes CPU speed, not wall
+    // characteristics, so scaling wall baselines by it would let a
+    // clamped 2x CPU drift hide a genuine wall regression from the
+    // gate (review finding) — and the legacy wall fallback above is
+    // raw too, so one axis keeps one normalization. The GATE is
     // regressions_both: a query is a real regression only when BOTH
     // axes flag it; either single-axis map alone is the documented
-    // attribution-drift class.
+    // attribution/load-drift class.
     val regressionsWall = results.flatMap { case (n, t) =>
       prev.get(n) match {
-        case Some(p0) if p0 > 0 && t > 0 =>
-          val p = p0 * calibRatio
+        case Some(p) if p > 0 && t > 0 =>
           if (t > p * 1.5 && t - p > 0.25)
             Some(n -> math.round(t / p * 100.0) / 100.0)
           else None

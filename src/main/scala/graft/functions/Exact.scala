@@ -42,6 +42,14 @@ object Exact {
   def ln4(c: Column): Column =
     floor(log(c.cast("double")) * lit(10000.0) + lit(0.5))
 
+  /** SQL-string twin of [[ln4]] — interpolate into BOTH the Spark
+    * `expr(...)` string and the DuckDB oracle (the shared-literal
+    * rule). Hoisted after a review found the fragment re-typed in ten
+    * places across operator/oracle files: a rounding-convention edit
+    * to ONE copy silently breaks that entry's cross-engine hash. */
+  def ln4Sql(e: String): String =
+    s"CAST(floor(ln(CAST(($e) AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT)"
+
   /** Sample stddev via exact decimal sums: sqrt((Σx² − (Σx)²/n)/(n−1)),
     * evaluated in double with a fixed operation order both engines share. */
   def stddevD(c: Column): Column = {

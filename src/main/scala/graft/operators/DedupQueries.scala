@@ -311,20 +311,26 @@ object DedupQueries {
             SharedIntermediates.textPairs(s, d),
             SharedIntermediates.embPairs(s, d))
         else {
-          // sf1 measurement mode: rebuild both pair pipelines from the
-          // sliced corpora (band cap and LSH plane count re-derived
-          // over the slice, matching the oracle); the shared durable
-          // indexes cover the FULL corpus and must not serve here
-          val docs = DocSlice.docs(Tables.documents(s, d))
-          val bands = Dedup.cappedBands(Dedup.wordGrams(docs),
-            Dedup.MaxBandBucket)
+          // sf1 measurement mode: rebuild each SLICED pair pipeline
+          // from its sliced corpus (band cap and LSH plane count
+          // re-derived over the slice, matching the oracle) — a
+          // sliced side must not serve from the full-corpus durable
+          // index; an UNsliced side keeps serving the shared memoized
+          // pipeline (review finding: rebuilding it uncached
+          // duplicated the most expensive dedup stage)
+          val tp =
+            if (DocSlice.limit.isEmpty) SharedIntermediates.textPairs(s, d)
+            else {
+              val docs = DocSlice.docs(Tables.documents(s, d))
+              Dedup.nearDupPairsFromBands(docs,
+                Dedup.cappedBands(Dedup.wordGrams(docs), Dedup.MaxBandBucket),
+                Dedup.wordGrams, 0.7)
+            }
           val ep =
             if (DocSlice.vecLimit.isEmpty) SharedIntermediates.embPairs(s, d)
             else Similarity.embeddingNearDup(
               DocSlice.vecs(Tables.embeddings(s, d)), 0.35)
-          Dedup.ensembleDedupClustersFrom(
-            Dedup.nearDupPairsFromBands(docs, bands, Dedup.wordGrams, 0.7),
-            ep)
+          Dedup.ensembleDedupClustersFrom(tp, ep)
         },
       Some(ensembleClustersSql)),
 

@@ -22,8 +22,19 @@ import org.apache.spark.sql.functions.col
   * Read once at class load — Verify dumps the oracle SQL in the same
   * JVM that builds the plans, so the two sides cannot disagree. */
 object DocSlice {
-  val limit: Option[Long] =
-    sys.env.get("GRAFT_DOC_SLICE").filter(_.nonEmpty).map(_.toLong)
+  /** Parse with a nameable error: a bare .toLong here would surface a
+    * typo'd env value as an opaque ExceptionInInitializerError at
+    * registry load (review finding). */
+  private def parsed(name: String): Option[Long] =
+    sys.env.get(name).filter(_.nonEmpty).map { v =>
+      try v.toLong
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"$name must be a whole number of rows, got '$v'")
+      }
+    }
+
+  val limit: Option[Long] = parsed("GRAFT_DOC_SLICE")
 
   /** Embedding-side slice (`GRAFT_VEC_SLICE`) — the ensemble closure's
     * actual sf1 killer is the ~486k embedding pairs at 8k vectors
@@ -31,8 +42,7 @@ object DocSlice {
     * set is Σ size²), so the vec corpus needs its own bound. The LSH
     * plane count is corpus-count-derived on BOTH engines, so the
     * sliced pipelines re-derive it from the sliced count consistently. */
-  val vecLimit: Option[Long] =
-    sys.env.get("GRAFT_VEC_SLICE").filter(_.nonEmpty).map(_.toLong)
+  val vecLimit: Option[Long] = parsed("GRAFT_VEC_SLICE")
 
   /** SQL predicate fragment for the oracle's base-documents CTE
     * (leading space; empty when the slice is off). */

@@ -940,7 +940,7 @@ object Relational {
   /** Quantized-ln SQL fragment (expression-string form of
     * [[graft.functions.Exact.ln4]], for expr() call sites). */
   private def lnq4(e: String): String =
-    s"CAST(floor(ln(CAST(($e) AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT)"
+    graft.functions.Exact.ln4Sql(e)
 
   /** SUPPLIER REVENUE CONCENTRATION (HHI) per region — the
     * market-structure audit: Herfindahl–Hirschman index of supplier

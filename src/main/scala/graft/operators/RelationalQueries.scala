@@ -537,7 +537,7 @@ object RelationalQueries {
     QueryDef("revenue_theil",
       (s, d) => Relational.revenueTheil(s, d), Some {
         def ln4(e: String) =
-          s"CAST(floor(ln(CAST(($e) AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT)"
+          graft.functions.Exact.ln4Sql(e)
         s"""WITH oc AS (
            |  SELECT o_custkey,
            |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)

@@ -24,7 +24,7 @@ object Stats {
 
   /** Quantized-ln SQL fragment (the lang_source_mi ladder). */
   private def ln4(e: String): String =
-    s"CAST(floor(ln(CAST(($e) AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT)"
+    graft.functions.Exact.ln4Sql(e)
 
   private val Dec = DecimalType(38, 0)
 

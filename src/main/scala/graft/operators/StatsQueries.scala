@@ -10,7 +10,7 @@ object StatsQueries {
 
   /** The lang_source_mi quantized-ln ladder, shared by every oracle. */
   private def ln4(e: String) =
-    s"CAST(floor(ln(CAST(($e) AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT)"
+    graft.functions.Exact.ln4Sql(e)
 
   val defs: Seq[QueryDef] = Seq(
 

@@ -481,16 +481,19 @@ object Temporal {
   /** The lang_source_mi quantized-ln SQL fragment (string-expression
     * form — the Column ln4 lives in functions.Exact). */
   private def exprLn4(e: String): String =
-    s"CAST(floor(ln(CAST(($e) AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT)"
+    graft.functions.Exact.ln4Sql(e)
 
   /** COHORT RETENTION MATRIX — the signup-week × week-offset triangle
     * every growth dashboard opens with: of the users who signed up in
     * cohort week c, what share was active (ANY event) k weeks later?
     * The SIGNUP-anchored weekly RATE twin of
     * [[Pipeline.retentionCohorts]] (which cohorts every user by
-    * first-SEEN day and reports raw counts): anchoring on the signup
-    * event excludes pre-signup activity, the weekly grain is the
-    * dashboard convention, and the permille column is the exact rate.
+    * first-SEEN day and reports raw counts): the cohort key is the
+    * signup event, activity before the signup DAY is excluded (the
+    * filter is day-grain, so same-day pre-signup events still count
+    * at offset 0 — which the signup itself saturates anyway), the
+    * weekly grain is the dashboard convention, and the permille
+    * column is the exact rate.
     * Weeks are INTEGER day buckets, not calendar weeks:
     * day = unix_micros div 86400·10⁶, cohort = signup_day div 7,
     * offset = (event_day − signup_day) div 7 — engine-independent
@@ -605,7 +608,7 @@ object Temporal {
   }
 
   private def lnq4x(e: String): String =
-    s"CAST(floor(ln(CAST(($e) AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT)"
+    graft.functions.Exact.ln4Sql(e)
 
   /** HOUR-OF-DAY SEASONALITY AUDIT — per event type, the 24-bin
     * hour-of-day profile reduced to the three numbers a scheduler or
@@ -790,7 +793,7 @@ object Temporal {
     * No window, no cross join. */
   def abConversionZtest(events: DataFrame): DataFrame = {
     def ln4(e: String): String =
-      s"CAST(floor(ln(CAST(($e) AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT)"
+      graft.functions.Exact.ln4Sql(e)
     val perUser = events
       .groupBy((col("user_id") % 2).as("variant"), col("user_id"))
       .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))

@@ -314,7 +314,7 @@ object TemporalQueries {
     QueryDef("ab_conversion_ztest",
       (s, d) => Temporal.abConversionZtest(Tables.events(s, d)), Some {
         def ln4(e: String) =
-          s"CAST(floor(ln(CAST(($e) AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT)"
+          graft.functions.Exact.ln4Sql(e)
         s"""WITH pu AS (
            |  SELECT user_id % 2 AS variant, user_id,
            |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
@@ -540,7 +540,7 @@ object TemporalQueries {
     QueryDef("logrank_conversion",
       (s, d) => Temporal.logrankConversion(Tables.events(s, d)), Some {
         def ln4(e: String) =
-          s"CAST(floor(ln(CAST(($e) AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT)"
+          graft.functions.Exact.ln4Sql(e)
         s"""WITH su AS (SELECT user_id, min(ts) AS s_ts FROM events
            |            WHERE event_type = 'signup' GROUP BY 1),
            |pu AS (SELECT user_id AS p_user, ts AS p_ts FROM events
@@ -660,7 +660,7 @@ object TemporalQueries {
     QueryDef("entropy_rate",
       (s, d) => Temporal.entropyRate(Tables.events(s, d)), Some {
         def ln4(e: String) =
-          s"CAST(floor(ln(CAST(($e) AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT)"
+          graft.functions.Exact.ln4Sql(e)
         s"""WITH g0 AS (
            |  SELECT event_type AS to_t,
            |    lag(event_type) OVER (PARTITION BY user_id

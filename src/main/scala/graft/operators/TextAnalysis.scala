@@ -1789,7 +1789,7 @@ object TextAnalysis {
       .withColumn("a", coalesce(col("a"), lit(0L)))
       .crossJoin(broadcast(nTot))
     def f(e: String): String = s"CASE WHEN ($e) > 0 THEN ($e) * " +
-      s"CAST(floor(ln(CAST(($e) AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT)" +
+      graft.functions.Exact.ln4Sql(e) +
       " ELSE 0 END"
     // x·ln4(x) stays INT64 to N ≈ 10¹³ token occurrences (the
     // langSourceMi bound — binding here too); the ×200 lift and the

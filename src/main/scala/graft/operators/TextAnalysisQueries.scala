@@ -1070,7 +1070,7 @@ object TextAnalysisQueries {
     QueryDef("token_keyness_g2",
       (s, d) => TextAnalysis.tokenKeynessG2(Tables.documents(s, d)), Some {
         def f(e: String) = s"CASE WHEN ($e) > 0 THEN ($e) * " +
-          s"CAST(floor(ln(CAST(($e) AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT)" +
+          graft.functions.Exact.ln4Sql(e) +
           " ELSE 0 END"
         s"""WITH occ AS (
            |  SELECT source, t AS token, CAST(count(*) AS BIGINT) AS a
