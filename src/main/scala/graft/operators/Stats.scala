@@ -67,35 +67,36 @@ object Stats {
     * clip at n ≈ 1.3×10⁶), as do the n·Σ − Σ·Σ cross terms (≈ 4n⁴ <
     * 10³⁸ to n ≈ 10⁹).
     *
-    * Scale shape: one corpus pass → staged joint cell table (feeds
-    * both marginals and the moment aggregate — the ks_drift staging
-    * rule); the cumulative windows are PARTITIONED by flag and run
-    * over the bounded marginal tables, never corpus rows
-    * (PlanShapeSpec asserts every Window here sits above an
-    * Aggregate); the rank join-backs are bounded-table equi-joins;
-    * one per-flag aggregate ends it. */
+    * Scale shape: one corpus pass → joint cell table → the ranks are
+    * TWO RANGE-frame windows directly over that table (PARTITIONED by
+    * flag; F = mass strictly below the cell's value, the tie total a
+    * plain per-value partition — no marginal tables, no join-backs:
+    * the first cut built marginals and equi-joined them back, which
+    * the new both-axis bench gate flagged at 21× the old plan's CPU
+    * at sf0.1, where cents cells ≈ corpus rows) — PlanShapeSpec
+    * asserts every Window here sits above an Aggregate; one per-flag
+    * aggregate ends it. At 100 TB the windows sort ≤ |cents domain|
+    * cells per flag regardless of corpus size. */
   def spearmanQuantityPrice(li: DataFrame): DataFrame = {
-    val joint = Materialize.stage(li
+    val joint = li
       .select(col("l_returnflag").as("flag"),
         round(col("l_quantity")).cast("long").as("q"),
         round(col("l_extendedprice") * 100).cast("long").as("cents"))
-      .groupBy("flag", "q", "cents").agg(count(lit(1)).as("c")))
-    // per-cell double-rank over the bounded (flag, v) marginal: rows
-    // preceding in the per-flag value order are exactly the strictly-
-    // smaller values' total count F (the mannWhitney cumulative)
-    def dblRanks(v: String): DataFrame = {
-      val w = Window.partitionBy(col("flag")).orderBy(col(v))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      joint.groupBy("flag", v).agg(sum(col("c")).as("cc"))
-        .withColumn("f", coalesce(sum(col("cc")).over(w), lit(0L)))
-        .select(col("flag"), col(v),
-          (col("f") * 2 + col("cc") + 1).as(s"dr_$v"))
+      .groupBy("flag", "q", "cents").agg(count(lit(1)).as("c"))
+    // per-cell double-rank 2F + cc + 1 on the joint table itself:
+    // F = total count over strictly-smaller values (RANGE frame — row
+    // frames would miscount across same-value joint cells), cc = the
+    // value's tie total (per-value partition)
+    def dr(v: String): Column = {
+      val wF = Window.partitionBy(col("flag")).orderBy(col(v))
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val wT = Window.partitionBy(col("flag"), col(v))
+      coalesce(sum(col("c")).over(wF), lit(0L)) * 2 +
+        sum(col("c")).over(wT) + 1
     }
     joint
-      .join(dblRanks("q"), Seq("flag", "q"))
-      .join(dblRanks("cents"), Seq("flag", "cents"))
-      .select(col("flag"), col("c"),
-        col("dr_q").as("a"), col("dr_cents").as("b"))
+      .withColumn("a", dr("q"))
+      .withColumn("b", dr("cents"))
       .groupBy("flag")
       .agg(sum(col("c")).as("n"),
         sum(col("c").cast(Dec) * col("a")).as("sa"),

@@ -26,26 +26,20 @@ object StatsQueries {
            |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
            |    CAST(count(*) AS BIGINT) AS c
            |  FROM lineitem GROUP BY 1, 2, 3),
-           |qm AS (
-           |  SELECT flag, q,
-           |    2 * CAST(coalesce(sum(cc) OVER (PARTITION BY flag ORDER BY q
-           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-           |      AS BIGINT) + cc + 1 AS a
-           |  FROM (SELECT flag, q, CAST(sum(c) AS BIGINT) AS cc
-           |        FROM joint GROUP BY 1, 2) t1),
-           |cm AS (
-           |  SELECT flag, cents,
-           |    2 * CAST(coalesce(sum(cc) OVER (PARTITION BY flag
-           |      ORDER BY cents
-           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-           |      AS BIGINT) + cc + 1 AS b
-           |  FROM (SELECT flag, cents, CAST(sum(c) AS BIGINT) AS cc
-           |        FROM joint GROUP BY 1, 2) t2),
            |r AS (
-           |  SELECT j.flag, j.c, qm.a, cm.b
-           |  FROM joint j
-           |  JOIN qm ON qm.flag = j.flag AND qm.q = j.q
-           |  JOIN cm ON cm.flag = j.flag AND cm.cents = j.cents),
+           |  SELECT flag, c,
+           |    2 * CAST(coalesce(sum(c) OVER (PARTITION BY flag ORDER BY q
+           |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      AS BIGINT)
+           |      + CAST(sum(c) OVER (PARTITION BY flag, q) AS BIGINT) + 1
+           |      AS a,
+           |    2 * CAST(coalesce(sum(c) OVER (PARTITION BY flag
+           |      ORDER BY cents
+           |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      AS BIGINT)
+           |      + CAST(sum(c) OVER (PARTITION BY flag, cents) AS BIGINT) + 1
+           |      AS b
+           |  FROM joint),
            |agg AS (
            |  SELECT flag, CAST(sum(c) AS BIGINT) AS n,
            |    sum(CAST(c AS HUGEINT) * a) AS sa,
