@@ -43,6 +43,13 @@ def connect(sf_dir):
     # near-dup/ssjoin CTEs materialize gram-scale intermediates)
     os.makedirs("/tmp/duckdb_spill", exist_ok=True)
     con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    # bound DuckDB BELOW physical RAM so a pathological oracle spills
+    # (or raises a per-query OOM the reconnect path absorbs) instead of
+    # exhausting the PROCESS — the r14 sf1 sweep saw a bad_alloc at the
+    # default ~80%-of-RAM limit take down thread creation for every
+    # query after it. Override via CHECK_MEM_LIMIT.
+    con.execute("SET memory_limit='%s'"
+                % os.environ.get("CHECK_MEM_LIMIT", "48GB"))
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{table_source(sf_dir, t)}'")
@@ -51,17 +58,30 @@ def connect(sf_dir):
 def main(sf_dir, out_dir):
     state = {"con": connect(sf_dir)}
 
+    def get_con():
+        # lazy rebuild: if a reconnect() ever failed mid-sweep (e.g.
+        # transient memory pressure right after an interrupted giant
+        # oracle), the handle is None and is retried HERE per query —
+        # never pinned as a closed handle that fails every later query
+        # (the r14 sf1 sweep failure mode: one bad rebuild poisoned the
+        # whole tail with 'Connection has already been closed')
+        if state["con"] is None:
+            state["con"] = connect(sf_dir)
+        return state["con"]
+
     def reconnect():
         try:
-            state["con"].close()
+            if state["con"] is not None:
+                state["con"].close()
         except Exception:
             pass
+        state["con"] = None
         state["con"] = connect(sf_dir)
 
     def execute(q):
         if TIMEOUT_SEC <= 0:
-            return state["con"].execute(q).df()
-        con = state["con"]
+            return get_con().execute(q).df()
+        con = get_con()
         fired = [False]
 
         def kill():
@@ -96,14 +116,22 @@ def main(sf_dir, out_dir):
         except Exception as e:
             msg = str(e)
             if TIMEOUT_SEC > 0 and "INTERRUPT" in msg.upper():
-                reconnect()
+                try:
+                    reconnect()
+                except Exception:
+                    pass  # get_con() lazily rebuilds on the next query
                 raise OracleTimeout(msg)
-            if "Out of Memory" not in msg:
+            if "Out of Memory" not in msg and "closed" not in msg.lower():
                 raise
             reconnect()
             return execute(q)
 
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # CHECK_ONLY=a,b,c restricts the compare (resume aid for big-SF
+    # sweeps: re-run just the names a process-level failure skipped)
+    only = {s for s in os.environ.get("CHECK_ONLY", "").split(",") if s}
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     failures = 0
     timeouts = 0
     for name, sql in sorted(oracle.items()):
