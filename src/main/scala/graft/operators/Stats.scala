@@ -481,6 +481,56 @@ object Stats {
           .as("ln_tau2_micro"))
   }
 
+  /** DECISION-STUMP SPLIT SCAN — weighted Gini impurity of every
+    * candidate split "quantity ≤ s" for predicting the return flag:
+    * the feature-diagnostic a training pipeline runs to rank raw
+    * columns (a split whose score ≈ the class-prior impurity carries
+    * no signal; a high-score split is a leakage/correlation alarm).
+    * Publishing the WHOLE split curve (≤ 49 rows) rather than the
+    * argmax hash-pins every candidate. The score maximized is
+    * n·(1 − WG(s)) in exact micro units:
+    *   score_micro(s) = (10⁶·Σ_f cumL_f²) div n_L
+    *                  + (10⁶·Σ_f cumR_f²) div n_R
+    * — two non-negative floor-divs (deterministic quantization, the
+    * chi2 term-wise contract); a pure split scores 10⁶·n.
+    *
+    * Scale shape: one corpus pass partial-aggregates to the
+    * DOMAIN-BOUNDED (quantity, flag) cell grid (≤ 50·|flags| cells
+    * forever); the grid is DENSIFIED by a bounded cross-join (every
+    * flag needs a cumulative at every split point), the per-flag
+    * cumulatives are windows over that bounded grid, and the split
+    * table is a ≤ |quantity|-row aggregate. DECIMAL(38,0) for the
+    * cum² sums (≤ n², INT64 clips at n ≈ 3×10⁹). */
+  def giniSplitQuantity(li: DataFrame): DataFrame = {
+    val cells = li
+      .select(round(col("l_quantity")).cast("long").as("q"),
+        col("l_returnflag").as("flag"))
+      .groupBy("q", "flag").agg(count(lit(1)).as("c"))
+    // bounded densify: |q-domain| × |flags| (both data-model
+    // constants; the flag side broadcast by construction — a bare
+    // crossJoin of two distincts would plan a CartesianProduct)
+    val dense = cells.select(col("q")).distinct()
+      .crossJoin(broadcast(cells.select(col("flag")).distinct()))
+      .join(cells, Seq("q", "flag"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val wCum = Window.partitionBy(col("flag")).orderBy(col("q"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dense
+      .withColumn("cl", sum(col("c")).over(wCum))
+      .withColumn("tot", sum(col("c")).over(Window.partitionBy(col("flag"))))
+      .groupBy(col("q").as("split_q"))
+      .agg(sum(col("cl")).as("n_left"),
+        sum(col("cl").cast(Dec) * col("cl")).as("sl2"),
+        sum(col("tot") - col("cl")).as("n_right"),
+        sum((col("tot") - col("cl")).cast(Dec) * (col("tot") - col("cl")))
+          .as("sr2"))
+      .filter(col("n_right") > 0 && col("n_left") > 0)
+      .select(col("split_q"), col("n_left"), col("n_right"),
+        expr("CAST((1000000 * sl2) div n_left + (1000000 * sr2) div n_right" +
+          " AS BIGINT)").as("score_micro"))
+      .orderBy("split_q")
+  }
+
   /** PAGE–HINKLEY UPWARD-SHIFT SCAN over the daily count series — the
     * one-sided sequential twin of [[cusumDaily]]: PH_t = (n·S_t) −
     * min_{t'≤t}(n·S_t'), the gap between the mean-cleared cumulative

@@ -280,6 +280,39 @@ object StatsQueries {
            |      - ${ln4("n0 - n2")}) END AS ln_tau2_micro
            |FROM t""".stripMargin)),
 
+    // decision-stump split curve: weighted-Gini score of every
+    // quantity split, exact micro floor-divs over the dense bounded
+    // (quantity, flag) grid — the whole curve hash-pins, not the argmax
+    QueryDef("gini_split_quantity",
+      (s, d) => Stats.giniSplitQuantity(Tables.lineitem(s, d)), Some(
+        """WITH cells AS (
+          |  SELECT CAST(round(l_quantity) AS BIGINT) AS q,
+          |    l_returnflag AS flag, CAST(count(*) AS BIGINT) AS c
+          |  FROM lineitem GROUP BY 1, 2),
+          |dense AS (
+          |  SELECT qs.q, fs.flag, coalesce(c.c, 0) AS c
+          |  FROM (SELECT DISTINCT q FROM cells) qs
+          |  CROSS JOIN (SELECT DISTINCT flag FROM cells) fs
+          |  LEFT JOIN cells c ON c.q = qs.q AND c.flag = fs.flag),
+          |cum AS (
+          |  SELECT q, flag,
+          |    CAST(sum(c) OVER (PARTITION BY flag ORDER BY q
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |      AS BIGINT) AS cl,
+          |    CAST(sum(c) OVER (PARTITION BY flag) AS BIGINT) AS tot
+          |  FROM dense),
+          |sp AS (
+          |  SELECT q AS split_q, CAST(sum(cl) AS BIGINT) AS n_left,
+          |    sum(CAST(cl AS HUGEINT) * cl) AS sl2,
+          |    CAST(sum(tot - cl) AS BIGINT) AS n_right,
+          |    sum(CAST(tot - cl AS HUGEINT) * (tot - cl)) AS sr2
+          |  FROM cum GROUP BY q)
+          |SELECT split_q, n_left, n_right,
+          |  CAST((1000000 * sl2) // n_left + (1000000 * sr2) // n_right
+          |       AS BIGINT) AS score_micro
+          |FROM sp WHERE n_right > 0 AND n_left > 0
+          |ORDER BY split_q""".stripMargin)),
+
     // Page-Hinkley upward-shift scan: cusum's n-scaled cumulative
     // minus its running minimum, earliest-day argmax
     QueryDef("page_hinkley",

@@ -1897,4 +1897,68 @@ object TextAnalysis {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .orderBy("decile")
   }
+
+  /** HEAPS'-LAW EXPONENT — fits V = c·Nᵅ over the SAME doc-id-decile
+    * grid as [[vocabGrowth]] (one prefix definition, so the growth
+    * curve and its fitted exponent can never disagree): x_i = ln4 of
+    * cumulative token OCCURRENCES through decile i, y_i = ln4 of
+    * cumulative vocabulary, α from the integer-Cramer OLS slope (the
+    * zipf_alpha machinery — quantize-then-sum, so the fit is EXACT
+    * given the quantized points) as the signed micro floor-div. Pairs
+    * with [[zipf_alpha]]: Zipf fits the frequency-rank law at one
+    * corpus size, Heaps fits how the vocabulary SCALES with corpus
+    * size — the two standard corpus-linguistics power laws a data
+    * pipeline checks before extrapolating dedup/vocab budgets.
+    *
+    * Scale shape: one corpus pass for per-token first-doc (vocab-sized
+    * aggregate), one for per-decile occurrence totals (10-cell
+    * partial aggregate); cumulatives and the 10-point OLS run on the
+    * dense 10-row grid (bounded global window, allowlisted). */
+  def heapsExponent(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val bounds = docs.agg(min(col("doc_id")).as("d0"),
+      (max(col("doc_id")) - min(col("doc_id")) + 1).as("span"),
+      count(lit(1)).as("n_docs"))
+    // per-decile NEW vocabulary (vocabGrowth's grid, verbatim)
+    val vByDecile = docs
+      .select(col("doc_id"),
+        explode(array_distinct(regexp_extract_all(lower(col("text")),
+          lit(WordCount.TokenPattern), lit(0)))).as("token"))
+      .groupBy(col("token")).agg(min(col("doc_id")).as("fd"))
+      .crossJoin(broadcast(bounds))
+      .select(expr("least(10 * (fd - d0) div span + 1, 10)").as("decile"))
+      .groupBy("decile").agg(count(lit(1)).as("nv"))
+    // per-decile token occurrences
+    val nByDecile = docs
+      .select(col("doc_id"),
+        size(regexp_extract_all(lower(col("text")),
+          lit(WordCount.TokenPattern), lit(0))).cast("long").as("t"))
+      .crossJoin(broadcast(bounds))
+      .select(expr("least(10 * (doc_id - d0) div span + 1, 10)").as("decile"),
+        col("t"))
+      .groupBy("decile").agg(sum(col("t")).as("nt"))
+    // dense 10-row grid + cumulatives (bounded global window)
+    val wCum = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pts = spark.range(1, 11).select(col("id").as("decile"))
+      .join(vByDecile, Seq("decile"), "left")
+      .join(nByDecile, Seq("decile"), "left")
+      .withColumn("v", sum(coalesce(col("nv"), lit(0L))).over(wCum))
+      .withColumn("nn", sum(coalesce(col("nt"), lit(0L))).over(wCum))
+      .filter(col("v") > 0 && col("nn") > 0)
+      .select(ln4(col("nn")).cast("long").as("x"),
+        ln4(col("v")).cast("long").as("y"),
+        col("v"), col("nn"))
+    pts.agg(count(lit(1)).as("k"),
+        max(col("nn")).as("total_tokens"), max(col("v")).as("vocab_total"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("k").as("n_points"), col("total_tokens"),
+        col("vocab_total"),
+        expr("CAST(CASE WHEN k * sxx - sx * sx > 0 THEN " +
+          "CASE WHEN k * sxy - sx * sy < 0 THEN -1 ELSE 1 END * " +
+          "((1000000 * abs(k * sxy - sx * sy)) div (k * sxx - sx * sx))" +
+          " END AS BIGINT)").as("alpha_micro"))
+  }
 }

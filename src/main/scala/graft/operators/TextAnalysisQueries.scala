@@ -1166,5 +1166,56 @@ object TextAnalysisQueries {
           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
           |    AS vocab_size
           |FROM dn ORDER BY decile""".stripMargin)),
+
+    // Heaps'-law exponent: integer-Cramer OLS of ln4(vocab) on
+    // ln4(occurrences) over the vocab_growth decile grid — the
+    // corpus-scaling twin of zipf_alpha
+    QueryDef("heaps_exponent",
+      (s, d) => TextAnalysis.heapsExponent(Tables.documents(s, d)), Some {
+        def ln4(e: String) = graft.functions.Exact.ln4Sql(e)
+        s"""WITH b AS (SELECT CAST(min(doc_id) AS BIGINT) AS d0,
+           |  CAST(max(doc_id) - min(doc_id) + 1 AS BIGINT) AS span
+           |  FROM documents),
+           |fd AS (
+           |  SELECT t AS token, CAST(min(doc_id) AS BIGINT) AS fd
+           |  FROM (SELECT doc_id, unnest(list_distinct(
+           |          regexp_extract_all(lower(text), '[a-z'']+'))) AS t
+           |        FROM documents)
+           |  GROUP BY 1),
+           |vd AS (
+           |  SELECT least(10 * (fd - d0) // span + 1, 10) AS decile,
+           |    CAST(count(*) AS BIGINT) AS nv
+           |  FROM fd, b GROUP BY 1),
+           |nd AS (
+           |  SELECT least(10 * (doc_id - d0) // span + 1, 10) AS decile,
+           |    CAST(sum(len(regexp_extract_all(lower(text), '[a-z'']+')))
+           |         AS BIGINT) AS nt
+           |  FROM documents, b GROUP BY 1),
+           |g AS (
+           |  SELECT CAST(d.decile AS BIGINT) AS decile,
+           |    CAST(sum(coalesce(nv, 0)) OVER (ORDER BY d.decile
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS BIGINT) AS v,
+           |    CAST(sum(coalesce(nt, 0)) OVER (ORDER BY d.decile
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS BIGINT) AS nn
+           |  FROM (SELECT unnest(range(1, 11)) AS decile) d
+           |  LEFT JOIN vd ON vd.decile = d.decile
+           |  LEFT JOIN nd ON nd.decile = d.decile),
+           |p AS (SELECT ${ln4("nn")} AS x, ${ln4("v")} AS y, v, nn
+           |      FROM g WHERE v > 0 AND nn > 0),
+           |a AS (SELECT CAST(count(*) AS BIGINT) AS k,
+           |  CAST(max(nn) AS BIGINT) AS total_tokens,
+           |  CAST(max(v) AS BIGINT) AS vocab_total,
+           |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           |  CAST(sum(x * x) AS BIGINT) AS sxx,
+           |  CAST(sum(x * y) AS BIGINT) AS sxy FROM p)
+           |SELECT k AS n_points, total_tokens, vocab_total,
+           |  CAST(CASE WHEN k * sxx - sx * sx > 0 THEN
+           |    (CASE WHEN k * sxy - sx * sy < 0 THEN -1 ELSE 1 END) *
+           |    ((1000000 * abs(k * sxy - sx * sy)) // (k * sxx - sx * sx))
+           |    END AS BIGINT) AS alpha_micro
+           |FROM a""".stripMargin
+      }),
   )
 }

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{Pipeline, TextAnalysis}
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
 /** Pipeline-suite invariants: chunk coverage, vocab band limits,
@@ -450,6 +451,29 @@ class PipelineSpec extends SparkSpec {
     // alpha=0.5 keeps the big source's EXPECTED share sub-proportional:
     // threshold ratio big/tiny = sqrt(tiny/big) = 1/5
     assert(math.abs(tB.toDouble / tT - math.sqrt(4.0 / 100)) < 0.01)
+  }
+
+  test("heaps exponent: a linear vocabulary corpus fits alpha = 1 exactly; real data sublinear") {
+    // 10 docs (ids 0..9, one per decile), each contributing exactly 2
+    // NEW tokens and 2 occurrences: V_i = N_i at every decile, so
+    // every (x, y) point is on y = x and the integer-Cramer slope is
+    // exactly 1e6 micro
+    val docs = (0 until 10).map { i =>
+      val c = ('a' + i).toChar
+      (i.toLong, s"${c}a ${c}b")
+    }.toDF("doc_id", "text")
+    val r = TextAnalysis.heapsExponent(docs).collect()
+    assert(r.toSeq == Seq(Row(10L, 20L, 20L, 1000000L)), s"got ${r.toSeq}")
+    // the real fixture corpus: 10 points, alpha in [0, 1e6]. The
+    // driver's documents use a FIXED 31-word vocabulary, so V
+    // saturates inside decile 1 and the exact slope is 0 — the
+    // flattened-curve readout is the correct answer here (a growing
+    // vocabulary is the GenSf vocabN lever, exercised in the
+    // similarity-join scaling experiments)
+    val real = TextAnalysis.heapsExponent(Tables.documents(spark, sf0001))
+      .collect()(0)
+    assert(real.getLong(0) == 10L && real.getLong(3) >= 0L
+      && real.getLong(3) <= 1000000L, s"got $real")
   }
 
   test("weighted A-ES sample matches a plain-Scala recompute of the exact keys") {

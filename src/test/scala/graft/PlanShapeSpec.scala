@@ -282,7 +282,12 @@ class PlanShapeSpec extends SparkSpec {
       // stratified_neyman: the one-row weight-total and floor-sum
       // aggregates crossJoined onto the |langs|x|sources|-bounded
       // strata table (the dedup_savings bounded pattern)
-      "stratified_neyman")
+      "stratified_neyman",
+      // gini_split_quantity: the |flags|-row broadcast densify onto
+      // the |quantity|-row split grid (both data-model constants);
+      // heaps_exponent: the one-row doc-id-bounds broadcast (the
+      // vocab_growth pattern)
+      "gini_split_quantity", "heaps_exponent")
     SparkEntry.registry.foreach { q =>
       val plan = q.fn(spark, sf0001).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
@@ -355,6 +360,9 @@ class PlanShapeSpec extends SparkSpec {
       // logrank_conversion's risk-set cumulatives run over the same
       // calendar-bounded per-variant day table (guard-commented)
       "logrank_conversion",
+      // heaps_exponent's cumulatives run over the dense 10-row decile
+      // grid (the vocab_growth bounded class)
+      "heaps_exponent",
       // lorenz's rank window runs over the customer DIMENSION (the
       // rfm_segments honest-exact-quantile class); its cumulative
       // runs over the 10-row decile table

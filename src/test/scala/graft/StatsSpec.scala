@@ -114,6 +114,22 @@ class StatsSpec extends SparkSpec {
     assert(r2(0).getLong(2) == 1L, s"2U1 must be 1 under the tie: ${r2.toSeq}")
   }
 
+  test("gini split: pure separation scores 1e6*n, maximal impurity scores half") {
+    // q=1 -> {A,A}, q=2 -> {B,B}: split s=1 is PURE — per side
+    // 1e6*c^2 div n_side = 1e6*n_side, total 1e6*4. s=2 has an empty
+    // right side and must be filtered out.
+    val pure = li(Seq(("A", 1.0, 1.0), ("A", 1.0, 2.0),
+      ("B", 2.0, 3.0), ("B", 2.0, 4.0)))
+    val r1 = Stats.giniSplitQuantity(pure).collect()
+    assert(r1.toSeq == Seq(Row(1L, 2L, 2L, 4000000L)), s"got ${r1.toSeq}")
+    // q=1 -> {A,B}, q=2 -> {A,B}: the split carries NO signal — each
+    // side sums 1e6*(1+1) div 2 = 1e6, total 2e6 = half the pure score
+    val flat = li(Seq(("A", 1.0, 1.0), ("B", 1.0, 2.0),
+      ("A", 2.0, 3.0), ("B", 2.0, 4.0)))
+    val r2 = Stats.giniSplitQuantity(flat).collect()
+    assert(r2.toSeq == Seq(Row(1L, 2L, 2L, 2000000L)), s"got ${r2.toSeq}")
+  }
+
   private def tsOf(day: Int, i: Int): java.sql.Timestamp =
     java.sql.Timestamp.valueOf(f"2024-01-$day%02d 00:${i / 60}%02d:${i % 60}%02d")
 
