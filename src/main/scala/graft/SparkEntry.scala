@@ -28,7 +28,8 @@ object SparkEntry {
     TemporalQueries.defs ++
     MultimodalQueries.defs ++
     StatsQueries.defs ++
-    BehaviorQueries.defs
+    BehaviorQueries.defs ++
+    MlEvalQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's one real query: word-count + Top-20

@@ -1,0 +1,376 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Exact.{ln4, ln4Sql}
+
+/** MODEL-EVALUATION operators — the classifier-diagnostics layer a
+  * training-data pipeline runs NEXT TO its corpus filters: train a
+  * reference probabilistic classifier on the deterministic split and
+  * read out its confusion matrix ([[naiveBayesLang]]), measure a
+  * score's discrimination exactly ([[aucLangId]] — ROC AUC via the
+  * rank-sum identity), and measure a predictor's calibration
+  * ([[calibrationEce]] — expected calibration error over bounded
+  * bins). All three are integer-exact end-to-end (DECIMAL(38,0) sums,
+  * sign-safe floor-divs to micro units, the shared quantized-ln
+  * ladder), so every readout hash-matches the DuckDB oracle.
+  *
+  * Reference scope: the reference engine (coordinator.py word-count)
+  * has no evaluation surface; these generalize its
+  * tokenize-count-reduce loop (worker.py `exposed_map_chunk`) into the
+  * train/score/readout shapes a 100 TB pipeline needs.
+  *
+  * Scale shapes (the repo's bounded-table discipline):
+  *   - NB: one train-corpus pass → |vocab|×|langs| model (the
+  *     [[TextAnalysis.bigramLmScore]] vocabulary-bounded class), one
+  *     test-corpus pass joined against the broadcastable model; the
+  *     argmax window partitions by doc_id (≤ |langs| rows per group).
+  *   - AUC: one corpus pass → ≤ 1e6+1-cell micro-ratio grid (the
+  *     score is a ratio div into [0, 1e6] BY CONSTRUCTION, so the
+  *     bound needs no data contract); the running-rank cumulative
+  *     runs over that bounded grid (the mannwhitney class).
+  *   - ECE: two corpus passes partial-aggregate to the 24-cell hour
+  *     table; everything downstream is O(1).
+  */
+object MlEval {
+
+  import TextAnalysis.{splitOfKey, EnStopwords}
+
+  private val Dec = org.apache.spark.sql.types.DecimalType(38, 0)
+
+  private def toks: Column =
+    regexp_extract_all(lower(col("text")), lit(graft.operators.WordCount.TokenPattern), lit(0))
+
+  /** Shared md5-bucket split SQL for the oracles (the
+    * train_val_test_split ascii arithmetic, parameterized by key). */
+  private[operators] def splitSql(key: String): String =
+    s"""CASE WHEN (ascii(substr(md5(CAST($key AS VARCHAR)), 1, 1))
+       |  - CASE WHEN ascii(substr(md5(CAST($key AS VARCHAR)), 1, 1)) >= 97
+       |         THEN 87 ELSE 48 END) * 16 +
+       |  (ascii(substr(md5(CAST($key AS VARCHAR)), 2, 1))
+       |  - CASE WHEN ascii(substr(md5(CAST($key AS VARCHAR)), 2, 1)) >= 97
+       |         THEN 87 ELSE 48 END) < 204 THEN 'train'
+       |  WHEN (ascii(substr(md5(CAST($key AS VARCHAR)), 1, 1))
+       |  - CASE WHEN ascii(substr(md5(CAST($key AS VARCHAR)), 1, 1)) >= 97
+       |         THEN 87 ELSE 48 END) * 16 +
+       |  (ascii(substr(md5(CAST($key AS VARCHAR)), 2, 1))
+       |  - CASE WHEN ascii(substr(md5(CAST($key AS VARCHAR)), 2, 1)) >= 97
+       |         THEN 87 ELSE 48 END) < 230 THEN 'val'
+       |  ELSE 'test' END""".stripMargin
+
+  /** MULTINOMIAL NAIVE BAYES language classifier, trained on the
+    * deterministic md5 'train' split and read out as a confusion
+    * matrix on the 'test' split — the reference probabilistic
+    * classifier an eval pipeline keeps beside the [[TextAnalysis.langId]]
+    * heuristic (and the natural consumer of the same token stream).
+    *
+    * Laplace-smoothed, all-integer on the quantized-ln ladder:
+    *   score(d, l) = [ln4(D_l) − ln4(D)]
+    *              + Σ_{t∈d} n_t · [ln4(c_{lt} + 1) − ln4(T_l + V)]
+    * with c_{lt} the train count of token t in language l, T_l the
+    * language's token total, V the train vocabulary size, D_l/D the
+    * document priors. Unseen-in-language tokens get ln4(1) = 0 minus
+    * the normalizer — the standard smoothed fallback — via a left
+    * join against the model. argmax per doc breaks score ties on the
+    * smaller lang string (row_number, mirrored in the oracle).
+    *
+    * Scale shape: the model is |vocab|×|langs| (vocabulary-bounded —
+    * Heaps' law, the bigram_lm_score class) and broadcastable; both
+    * corpus passes are explode→partial-agg; the argmax window
+    * partitions by doc_id. Output is the ≤ |langs|² confusion matrix
+    * with exact counts. */
+  def naiveBayesLang(docs: DataFrame): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), col("lang"), toks.as("w"),
+        splitOfKey(col("doc_id")).as("split"))
+      .filter(size(col("w")) > 0)
+    val trainTok = base.filter(col("split") === "train")
+      .select(col("doc_id"), col("lang"), explode(col("w")).as("t"))
+    // |langs| x |vocab| model — vocabulary-bounded, broadcastable
+    val model = trainTok.groupBy(col("lang"), col("t"))
+      .agg(count(lit(1)).as("c"))
+    val langTotals = model.groupBy(col("lang"))
+      .agg(sum(col("c")).as("tl"))
+    val vocab = model.select(countDistinct(col("t")).as("v"))
+    val priors = base.filter(col("split") === "train")
+      .groupBy(col("lang")).agg(count(lit(1)).as("dl"))
+    val dTot = priors.select(sum(col("dl")).as("dd"))
+    // per-language constants: prior ladder + smoothing normalizer
+    val langConst = langTotals.join(priors, "lang")
+      .crossJoin(broadcast(vocab)).crossJoin(broadcast(dTot))
+      .select(col("lang"),
+        (ln4(col("dl")) - ln4(col("dd"))).cast("long").as("prior"),
+        ln4(col("tl") + col("v")).cast("long").as("lnz"))
+    // test-split term counts, scored against every trained language
+    val testTf = base.filter(col("split") === "test")
+      .select(col("doc_id"), col("lang").as("gold_lang"),
+        explode(col("w")).as("t"))
+      .groupBy(col("doc_id"), col("gold_lang"), col("t"))
+      .agg(count(lit(1)).as("n"))
+    val scored = testTf
+      .crossJoin(broadcast(langConst.select(col("lang"))))
+      .join(broadcast(model), Seq("lang", "t"), "left")
+      .groupBy(col("doc_id"), col("gold_lang"), col("lang"))
+      .agg(sum(col("n") *
+        ln4(coalesce(col("c"), lit(0L)) + lit(1L)).cast("long")).as("s_tok"),
+        sum(col("n")).as("n_tok"))
+      .join(broadcast(langConst), "lang")
+      .select(col("doc_id"), col("gold_lang"), col("lang"),
+        (col("prior") + col("s_tok") - col("n_tok") * col("lnz")).as("s"))
+    // argmax per doc: |langs| rows per group — partitioned window
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("s").desc, col("lang").asc)
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("gold_lang"), col("lang").as("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("gold_lang"), col("pred_lang"))
+  }
+
+  /** EXACT ROC AUC of the [[TextAnalysis.langId]] en-ratio score
+    * against the gold `lang = 'en'` label, via the rank-sum identity
+    * AUC = U₁/(n₁n₀) — the discrimination readout an eval pipeline
+    * publishes for every quality/filter score. Average-rank ties use
+    * the integer double-rank 2F + c + 1 per score cell (the
+    * [[Stats.mannWhitney]] machinery), so 2U₁ is an exact integer and
+    * auc_micro an exact floor-div; ties-everywhere degenerates to
+    * exactly 500000.
+    *
+    * Scale shape: the score is (10⁶·en_hits) div n_tokens — an
+    * integer in [0, 10⁶] BY CONSTRUCTION (hits ≤ tokens), so the
+    * corpus partial-aggregates to a ≤ 10⁶+1-cell grid and the
+    * running-rank cumulative runs over that bounded cell table, never
+    * corpus rows (the mannwhitney bounded-global-window class —
+    * PlanShapeSpec-allowlisted). INT64: 2R₁ ≤ 2n₁N, safe past
+    * N = 10⁹; the micro numerator rides DECIMAL(38,0). */
+  def aucLangId(docs: DataFrame): DataFrame = {
+    val scored = docs
+      .select((col("lang") === "en").cast("long").as("y"), toks.as("w"))
+      .filter(size(col("w")) > 0)
+      .select(col("y"),
+        size(col("w")).cast("long").as("n_tokens"),
+        size(filter(col("w"), x => x.isin(EnStopwords: _*)))
+          .cast("long").as("en_hits"))
+      .select(col("y"),
+        expr("CAST((1000000 * en_hits) div n_tokens AS BIGINT)").as("score"))
+    val cells = scored.groupBy(col("score"))
+      .agg(count(lit(1)).as("c"), sum(col("y")).as("c1"))
+    // bounded global window: runs over the <= 1,000,001-cell micro-
+    // ratio grid (score in [0, 1e6] by construction), never the
+    // corpus (PlanShapeSpec-allowlisted, the mannwhitney class)
+    val w = Window.orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cells
+      .withColumn("f", coalesce(sum(col("c")).over(w), lit(0L)))
+      .agg(
+        sum(col("c1")).cast(Dec).as("n1"),
+        sum(col("c") - col("c1")).cast(Dec).as("n0"),
+        sum(col("c1") * (col("f") * 2 + col("c") + 1)).cast(Dec).as("r1d"))
+      .select(
+        col("n1").cast("long").as("n_pos"),
+        col("n0").cast("long").as("n_neg"),
+        expr("CAST(r1d - n1 * (n1 + 1) AS BIGINT)").as("u1_x2"),
+        expr("""CASE WHEN n1 > 0 AND n0 > 0 THEN
+            CAST((1000000 * (r1d - n1 * (n1 + 1)))
+                 div (2 * n1 * n0) AS BIGINT) END""").as("auc_micro"))
+  }
+
+  /** THRESHOLD CLASSIFICATION METRICS of the langId rule against the
+    * gold `en` label: TP/FP/FN/TN at the production 0.03 en-ratio
+    * threshold plus exact precision / recall / F1 micro floor-divs and
+    * the Matthews correlation on the quantized-ln ladder — the
+    * confusion readout beside [[aucLangId]]'s threshold-free AUC.
+    * The threshold compare is the INTEGER cross-multiplication
+    * 10⁶·hits > 30000·tokens (exactly ratio > 0.03, no float rounding
+    * anywhere). MCC² = (tp·tn − fp·fn)²/((tp+fp)(tp+fn)(tn+fp)(tn+fn))
+    * is rational, so sign + ln ladder (the welch_ttest pattern); the
+    * 4-way product rides DECIMAL(38,0) (safe past N = 10⁹).
+    *
+    * Scale shape: one corpus pass → one 4-counter aggregate → O(1). */
+  def langIdConfusionMetrics(docs: DataFrame): DataFrame = {
+    val labeled = docs
+      .select((col("lang") === "en").cast("long").as("y"), toks.as("w"))
+      .filter(size(col("w")) > 0)
+      .select(col("y"),
+        (lit(1000000L) * size(filter(col("w"), x => x.isin(EnStopwords: _*)))
+          .cast("long") >
+          lit(30000L) * size(col("w")).cast("long")).cast("long").as("p"))
+    labeled
+      .agg(
+        sum(when(col("y") === 1 && col("p") === 1, 1L).otherwise(0L))
+          .cast(Dec).as("tp"),
+        sum(when(col("y") === 0 && col("p") === 1, 1L).otherwise(0L))
+          .cast(Dec).as("fp"),
+        sum(when(col("y") === 1 && col("p") === 0, 1L).otherwise(0L))
+          .cast(Dec).as("fn"),
+        sum(when(col("y") === 0 && col("p") === 0, 1L).otherwise(0L))
+          .cast(Dec).as("tn"))
+      .select(
+        col("tp").cast("long").as("n_tp"), col("fp").cast("long").as("n_fp"),
+        col("fn").cast("long").as("n_fn"), col("tn").cast("long").as("n_tn"),
+        expr("CASE WHEN tp + fp > 0 THEN " +
+          "CAST((1000000 * tp) div (tp + fp) AS BIGINT) END")
+          .as("precision_micro"),
+        expr("CASE WHEN tp + fn > 0 THEN " +
+          "CAST((1000000 * tp) div (tp + fn) AS BIGINT) END")
+          .as("recall_micro"),
+        expr("CASE WHEN 2 * tp + fp + fn > 0 THEN " +
+          "CAST((2000000 * tp) div (2 * tp + fp + fn) AS BIGINT) END")
+          .as("f1_micro"),
+        expr("CAST(CASE WHEN tp * tn > fp * fn THEN 1 " +
+          "WHEN tp * tn < fp * fn THEN -1 ELSE 0 END AS BIGINT)")
+          .as("mcc_sign"),
+        expr("CASE WHEN tp * tn <> fp * fn AND (tp + fp) > 0 AND " +
+          "(tp + fn) > 0 AND (tn + fp) > 0 AND (tn + fn) > 0 THEN " +
+          s"100 * (2 * ${ln4Sql("abs(tp * tn - fp * fn)")}" +
+          s" - ${ln4Sql("(tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)")})" +
+          " END").as("ln_mcc2_micro"))
+  }
+
+  /** BRIER SCORE of the per-hour purchase-rate predictor with the
+    * Murphy calibration/refinement decomposition — reliability (how
+    * far predictions sit from observed rates), resolution (how much
+    * the bins separate from the base rate), and uncertainty (the base
+    * rate's intrinsic variance): the readout that tells a pipeline
+    * WHY a probability model scores badly, beside [[calibrationEce]]'s
+    * single gap number. Same train/test split and 24-cell hour grid.
+    *
+    * All-integer in nano units of the [0,1] Brier: conf/acc/base are
+    * micro floor-divs; each component sum rides DECIMAL(38,0)
+    * (m_h·10¹² ≤ 10³⁸ past 10²⁰ events) and lands with ONE final
+    * floor-div by 1000·M. Each component is floored independently —
+    * the REL − RES + UNC identity holds to quantization, not asserted.
+    * Scale shape: two corpus passes → 24-cell grid → O(1). */
+  def brierDecomposition(events: DataFrame): DataFrame = {
+    val base = events.select(hour(col("ts")).cast("long").as("h"),
+      (col("event_type") === "purchase").cast("long").as("y"),
+      splitOfKey(col("event_id")).as("split"))
+    val train = base.filter(col("split") === "train")
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("nh"), sum(col("y")).as("ph"))
+    val test = base.filter(col("split") === "test")
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("mh"), sum(col("y")).as("qh"))
+    train.join(test, "h")
+      .select(col("mh").cast(Dec).as("mh"), col("qh").cast(Dec).as("qh"),
+        expr("CAST((1000000 * ph) div nh AS DECIMAL(38,0))").as("conf"),
+        expr("CAST((1000000 * qh) div mh AS DECIMAL(38,0))").as("acc"))
+      .agg(
+        sum(col("mh")).as("m"), sum(col("qh")).as("q"),
+        // Σ(conf − 1e6·y)² over test events, expanded per bin
+        sum(expr("mh * conf * conf - 2000000 * conf * qh " +
+          "+ 1000000000000 * qh")).as("bsum"),
+        sum(expr("mh * (conf - acc) * (conf - acc)")).as("relsum"),
+        sum(expr("mh * acc")).as("a1"),
+        sum(expr("mh * acc * acc")).as("a2"))
+      .select(
+        col("m").cast("long").as("n_test"),
+        expr("CAST((1000000 * q) div m AS DECIMAL(38,0))").as("b"),
+        col("m"), col("bsum"), col("relsum"), col("a1"), col("a2"))
+      .select(
+        col("n_test"),
+        expr("CAST(bsum div (1000 * m) AS BIGINT)").as("brier_nano"),
+        expr("CAST(relsum div (1000 * m) AS BIGINT)").as("rel_nano"),
+        // Σ m_h(acc_h − b)² = Σ m_h·acc² − 2b·Σ m_h·acc + b²·M
+        expr("CAST((a2 - 2 * b * a1 + b * b * m) div (1000 * m) AS BIGINT)")
+          .as("res_nano"),
+        expr("CAST((b * (1000000 - b)) div 1000 AS BIGINT)").as("unc_nano"))
+  }
+
+  /** LIFT / CUMULATIVE-GAINS DECILES of the langId en-ratio score
+    * against the gold `en` label — the ranking-model readout a
+    * targeting pipeline publishes next to AUC: per score-decile, how
+    * concentrated are the positives (lift) and what fraction is
+    * captured by the top k/10 of the ranking (gains). Deciles cut the
+    * DESCENDING score order by corpus mass: decile = (10·docs_above)
+    * div N, so ties land in one deterministic decile on both engines.
+    *
+    * Exact integers: lift_micro = (10⁶·pos_d·N) div (n_d·P),
+    * cum_capture_micro = (10⁶·cum_pos) div P — DECIMAL(38,0) for the
+    * pos·N cross product. Scale shape: one corpus pass → the bounded
+    * micro-ratio cell grid (≤ 10⁶+1 cells, the [[aucLangId]] class);
+    * the mass cumulative runs over that grid and the gains cumulative
+    * over the ≤ 10-row decile table (both PlanShapeSpec-allowlisted). */
+  def scoreLiftDeciles(docs: DataFrame): DataFrame = {
+    val cells = docs
+      .select((col("lang") === "en").cast("long").as("y"), toks.as("w"))
+      .filter(size(col("w")) > 0)
+      .select(col("y"),
+        size(col("w")).cast("long").as("n_tokens"),
+        size(filter(col("w"), x => x.isin(EnStopwords: _*)))
+          .cast("long").as("en_hits"))
+      .select(col("y"),
+        expr("CAST((1000000 * en_hits) div n_tokens AS BIGINT)").as("score"))
+      .groupBy(col("score"))
+      .agg(count(lit(1)).as("c"), sum(col("y")).as("c1"))
+    // bounded global windows: the mass/total cumulatives run over the
+    // <= 1e6+1-cell score grid, never the corpus (the aucLangId class)
+    val wAbove = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy()
+    val deciles = cells
+      .withColumn("above", coalesce(sum(col("c")).over(wAbove), lit(0L)))
+      .withColumn("nn", sum(col("c")).over(wAll))
+      .withColumn("p", sum(col("c1")).over(wAll))
+      .withColumn("decile", expr("CAST((10 * above) div nn AS BIGINT)"))
+      .groupBy(col("decile"))
+      .agg(sum(col("c")).as("n"), sum(col("c1")).as("pos"),
+        max(col("nn")).as("nn"), max(col("p")).as("p"))
+    // gains cumulative over the <= 10-row decile table
+    val wCum = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    deciles
+      .withColumn("cumpos", sum(col("pos")).over(wCum))
+      .select(col("decile"),
+        col("n").cast("long").as("n_docs"),
+        col("pos").cast("long").as("n_pos"),
+        expr("CASE WHEN p > 0 THEN CAST((1000000 * CAST(pos AS " +
+          "DECIMAL(38,0)) * nn) div (CAST(n AS DECIMAL(38,0)) * p) " +
+          "AS BIGINT) END").as("lift_micro"),
+        expr("CASE WHEN p > 0 THEN " +
+          "CAST((1000000 * cumpos) div p AS BIGINT) END")
+          .as("cum_capture_micro"))
+      .orderBy(col("decile"))
+  }
+
+  /** EXPECTED CALIBRATION ERROR of the per-hour purchase-rate
+    * predictor: the rate table learned on the md5 'train' split of
+    * events is scored on the 'test' split, binned by predicted-rate
+    * cell (= hour — 24 bounded bins), and the standard ECE
+    * Σ m_b·|acc_b − conf_b| / M is published in exact micro units
+    * together with the worst-bin gap — the reliability-diagram
+    * readout beside [[aucLangId]]'s discrimination.
+    *
+    * All-integer: conf/acc are floor-divs of non-negative counts;
+    * the weighted gap sum rides DECIMAL(38,0). Scale shape: two
+    * corpus passes partial-aggregate to the 24-cell hour table
+    * (calendar-bounded), one broadcast join, O(1) output. */
+  def calibrationEce(events: DataFrame): DataFrame = {
+    val base = events.select(hour(col("ts")).cast("long").as("h"),
+      (col("event_type") === "purchase").cast("long").as("y"),
+      splitOfKey(col("event_id")).as("split"))
+    val train = base.filter(col("split") === "train")
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("nh"), sum(col("y")).as("ph"))
+    val test = base.filter(col("split") === "test")
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("mh"), sum(col("y")).as("qh"))
+    train.join(test, "h")
+      .select(col("h"), col("nh"), col("mh"),
+        expr("CAST((1000000 * ph) div nh AS BIGINT)").as("conf"),
+        expr("CAST((1000000 * qh) div mh AS BIGINT)").as("acc"))
+      .agg(
+        sum(col("nh")).cast("long").as("n_train"),
+        sum(col("mh")).cast("long").as("n_test"),
+        count(lit(1)).cast("long").as("n_bins"),
+        sum((col("mh") * abs(col("acc") - col("conf"))).cast("decimal(38,0)"))
+          .as("gapsum"),
+        max(abs(col("acc") - col("conf"))).cast("long").as("max_gap_micro"))
+      .select(col("n_train"), col("n_test"), col("n_bins"),
+        expr("CAST(gapsum div CAST(n_test AS DECIMAL(38,0)) AS BIGINT)")
+          .as("ece_micro"),
+        col("max_gap_micro"))
+  }
+}

@@ -1,0 +1,269 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.Exact.ln4Sql
+
+/** Driver-contract wiring for the model-evaluation suite ([[MlEval]]).
+  * Every oracle mirrors the plan's integer reduction term-for-term —
+  * the md5-bucket split, the quantized-ln ladder, double-rank
+  * cumulatives, and non-negative floor-divs — so each readout
+  * hash-matches exactly. */
+object MlEvalQueries {
+
+  private def ln4(e: String) = ln4Sql(e)
+
+  /** The EnStopwords SQL IN-list, generated from the ONE Scala list
+    * (the shared-literal rule — the heuristic and its oracle cannot
+    * drift). */
+  private val stopList: String =
+    TextAnalysis.EnStopwords.map(w => s"'$w'").mkString(", ")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Laplace-smoothed multinomial NB over the md5 train split,
+    // confusion matrix on the test split; scores are exact integers
+    // on the quantized-ln ladder, ties break on the smaller lang
+    QueryDef("naive_bayes_lang",
+      (s, d) => MlEval.naiveBayesLang(Tables.documents(s, d)), Some(
+        s"""WITH base AS (
+           |  SELECT doc_id, lang,
+           |         regexp_extract_all(lower(text), '[a-z'']+') AS w,
+           |         ${MlEval.splitSql("doc_id")} AS split
+           |  FROM documents),
+           |b2 AS (SELECT * FROM base WHERE len(w) > 0),
+           |tr AS (
+           |  SELECT lang, unnest(w) AS t FROM b2 WHERE split = 'train'),
+           |model AS (
+           |  SELECT lang, t, CAST(count(*) AS BIGINT) AS c
+           |  FROM tr GROUP BY 1, 2),
+           |lt AS (SELECT lang, CAST(sum(c) AS BIGINT) AS tl
+           |       FROM model GROUP BY 1),
+           |vv AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v FROM model),
+           |pr AS (SELECT lang, CAST(count(*) AS BIGINT) AS dl
+           |       FROM b2 WHERE split = 'train' GROUP BY 1),
+           |dt AS (SELECT CAST(sum(dl) AS BIGINT) AS dd FROM pr),
+           |lc AS (
+           |  SELECT lt.lang,
+           |         ${ln4("dl")} - ${ln4("dd")} AS prior,
+           |         ${ln4("tl + v")} AS lnz
+           |  FROM lt JOIN pr ON lt.lang = pr.lang
+           |  CROSS JOIN vv CROSS JOIN dt),
+           |tf AS (
+           |  SELECT doc_id, gold_lang, t, CAST(count(*) AS BIGINT) AS n
+           |  FROM (SELECT doc_id, lang AS gold_lang, unnest(w) AS t
+           |        FROM b2 WHERE split = 'test')
+           |  GROUP BY 1, 2, 3),
+           |sc AS (
+           |  SELECT tf.doc_id, tf.gold_lang, lc2.lang,
+           |         CAST(sum(tf.n * ${ln4("coalesce(model.c, 0) + 1")})
+           |              AS BIGINT) AS s_tok,
+           |         CAST(sum(tf.n) AS BIGINT) AS n_tok
+           |  FROM tf CROSS JOIN (SELECT lang FROM lc) lc2
+           |  LEFT JOIN model ON model.lang = lc2.lang AND model.t = tf.t
+           |  GROUP BY 1, 2, 3),
+           |s AS (
+           |  SELECT sc.doc_id, sc.gold_lang, sc.lang,
+           |         lc.prior + sc.s_tok - sc.n_tok * lc.lnz AS s
+           |  FROM sc JOIN lc ON lc.lang = sc.lang),
+           |p AS (
+           |  SELECT doc_id, gold_lang, lang,
+           |         row_number() OVER (PARTITION BY doc_id
+           |             ORDER BY s DESC, lang ASC) AS rn
+           |  FROM s)
+           |SELECT gold_lang, lang AS pred_lang,
+           |       CAST(count(*) AS BIGINT) AS n_docs
+           |FROM p WHERE rn = 1
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // exact ROC AUC of the langId en-ratio score vs the gold en
+    // label: double-rank rank-sum over the bounded micro-ratio grid
+    QueryDef("auc_langid",
+      (s, d) => MlEval.aucLangId(Tables.documents(s, d)), Some(
+        s"""WITH sc AS (
+           |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+           |         CAST(len(w) AS BIGINT) AS n_tokens,
+           |         CAST(len(list_filter(w, x -> x IN ($stopList)))
+           |              AS BIGINT) AS en_hits
+           |  FROM (SELECT lang,
+           |          regexp_extract_all(lower(text), '[a-z'']+') AS w
+           |        FROM documents)
+           |  WHERE len(w) > 0),
+           |cells AS (
+           |  SELECT (1000000 * en_hits) // n_tokens AS score,
+           |         CAST(count(*) AS BIGINT) AS c,
+           |         CAST(sum(y) AS BIGINT) AS c1
+           |  FROM sc GROUP BY 1),
+           |r AS (
+           |  SELECT c, c1,
+           |         coalesce(sum(c) OVER (ORDER BY score
+           |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           |           0) AS f
+           |  FROM cells),
+           |a AS (
+           |  SELECT CAST(sum(c1) AS HUGEINT) AS n1,
+           |         CAST(sum(c - c1) AS HUGEINT) AS n0,
+           |         CAST(sum(c1 * (2 * f + c + 1)) AS HUGEINT) AS r1d
+           |  FROM r)
+           |SELECT CAST(n1 AS BIGINT) AS n_pos, CAST(n0 AS BIGINT) AS n_neg,
+           |       CAST(r1d - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+           |       CASE WHEN n1 > 0 AND n0 > 0 THEN
+           |         CAST((1000000 * (r1d - n1 * (n1 + 1)))
+           |              // (2 * n1 * n0) AS BIGINT) END AS auc_micro
+           |FROM a""".stripMargin)),
+
+    // TP/FP/FN/TN + precision/recall/F1/MCC of the langId threshold
+    // rule vs the gold en label — integer cross-multiplied threshold,
+    // micro floor-divs, MCC on the sign + quantized-ln ladder
+    QueryDef("langid_confusion_metrics",
+      (s, d) => MlEval.langIdConfusionMetrics(Tables.documents(s, d)), Some(
+        s"""WITH sc AS (
+           |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+           |         CASE WHEN 1000000 *
+           |             CAST(len(list_filter(w, x -> x IN ($stopList)))
+           |                  AS BIGINT)
+           |           > 30000 * CAST(len(w) AS BIGINT)
+           |           THEN 1 ELSE 0 END AS p
+           |  FROM (SELECT lang,
+           |          regexp_extract_all(lower(text), '[a-z'']+') AS w
+           |        FROM documents)
+           |  WHERE len(w) > 0),
+           |a AS (
+           |  SELECT
+           |    CAST(sum(CASE WHEN y = 1 AND p = 1 THEN 1 ELSE 0 END)
+           |         AS HUGEINT) AS tp,
+           |    CAST(sum(CASE WHEN y = 0 AND p = 1 THEN 1 ELSE 0 END)
+           |         AS HUGEINT) AS fp,
+           |    CAST(sum(CASE WHEN y = 1 AND p = 0 THEN 1 ELSE 0 END)
+           |         AS HUGEINT) AS fn,
+           |    CAST(sum(CASE WHEN y = 0 AND p = 0 THEN 1 ELSE 0 END)
+           |         AS HUGEINT) AS tn
+           |  FROM sc)
+           |SELECT CAST(tp AS BIGINT) AS n_tp, CAST(fp AS BIGINT) AS n_fp,
+           |       CAST(fn AS BIGINT) AS n_fn, CAST(tn AS BIGINT) AS n_tn,
+           |  CASE WHEN tp + fp > 0 THEN
+           |    CAST((1000000 * tp) // (tp + fp) AS BIGINT) END
+           |    AS precision_micro,
+           |  CASE WHEN tp + fn > 0 THEN
+           |    CAST((1000000 * tp) // (tp + fn) AS BIGINT) END
+           |    AS recall_micro,
+           |  CASE WHEN 2 * tp + fp + fn > 0 THEN
+           |    CAST((2000000 * tp) // (2 * tp + fp + fn) AS BIGINT) END
+           |    AS f1_micro,
+           |  CAST(CASE WHEN tp * tn > fp * fn THEN 1
+           |       WHEN tp * tn < fp * fn THEN -1 ELSE 0 END AS BIGINT)
+           |    AS mcc_sign,
+           |  CASE WHEN tp * tn <> fp * fn AND (tp + fp) > 0 AND
+           |      (tp + fn) > 0 AND (tn + fp) > 0 AND (tn + fn) > 0 THEN
+           |    100 * (2 * ${ln4("abs(tp * tn - fp * fn)")}
+           |      - ${ln4("(tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)")})
+           |  END AS ln_mcc2_micro
+           |FROM a""".stripMargin)),
+
+    // Brier score + Murphy reliability/resolution/uncertainty split
+    // of the per-hour purchase-rate predictor on the md5 split
+    QueryDef("brier_decomposition",
+      (s, d) => MlEval.brierDecomposition(Tables.events(s, d)), Some(
+        s"""WITH base AS (
+           |  SELECT CAST(hour(ts) AS BIGINT) AS h,
+           |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+           |         ${MlEval.splitSql("event_id")} AS split
+           |  FROM events),
+           |tr AS (SELECT h, CAST(count(*) AS BIGINT) AS nh,
+           |              CAST(sum(y) AS BIGINT) AS ph
+           |       FROM base WHERE split = 'train' GROUP BY 1),
+           |te AS (SELECT h, CAST(count(*) AS BIGINT) AS mh,
+           |              CAST(sum(y) AS BIGINT) AS qh
+           |       FROM base WHERE split = 'test' GROUP BY 1),
+           |j AS (
+           |  SELECT CAST(mh AS HUGEINT) AS mh, CAST(qh AS HUGEINT) AS qh,
+           |         CAST((1000000 * ph) // nh AS HUGEINT) AS conf,
+           |         CAST((1000000 * qh) // mh AS HUGEINT) AS acc
+           |  FROM tr JOIN te ON tr.h = te.h),
+           |g AS (
+           |  SELECT sum(mh) AS m, sum(qh) AS q,
+           |         sum(mh * conf * conf - 2000000 * conf * qh
+           |             + 1000000000000 * qh) AS bsum,
+           |         sum(mh * (conf - acc) * (conf - acc)) AS relsum,
+           |         sum(mh * acc) AS a1, sum(mh * acc * acc) AS a2
+           |  FROM j),
+           |g2 AS (SELECT *, (1000000 * q) // m AS b FROM g)
+           |SELECT CAST(m AS BIGINT) AS n_test,
+           |  CAST(bsum // (1000 * m) AS BIGINT) AS brier_nano,
+           |  CAST(relsum // (1000 * m) AS BIGINT) AS rel_nano,
+           |  CAST((a2 - 2 * b * a1 + b * b * m) // (1000 * m) AS BIGINT)
+           |    AS res_nano,
+           |  CAST((b * (1000000 - b)) // 1000 AS BIGINT) AS unc_nano
+           |FROM g2""".stripMargin)),
+
+    // lift / cumulative-gains deciles of the en-ratio ranking, cut by
+    // descending-score corpus mass on the bounded micro-ratio grid
+    QueryDef("score_lift_deciles",
+      (s, d) => MlEval.scoreLiftDeciles(Tables.documents(s, d)), Some(
+        s"""WITH sc AS (
+           |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+           |         CAST(len(w) AS BIGINT) AS n_tokens,
+           |         CAST(len(list_filter(w, x -> x IN ($stopList)))
+           |              AS BIGINT) AS en_hits
+           |  FROM (SELECT lang,
+           |          regexp_extract_all(lower(text), '[a-z'']+') AS w
+           |        FROM documents)
+           |  WHERE len(w) > 0),
+           |cells AS (
+           |  SELECT (1000000 * en_hits) // n_tokens AS score,
+           |         CAST(count(*) AS BIGINT) AS c,
+           |         CAST(sum(y) AS BIGINT) AS c1
+           |  FROM sc GROUP BY 1),
+           |d AS (
+           |  SELECT c, c1,
+           |         coalesce(sum(c) OVER (ORDER BY score DESC
+           |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           |           0) AS above,
+           |         sum(c) OVER () AS nn, sum(c1) OVER () AS p
+           |  FROM cells),
+           |dd AS (
+           |  SELECT CAST((10 * above) // nn AS BIGINT) AS decile,
+           |         CAST(sum(c) AS BIGINT) AS n,
+           |         CAST(sum(c1) AS BIGINT) AS pos,
+           |         CAST(max(nn) AS BIGINT) AS nn, CAST(max(p) AS BIGINT) AS p
+           |  FROM d GROUP BY 1),
+           |f AS (
+           |  SELECT *, sum(pos) OVER (ORDER BY decile
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumpos
+           |  FROM dd)
+           |SELECT decile, n AS n_docs, pos AS n_pos,
+           |  CASE WHEN p > 0 THEN
+           |    CAST((1000000 * CAST(pos AS HUGEINT) * nn)
+           |         // (CAST(n AS HUGEINT) * p) AS BIGINT) END AS lift_micro,
+           |  CASE WHEN p > 0 THEN
+           |    CAST((1000000 * cumpos) // p AS BIGINT) END
+           |    AS cum_capture_micro
+           |FROM f ORDER BY decile""".stripMargin)),
+
+    // expected calibration error of the per-hour purchase-rate
+    // predictor, trained/evaluated on the md5 event-id split
+    QueryDef("calibration_ece",
+      (s, d) => MlEval.calibrationEce(Tables.events(s, d)), Some(
+        s"""WITH base AS (
+           |  SELECT CAST(hour(ts) AS BIGINT) AS h,
+           |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+           |         ${MlEval.splitSql("event_id")} AS split
+           |  FROM events),
+           |tr AS (SELECT h, CAST(count(*) AS BIGINT) AS nh,
+           |              CAST(sum(y) AS BIGINT) AS ph
+           |       FROM base WHERE split = 'train' GROUP BY 1),
+           |te AS (SELECT h, CAST(count(*) AS BIGINT) AS mh,
+           |              CAST(sum(y) AS BIGINT) AS qh
+           |       FROM base WHERE split = 'test' GROUP BY 1),
+           |j AS (
+           |  SELECT tr.h, nh, mh,
+           |         (1000000 * ph) // nh AS conf,
+           |         (1000000 * qh) // mh AS acc
+           |  FROM tr JOIN te ON tr.h = te.h)
+           |SELECT CAST(sum(nh) AS BIGINT) AS n_train,
+           |       CAST(sum(mh) AS BIGINT) AS n_test,
+           |       CAST(count(*) AS BIGINT) AS n_bins,
+           |       CAST(CAST(sum(mh * abs(acc - conf)) AS HUGEINT)
+           |            // CAST(sum(mh) AS HUGEINT) AS BIGINT) AS ece_micro,
+           |       CAST(max(abs(acc - conf)) AS BIGINT) AS max_gap_micro
+           |FROM j""".stripMargin)))
+}

@@ -287,7 +287,12 @@ class PlanShapeSpec extends SparkSpec {
       // the |quantity|-row split grid (both data-model constants);
       // heaps_exponent: the one-row doc-id-bounds broadcast (the
       // vocab_growth pattern)
-      "gini_split_quantity", "heaps_exponent")
+      "gini_split_quantity", "heaps_exponent",
+      // naive_bayes_lang: the |langs|-row broadcast lang list onto the
+      // test-split term table, and the one-row vocab/doc-total scalars
+      // onto the |langs|-row constants table — all broadcast-tiny,
+      // vocabulary/lang-bounded by construction
+      "naive_bayes_lang")
     SparkEntry.registry.foreach { q =>
       val plan = q.fn(spark, sf0001).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
@@ -373,7 +378,16 @@ class PlanShapeSpec extends SparkSpec {
       // stratified_neyman's Hamilton-remainder rank runs over the
       // |langs|x|sources|-bounded strata table (guard-commented at the
       // definition); the realization window is partitioned per stratum
-      "stratified_neyman")
+      "stratified_neyman",
+      // auc_langid's running-rank cumulative runs over the micro-ratio
+      // score grid — bounded to <= 1e6+1 cells BY CONSTRUCTION
+      // (score = (1e6·hits) div tokens, hits <= tokens; guard comment
+      // at the definition — the mannwhitney class)
+      "auc_langid",
+      // score_lift_deciles' mass/total cumulatives run over the same
+      // bounded score grid; its gains cumulative over the <= 10-row
+      // decile table (guard comments at the definition)
+      "score_lift_deciles")
     assert(offenders.forall(allowedGlobal),
       s"unpartitioned windows outside the allowed exceptions: $offenders")
   }
