@@ -335,6 +335,114 @@ object MlEval {
       .orderBy(col("decile"))
   }
 
+  /** z_{α/2} + z_β for two-sided α = 0.05 at 80% power, squared and
+    * e4-quantized: (1.959964 + 0.841621)² ≈ 7.8490 → 78490. ONE shared
+    * constant interpolated into both the Spark expr and the oracle
+    * (the shared-literal rule). */
+  private[operators] val MdeZ2E4 = 78490L
+
+  /** SAMPLE-RATIO-MISMATCH CHECK of the user_id % 2 experiment
+    * assignment ([[Temporal.abConversionZtest]]'s variants) — THE
+    * standard A/B guardrail: if the randomization unit counts deviate
+    * from 50/50 beyond chance, every downstream readout is suspect.
+    * χ² against the uniform expectation is rational ((n_a−n_b)² /
+    * (n_a+n_b), df 1), so the flag is the INTEGER cross-multiplication
+    * 100·(n_a−n_b)² > 384·(n_a+n_b) (χ² > 3.84 = the 5% critical
+    * value) and the magnitude rides the quantized-ln ladder.
+    *
+    * Scale shape: one corpus pass partial-aggregates per (variant,
+    * user), then a 2-row variant count → O(1) report. */
+  def srmCheck(events: DataFrame): DataFrame = {
+    events
+      .groupBy((col("user_id") % 2).as("variant"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("variant")).agg(count(lit(1)).as("n"))
+      .agg(
+        sum(when(col("variant") === 0, col("n"))).cast("long").as("n_a"),
+        sum(when(col("variant") === 1, col("n"))).cast("long").as("n_b"))
+      .select(col("n_a"), col("n_b"),
+        expr("CAST(CASE WHEN 100 * (n_a - n_b) * (n_a - n_b) > " +
+          "384 * (n_a + n_b) THEN 1 ELSE 0 END AS BIGINT)").as("srm_flag"),
+        expr("CASE WHEN n_a + n_b > 0 AND n_a <> n_b THEN " +
+          s"100 * (2 * ${ln4Sql("abs(n_a - n_b)")}" +
+          s" - ${ln4Sql("n_a + n_b")}) END").as("ln_chi2_micro"))
+  }
+
+  /** MINIMUM DETECTABLE EFFECT of the running conversion experiment —
+    * the design readout an experimentation pipeline publishes beside
+    * the z-test: at the CURRENT sample sizes and pooled conversion
+    * rate, what absolute rate difference would two-sided α = 0.05 /
+    * 80% power resolve? MDE² = (z_{α/2}+z_β)²·p̄(1−p̄)·(1/n_a+1/n_b)
+    * is rational up to the z constant (e4-quantized, [[MdeZ2E4]]):
+    * with c converted of n = n_a + n_b users,
+    *   ln MDE² = ln(78490) − ln(10⁴) + ln(c(n−c)) − ln(n·n_a·n_b)
+    * — exact on the quantized-ln ladder. NULL when degenerate (an
+    * empty variant, zero or full conversion).
+    *
+    * Scale shape: the [[Temporal.abConversionZtest]] per-user partial
+    * aggregate → 2-row variant table → O(1). */
+  def abMde(events: DataFrame): DataFrame = {
+    events
+      .groupBy((col("user_id") % 2).as("variant"), col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("conv"))
+      .groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("x"))
+      .agg(
+        sum(when(col("variant") === 0, col("n"))).cast("long").as("n_a"),
+        sum(when(col("variant") === 1, col("n"))).cast("long").as("n_b"),
+        sum(col("x")).cast("long").as("n_converted"))
+      .select(col("n_a"), col("n_b"), col("n_converted"),
+        expr("CASE WHEN n_a > 0 AND n_b > 0 AND n_converted > 0 AND " +
+          "n_converted < n_a + n_b THEN " +
+          s"100 * (${ln4Sql(MdeZ2E4.toString)} - ${ln4Sql("10000")}" +
+          s" + ${ln4Sql("CAST(n_converted AS DECIMAL(38,0)) * " +
+            "(n_a + n_b - n_converted)")}" +
+          s" - ${ln4Sql("CAST(n_a + n_b AS DECIMAL(38,0)) * n_a * n_b")})" +
+          " END").as("ln_mde2_micro"))
+  }
+
+  /** CUPED COVARIATE ADJUSTMENT readout: θ = cov(x, y)/var(x) and the
+    * variance-reduction factor ρ² for the (clicks → purchases)
+    * per-user covariate pair — the pre-experiment-metric adjustment
+    * every experimentation platform runs to tighten confidence
+    * intervals (Deng et al.'s CUPED). Both are rational in the exact
+    * integer moments (n·Sxy − SxSy, n·Sxx − Sx², n·Syy − Sy², all in
+    * DECIMAL(38,0)), so sign + quantized-ln ladders publish exactly:
+    * θ² = num²/denx², ρ² = num²/(denx·deny). NULL ladders when a
+    * variance degenerates.
+    *
+    * Scale shape: one corpus pass partial-aggregates per user (a real
+    * high-cardinality key), one global moment aggregate → O(1). */
+  def cupedTheta(events: DataFrame): DataFrame = {
+    events
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("y"))
+      .agg(
+        count(lit(1)).cast(Dec).as("n"),
+        sum(col("x")).cast(Dec).as("sx"), sum(col("y")).cast(Dec).as("sy"),
+        sum(col("x") * col("x")).cast(Dec).as("sxx"),
+        sum(col("x") * col("y")).cast(Dec).as("sxy"),
+        sum(col("y") * col("y")).cast(Dec).as("syy"))
+      .select(
+        col("n").cast("long").as("n_users"),
+        expr("n * sxy - sx * sy").as("num"),
+        expr("n * sxx - sx * sx").as("denx"),
+        expr("n * syy - sy * sy").as("deny"))
+      .select(col("n_users"),
+        expr("CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 " +
+          "ELSE 0 END AS BIGINT)").as("theta_sign"),
+        expr("CASE WHEN num <> 0 AND denx > 0 THEN " +
+          s"100 * (2 * ${ln4Sql("abs(num)")} - 2 * ${ln4Sql("denx")})" +
+          " END").as("ln_theta2_micro"),
+        expr("CASE WHEN num <> 0 AND denx > 0 AND deny > 0 THEN " +
+          s"100 * (2 * ${ln4Sql("abs(num)")} - ${ln4Sql("denx")}" +
+          s" - ${ln4Sql("deny")}) END").as("ln_rho2_micro"))
+  }
+
   /** EXPECTED CALIBRATION ERROR of the per-hour purchase-rate
     * predictor: the rate table learned on the md5 'train' split of
     * events is scored on the 'test' split, binned by predicted-rate

@@ -239,6 +239,92 @@ object MlEvalQueries {
            |    AS cum_capture_micro
            |FROM f ORDER BY decile""".stripMargin)),
 
+    // sample-ratio-mismatch guardrail over the user_id % 2 assignment:
+    // integer cross-multiplied chi-square flag + quantized-ln magnitude
+    QueryDef("srm_check",
+      (s, d) => MlEval.srmCheck(Tables.events(s, d)), Some(
+        s"""WITH u AS (
+           |  SELECT user_id % 2 AS variant, user_id
+           |  FROM events GROUP BY 1, 2),
+           |v AS (SELECT variant, CAST(count(*) AS BIGINT) AS n
+           |      FROM u GROUP BY 1),
+           |a AS (
+           |  SELECT
+           |    CAST(sum(CASE WHEN variant = 0 THEN n END) AS BIGINT) AS n_a,
+           |    CAST(sum(CASE WHEN variant = 1 THEN n END) AS BIGINT) AS n_b
+           |  FROM v)
+           |SELECT n_a, n_b,
+           |  CAST(CASE WHEN 100 * (n_a - n_b) * (n_a - n_b) >
+           |       384 * (n_a + n_b) THEN 1 ELSE 0 END AS BIGINT) AS srm_flag,
+           |  CASE WHEN n_a + n_b > 0 AND n_a <> n_b THEN
+           |    100 * (2 * ${ln4("abs(n_a - n_b)")} - ${ln4("n_a + n_b")})
+           |  END AS ln_chi2_micro
+           |FROM a""".stripMargin)),
+
+    // minimum detectable effect at the current sample sizes and pooled
+    // conversion (two-sided alpha=.05, 80% power; z constant e4-pinned)
+    QueryDef("ab_mde",
+      (s, d) => MlEval.abMde(Tables.events(s, d)), Some(
+        s"""WITH u AS (
+           |  SELECT user_id % 2 AS variant, user_id,
+           |         max(CASE WHEN event_type = 'purchase' THEN 1
+           |             ELSE 0 END) AS conv
+           |  FROM events GROUP BY 1, 2),
+           |v AS (SELECT variant, CAST(count(*) AS BIGINT) AS n,
+           |             CAST(sum(conv) AS BIGINT) AS x
+           |      FROM u GROUP BY 1),
+           |a AS (
+           |  SELECT
+           |    CAST(sum(CASE WHEN variant = 0 THEN n END) AS BIGINT) AS n_a,
+           |    CAST(sum(CASE WHEN variant = 1 THEN n END) AS BIGINT) AS n_b,
+           |    CAST(sum(x) AS BIGINT) AS n_converted
+           |  FROM v)
+           |SELECT n_a, n_b, n_converted,
+           |  CASE WHEN n_a > 0 AND n_b > 0 AND n_converted > 0 AND
+           |      n_converted < n_a + n_b THEN
+           |    100 * (${ln4(MlEval.MdeZ2E4.toString)} - ${ln4("10000")}
+           |      + ${ln4("CAST(n_converted AS HUGEINT) * " +
+                  "(n_a + n_b - n_converted)")}
+           |      - ${ln4("CAST(n_a + n_b AS HUGEINT) * n_a * n_b")})
+           |  END AS ln_mde2_micro
+           |FROM a""".stripMargin)),
+
+    // CUPED theta / rho^2 from exact per-user (clicks, purchases)
+    // moments — sign + quantized-ln ladders on the rational forms
+    QueryDef("cuped_theta",
+      (s, d) => MlEval.cupedTheta(Tables.events(s, d)), Some(
+        s"""WITH u AS (
+           |  SELECT user_id,
+           |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+           |         AS BIGINT) AS x,
+           |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           |         AS BIGINT) AS y
+           |  FROM events GROUP BY 1),
+           |m AS (
+           |  SELECT CAST(count(*) AS HUGEINT) AS n,
+           |         CAST(sum(x) AS HUGEINT) AS sx,
+           |         CAST(sum(y) AS HUGEINT) AS sy,
+           |         CAST(sum(x * x) AS HUGEINT) AS sxx,
+           |         CAST(sum(x * y) AS HUGEINT) AS sxy,
+           |         CAST(sum(y * y) AS HUGEINT) AS syy
+           |  FROM u),
+           |t AS (
+           |  SELECT CAST(n AS BIGINT) AS n_users,
+           |         n * sxy - sx * sy AS num,
+           |         n * sxx - sx * sx AS denx,
+           |         n * syy - sy * sy AS deny
+           |  FROM m)
+           |SELECT n_users,
+           |  CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1
+           |       ELSE 0 END AS BIGINT) AS theta_sign,
+           |  CASE WHEN num <> 0 AND denx > 0 THEN
+           |    100 * (2 * ${ln4("abs(num)")} - 2 * ${ln4("denx")})
+           |  END AS ln_theta2_micro,
+           |  CASE WHEN num <> 0 AND denx > 0 AND deny > 0 THEN
+           |    100 * (2 * ${ln4("abs(num)")} - ${ln4("denx")}
+           |      - ${ln4("deny")}) END AS ln_rho2_micro
+           |FROM t""".stripMargin)),
+
     // expected calibration error of the per-hour purchase-rate
     // predictor, trained/evaluated on the md5 event-id split
     QueryDef("calibration_ece",

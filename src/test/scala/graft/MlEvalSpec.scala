@@ -9,6 +9,11 @@ import org.apache.spark.sql.Row
 class MlEvalSpec extends SparkSpec {
   import spark.implicits._
 
+  private object MlEvalSpecFixtures {
+    def ev(rows: Seq[(Long, String)]) =
+      rows.toDF("user_id", "event_type")
+  }
+
   /** The 0-255 md5 bucket of a key — the TextAnalysis.md5BucketOf
     * arithmetic, recomputed independently. */
   private def bucket(id: Long): Int = {
@@ -133,6 +138,51 @@ class MlEvalSpec extends SparkSpec {
     assert(got.toSeq == Seq(
       Row(0L, 2L, 2L, 2000000L, 1000000L),
       Row(5L, 2L, 0L, 0L, 1000000L)), s"got ${got.toSeq}")
+  }
+
+  test("srm: balanced assignment passes; 100/50 flags with the exact ladder") {
+    import MlEvalSpecFixtures.ev
+    val balanced = ev((0L until 20L).map(u => (u, "view")))
+    val r1 = MlEval.srmCheck(balanced).collect()
+    assert(r1.toSeq == Seq(Row(10L, 10L, 0L, null)),
+      s"10/10 must not flag and has no ladder (n_a = n_b): ${r1.toSeq}")
+    // 100 even users vs 50 odd: chi2 = 50^2/150 = 16.7 > 3.84 → flag;
+    // ladder 100·(2·ln4(50) − ln4(150)) = 100·(78240 − 50106)
+    val skewed = ev((0L until 200L by 2L).map(u => (u, "view")) ++
+      (1L until 100L by 2L).map(u => (u, "view")))
+    val r2 = MlEval.srmCheck(skewed).collect()
+    assert(r2.toSeq == Seq(Row(100L, 50L, 1L, 2813400L)), s"got ${r2.toSeq}")
+  }
+
+  test("ab_mde: 2v2 users with pooled 50% conversion pins the exact ladder") {
+    import MlEvalSpecFixtures.ev
+    val events = ev(Seq((0L, "purchase"), (2L, "view"),
+      (1L, "purchase"), (3L, "view")))
+    val got = MlEval.abMde(events).collect()
+    // ln MDE² ladder: 100·(ln4(78490) − ln4(1e4) + ln4(4) − ln4(16))
+    //              = 100·(112707 − 92103 + 13863 − 27726) = 674100
+    assert(got.toSeq == Seq(Row(2L, 2L, 2L, 674100L)), s"got ${got.toSeq}")
+  }
+
+  test("cuped: perfectly correlated per-user counts give theta = rho^2 = 1 (ladder 0)") {
+    import MlEvalSpecFixtures.ev
+    val events = ev(
+      Seq.fill(1)((0L, "click")) ++ Seq.fill(1)((0L, "purchase")) ++
+      Seq.fill(2)((1L, "click")) ++ Seq.fill(2)((1L, "purchase")) ++
+      Seq.fill(3)((2L, "click")) ++ Seq.fill(3)((2L, "purchase")))
+    val got = MlEval.cupedTheta(events).collect()
+    // moments: n=3, Sx=Sy=6, Sxx=Sxy=Syy=14 → num=denx=deny=6
+    assert(got.toSeq == Seq(Row(3L, 1L, 0L, 0L)), s"got ${got.toSeq}")
+  }
+
+  test("cuped: anti-correlated covariate gives sign -1 with exact ladders") {
+    import MlEvalSpecFixtures.ev
+    // users (x, y): (0, 2), (2, 0) → n=2, Sx=2, Sy=2, Sxx=4, Sxy=0,
+    // Syy=4 → num=-4, denx=4, deny=4 → theta=-1, rho^2=1 (ladders 0)
+    val events = ev(
+      Seq.fill(2)((0L, "purchase")) ++ Seq.fill(2)((1L, "click")))
+    val got = MlEval.cupedTheta(events).collect()
+    assert(got.toSeq == Seq(Row(2L, -1L, 0L, 0L)), s"got ${got.toSeq}")
   }
 
   test("calibration: perfectly calibrated hour gives ece 0; a wrong hour the exact gap") {
