@@ -443,6 +443,68 @@ object MlEval {
           s" - ${ln4Sql("deny")}) END").as("ln_rho2_micro"))
   }
 
+  /** K-ANONYMITY AUDIT of the documents table under the
+    * (lang, source, 100-char length bucket) quasi-identifier — the
+    * privacy/governance gate a data pipeline runs before release: how
+    * many records sit in equivalence classes smaller than k (here the
+    * conventional k = 5), and how many are outright unique. All exact
+    * integers: class sizes from one corpus aggregate, shares as
+    * non-negative micro floor-divs.
+    *
+    * Scale shape: one corpus pass partial-aggregates to the
+    * |langs|·|sources|·|length buckets| class table (domain-bounded),
+    * then one O(1) report aggregate. */
+  def kAnonymityDocs(docs: DataFrame, k: Int = 5): DataFrame = {
+    docs
+      .groupBy(col("lang"), col("source"),
+        expr("CAST(n_chars div 100 AS BIGINT)").as("len_bucket"))
+      .agg(count(lit(1)).as("sz"))
+      .agg(
+        sum(col("sz")).cast("long").as("n_docs"),
+        count(lit(1)).cast("long").as("n_classes"),
+        min(col("sz")).cast("long").as("min_class_size"),
+        sum(when(col("sz") < k, col("sz")).otherwise(0L))
+          .cast("long").as("n_below_k"),
+        sum(when(col("sz") === 1, 1L).otherwise(0L))
+          .cast("long").as("n_unique_docs"))
+      .select(col("n_docs"), col("n_classes"), col("min_class_size"),
+        col("n_below_k"), col("n_unique_docs"),
+        expr("CAST((1000000 * n_below_k) div n_docs AS BIGINT)")
+          .as("pct_below_k_micro"),
+        expr("CAST((1000000 * n_unique_docs) div n_docs AS BIGINT)")
+          .as("pct_unique_micro"))
+  }
+
+  /** LEAVE-ONE-SOURCE-OUT INFLUENCE of each source on the corpus mean
+    * document length — the ablation readout a pipeline uses to value
+    * (or indict) a source before a mix change: for each source, the
+    * corpus mean WITHOUT it, and the signed delta against the full
+    * mean. Means are exact milli floor-divs of non-negative sums
+    * (DECIMAL(38,0)); the delta is the exact difference of the two
+    * floored means.
+    *
+    * Scale shape: one corpus pass → |sources| partial-aggregate rows +
+    * a one-row corpus total broadcast-crossJoined back (the
+    * dedup_savings bounded pattern) → |sources| output rows. */
+  def looSourceInfluence(docs: DataFrame): DataFrame = {
+    val perSource = docs.groupBy(col("source"))
+      .agg(count(lit(1)).cast(Dec).as("ns"),
+        sum(col("n_chars")).cast(Dec).as("ss"))
+    val total = perSource
+      .agg(sum(col("ns")).as("n"), sum(col("ss")).as("s"))
+    perSource.crossJoin(broadcast(total))
+      .select(col("source"),
+        col("ns").cast("long").as("n_docs"),
+        expr("CAST((1000 * s) div n AS BIGINT)").as("full_mean_milli"),
+        expr("CASE WHEN n > ns THEN " +
+          "CAST((1000 * (s - ss)) div (n - ns) AS BIGINT) END")
+          .as("loo_mean_milli"),
+        expr("CASE WHEN n > ns THEN " +
+          "CAST((1000 * (s - ss)) div (n - ns) - (1000 * s) div n " +
+          "AS BIGINT) END").as("delta_milli"))
+      .orderBy(col("source"))
+  }
+
   /** EXPECTED CALIBRATION ERROR of the per-hour purchase-rate
     * predictor: the rate table learned on the md5 'train' split of
     * events is scored on the 'test' split, binned by predicted-rate

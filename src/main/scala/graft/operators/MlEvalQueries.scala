@@ -239,6 +239,50 @@ object MlEvalQueries {
            |    AS cum_capture_micro
            |FROM f ORDER BY decile""".stripMargin)),
 
+    // k-anonymity audit under the (lang, source, length-bucket)
+    // quasi-identifier: class sizes, below-k and unique-record shares
+    QueryDef("k_anonymity_docs",
+      (s, d) => MlEval.kAnonymityDocs(Tables.documents(s, d)), Some(
+        """WITH cls AS (
+          |  SELECT lang, source, n_chars // 100 AS len_bucket,
+          |         CAST(count(*) AS BIGINT) AS sz
+          |  FROM documents GROUP BY 1, 2, 3),
+          |a AS (
+          |  SELECT CAST(sum(sz) AS BIGINT) AS n_docs,
+          |         CAST(count(*) AS BIGINT) AS n_classes,
+          |         CAST(min(sz) AS BIGINT) AS min_class_size,
+          |         CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END)
+          |              AS BIGINT) AS n_below_k,
+          |         CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END)
+          |              AS BIGINT) AS n_unique_docs
+          |  FROM cls)
+          |SELECT n_docs, n_classes, min_class_size, n_below_k,
+          |       n_unique_docs,
+          |  CAST((1000000 * n_below_k) // n_docs AS BIGINT)
+          |    AS pct_below_k_micro,
+          |  CAST((1000000 * n_unique_docs) // n_docs AS BIGINT)
+          |    AS pct_unique_micro
+          |FROM a""".stripMargin)),
+
+    // leave-one-source-out ablation: each source's signed influence on
+    // the corpus mean document length, exact milli floor-divs
+    QueryDef("loo_source_influence",
+      (s, d) => MlEval.looSourceInfluence(Tables.documents(s, d)), Some(
+        """WITH ps AS (
+          |  SELECT source, CAST(count(*) AS HUGEINT) AS ns,
+          |         CAST(sum(n_chars) AS HUGEINT) AS ss
+          |  FROM documents GROUP BY 1),
+          |t AS (SELECT sum(ns) AS n, sum(ss) AS s FROM ps)
+          |SELECT source, CAST(ns AS BIGINT) AS n_docs,
+          |  CAST((1000 * s) // n AS BIGINT) AS full_mean_milli,
+          |  CASE WHEN n > ns THEN
+          |    CAST((1000 * (s - ss)) // (n - ns) AS BIGINT) END
+          |    AS loo_mean_milli,
+          |  CASE WHEN n > ns THEN
+          |    CAST((1000 * (s - ss)) // (n - ns) - (1000 * s) // n
+          |         AS BIGINT) END AS delta_milli
+          |FROM ps CROSS JOIN t ORDER BY source""".stripMargin)),
+
     // sample-ratio-mismatch guardrail over the user_id % 2 assignment:
     // integer cross-multiplied chi-square flag + quantized-ln magnitude
     QueryDef("srm_check",

@@ -185,6 +185,29 @@ class MlEvalSpec extends SparkSpec {
     assert(got.toSeq == Seq(Row(2L, -1L, 0L, 0L)), s"got ${got.toSeq}")
   }
 
+  test("k-anonymity: one size-3 class and one singleton give exact shares") {
+    val docs = Seq(
+      ("en", "s1", 150L), ("en", "s1", 160L), ("en", "s1", 199L),
+      ("de", "s2", 50L))
+      .toDF("lang", "source", "n_chars")
+    val got = MlEval.kAnonymityDocs(docs).collect()
+    // both classes are below k=5 → all 4 docs below-k; 1 unique record
+    assert(got.toSeq == Seq(Row(4L, 2L, 1L, 4L, 1L, 1000000L, 250000L)),
+      s"got ${got.toSeq}")
+  }
+
+  test("leave-one-source-out: removing each source shifts the mean by the exact delta") {
+    val docs = Seq(
+      ("s1", 100L), ("s1", 200L), ("s2", 600L))
+      .toDF("source", "n_chars")
+    val got = MlEval.looSourceInfluence(docs).collect()
+    // full mean 300; without s1: 600 (delta +300000 milli); without
+    // s2: 150 (delta -150000 milli)
+    assert(got.toSeq == Seq(
+      Row("s1", 2L, 300000L, 600000L, 300000L),
+      Row("s2", 1L, 300000L, 150000L, -150000L)), s"got ${got.toSeq}")
+  }
+
   test("calibration: perfectly calibrated hour gives ece 0; a wrong hour the exact gap") {
     import java.sql.Timestamp
     def ts(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:30:00")

@@ -292,7 +292,10 @@ class PlanShapeSpec extends SparkSpec {
       // test-split term table, and the one-row vocab/doc-total scalars
       // onto the |langs|-row constants table — all broadcast-tiny,
       // vocabulary/lang-bounded by construction
-      "naive_bayes_lang")
+      "naive_bayes_lang",
+      // loo_source_influence: the one-row corpus-total broadcast onto
+      // the |sources|-row table (the dedup_savings bounded pattern)
+      "loo_source_influence")
     SparkEntry.registry.foreach { q =>
       val plan = q.fn(spark, sf0001).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
