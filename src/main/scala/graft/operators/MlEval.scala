@@ -42,22 +42,58 @@ object MlEval {
   private def toks: Column =
     regexp_extract_all(lower(col("text")), lit(graft.operators.WordCount.TokenPattern), lit(0))
 
-  /** Shared md5-bucket split SQL for the oracles (the
-    * train_val_test_split ascii arithmetic, parameterized by key). */
-  private[operators] def splitSql(key: String): String =
-    s"""CASE WHEN (ascii(substr(md5(CAST($key AS VARCHAR)), 1, 1))
-       |  - CASE WHEN ascii(substr(md5(CAST($key AS VARCHAR)), 1, 1)) >= 97
-       |         THEN 87 ELSE 48 END) * 16 +
-       |  (ascii(substr(md5(CAST($key AS VARCHAR)), 2, 1))
-       |  - CASE WHEN ascii(substr(md5(CAST($key AS VARCHAR)), 2, 1)) >= 97
-       |         THEN 87 ELSE 48 END) < 204 THEN 'train'
-       |  WHEN (ascii(substr(md5(CAST($key AS VARCHAR)), 1, 1))
-       |  - CASE WHEN ascii(substr(md5(CAST($key AS VARCHAR)), 1, 1)) >= 97
-       |         THEN 87 ELSE 48 END) * 16 +
-       |  (ascii(substr(md5(CAST($key AS VARCHAR)), 2, 1))
-       |  - CASE WHEN ascii(substr(md5(CAST($key AS VARCHAR)), 2, 1)) >= 97
-       |         THEN 87 ELSE 48 END) < 230 THEN 'val'
-       |  ELSE 'test' END""".stripMargin
+  /** Shared md5-bucket split SQL for the oracles — COMPOSED from the
+    * one [[TextAnalysisQueries.nibSql]] ascii-arithmetic helper (the
+    * shared-literal rule: a nibble-convention edit must not need a
+    * second touch point here). */
+  private[operators] def splitSql(key: String): String = {
+    val b = s"(${TextAnalysisQueries.nibSql(0, key)} * 16 + " +
+      s"${TextAnalysisQueries.nibSql(1, key)})"
+    s"CASE WHEN $b < 204 THEN 'train' WHEN $b < 230 THEN 'val' " +
+      "ELSE 'test' END"
+  }
+
+  /** (gold en label, token count, stopword hits) for every tokenized
+    * doc — the ONE base relation behind every en-ratio score consumer
+    * ([[aucLangId]], [[langIdConfusionMetrics]], [[scoreLiftDeciles]]);
+    * a score-definition change happens here or nowhere. */
+  private def enScored(docs: DataFrame): DataFrame =
+    docs
+      .select((col("lang") === "en").cast("long").as("y"), toks.as("w"))
+      .filter(size(col("w")) > 0)
+      .select(col("y"),
+        size(col("w")).cast("long").as("n_tokens"),
+        size(filter(col("w"), x => x.isin(EnStopwords: _*)))
+          .cast("long").as("en_hits"))
+
+  /** The bounded micro-ratio score cell grid (score, c, c1) shared by
+    * the rank-sum consumers — ≤ 10⁶+1 cells BY CONSTRUCTION
+    * (score = (10⁶·hits) div tokens, hits ≤ tokens). */
+  private def enRatioCells(docs: DataFrame): DataFrame =
+    enScored(docs)
+      .select(col("y"),
+        expr("CAST((1000000 * en_hits) div n_tokens AS BIGINT)").as("score"))
+      .groupBy(col("score"))
+      .agg(count(lit(1)).as("c"), sum(col("y")).as("c1"))
+
+  /** Test-split hour bins LEFT-joined onto the train-split rate table
+    * — the shared grid behind [[calibrationEce]] and
+    * [[brierDecomposition]]. Bins the model never trained on keep
+    * NULL (nh, ph) so consumers can COUNT the unscored test mass
+    * instead of silently dropping it (review finding: the former
+    * inner join made a train-coverage gap invisible). */
+  private def hourSplitGrid(events: DataFrame): DataFrame = {
+    val base = events.select(hour(col("ts")).cast("long").as("h"),
+      (col("event_type") === "purchase").cast("long").as("y"),
+      splitOfKey(col("event_id")).as("split"))
+    val train = base.filter(col("split") === "train")
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("nh"), sum(col("y")).as("ph"))
+    val test = base.filter(col("split") === "test")
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("mh"), sum(col("y")).as("qh"))
+    test.join(train, Seq("h"), "left")
+  }
 
   /** MULTINOMIAL NAIVE BAYES language classifier, trained on the
     * deterministic md5 'train' split and read out as a confusion
@@ -136,7 +172,8 @@ object MlEval {
     * the integer double-rank 2F + c + 1 per score cell (the
     * [[Stats.mannWhitney]] machinery), so 2U₁ is an exact integer and
     * auc_micro an exact floor-div; ties-everywhere degenerates to
-    * exactly 500000.
+    * exactly 500000. Shares [[enRatioCells]] with the other en-ratio
+    * consumers.
     *
     * Scale shape: the score is (10⁶·en_hits) div n_tokens — an
     * integer in [0, 10⁶] BY CONSTRUCTION (hits ≤ tokens), so the
@@ -146,17 +183,7 @@ object MlEval {
     * PlanShapeSpec-allowlisted). INT64: 2R₁ ≤ 2n₁N, safe past
     * N = 10⁹; the micro numerator rides DECIMAL(38,0). */
   def aucLangId(docs: DataFrame): DataFrame = {
-    val scored = docs
-      .select((col("lang") === "en").cast("long").as("y"), toks.as("w"))
-      .filter(size(col("w")) > 0)
-      .select(col("y"),
-        size(col("w")).cast("long").as("n_tokens"),
-        size(filter(col("w"), x => x.isin(EnStopwords: _*)))
-          .cast("long").as("en_hits"))
-      .select(col("y"),
-        expr("CAST((1000000 * en_hits) div n_tokens AS BIGINT)").as("score"))
-    val cells = scored.groupBy(col("score"))
-      .agg(count(lit(1)).as("c"), sum(col("y")).as("c1"))
+    val cells = enRatioCells(docs)
     // bounded global window: runs over the <= 1,000,001-cell micro-
     // ratio grid (score in [0, 1e6] by construction), never the
     // corpus (PlanShapeSpec-allowlisted, the mannwhitney class)
@@ -183,20 +210,22 @@ object MlEval {
     * the Matthews correlation on the quantized-ln ladder — the
     * confusion readout beside [[aucLangId]]'s threshold-free AUC.
     * The threshold compare is the INTEGER cross-multiplication
-    * 10⁶·hits > 30000·tokens (exactly ratio > 0.03, no float rounding
-    * anywhere). MCC² = (tp·tn − fp·fn)²/((tp+fp)(tp+fn)(tn+fp)(tn+fn))
+    * 10⁶·hits > 30000·tokens — EXACTLY ratio > 0.03, deliberately NOT
+    * [[TextAnalysis.langId]]'s round(ratio, 6) > 0.03 presentation
+    * rule: the two can differ only for a ratio inside
+    * (0.03, 0.0300005), a band the float rounding quantizes away but
+    * the exact rule keeps positive (documented divergence; this
+    * metric evaluates the exact-threshold rule).
+    * MCC² = (tp·tn − fp·fn)²/((tp+fp)(tp+fn)(tn+fp)(tn+fn))
     * is rational, so sign + ln ladder (the welch_ttest pattern); the
     * 4-way product rides DECIMAL(38,0) (safe past N = 10⁹).
     *
     * Scale shape: one corpus pass → one 4-counter aggregate → O(1). */
   def langIdConfusionMetrics(docs: DataFrame): DataFrame = {
-    val labeled = docs
-      .select((col("lang") === "en").cast("long").as("y"), toks.as("w"))
-      .filter(size(col("w")) > 0)
+    val labeled = enScored(docs)
       .select(col("y"),
-        (lit(1000000L) * size(filter(col("w"), x => x.isin(EnStopwords: _*)))
-          .cast("long") >
-          lit(30000L) * size(col("w")).cast("long")).cast("long").as("p"))
+        (lit(1000000L) * col("en_hits") > lit(30000L) * col("n_tokens"))
+          .cast("long").as("p"))
     labeled
       .agg(
         sum(when(col("y") === 1 && col("p") === 1, 1L).otherwise(0L))
@@ -235,7 +264,10 @@ object MlEval {
     * the bins separate from the base rate), and uncertainty (the base
     * rate's intrinsic variance): the readout that tells a pipeline
     * WHY a probability model scores badly, beside [[calibrationEce]]'s
-    * single gap number. Same train/test split and 24-cell hour grid.
+    * single gap number. Same train/test split and 24-cell hour grid,
+    * same unscored-mass accounting (test bins without train coverage
+    * are counted in n_test_unscored, and all components run over the
+    * scored mass M).
     *
     * All-integer in nano units of the [0,1] Brier: conf/acc/base are
     * micro floor-divs; each component sum rides DECIMAL(38,0)
@@ -244,39 +276,44 @@ object MlEval {
     * the REL − RES + UNC identity holds to quantization, not asserted.
     * Scale shape: two corpus passes → 24-cell grid → O(1). */
   def brierDecomposition(events: DataFrame): DataFrame = {
-    val base = events.select(hour(col("ts")).cast("long").as("h"),
-      (col("event_type") === "purchase").cast("long").as("y"),
-      splitOfKey(col("event_id")).as("split"))
-    val train = base.filter(col("split") === "train")
-      .groupBy(col("h"))
-      .agg(count(lit(1)).as("nh"), sum(col("y")).as("ph"))
-    val test = base.filter(col("split") === "test")
-      .groupBy(col("h"))
-      .agg(count(lit(1)).as("mh"), sum(col("y")).as("qh"))
-    train.join(test, "h")
+    hourSplitGrid(events)
       .select(col("mh").cast(Dec).as("mh"), col("qh").cast(Dec).as("qh"),
-        expr("CAST((1000000 * ph) div nh AS DECIMAL(38,0))").as("conf"),
+        expr("CASE WHEN nh IS NOT NULL THEN " +
+          "CAST((1000000 * ph) div nh AS DECIMAL(38,0)) END").as("conf"),
         expr("CAST((1000000 * qh) div mh AS DECIMAL(38,0))").as("acc"))
       .agg(
-        sum(col("mh")).as("m"), sum(col("qh")).as("q"),
-        // Σ(conf − 1e6·y)² over test events, expanded per bin
-        sum(expr("mh * conf * conf - 2000000 * conf * qh " +
-          "+ 1000000000000 * qh")).as("bsum"),
-        sum(expr("mh * (conf - acc) * (conf - acc)")).as("relsum"),
-        sum(expr("mh * acc")).as("a1"),
-        sum(expr("mh * acc * acc")).as("a2"))
+        coalesce(sum(when(col("conf").isNotNull, col("mh"))),
+          lit(0L).cast(Dec)).as("m"),
+        coalesce(sum(when(col("conf").isNull, col("mh"))),
+          lit(0L).cast(Dec)).as("m_unscored"),
+        sum(when(col("conf").isNotNull, col("qh"))).as("q"),
+        // Σ(conf − 1e6·y)² over SCORED test events, expanded per bin
+        sum(when(col("conf").isNotNull,
+          expr("mh * conf * conf - 2000000 * conf * qh " +
+            "+ 1000000000000 * qh"))).as("bsum"),
+        sum(when(col("conf").isNotNull,
+          expr("mh * (conf - acc) * (conf - acc)"))).as("relsum"),
+        sum(when(col("conf").isNotNull, expr("mh * acc"))).as("a1"),
+        sum(when(col("conf").isNotNull, expr("mh * acc * acc"))).as("a2"))
       .select(
-        col("m").cast("long").as("n_test"),
-        expr("CAST((1000000 * q) div m AS DECIMAL(38,0))").as("b"),
+        col("m").cast("long").as("n_test_scored"),
+        col("m_unscored").cast("long").as("n_test_unscored"),
+        expr("CASE WHEN m > 0 THEN " +
+          "CAST((1000000 * q) div m AS DECIMAL(38,0)) END").as("b"),
         col("m"), col("bsum"), col("relsum"), col("a1"), col("a2"))
       .select(
-        col("n_test"),
-        expr("CAST(bsum div (1000 * m) AS BIGINT)").as("brier_nano"),
-        expr("CAST(relsum div (1000 * m) AS BIGINT)").as("rel_nano"),
+        col("n_test_scored"), col("n_test_unscored"),
+        expr("CASE WHEN m > 0 THEN " +
+          "CAST(bsum div (1000 * m) AS BIGINT) END").as("brier_nano"),
+        expr("CASE WHEN m > 0 THEN " +
+          "CAST(relsum div (1000 * m) AS BIGINT) END").as("rel_nano"),
         // Σ m_h(acc_h − b)² = Σ m_h·acc² − 2b·Σ m_h·acc + b²·M
-        expr("CAST((a2 - 2 * b * a1 + b * b * m) div (1000 * m) AS BIGINT)")
-          .as("res_nano"),
-        expr("CAST((b * (1000000 - b)) div 1000 AS BIGINT)").as("unc_nano"))
+        expr("CASE WHEN m > 0 THEN " +
+          "CAST((a2 - 2 * b * a1 + b * b * m) div (1000 * m) AS BIGINT)" +
+          " END").as("res_nano"),
+        expr("CASE WHEN m > 0 THEN " +
+          "CAST((b * (1000000 - b)) div 1000 AS BIGINT) END")
+          .as("unc_nano"))
   }
 
   /** LIFT / CUMULATIVE-GAINS DECILES of the langId en-ratio score
@@ -294,17 +331,7 @@ object MlEval {
     * the mass cumulative runs over that grid and the gains cumulative
     * over the ≤ 10-row decile table (both PlanShapeSpec-allowlisted). */
   def scoreLiftDeciles(docs: DataFrame): DataFrame = {
-    val cells = docs
-      .select((col("lang") === "en").cast("long").as("y"), toks.as("w"))
-      .filter(size(col("w")) > 0)
-      .select(col("y"),
-        size(col("w")).cast("long").as("n_tokens"),
-        size(filter(col("w"), x => x.isin(EnStopwords: _*)))
-          .cast("long").as("en_hits"))
-      .select(col("y"),
-        expr("CAST((1000000 * en_hits) div n_tokens AS BIGINT)").as("score"))
-      .groupBy(col("score"))
-      .agg(count(lit(1)).as("c"), sum(col("y")).as("c1"))
+    val cells = enRatioCells(docs)
     // bounded global windows: the mass/total cumulatives run over the
     // <= 1e6+1-cell score grid, never the corpus (the aucLangId class)
     val wAbove = Window.orderBy(col("score").desc)
@@ -336,10 +363,16 @@ object MlEval {
   }
 
   /** z_{α/2} + z_β for two-sided α = 0.05 at 80% power, squared and
-    * e4-quantized: (1.959964 + 0.841621)² ≈ 7.8490 → 78490. ONE shared
-    * constant interpolated into both the Spark expr and the oracle
-    * (the shared-literal rule). */
-  private[operators] val MdeZ2E4 = 78490L
+    * e4-quantized: (1.959964 + 0.841621)² = 7.84887851… → 78489. ONE
+    * shared constant interpolated into both the Spark expr and the
+    * oracle (the shared-literal rule). */
+  private[operators] val MdeZ2E4 = 78489L
+
+  /** The k of the k-anonymity gate — ONE shared constant interpolated
+    * into both the Spark plan and the oracle (the shared-literal
+    * rule: a parameterized k with a hardcoded oracle literal would
+    * silently break the hash gate on any non-default call). */
+  private[operators] val KAnonK = 5L
 
   /** SAMPLE-RATIO-MISMATCH CHECK of the user_id % 2 experiment
     * assignment ([[Temporal.abConversionZtest]]'s variants) — THE
@@ -357,9 +390,14 @@ object MlEval {
       .groupBy((col("user_id") % 2).as("variant"), col("user_id"))
       .agg(count(lit(1)).as("cnt"))
       .groupBy(col("variant")).agg(count(lit(1)).as("n"))
+      // coalesce to 0, not NULL: an EMPTY variant is the most extreme
+      // possible mismatch and must flag, not NULL-propagate to a
+      // silent pass (review finding)
       .agg(
-        sum(when(col("variant") === 0, col("n"))).cast("long").as("n_a"),
-        sum(when(col("variant") === 1, col("n"))).cast("long").as("n_b"))
+        coalesce(sum(when(col("variant") === 0, col("n"))), lit(0L))
+          .cast("long").as("n_a"),
+        coalesce(sum(when(col("variant") === 1, col("n"))), lit(0L))
+          .cast("long").as("n_b"))
       .select(col("n_a"), col("n_b"),
         expr("CAST(CASE WHEN 100 * (n_a - n_b) * (n_a - n_b) > " +
           "384 * (n_a + n_b) THEN 1 ELSE 0 END AS BIGINT)").as("srm_flag"),
@@ -421,12 +459,15 @@ object MlEval {
         sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
         sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
           .as("y"))
+      // cast BEFORE the products and sums: a per-user count squared is
+      // int64-safe, but the corpus-level Σx² would wrap past 9.2e18
+      // while the oracle's HUGEINT stays exact (review finding)
       .agg(
         count(lit(1)).cast(Dec).as("n"),
-        sum(col("x")).cast(Dec).as("sx"), sum(col("y")).cast(Dec).as("sy"),
-        sum(col("x") * col("x")).cast(Dec).as("sxx"),
-        sum(col("x") * col("y")).cast(Dec).as("sxy"),
-        sum(col("y") * col("y")).cast(Dec).as("syy"))
+        sum(col("x").cast(Dec)).as("sx"), sum(col("y").cast(Dec)).as("sy"),
+        sum(col("x").cast(Dec) * col("x").cast(Dec)).as("sxx"),
+        sum(col("x").cast(Dec) * col("y").cast(Dec)).as("sxy"),
+        sum(col("y").cast(Dec) * col("y").cast(Dec)).as("syy"))
       .select(
         col("n").cast("long").as("n_users"),
         expr("n * sxy - sx * sy").as("num"),
@@ -446,15 +487,16 @@ object MlEval {
   /** K-ANONYMITY AUDIT of the documents table under the
     * (lang, source, 100-char length bucket) quasi-identifier — the
     * privacy/governance gate a data pipeline runs before release: how
-    * many records sit in equivalence classes smaller than k (here the
-    * conventional k = 5), and how many are outright unique. All exact
-    * integers: class sizes from one corpus aggregate, shares as
-    * non-negative micro floor-divs.
+    * many records sit in equivalence classes smaller than k (the
+    * [[KAnonK]] shared constant), and how many are outright unique.
+    * All exact integers: class sizes from one corpus aggregate,
+    * shares as non-negative micro floor-divs.
     *
     * Scale shape: one corpus pass partial-aggregates to the
     * |langs|·|sources|·|length buckets| class table (domain-bounded),
     * then one O(1) report aggregate. */
-  def kAnonymityDocs(docs: DataFrame, k: Int = 5): DataFrame = {
+  def kAnonymityDocs(docs: DataFrame): DataFrame = {
+    val k = KAnonK
     docs
       .groupBy(col("lang"), col("source"),
         expr("CAST(n_chars div 100 AS BIGINT)").as("len_bucket"))
@@ -511,36 +553,38 @@ object MlEval {
     * cell (= hour — 24 bounded bins), and the standard ECE
     * Σ m_b·|acc_b − conf_b| / M is published in exact micro units
     * together with the worst-bin gap — the reliability-diagram
-    * readout beside [[aucLangId]]'s discrimination.
+    * readout beside [[aucLangId]]'s discrimination. Test bins the
+    * model never trained on are NOT silently dropped: their mass is
+    * published as n_test_unscored (review finding — an inner join
+    * made a train-coverage gap invisible) and the ECE averages over
+    * the scored mass only.
     *
     * All-integer: conf/acc are floor-divs of non-negative counts;
     * the weighted gap sum rides DECIMAL(38,0). Scale shape: two
     * corpus passes partial-aggregate to the 24-cell hour table
     * (calendar-bounded), one broadcast join, O(1) output. */
   def calibrationEce(events: DataFrame): DataFrame = {
-    val base = events.select(hour(col("ts")).cast("long").as("h"),
-      (col("event_type") === "purchase").cast("long").as("y"),
-      splitOfKey(col("event_id")).as("split"))
-    val train = base.filter(col("split") === "train")
-      .groupBy(col("h"))
-      .agg(count(lit(1)).as("nh"), sum(col("y")).as("ph"))
-    val test = base.filter(col("split") === "test")
-      .groupBy(col("h"))
-      .agg(count(lit(1)).as("mh"), sum(col("y")).as("qh"))
-    train.join(test, "h")
-      .select(col("h"), col("nh"), col("mh"),
-        expr("CAST((1000000 * ph) div nh AS BIGINT)").as("conf"),
+    hourSplitGrid(events)
+      .select(col("mh"),
+        expr("CASE WHEN nh IS NOT NULL THEN " +
+          "CAST((1000000 * ph) div nh AS BIGINT) END").as("conf"),
         expr("CAST((1000000 * qh) div mh AS BIGINT)").as("acc"))
       .agg(
-        sum(col("nh")).cast("long").as("n_train"),
-        sum(col("mh")).cast("long").as("n_test"),
-        count(lit(1)).cast("long").as("n_bins"),
-        sum((col("mh") * abs(col("acc") - col("conf"))).cast("decimal(38,0)"))
+        coalesce(sum(when(col("conf").isNotNull, col("mh"))), lit(0L))
+          .cast("long").as("n_test_scored"),
+        coalesce(sum(when(col("conf").isNull, col("mh"))), lit(0L))
+          .cast("long").as("n_test_unscored"),
+        coalesce(sum(when(col("conf").isNotNull, 1L)), lit(0L))
+          .cast("long").as("n_bins"),
+        sum(when(col("conf").isNotNull,
+          (col("mh") * abs(col("acc") - col("conf"))).cast(Dec)))
           .as("gapsum"),
-        max(abs(col("acc") - col("conf"))).cast("long").as("max_gap_micro"))
-      .select(col("n_train"), col("n_test"), col("n_bins"),
-        expr("CAST(gapsum div CAST(n_test AS DECIMAL(38,0)) AS BIGINT)")
-          .as("ece_micro"),
+        max(when(col("conf").isNotNull, abs(col("acc") - col("conf"))))
+          .cast("long").as("max_gap_micro"))
+      .select(col("n_test_scored"), col("n_test_unscored"), col("n_bins"),
+        expr("CASE WHEN n_test_scored > 0 THEN " +
+          "CAST(gapsum div CAST(n_test_scored AS DECIMAL(38,0)) AS BIGINT)" +
+          " END").as("ece_micro"),
         col("max_gap_micro"))
   }
 }

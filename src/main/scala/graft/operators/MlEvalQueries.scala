@@ -7,16 +7,53 @@ import graft.functions.Exact.ln4Sql
   * Every oracle mirrors the plan's integer reduction term-for-term —
   * the md5-bucket split, the quantized-ln ladder, double-rank
   * cumulatives, and non-negative floor-divs — so each readout
-  * hash-matches exactly. */
+  * hash-matches exactly. Shared relations (the en-ratio score base,
+  * its bounded cell grid, the train/test hour grid) are ONE SQL
+  * fragment each, mirroring the one Scala helper each (the
+  * shared-literal rule applied to whole subqueries). */
 object MlEvalQueries {
 
   private def ln4(e: String) = ln4Sql(e)
+  private def stopList = TextAnalysisQueries.stopList
 
-  /** The EnStopwords SQL IN-list, generated from the ONE Scala list
-    * (the shared-literal rule — the heuristic and its oracle cannot
-    * drift). */
-  private val stopList: String =
-    TextAnalysis.EnStopwords.map(w => s"'$w'").mkString(", ")
+  /** (y, n_tokens, en_hits) per tokenized doc — mirror of
+    * [[MlEval.enScored]]. */
+  private val enScoredSql: String =
+    s"""SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+       |       CAST(len(w) AS BIGINT) AS n_tokens,
+       |       CAST(len(list_filter(w, x -> x IN ($stopList)))
+       |            AS BIGINT) AS en_hits
+       |FROM (SELECT lang,
+       |        regexp_extract_all(lower(text), '[a-z'']+') AS w
+       |      FROM documents)
+       |WHERE len(w) > 0""".stripMargin
+
+  /** The bounded micro-ratio score cell grid — mirror of
+    * [[MlEval.enRatioCells]]. */
+  private val enCellsSql: String =
+    s"""SELECT (1000000 * en_hits) // n_tokens AS score,
+       |       CAST(count(*) AS BIGINT) AS c,
+       |       CAST(sum(y) AS BIGINT) AS c1
+       |FROM ($enScoredSql) GROUP BY 1""".stripMargin
+
+  /** Test-split hour bins LEFT-joined onto the train rate table —
+    * mirror of [[MlEval.hourSplitGrid]] (unscored bins keep NULL
+    * nh/ph). */
+  private val hourGridSql: String =
+    s"""WITH base AS (
+       |  SELECT CAST(hour(ts) AS BIGINT) AS h,
+       |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+       |         ${MlEval.splitSql("event_id")} AS split
+       |  FROM events),
+       |tr AS (SELECT h, CAST(count(*) AS BIGINT) AS nh,
+       |              CAST(sum(y) AS BIGINT) AS ph
+       |       FROM base WHERE split = 'train' GROUP BY 1),
+       |te AS (SELECT h, CAST(count(*) AS BIGINT) AS mh,
+       |              CAST(sum(y) AS BIGINT) AS qh
+       |       FROM base WHERE split = 'test' GROUP BY 1),
+       |grid AS (
+       |  SELECT te.h, te.mh, te.qh, tr.nh, tr.ph
+       |  FROM te LEFT JOIN tr ON te.h = tr.h)""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -79,20 +116,7 @@ object MlEvalQueries {
     // label: double-rank rank-sum over the bounded micro-ratio grid
     QueryDef("auc_langid",
       (s, d) => MlEval.aucLangId(Tables.documents(s, d)), Some(
-        s"""WITH sc AS (
-           |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
-           |         CAST(len(w) AS BIGINT) AS n_tokens,
-           |         CAST(len(list_filter(w, x -> x IN ($stopList)))
-           |              AS BIGINT) AS en_hits
-           |  FROM (SELECT lang,
-           |          regexp_extract_all(lower(text), '[a-z'']+') AS w
-           |        FROM documents)
-           |  WHERE len(w) > 0),
-           |cells AS (
-           |  SELECT (1000000 * en_hits) // n_tokens AS score,
-           |         CAST(count(*) AS BIGINT) AS c,
-           |         CAST(sum(y) AS BIGINT) AS c1
-           |  FROM sc GROUP BY 1),
+        s"""WITH cells AS ($enCellsSql),
            |r AS (
            |  SELECT c, c1,
            |         coalesce(sum(c) OVER (ORDER BY score
@@ -111,22 +135,15 @@ object MlEvalQueries {
            |              // (2 * n1 * n0) AS BIGINT) END AS auc_micro
            |FROM a""".stripMargin)),
 
-    // TP/FP/FN/TN + precision/recall/F1/MCC of the langId threshold
-    // rule vs the gold en label — integer cross-multiplied threshold,
-    // micro floor-divs, MCC on the sign + quantized-ln ladder
+    // TP/FP/FN/TN + precision/recall/F1/MCC of the exact-threshold
+    // langId rule vs the gold en label — integer cross-multiplied
+    // threshold, micro floor-divs, MCC on the sign + ln ladder
     QueryDef("langid_confusion_metrics",
       (s, d) => MlEval.langIdConfusionMetrics(Tables.documents(s, d)), Some(
         s"""WITH sc AS (
-           |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
-           |         CASE WHEN 1000000 *
-           |             CAST(len(list_filter(w, x -> x IN ($stopList)))
-           |                  AS BIGINT)
-           |           > 30000 * CAST(len(w) AS BIGINT)
-           |           THEN 1 ELSE 0 END AS p
-           |  FROM (SELECT lang,
-           |          regexp_extract_all(lower(text), '[a-z'']+') AS w
-           |        FROM documents)
-           |  WHERE len(w) > 0),
+           |  SELECT y, CASE WHEN 1000000 * en_hits > 30000 * n_tokens
+           |            THEN 1 ELSE 0 END AS p
+           |  FROM ($enScoredSql)),
            |a AS (
            |  SELECT
            |    CAST(sum(CASE WHEN y = 1 AND p = 1 THEN 1 ELSE 0 END)
@@ -159,60 +176,11 @@ object MlEvalQueries {
            |  END AS ln_mcc2_micro
            |FROM a""".stripMargin)),
 
-    // Brier score + Murphy reliability/resolution/uncertainty split
-    // of the per-hour purchase-rate predictor on the md5 split
-    QueryDef("brier_decomposition",
-      (s, d) => MlEval.brierDecomposition(Tables.events(s, d)), Some(
-        s"""WITH base AS (
-           |  SELECT CAST(hour(ts) AS BIGINT) AS h,
-           |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
-           |         ${MlEval.splitSql("event_id")} AS split
-           |  FROM events),
-           |tr AS (SELECT h, CAST(count(*) AS BIGINT) AS nh,
-           |              CAST(sum(y) AS BIGINT) AS ph
-           |       FROM base WHERE split = 'train' GROUP BY 1),
-           |te AS (SELECT h, CAST(count(*) AS BIGINT) AS mh,
-           |              CAST(sum(y) AS BIGINT) AS qh
-           |       FROM base WHERE split = 'test' GROUP BY 1),
-           |j AS (
-           |  SELECT CAST(mh AS HUGEINT) AS mh, CAST(qh AS HUGEINT) AS qh,
-           |         CAST((1000000 * ph) // nh AS HUGEINT) AS conf,
-           |         CAST((1000000 * qh) // mh AS HUGEINT) AS acc
-           |  FROM tr JOIN te ON tr.h = te.h),
-           |g AS (
-           |  SELECT sum(mh) AS m, sum(qh) AS q,
-           |         sum(mh * conf * conf - 2000000 * conf * qh
-           |             + 1000000000000 * qh) AS bsum,
-           |         sum(mh * (conf - acc) * (conf - acc)) AS relsum,
-           |         sum(mh * acc) AS a1, sum(mh * acc * acc) AS a2
-           |  FROM j),
-           |g2 AS (SELECT *, (1000000 * q) // m AS b FROM g)
-           |SELECT CAST(m AS BIGINT) AS n_test,
-           |  CAST(bsum // (1000 * m) AS BIGINT) AS brier_nano,
-           |  CAST(relsum // (1000 * m) AS BIGINT) AS rel_nano,
-           |  CAST((a2 - 2 * b * a1 + b * b * m) // (1000 * m) AS BIGINT)
-           |    AS res_nano,
-           |  CAST((b * (1000000 - b)) // 1000 AS BIGINT) AS unc_nano
-           |FROM g2""".stripMargin)),
-
     // lift / cumulative-gains deciles of the en-ratio ranking, cut by
     // descending-score corpus mass on the bounded micro-ratio grid
     QueryDef("score_lift_deciles",
       (s, d) => MlEval.scoreLiftDeciles(Tables.documents(s, d)), Some(
-        s"""WITH sc AS (
-           |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
-           |         CAST(len(w) AS BIGINT) AS n_tokens,
-           |         CAST(len(list_filter(w, x -> x IN ($stopList)))
-           |              AS BIGINT) AS en_hits
-           |  FROM (SELECT lang,
-           |          regexp_extract_all(lower(text), '[a-z'']+') AS w
-           |        FROM documents)
-           |  WHERE len(w) > 0),
-           |cells AS (
-           |  SELECT (1000000 * en_hits) // n_tokens AS score,
-           |         CAST(count(*) AS BIGINT) AS c,
-           |         CAST(sum(y) AS BIGINT) AS c1
-           |  FROM sc GROUP BY 1),
+        s"""WITH cells AS ($enCellsSql),
            |d AS (
            |  SELECT c, c1,
            |         coalesce(sum(c) OVER (ORDER BY score DESC
@@ -243,26 +211,26 @@ object MlEvalQueries {
     // quasi-identifier: class sizes, below-k and unique-record shares
     QueryDef("k_anonymity_docs",
       (s, d) => MlEval.kAnonymityDocs(Tables.documents(s, d)), Some(
-        """WITH cls AS (
-          |  SELECT lang, source, n_chars // 100 AS len_bucket,
-          |         CAST(count(*) AS BIGINT) AS sz
-          |  FROM documents GROUP BY 1, 2, 3),
-          |a AS (
-          |  SELECT CAST(sum(sz) AS BIGINT) AS n_docs,
-          |         CAST(count(*) AS BIGINT) AS n_classes,
-          |         CAST(min(sz) AS BIGINT) AS min_class_size,
-          |         CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END)
-          |              AS BIGINT) AS n_below_k,
-          |         CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END)
-          |              AS BIGINT) AS n_unique_docs
-          |  FROM cls)
-          |SELECT n_docs, n_classes, min_class_size, n_below_k,
-          |       n_unique_docs,
-          |  CAST((1000000 * n_below_k) // n_docs AS BIGINT)
-          |    AS pct_below_k_micro,
-          |  CAST((1000000 * n_unique_docs) // n_docs AS BIGINT)
-          |    AS pct_unique_micro
-          |FROM a""".stripMargin)),
+        s"""WITH cls AS (
+           |  SELECT lang, source, n_chars // 100 AS len_bucket,
+           |         CAST(count(*) AS BIGINT) AS sz
+           |  FROM documents GROUP BY 1, 2, 3),
+           |a AS (
+           |  SELECT CAST(sum(sz) AS BIGINT) AS n_docs,
+           |         CAST(count(*) AS BIGINT) AS n_classes,
+           |         CAST(min(sz) AS BIGINT) AS min_class_size,
+           |         CAST(sum(CASE WHEN sz < ${MlEval.KAnonK} THEN sz
+           |              ELSE 0 END) AS BIGINT) AS n_below_k,
+           |         CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END)
+           |              AS BIGINT) AS n_unique_docs
+           |  FROM cls)
+           |SELECT n_docs, n_classes, min_class_size, n_below_k,
+           |       n_unique_docs,
+           |  CAST((1000000 * n_below_k) // n_docs AS BIGINT)
+           |    AS pct_below_k_micro,
+           |  CAST((1000000 * n_unique_docs) // n_docs AS BIGINT)
+           |    AS pct_unique_micro
+           |FROM a""".stripMargin)),
 
     // leave-one-source-out ablation: each source's signed influence on
     // the corpus mean document length, exact milli floor-divs
@@ -285,6 +253,7 @@ object MlEvalQueries {
 
     // sample-ratio-mismatch guardrail over the user_id % 2 assignment:
     // integer cross-multiplied chi-square flag + quantized-ln magnitude
+    // (empty-variant counts coalesce to 0 so the extreme mismatch FLAGS)
     QueryDef("srm_check",
       (s, d) => MlEval.srmCheck(Tables.events(s, d)), Some(
         s"""WITH u AS (
@@ -294,8 +263,10 @@ object MlEvalQueries {
            |      FROM u GROUP BY 1),
            |a AS (
            |  SELECT
-           |    CAST(sum(CASE WHEN variant = 0 THEN n END) AS BIGINT) AS n_a,
-           |    CAST(sum(CASE WHEN variant = 1 THEN n END) AS BIGINT) AS n_b
+           |    CAST(coalesce(sum(CASE WHEN variant = 0 THEN n END), 0)
+           |         AS BIGINT) AS n_a,
+           |    CAST(coalesce(sum(CASE WHEN variant = 1 THEN n END), 0)
+           |         AS BIGINT) AS n_b
            |  FROM v)
            |SELECT n_a, n_b,
            |  CAST(CASE WHEN 100 * (n_a - n_b) * (n_a - n_b) >
@@ -370,30 +341,74 @@ object MlEvalQueries {
            |FROM t""".stripMargin)),
 
     // expected calibration error of the per-hour purchase-rate
-    // predictor, trained/evaluated on the md5 event-id split
+    // predictor on the md5 event-id split; test bins the model never
+    // trained on are COUNTED (n_test_unscored), not dropped
     QueryDef("calibration_ece",
       (s, d) => MlEval.calibrationEce(Tables.events(s, d)), Some(
-        s"""WITH base AS (
-           |  SELECT CAST(hour(ts) AS BIGINT) AS h,
-           |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
-           |         ${MlEval.splitSql("event_id")} AS split
-           |  FROM events),
-           |tr AS (SELECT h, CAST(count(*) AS BIGINT) AS nh,
-           |              CAST(sum(y) AS BIGINT) AS ph
-           |       FROM base WHERE split = 'train' GROUP BY 1),
-           |te AS (SELECT h, CAST(count(*) AS BIGINT) AS mh,
-           |              CAST(sum(y) AS BIGINT) AS qh
-           |       FROM base WHERE split = 'test' GROUP BY 1),
+        s"""$hourGridSql,
            |j AS (
-           |  SELECT tr.h, nh, mh,
-           |         (1000000 * ph) // nh AS conf,
-           |         (1000000 * qh) // mh AS acc
-           |  FROM tr JOIN te ON tr.h = te.h)
-           |SELECT CAST(sum(nh) AS BIGINT) AS n_train,
-           |       CAST(sum(mh) AS BIGINT) AS n_test,
-           |       CAST(count(*) AS BIGINT) AS n_bins,
-           |       CAST(CAST(sum(mh * abs(acc - conf)) AS HUGEINT)
-           |            // CAST(sum(mh) AS HUGEINT) AS BIGINT) AS ece_micro,
-           |       CAST(max(abs(acc - conf)) AS BIGINT) AS max_gap_micro
-           |FROM j""".stripMargin)))
+           |  SELECT mh,
+           |         CASE WHEN nh IS NOT NULL THEN
+           |           CAST((1000000 * ph) // nh AS BIGINT) END AS conf,
+           |         CAST((1000000 * qh) // mh AS BIGINT) AS acc
+           |  FROM grid),
+           |a AS (
+           |  SELECT
+           |    CAST(coalesce(sum(CASE WHEN conf IS NOT NULL THEN mh END), 0)
+           |         AS BIGINT) AS n_test_scored,
+           |    CAST(coalesce(sum(CASE WHEN conf IS NULL THEN mh END), 0)
+           |         AS BIGINT) AS n_test_unscored,
+           |    CAST(coalesce(sum(CASE WHEN conf IS NOT NULL THEN 1 END), 0)
+           |         AS BIGINT) AS n_bins,
+           |    sum(CASE WHEN conf IS NOT NULL THEN
+           |        CAST(mh * abs(acc - conf) AS HUGEINT) END) AS gapsum,
+           |    CAST(max(CASE WHEN conf IS NOT NULL THEN abs(acc - conf)
+           |         END) AS BIGINT) AS max_gap_micro
+           |  FROM j)
+           |SELECT n_test_scored, n_test_unscored, n_bins,
+           |  CASE WHEN n_test_scored > 0 THEN
+           |    CAST(gapsum // CAST(n_test_scored AS HUGEINT) AS BIGINT) END
+           |    AS ece_micro,
+           |  max_gap_micro
+           |FROM a""".stripMargin)),
+
+    // Brier score + Murphy reliability/resolution/uncertainty split of
+    // the same predictor, over the scored test mass
+    QueryDef("brier_decomposition",
+      (s, d) => MlEval.brierDecomposition(Tables.events(s, d)), Some(
+        s"""$hourGridSql,
+           |j AS (
+           |  SELECT CAST(mh AS HUGEINT) AS mh, CAST(qh AS HUGEINT) AS qh,
+           |         CASE WHEN nh IS NOT NULL THEN
+           |           CAST((1000000 * ph) // nh AS HUGEINT) END AS conf,
+           |         CAST((1000000 * qh) // mh AS HUGEINT) AS acc
+           |  FROM grid),
+           |g AS (
+           |  SELECT
+           |    coalesce(sum(CASE WHEN conf IS NOT NULL THEN mh END), 0) AS m,
+           |    coalesce(sum(CASE WHEN conf IS NULL THEN mh END), 0)
+           |      AS m_unscored,
+           |    sum(CASE WHEN conf IS NOT NULL THEN qh END) AS q,
+           |    sum(CASE WHEN conf IS NOT NULL THEN
+           |        mh * conf * conf - 2000000 * conf * qh
+           |        + 1000000000000 * qh END) AS bsum,
+           |    sum(CASE WHEN conf IS NOT NULL THEN
+           |        mh * (conf - acc) * (conf - acc) END) AS relsum,
+           |    sum(CASE WHEN conf IS NOT NULL THEN mh * acc END) AS a1,
+           |    sum(CASE WHEN conf IS NOT NULL THEN mh * acc * acc END) AS a2
+           |  FROM j),
+           |g2 AS (SELECT *, CASE WHEN m > 0 THEN (1000000 * q) // m END AS b
+           |       FROM g)
+           |SELECT CAST(m AS BIGINT) AS n_test_scored,
+           |  CAST(m_unscored AS BIGINT) AS n_test_unscored,
+           |  CASE WHEN m > 0 THEN
+           |    CAST(bsum // (1000 * m) AS BIGINT) END AS brier_nano,
+           |  CASE WHEN m > 0 THEN
+           |    CAST(relsum // (1000 * m) AS BIGINT) END AS rel_nano,
+           |  CASE WHEN m > 0 THEN
+           |    CAST((a2 - 2 * b * a1 + b * b * m) // (1000 * m) AS BIGINT)
+           |    END AS res_nano,
+           |  CASE WHEN m > 0 THEN
+           |    CAST((b * (1000000 - b)) // 1000 AS BIGINT) END AS unc_nano
+           |FROM g2""".stripMargin)))
 }

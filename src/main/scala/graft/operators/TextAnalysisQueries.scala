@@ -5,7 +5,10 @@ import graft.{QueryDef, Tables}
 /** Driver-contract wiring for the text-analysis family. */
 object TextAnalysisQueries {
 
-  private val stopList = TextAnalysis.EnStopwords.map(w => s"'$w'").mkString(", ")
+  /** The EnStopwords SQL IN-list, generated from the ONE Scala list
+    * (shared with the MlEval oracles — one definition). */
+  private[operators] val stopList =
+    TextAnalysis.EnStopwords.map(w => s"'$w'").mkString(", ")
 
   /** SQL for hex-nibble i (0-based) of md5(doc_id) as an integer —
     * the ascii-arithmetic trick shared with the split/sampling oracles. */

@@ -121,8 +121,8 @@ class MlEvalSpec extends SparkSpec {
       .toDF("event_id", "ts", "event_type")
     val got = MlEval.brierDecomposition(events).collect()
     // conf = acc = b = 500000: brier = unc = 0.25 (250,000,000 nano),
-    // reliability = resolution = 0
-    assert(got.toSeq == Seq(Row(2L, 250000000L, 0L, 0L, 250000000L)),
+    // reliability = resolution = 0; all test mass scored
+    assert(got.toSeq == Seq(Row(2L, 0L, 250000000L, 0L, 0L, 250000000L)),
       s"got ${got.toSeq}")
   }
 
@@ -208,22 +208,35 @@ class MlEvalSpec extends SparkSpec {
       Row("s2", 1L, 300000L, 150000L, -150000L)), s"got ${got.toSeq}")
   }
 
-  test("calibration: perfectly calibrated hour gives ece 0; a wrong hour the exact gap") {
+  test("calibration: exact ece over scored bins; a train-uncovered hour is COUNTED") {
     import java.sql.Timestamp
     def ts(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:30:00")
     val tr = trainIds(4)
-    val te = testIds(3)
+    val te = testIds(4)
     val events = Seq(
       // hour 1: train rate 1/2, test rate 1/2 → gap 0
       (tr(0), ts(1), "purchase"), (tr(1), ts(1), "view"),
       (te(0), ts(1), "purchase"), (te(1), ts(1), "view"),
       // hour 2: train rate 0/2, test rate 1/1 → gap 1e6 on 1 test event
       (tr(2), ts(2), "view"), (tr(3), ts(2), "click"),
-      (te(2), ts(2), "purchase"))
+      (te(2), ts(2), "purchase"),
+      // hour 3: NO train events → the test event must land in
+      // n_test_unscored, not silently vanish (review finding)
+      (te(3), ts(3), "purchase"))
       .toDF("event_id", "ts", "event_type")
     val got = MlEval.calibrationEce(events).collect()
+    // scored mass 3, unscored 1, 2 bins;
     // ece = (2·0 + 1·1e6) div 3 = 333333; max gap 1e6
-    assert(got.toSeq == Seq(Row(4L, 3L, 2L, 333333L, 1000000L)),
+    assert(got.toSeq == Seq(Row(3L, 1L, 2L, 333333L, 1000000L)),
       s"hand ECE mismatch: ${got.toSeq}")
+  }
+
+  test("srm: an empty variant is the extreme mismatch and must flag, not NULL out") {
+    import MlEvalSpecFixtures.ev
+    val allEven = ev((0L until 40L by 2L).map(u => (u, "view")))
+    val got = MlEval.srmCheck(allEven).collect()
+    // n_a=20, n_b=0: 100·400 > 384·20 → flag; ladder 100·ln4(20)
+    assert(got.toSeq == Seq(Row(20L, 0L, 1L, 2995700L)),
+      s"empty variant must flag: ${got.toSeq}")
   }
 }
