@@ -55,11 +55,12 @@ object Stats {
     * [1000, 105000] → ≤ 1.04×10⁷ cent cells, fixed regardless of
     * corpus size) — so the corpus partial-aggregates ONCE to the
     * joint (flag, q, cents) cell table (≤ |q|·|cents| cells forever),
-    * the per-value double-ranks come from a cumulative over each
-    * bounded MARGINAL cell table (per-cell 2F + c + 1, exactly the
-    * [[mannWhitney]] running-rank trick), and every moment is a
-    * cell-weighted sum over the joint table: Σa = Σ c·a, Σa² = Σ c·a²,
-    * Σab = Σ c·a·b. This also removes the old 2³¹-rows-per-group
+    * the per-cell double-ranks 2F + c + 1 come from RANGE-frame
+    * windows DIRECTLY over that joint table (the [[mannWhitney]]
+    * running-rank idea, folded in-place — see Scale shape below), and
+    * every moment is a cell-weighted sum over the joint table:
+    * Σa = Σ c·a, Σa² = Σ c·a², Σab = Σ c·a·b. This also removes the
+    * old 2³¹-rows-per-group
     * rank()-width ceiling — no row window means no IntegerType rank.
     *
     * Exactness bounds: double-ranks ≤ 2n, per-cell terms ride
@@ -72,8 +73,9 @@ object Stats {
     * flag; F = mass strictly below the cell's value, the tie total a
     * plain per-value partition — no marginal tables, no join-backs:
     * the first cut built marginals and equi-joined them back, which
-    * the new both-axis bench gate flagged at 21× the old plan's CPU
-    * at sf0.1, where cents cells ≈ corpus rows) — PlanShapeSpec
+    * the new both-axis bench gate flagged at 16.6× the old plan's
+    * CPU (the gate's calibration-normalized ratio; 12.6/0.60 = 21×
+    * raw) at sf0.1, where cents cells ≈ corpus rows) — PlanShapeSpec
     * asserts every Window here sits above an Aggregate; one per-flag
     * aggregate ends it. At 100 TB the windows sort ≤ |cents domain|
     * cells per flag regardless of corpus size. */
@@ -502,10 +504,14 @@ object Stats {
     * table is a ≤ |quantity|-row aggregate. DECIMAL(38,0) for the
     * cum² sums (≤ n², INT64 clips at n ≈ 3×10⁹). */
   def giniSplitQuantity(li: DataFrame): DataFrame = {
-    val cells = li
+    // STAGED: the cell aggregate feeds THREE subtrees (q-distinct,
+    // flag-distinct, the densify join); unstaged, each runs the
+    // corpus scan+aggregate as its own job (the ksDrift staging rule,
+    // Pipeline.scala — same bin-count/densify shape)
+    val cells = Materialize.stage(li
       .select(round(col("l_quantity")).cast("long").as("q"),
         col("l_returnflag").as("flag"))
-      .groupBy("q", "flag").agg(count(lit(1)).as("c"))
+      .groupBy("q", "flag").agg(count(lit(1)).as("c")))
     // bounded densify: |q-domain| × |flags| (both data-model
     // constants; the flag side broadcast by construction — a bare
     // crossJoin of two distincts would plan a CartesianProduct)

@@ -1861,6 +1861,29 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** Per-token first document: the distinct (doc, token) stream
+    * aggregated to min doc_id per token — THE shared prefix
+    * definition behind [[vocabGrowth]] and [[heapsExponent]] (one
+    * definition, so the growth curve and its fitted exponent can
+    * never disagree). */
+  private def tokenFirstDoc(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"),
+      explode(array_distinct(regexp_extract_all(lower(col("text")),
+        lit(WordCount.TokenPattern), lit(0)))).as("token"))
+    .groupBy(col("token")).agg(min(col("doc_id")).as("fd"))
+
+  /** doc-id range bounds (d0, span) for the decile grid — doc_id need
+    * not be 0-based-dense: deciles rank by position in [min, max+1). */
+  private def docIdBounds(docs: DataFrame): DataFrame =
+    docs.agg(min(col("doc_id")).as("d0"),
+      (max(col("doc_id")) - min(col("doc_id")) + 1).as("span"))
+
+  /** decile = 10·(v − d0) div span + 1, capped at 10 — THE decile
+    * convention shared by curve and exponent; a change here must stay
+    * mirrored in both oracles (the Exact.ln4 single-place rule). */
+  private def decileOf(v: String): Column =
+    expr(s"least(10 * ($v - d0) div span + 1, 10)")
+
   /** VOCABULARY GROWTH CURVE (the Heaps-law readout): distinct-token
     * count as the corpus is consumed in doc_id order, at decile
     * checkpoints — the curve a tokenizer-budget decision reads
@@ -1875,17 +1898,9 @@ object TextAnalysis {
     * from one broadcast doc-count scalar; the cumulative window runs
     * over 10 rows. */
   def vocabGrowth(docs: DataFrame): DataFrame = {
-    val firstDoc = docs
-      .select(col("doc_id"),
-        explode(array_distinct(regexp_extract_all(lower(col("text")),
-          lit(WordCount.TokenPattern), lit(0)))).as("token"))
-      .groupBy(col("token")).agg(min(col("doc_id")).as("fd"))
-    // doc_id need not be 0-based-dense: rank by the value's position
-    // in [min, max+1) — decile = 10·(fd − min) div span + 1, capped
-    val byDecile = firstDoc
-      .crossJoin(broadcast(docs.agg(min(col("doc_id")).as("d0"),
-        (max(col("doc_id")) - min(col("doc_id")) + 1).as("span"))))
-      .select(expr("least(10 * (fd - d0) div span + 1, 10)").as("decile"))
+    val byDecile = tokenFirstDoc(docs)
+      .crossJoin(broadcast(docIdBounds(docs)))
+      .select(decileOf("fd").as("decile"))
       .groupBy("decile").agg(count(lit(1)).as("new_tokens"))
     // DENSE 10-row grid: a decile where no token first appears is a
     // data point (the curve has flattened), not a missing row
@@ -1916,17 +1931,12 @@ object TextAnalysis {
     * dense 10-row grid (bounded global window, allowlisted). */
   def heapsExponent(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
-    val bounds = docs.agg(min(col("doc_id")).as("d0"),
-      (max(col("doc_id")) - min(col("doc_id")) + 1).as("span"),
-      count(lit(1)).as("n_docs"))
-    // per-decile NEW vocabulary (vocabGrowth's grid, verbatim)
-    val vByDecile = docs
-      .select(col("doc_id"),
-        explode(array_distinct(regexp_extract_all(lower(col("text")),
-          lit(WordCount.TokenPattern), lit(0)))).as("token"))
-      .groupBy(col("token")).agg(min(col("doc_id")).as("fd"))
+    val bounds = docIdBounds(docs)
+    // per-decile NEW vocabulary (vocabGrowth's grid, by construction:
+    // the same tokenFirstDoc/decileOf helpers)
+    val vByDecile = tokenFirstDoc(docs)
       .crossJoin(broadcast(bounds))
-      .select(expr("least(10 * (fd - d0) div span + 1, 10)").as("decile"))
+      .select(decileOf("fd").as("decile"))
       .groupBy("decile").agg(count(lit(1)).as("nv"))
     // per-decile token occurrences
     val nByDecile = docs
@@ -1934,8 +1944,7 @@ object TextAnalysis {
         size(regexp_extract_all(lower(col("text")),
           lit(WordCount.TokenPattern), lit(0))).cast("long").as("t"))
       .crossJoin(broadcast(bounds))
-      .select(expr("least(10 * (doc_id - d0) div span + 1, 10)").as("decile"),
-        col("t"))
+      .select(decileOf("doc_id").as("decile"), col("t"))
       .groupBy("decile").agg(sum(col("t")).as("nt"))
     // dense 10-row grid + cumulatives (bounded global window)
     val wCum = Window.orderBy(col("decile"))

@@ -398,20 +398,17 @@ class PlanShapeSpec extends SparkSpec {
   test("spearman derives its ranks from cell tables — no window ever sees corpus rows") {
     // r13 verdict item 1: the old plan ranked corpus rows under a
     // 3-value partition key (one task sorts ~n/3 rows at 100 TB). The
-    // rewrite computes per-cell double-ranks 2F+c+1 over the bounded
-    // (flag, value) marginal grids, so EVERY window in the plan must
-    // sit above an aggregation (cell-table input), never a bare scan.
-    // The staged joint table hides its own corpus aggregate behind a
-    // checkpoint scan, so the window inputs here are the marginal
-    // GROUP BYs over that bounded table — assert each Window node's
-    // subtree contains an Aggregate, and that no rank()/row_number()
-    // (the per-row rank path, IntegerType-capped at 2^31/group)
-    // survives anywhere.
+    // rewrite computes per-cell double-ranks 2F+c+1 as RANGE-frame
+    // windows DIRECTLY over the bounded joint (flag, q, cents) cell
+    // table — the corpus aggregate itself — so EVERY window in the
+    // plan must sit above an Aggregate (cell-table input), never a
+    // bare scan; and no rank()/row_number() (the per-row rank path,
+    // IntegerType-capped at 2^31/group) may survive anywhere.
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     val plan = operators.Stats.spearmanQuantityPrice(
       Tables.lineitem(spark, sf0001)).queryExecution.optimizedPlan
     val windows = plan.collect { case w: LWindow => w }
-    assert(windows.nonEmpty, "expected the marginal cumulative windows")
+    assert(windows.nonEmpty, "expected the joint-cell-table rank windows")
     windows.foreach { w =>
       assert(w.child.collectFirst { case a: Aggregate => a }.isDefined,
         s"a spearman window runs over un-aggregated rows:\n$w")
