@@ -5,7 +5,7 @@ runs each oracle SQL in DuckDB over the same sf dir and compares.
 
 Usage: python3 scripts/check.py /root/testdata/sf0.01 /tmp/verify_out
 """
-import sys, json, math, os, threading
+import sys, json, math, os, re, threading
 import duckdb
 
 # Optional per-oracle-query timeout (seconds) for big-SF sweeps where a
@@ -37,7 +37,18 @@ def norm(v):
         return ("float", v)
     return (type(v).__name__, v)
 
-def connect(sf_dir):
+def mem_limit(degraded=False):
+    lim = os.environ.get("CHECK_MEM_LIMIT", "48GB")
+    if not degraded:
+        return lim
+    # halve the bound for a last-resort retry under sustained HOST
+    # memory pressure (r14: a concurrent compare held RAM, so both the
+    # OOM and its full-limit retry failed; half-limit spills harder
+    # but fits)
+    m = re.match(r"(\d+)\s*(\w+)", lim)
+    return "%d%s" % (max(1, int(m.group(1)) // 2), m.group(2)) if m else lim
+
+def connect(sf_dir, degraded=False):
     con = duckdb.connect()
     # spill instead of OOM on the big-SF oracles (GenSf sf1+: the
     # near-dup/ssjoin CTEs materialize gram-scale intermediates)
@@ -48,8 +59,7 @@ def connect(sf_dir):
     # exhausting the PROCESS — the r14 sf1 sweep saw a bad_alloc at the
     # default ~80%-of-RAM limit take down thread creation for every
     # query after it. Override via CHECK_MEM_LIMIT.
-    con.execute("SET memory_limit='%s'"
-                % os.environ.get("CHECK_MEM_LIMIT", "48GB"))
+    con.execute("SET memory_limit='%s'" % mem_limit(degraded))
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{table_source(sf_dir, t)}'")
@@ -69,14 +79,14 @@ def main(sf_dir, out_dir):
             state["con"] = connect(sf_dir)
         return state["con"]
 
-    def reconnect():
+    def reconnect(degraded=False):
         try:
             if state["con"] is not None:
                 state["con"].close()
         except Exception:
             pass
         state["con"] = None
-        state["con"] = connect(sf_dir)
+        state["con"] = connect(sf_dir, degraded)
 
     def execute(q):
         if TIMEOUT_SEC <= 0:
@@ -124,7 +134,26 @@ def main(sf_dir, out_dir):
             if "Out of Memory" not in msg and "closed" not in msg.lower():
                 raise
             reconnect()
-            return execute(q)
+            try:
+                return execute(q)
+            except Exception as e2:
+                msg2 = str(e2)
+                if ("Out of Memory" not in msg2
+                        and "closed" not in msg2.lower()):
+                    raise
+                # full-limit retry ALSO failed → sustained host-level
+                # pressure (r14 sf1 sweep: a concurrent compare held
+                # RAM, so both attempts OOM'd and the tail cascaded).
+                # Last resort: half the memory bound — spills harder
+                # but fits — then restore a full-limit handle.
+                reconnect(degraded=True)
+                try:
+                    return execute(q)
+                finally:
+                    try:
+                        reconnect()
+                    except Exception:
+                        state["con"] = None  # lazy rebuild next query
 
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     # CHECK_ONLY=a,b,c restricts the compare (resume aid for big-SF
