@@ -117,27 +117,43 @@ object MlEval {
     * partitions by doc_id. Output is the ≤ |langs|² confusion matrix
     * with exact counts. */
   def naiveBayesLang(docs: DataFrame): DataFrame = {
+    // base is NOT staged: a token-array checkpoint costs more than the
+    // three tokenize passes it would save (measured 7.6 → 12.6 s CPU —
+    // the tokenCooccurrence stage-or-not lesson, re-measured here)
     val base = docs
       .select(col("doc_id"), col("lang"), toks.as("w"),
         splitOfKey(col("doc_id")).as("split"))
       .filter(size(col("w")) > 0)
     val trainTok = base.filter(col("split") === "train")
       .select(col("doc_id"), col("lang"), explode(col("w")).as("t"))
-    // |langs| x |vocab| model — vocabulary-bounded, broadcastable
-    val model = trainTok.groupBy(col("lang"), col("t"))
-      .agg(count(lit(1)).as("c"))
+    // |langs| x |vocab| model — vocabulary-bounded, broadcastable.
+    // STAGED (non-eager, r14 optimization round): the model subtree
+    // feeds THREE consumers (the scored left join, langTotals, vocab)
+    // and langConst feeds two more — unstaged, every reference
+    // re-evaluated the whole train-side tokenize→explode→groupBy
+    // upstream (measured: 12 parquet scans / 60 aggregates in one
+    // plan, 18.2 s CPU isolated at sf0.1; staged: 3 scans, the two
+    // corpus passes the scaladoc promises plus the priors pass).
+    // Non-eager so plan-only construction (registry audits) stays
+    // execution-free; the single .count() action materializes each
+    // checkpoint exactly once (the pagerank/CC-loop precedent).
+    val model = Materialize.stage(trainTok.groupBy(col("lang"), col("t"))
+      .agg(count(lit(1)).as("c")), eager = false)
     val langTotals = model.groupBy(col("lang"))
       .agg(sum(col("c")).as("tl"))
     val vocab = model.select(countDistinct(col("t")).as("v"))
     val priors = base.filter(col("split") === "train")
       .groupBy(col("lang")).agg(count(lit(1)).as("dl"))
     val dTot = priors.select(sum(col("dl")).as("dd"))
-    // per-language constants: prior ladder + smoothing normalizer
-    val langConst = langTotals.join(priors, "lang")
+    // per-language constants: prior ladder + smoothing normalizer —
+    // staged for the same reason as the model (two consumers: the lang
+    // list crossJoin and the constants join; its lineage embeds the
+    // priors corpus pass)
+    val langConst = Materialize.stage(langTotals.join(priors, "lang")
       .crossJoin(broadcast(vocab)).crossJoin(broadcast(dTot))
       .select(col("lang"),
         (ln4(col("dl")) - ln4(col("dd"))).cast("long").as("prior"),
-        ln4(col("tl") + col("v")).cast("long").as("lnz"))
+        ln4(col("tl") + col("v")).cast("long").as("lnz")), eager = false)
     // test-split term counts, scored against every trained language
     val testTf = base.filter(col("split") === "test")
       .select(col("doc_id"), col("lang").as("gold_lang"),
