@@ -552,11 +552,40 @@ object EventsStream {
 
     def runOnce(): Unit = {
       import org.apache.spark.sql.streaming.Trigger
-      val q = stream(spark.readStream.schema(inSchema).parquet(inDir))
-        .writeStream.outputMode("append").format("parquet")
-        .option("path", outDir).option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      // State-store sizing (r14 optimization round, guide §2.2): the
+      // state-partition count is PINNED into the checkpoint at first
+      // batch, so it is a deliberate capacity decision, not an
+      // inherited batch setting — and every state partition costs a
+      // provider instance plus one delta file + fsync PER BATCH.
+      // Sized to the backlog (one partition per 32 MB of input — the
+      // reference's chunk size), clamped to the session's shuffle
+      // partitions; GRAFT_STREAM_SHUFFLE overrides for deployments
+      // that size to stream rate instead. At sf0.1 this is 1
+      // partition instead of 32: measured 2.8–6.5 s → see
+      // OPTIMIZATION_r14.md (the five gates' wall is checkpoint
+      // machinery, not compute). Scale-adaptive by construction: a
+      // 100 TB backlog derives thousands of partitions.
+      val sessParts = spark.conf.get("spark.sql.shuffle.partitions")
+      val parts = sys.env.get("GRAFT_STREAM_SHUFFLE")
+        .map(_.trim.toInt).filter(_ > 0).getOrElse {
+          val bytes =
+            Option(new java.io.File(inDir).listFiles()).getOrElse(Array.empty)
+              .filter(f => f.isFile && !f.getName.startsWith("_") &&
+                !f.getName.startsWith("."))
+              .map(_.length).sum
+          val per = 32L << 20
+          math.max(1L, math.min(sessParts.toLong,
+            (bytes + per - 1) / per)).toInt
+        }
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      try {
+        val q = stream(spark.readStream.schema(inSchema).parquet(inDir))
+          .writeStream.outputMode("append").format("parquet")
+          .option("path", outDir).option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally
+        spark.conf.set("spark.sql.shuffle.partitions", sessParts)
     }
 
     /** Explicit schema: a zero-row run leaves the sink with no part
@@ -596,9 +625,10 @@ object EventsStream {
     * REAL AvailableNow stream, its emitted closed intervals rolled up
     * into the batch `activity_intervals` output shape and held to the
     * SAME DuckDB oracle. Open intervals at backlog end need the flush
-    * protocol (a far-future sentinel advances the watermark, a second
-    * run fires every event-time timeout — the sessionize_streamed
-    * pattern); micros survive end-to-end because the state machine
+    * protocol (a far-future sentinel in the backlog advances the
+    * watermark after batch 0 and the trailing no-data batch fires every
+    * event-time timeout — the sessionize_streamed single-run pattern);
+    * micros survive end-to-end because the state machine
     * carries longs, so the oracle is the batch operator's, unchanged. */
   def intervalsStreamedQuery(spark: SparkSession, dir: String): DataFrame = {
     val ev = graft.Tables.events(spark, dir)
@@ -611,13 +641,20 @@ object EventsStream {
         new java.util.ArrayList[Row](),
         org.apache.spark.sql.types.StructType.fromDDL(outSchema))
     val maxTs = maxTsRow.getLong(0)
-    val gate = new StreamedGate(spark, "iv_stream", ev,
+    import spark.implicits._
+    // Sentinel IN the backlog (r14 optimization round): batch 0 runs
+    // with the watermark still unset, so no event can be late-dropped
+    // regardless of file row order; the engine's trailing no-data
+    // batch — the same mechanism the former second run relied on to
+    // fire timers after its sentinel batch — fires every event-time
+    // timeout once the post-batch-0 watermark (sentinel − delay)
+    // passes each open interval's end. ONE streaming query startup +
+    // checkpoint lifecycle instead of two; identical sink rows.
+    val sentinel = Seq((-1L, new java.sql.Timestamp(maxTs + 2L * 86400000),
+      -1L)).toDF("user_id", "ts", "event_id")
+    val gate = new StreamedGate(spark, "iv_stream", ev.unionAll(sentinel),
       "user_id LONG, ts TIMESTAMP, event_id LONG",
       intervalsStream(spark, _))
-    gate.runOnce()
-    import spark.implicits._
-    gate.append(Seq((-1L, new java.sql.Timestamp(maxTs + 2L * 86400000), -1L))
-      .toDF("user_id", "ts", "event_id"))
     gate.runOnce()
     gate.sink("user_id LONG, iv_s_us LONG, iv_e_us LONG, n_ev LONG")
       .filter(col("user_id") >= 0)
@@ -633,9 +670,11 @@ object EventsStream {
     * entry whose Spark side actually runs Structured Streaming
     * end-to-end: the corpus events replayed through
     * [[sessionizeStateful]] under Trigger.AvailableNow (real checkpoint,
-    * real state store, real parquet sink), a far-future sentinel +
-    * second run firing every open session's event-time timeout (the
-    * StreamFlagship flush protocol), and the sink read back into the
+    * real state store, real parquet sink), a far-future sentinel in the
+    * backlog whose post-batch-0 watermark advance makes the trailing
+    * no-data batch fire every open session's event-time timeout (the
+    * StreamFlagship flush protocol, single-run form since the r14
+    * optimization round), and the sink read back into the
     * batch `sessionize` output shape. The DuckDB oracle is the BATCH
     * gap-sessionization — the driver hash gate pins streaming ≡ batch
     * semantics, the parity the 1 GB flagship asserts, as a per-round
@@ -660,13 +699,15 @@ object EventsStream {
         new java.util.ArrayList[Row](),
         org.apache.spark.sql.types.StructType.fromDDL(outSchema))
     val maxTs = maxTsRow.getLong(0)
-    val gate = new StreamedGate(spark, "sess_stream", ev,
+    import spark.implicits._
+    // sentinel folded into batch 0 — see intervalsStreamedQuery: the
+    // trailing no-data batch fires the timers the second run used to;
+    // one streaming query lifecycle instead of two, identical rows
+    val sentinel = Seq((-1L, new java.sql.Timestamp(maxTs + 2L * 86400000),
+      0.0)).toDF("user_id", "ts", "value")
+    val gate = new StreamedGate(spark, "sess_stream", ev.unionAll(sentinel),
       "user_id LONG, ts TIMESTAMP, value DOUBLE",
       sessionizeStateful(spark, _))
-    gate.runOnce()
-    import spark.implicits._
-    gate.append(Seq((-1L, new java.sql.Timestamp(maxTs + 2L * 86400000), 0.0))
-      .toDF("user_id", "ts", "value"))
     gate.runOnce()
     // the state machine floors event times to epoch millis (SessionRow
     // carries java.sql.Timestamp ms) while the corpus has microsecond
@@ -711,7 +752,14 @@ object EventsStream {
           "ws_ms LONG, event_type STRING, n_events LONG, " +
             "sum_value_milli LONG"))
     val maxTs = maxTsRow.getLong(0)
-    val gate = new StreamedGate(spark, "tumb_stream", ev,
+    import spark.implicits._
+    // sentinel folded into batch 0 — see intervalsStreamedQuery: the
+    // trailing no-data batch flushes every closed window once the
+    // post-batch-0 watermark passes it; the sentinel's own still-open
+    // window never reaches the sink (and stays filtered besides)
+    val sentinel = Seq((new java.sql.Timestamp(maxTs + 2L * 86400000),
+      "zzz_sentinel", 0L)).toDF("ts", "event_type", "value_milli")
+    val gate = new StreamedGate(spark, "tumb_stream", ev.unionAll(sentinel),
       "ts TIMESTAMP, event_type STRING, value_milli LONG",
       s => s.withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -719,11 +767,6 @@ object EventsStream {
           sum(col("value_milli")).as("sum_value_milli"))
         .select(col("w.start").as("ws"), col("event_type"),
           col("n_events"), col("sum_value_milli")))
-    gate.runOnce()
-    import spark.implicits._
-    gate.append(Seq((new java.sql.Timestamp(maxTs + 2L * 86400000),
-        "zzz_sentinel", 0L))
-      .toDF("ts", "event_type", "value_milli"))
     gate.runOnce()
     gate.sink(outSchema)
       .filter(col("event_type") =!= "zzz_sentinel")
