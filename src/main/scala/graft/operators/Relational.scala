@@ -270,9 +270,16 @@ object Relational {
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
-        round(expr("percentile(l_quantity, 0.5D)"), 6).as("p50_qty"),
-        round(expr("percentile(l_quantity, 0.9D)"), 6).as("p90_qty"),
+        // ONE percentile buffer for both l_quantity cutoffs (the
+        // priceQuartiles lesson applied here in the r14 optimization
+        // round): two scalar percentile calls each built their own
+        // per-group value→count map over the same column
+        expr("percentile(l_quantity, array(0.5D, 0.9D))").as("qq"),
         round(expr("percentile(l_extendedprice, 0.99D)"), 6).as("p99_price"))
+      .select(col("l_returnflag"),
+        round(element_at(col("qq"), 1), 6).as("p50_qty"),
+        round(element_at(col("qq"), 2), 6).as("p90_qty"),
+        col("p99_price"))
       .orderBy("l_returnflag")
 
   /** Exact price quartiles as a one-row bounds table. ONE percentile

@@ -709,6 +709,13 @@ object Temporal {
         sum(col("nij")).over(Window.partitionBy(col("from_type"))))
       .select(col("from_type"), col("to_type"),
         expr("1000000 * nij div ni").as("p_ppm")))
+    // loop staging stays EAGER (re-measured in the r14 optimization
+    // round): the lazy form — pagerankNearDup's winning shape — is
+    // SLOWER here (1.5-1.8 s wall eager vs 2.3-2.7 s lazy at sf0.1;
+    // the 8-deep lazy-checkpoint chain over the ≤|types|-row vector
+    // costs more at materialization than 8 tiny eager jobs). The
+    // stage-or-not/eager-or-not call is per loop, measured — not a
+    // blanket rule.
     var v = Materialize.stage(
       m.select(col("from_type").as("t")).distinct()
         .withColumn("cnt", count(lit(1)).over(Window.partitionBy()))
