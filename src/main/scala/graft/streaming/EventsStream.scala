@@ -574,7 +574,11 @@ object EventsStream {
                 !f.getName.startsWith("."))
               .map(_.length).sum
           val per = 32L << 20
-          math.max(1L, math.min(sessParts.toLong,
+          // parallelism floor min(4, session): a 1-partition stateful
+          // batch serializes addBatch (measured 1.48 s of the 2 s
+          // batch-0 trigger); 2–8 partitions measured equal within
+          // noise and ~1 s better than 1 across the five gates
+          math.max(math.min(4L, sessParts.toLong), math.min(sessParts.toLong,
             (bytes + per - 1) / per)).toInt
         }
       spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
