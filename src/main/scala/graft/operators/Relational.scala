@@ -288,12 +288,66 @@ object Relational {
     * per partition, merged), so evaluating it once instead of three
     * times is a 3× on the boundary job (measured 5.4 s → 1.9 s at
     * sf0.1). Cutoffs rounded to 1e-6 for cross-engine bit-parity. */
+  /** Exact interpolated percentiles of a 2-decimal-bounded column via
+    * its VALUE-CELL table (r14 optimization round). The built-in
+    * `percentile` aggregate builds one value→count OpenHashMap per
+    * partition and merges them in the final SINGLE task — StageAudit
+    * measured that merge at 1.55 s of serial wall on equidepth's
+    * near-unique 600k-row input at sf0.1 (~600k boxed inserts + a
+    * 236k-entry sort). Here the map-merge becomes a partial-aggregated
+    * `groupBy(value)` (each distinct value lives in exactly one
+    * post-shuffle partition), the sorted-map walk becomes ONE
+    * cumulative window over the cell table, and the interpolation
+    * replicates Percentile.getPercentile's float arithmetic verbatim:
+    * position p·(n−1), lower/higher = floor/ceil, result =
+    * lowerV·(higher − position) + higherV·(position − lower), the
+    * lower==higher branch first — the same IEEE ops in the same order,
+    * so the cutoffs are bit-identical (proved against the INDEPENDENT
+    * DuckDB quantile_cont oracle at sf0.001/0.01/0.1).
+    *
+    * Scale shape: the cell table is bounded by the column's CENTS
+    * domain (prices are 2-decimal — the spearman/mannWhitney bounded-
+    * grid class), so the unpartitioned cumulative window runs over
+    * domain cells, never corpus rows (PlanShapeSpec-allowlisted with
+    * that guard). */
+  private def cellPercentiles(vals: DataFrame, probs: Seq[Double],
+      names: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = vals.groupBy(col("v")).agg(count(lit(1)).as("c"))
+    // bounded global window: cardinality = |cents domain| cells, not N
+    val wOrd = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val withF = cells
+      .withColumn("f", coalesce(sum(col("c")).over(wOrd), lit(0L)))
+      .withColumn("n", sum(col("c")).over(wAll))
+    val outs = probs.zip(names).map { case (p, name) =>
+      val pos = lit(p) * (col("n") - lit(1L)).cast("double")
+      val lower = floor(pos).cast("long")
+      val higher = ceil(pos).cast("long")
+      def at(r: org.apache.spark.sql.Column) =
+        max(when(col("f") <= r && r < col("f") + col("c"), col("v")))
+      (at(lower).as(s"_lo_$name"), at(higher).as(s"_hi_$name"),
+        max(lower.cast("double")).as(s"_l_$name"),
+        max(higher.cast("double")).as(s"_h_$name"),
+        max(pos).as(s"_p_$name"))
+    }
+    val aggCols = outs.flatMap(t => Seq(t._1, t._2, t._3, t._4, t._5))
+    val agged = withF.agg(aggCols.head, aggCols.tail: _*)
+    agged.select(probs.zip(names).map { case (_, name) =>
+      round(
+        when(col(s"_l_$name") === col(s"_h_$name"), col(s"_lo_$name"))
+          .otherwise(
+            col(s"_lo_$name") * (col(s"_h_$name") - col(s"_p_$name")) +
+              col(s"_hi_$name") * (col(s"_p_$name") - col(s"_l_$name"))),
+        6).as(name)
+    }: _*)
+  }
+
   private def priceQuartiles(li: DataFrame): DataFrame =
-    li.agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))").as("qs"))
-      .select(
-        round(element_at(col("qs"), 1), 6).as("q1"),
-        round(element_at(col("qs"), 2), 6).as("q2"),
-        round(element_at(col("qs"), 3), 6).as("q3"))
+    cellPercentiles(li.select(col("l_extendedprice").as("v")),
+      Seq(0.25, 0.5, 0.75), Seq("q1", "q2", "q3"))
 
   /** EQUI-DEPTH histogram (the statistics a cost-based optimizer and a
     * data-profiling pass both want): exact quartile boundaries from one

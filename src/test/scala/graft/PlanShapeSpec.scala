@@ -390,7 +390,14 @@ class PlanShapeSpec extends SparkSpec {
       // score_lift_deciles' mass/total cumulatives run over the same
       // bounded score grid; its gains cumulative over the <= 10-row
       // decile table (guard comments at the definition)
-      "score_lift_deciles")
+      "score_lift_deciles",
+      // equidepth_histogram's quartile cumulatives run over the
+      // l_extendedprice VALUE-CELL table — bounded by the 2-decimal
+      // cents domain of the column (the spearman/mannwhitney bounded-
+      // grid class; guard comment at Relational.cellPercentiles, the
+      // r14 rewrite that replaced the percentile map's single-task
+      // merge)
+      "equidepth_histogram")
     assert(offenders.forall(allowedGlobal),
       s"unpartitioned windows outside the allowed exceptions: $offenders")
   }
