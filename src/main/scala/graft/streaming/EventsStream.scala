@@ -545,10 +545,17 @@ object EventsStream {
     private val inDir = s"$base/in"
     private val outDir = s"$base/out"
     private val ckpt = s"$base/ckpt"
-    backlog.coalesce(1).write.mode("overwrite").parquet(inDir)
+    // natural partitioning, NOT coalesce(1) (r14 optimization round):
+    // the single-file form serialized the whole scan→union→write chain
+    // through one task. Multi-file is equally single-batch: the file
+    // source has no maxFilesPerTrigger set, so batch 0 takes EVERY
+    // listed file (watermark still unset — no row order can late-drop
+    // events), and files appended after a run belong to a later batch
+    // of the next run by checkpoint construction, whatever their count.
+    backlog.write.mode("overwrite").parquet(inDir)
 
     def append(df: DataFrame): Unit =
-      df.coalesce(1).write.mode("append").parquet(inDir)
+      df.write.mode("append").parquet(inDir)
 
     def runOnce(): Unit = {
       import org.apache.spark.sql.streaming.Trigger
