@@ -282,12 +282,6 @@ object Relational {
         col("p99_price"))
       .orderBy("l_returnflag")
 
-  /** Exact price quartiles as a one-row bounds table. ONE percentile
-    * aggregate for all three cutoffs: the exact Percentile buffer over
-    * a near-unique double column is the whole cost (a value→count map
-    * per partition, merged), so evaluating it once instead of three
-    * times is a 3× on the boundary job (measured 5.4 s → 1.9 s at
-    * sf0.1). Cutoffs rounded to 1e-6 for cross-engine bit-parity. */
   /** Exact interpolated percentiles of a 2-decimal-bounded column via
     * its VALUE-CELL table (r14 optimization round). The built-in
     * `percentile` aggregate builds one value→count OpenHashMap per
@@ -701,15 +695,16 @@ object Relational {
     // of fixed machinery PER ITERATION (planning + mini-query jobs —
     // measured in the scaladoc above, independent of input size), so
     // the recursion advances FOUR quarters per step: each step joins
-    // the frontier row (the last quarter of the previous block) to the
-    // next four quarters and emits all four already-floored EMA values
-    // via one explode; only the block's last row (i ≡ 1 mod 4) seeds
-    // the next step. The flooring SEQUENCE is identical — each emitted
+    // the frontier row (the last quarter of the previous block) to
+    // ONE quarter row — whose lead columns carry the next three — and
+    // emits all four already-floored EMA values via one explode; only
+    // the block's last row (i ≡ 1 mod 4) seeds the next step. The flooring SEQUENCE is identical — each emitted
     // value nests the previous DIV 10 — so the rows are byte-identical
     // to the one-quarter-per-step form (the DuckDB oracle, unchanged,
-    // proves it); only the iteration count drops 27 → 7 (measured
-    // 3.6 → 1.8 s isolated wall at sf0.1). LEFT joins + the n.i IS NOT
-    // NULL filter handle a tail block shorter than 4.
+    // proves it); iterations AND per-loop joins drop 27 → 8 (measured
+    // 3.6 → 2.5 s isolated median wall at sf0.1). Null lead columns
+    // yield NULL n.i rows for a tail block shorter than 4 — the IS
+    // NOT NULL filter drops them.
     def ema(k: Int): String =
       (0 until k).foldLeft("e.ema_cents") { (acc, j) =>
         s"(($acc * 9 + mo.rev${if (j == 0) "" else j}) DIV 10)" }

@@ -567,10 +567,10 @@ object EventsStream {
       // Sized to the backlog (one partition per 32 MB of input — the
       // reference's chunk size), clamped to the session's shuffle
       // partitions; GRAFT_STREAM_SHUFFLE overrides for deployments
-      // that size to stream rate instead. At sf0.1 this is 1
-      // partition instead of 32: measured 2.8–6.5 s → see
-      // OPTIMIZATION_r14.md (the five gates' wall is checkpoint
-      // machinery, not compute). Scale-adaptive by construction: a
+      // that size to stream rate instead. At sf0.1 the floor gives 4
+      // partitions instead of the session's 32 (the five gates' wall
+      // is checkpoint machinery, not compute — measurements in
+      // OPTIMIZATION_r14.md). Scale-adaptive by construction: a
       // 100 TB backlog derives thousands of partitions.
       val sessParts = spark.conf.get("spark.sql.shuffle.partitions")
       val parts = sys.env.get("GRAFT_STREAM_SHUFFLE")
