@@ -377,10 +377,11 @@ object Relational {
     * exact and the final double division is of identical operands). */
   def winsorizedStats(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
-    val bounds = li
-      .agg(expr("percentile(l_extendedprice, array(0.01D, 0.99D))").as("qs"))
-      .select(round(element_at(col("qs"), 1), 6).as("p01"),
-        round(element_at(col("qs"), 2), 6).as("p99"))
+    // bounds via the value-cell table (r14 optimization round) — the
+    // same serial-map-merge removal as equidepth's priceQuartiles;
+    // see [[cellPercentiles]]
+    val bounds = cellPercentiles(li.select(col("l_extendedprice").as("v")),
+      Seq(0.01, 0.99), Seq("p01", "p99"))
     li.select(col("l_extendedprice").as("v"))
       .crossJoin(broadcast(bounds))
       .select(col("v"), col("p01"), col("p99"),
@@ -409,10 +410,11 @@ object Relational {
     * is non-vacuous (hundreds of high outliers at every sf). */
   def iqrOutliers(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
-    val fences = ev
-      .agg(expr("percentile(value, array(0.25D, 0.75D))").as("qs"))
-      .select(round(element_at(col("qs"), 1), 6).as("q1"),
-        round(element_at(col("qs"), 2), 6).as("q3"))
+    // quartiles via the value-cell table (r14 optimization round):
+    // events.value is 2-decimal and Tables.MaxEventValue-bounded, so
+    // the cell table is ≤ ~60k cells; see [[cellPercentiles]]
+    val fences = cellPercentiles(ev.select(col("value").as("v")),
+        Seq(0.25, 0.75), Seq("q1", "q3"))
       .select(
         (col("q1") - (col("q3") - col("q1")) * lit(1.5)).as("lo_fence"),
         (col("q3") + (col("q3") - col("q1")) * lit(1.5)).as("hi_fence"))

@@ -396,8 +396,10 @@ class PlanShapeSpec extends SparkSpec {
       // cents domain of the column (the spearman/mannwhitney bounded-
       // grid class; guard comment at Relational.cellPercentiles, the
       // r14 rewrite that replaced the percentile map's single-task
-      // merge)
-      "equidepth_histogram")
+      // merge); winsorized_stats shares the same extendedprice cell
+      // table; iqr_outliers' cell table is the 2-decimal
+      // Tables.MaxEventValue-bounded events.value domain (≤ ~60k cells)
+      "equidepth_histogram", "winsorized_stats", "iqr_outliers")
     assert(offenders.forall(allowedGlobal),
       s"unpartitioned windows outside the allowed exceptions: $offenders")
   }
