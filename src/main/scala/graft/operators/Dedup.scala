@@ -157,14 +157,17 @@ object Dedup {
     nearDupPairsFromBands(docs, cappedBands(grams, maxBand), mkGrams, threshold)
 
   /** [[nearDupPairs]] from a PREBUILT capped band table — lets callers
-    * serve the band index from a shared materialized build. */
+    * serve the band index from a shared materialized build.
+    * `pairMembershipVerify` picks the verification formulation — see
+    * [[verifyJaccard]] for the measured regime split. */
   def nearDupPairsFromBands(docs: DataFrame, b: DataFrame,
-      mkGrams: DataFrame => DataFrame, threshold: Double): DataFrame = {
+      mkGrams: DataFrame => DataFrame, threshold: Double,
+      pairMembershipVerify: Boolean = true): DataFrame = {
     val cand = b.as("x").join(b.as("y"),
         col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    verifyJaccard(docs, mkGrams, cand, threshold)
+    verifyJaccard(docs, mkGrams, cand, threshold, pairMembershipVerify)
   }
 
   /** Raw (uncapped) band table — exposed for plan specs. */
@@ -268,30 +271,76 @@ object Dedup {
     * candidate pair, so cost stays bounded by the near-dup
     * neighborhood, never the corpus. Identical numbers: intersection/
     * union over distinct grams, same double division, same rounding. */
+  /** Exact-jaccard verification in TWO measured formulations (r15
+    * optimization round); `pairMembership` picks per call site.
+    *
+    * PAIR-MEMBERSHIP form (guide §2.4 — the VERDICT r14 "share one
+    * exchange across the verify legs" rewrite): each candidate pair
+    * explodes into its two (pair, doc_id) membership rows, ONE doc_id
+    * equi-join attaches the gram stream, and one (pair, gram) count
+    * derives everything pair-level (a gram common to both docs appears
+    * twice in its cell — grams are distinct per doc — so
+    * |A∩B| = #cells with c = 2 and na + nb = Σc). 5 joins → 1, the two
+    * per-side gram legs and both size join-backs gone. Measured
+    * isolated sf0.1 (3-rep medians): near_dup_incremental wall
+    * 3.05 → 1.13 s, ssjoin family −25 % wall / −40 % CPU (the SimJoin
+    * twin of this form).
+    *
+    * TWO-LEG form (the pre-r15 shape, kept for the DENSE-gram regime):
+    * the membership form replicates every doc's grams per pair BEFORE
+    * the (pair, g) exchange (Catalyst additionally pushes the gram
+    * distinct past the membership join, so the replicated stream is
+    * the multiset), while the two-leg form ships the deduped stream
+    * once per leg and its intersection join materializes only matches.
+    * For near_dup_ngram (char-12-grams, ~2.4 M tagged rows over 1 k
+    * candidate pairs) the membership form measured isolated wall
+    * 2.05 → 3.03 s (CPU 19.7 → 12.7 s) — wall is the gate axis, so the
+    * char-gram verify keeps the two-leg form; word-gram callers and
+    * the index-served SimJoin verifies take the membership form. */
   private[operators] def verifyJaccard(docs: DataFrame, mkGrams: DataFrame => DataFrame,
-      cand0: DataFrame, threshold: Double): DataFrame = {
+      cand0: DataFrame, threshold: Double,
+      pairMembership: Boolean = true): DataFrame = {
     val cand = cand0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val candIds = cand.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-      .distinct()
-    // distinct gram stream of candidate docs — shared by the size
-    // aggregate and both sides of the intersection join
-    val grams = mkGrams(docs.join(candIds, Seq("doc_id"), "left_semi"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = grams.select(col("doc_id").as("doc_a"), col("g"))
-      .join(cand, "doc_a")
-      .join(grams.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("ni"))
-    // pairs with an empty intersection vanish at the inner join — they
-    // could never clear a positive threshold
-    val jac = inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        (col("ni").cast("double") /
-          (col("na") + col("nb") - col("ni")).cast("double")).as("jac"))
+    val jac = if (pairMembership) {
+      val mem = cand.select(col("doc_a"), col("doc_b"),
+        explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      val candIds = mem.select("doc_id").distinct()
+      val grams = mkGrams(docs.join(candIds, Seq("doc_id"), "left_semi"))
+        .distinct()
+      // pairs with an empty intersection surface with ni = 0 and are
+      // dropped by the positive-threshold filter — the same final set
+      // as the two-leg form's inner join on the intersection
+      grams.join(mem, Seq("doc_id"))
+        .groupBy(col("doc_a"), col("doc_b"), col("g"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(sum(col("c")).as("tot"),
+          sum(when(col("c") === 2, 1L).otherwise(0L)).as("ni"))
+        .select(col("doc_a"), col("doc_b"),
+          (col("ni").cast("double") /
+            (col("tot") - col("ni")).cast("double")).as("jac"))
+    } else {
+      val candIds = cand
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+        .distinct()
+      // distinct gram stream of candidate docs — shared by the size
+      // aggregate and both sides of the intersection join
+      val grams = mkGrams(docs.join(candIds, Seq("doc_id"), "left_semi"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = grams.select(col("doc_id").as("doc_a"), col("g"))
+        .join(cand, "doc_a")
+        .join(grams.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("ni"))
+      inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          (col("ni").cast("double") /
+            (col("na") + col("nb") - col("ni")).cast("double")).as("jac"))
+    }
     jac.filter(col("jac") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")

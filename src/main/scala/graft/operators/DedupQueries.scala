@@ -409,8 +409,12 @@ object DedupQueries {
       Some(nearDupLsmSql(wordShinglesCte, 0.7))),
 
     QueryDef("near_dup_ngram",
+      // two-leg verify: the char-12-gram stream is the dense-gram
+      // regime where pair-membership replication loses on wall —
+      // measurements in [[Dedup.verifyJaccard]]'s doc
       (s, d) => Dedup.nearDupPairsFromBands(Tables.documents(s, d),
-        SharedIntermediates.charBands(s, d), Dedup.charGrams, 0.6),
+        SharedIntermediates.charBands(s, d), Dedup.charGrams, 0.6,
+        pairMembershipVerify = false),
       Some(nearDupSql(charShinglesCte, 0.6))),
 
     QueryDef("simhash_docs",

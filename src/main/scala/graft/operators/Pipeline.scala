@@ -340,21 +340,32 @@ object Pipeline {
     * when it's too much), then a per-group conditional aggregate.
     * Nothing global, nothing unpartitioned. */
   def groupedPercentiles(events: DataFrame): DataFrame = {
+    // per-group CELL form (r15 optimization round, guide §2.3
+    // "aggregate before you shuffle"): the former row_number window
+    // shuffled and per-group-sorted EVERY event row; the rank-r cents
+    // value is a cell lookup instead — partial-aggregated
+    // (type, cents) counts (the exchange carries cells, not rows), one
+    // cumulative window over the Tables.MaxEventValue-bounded cents
+    // grid, and the value at 1-based rank r is the cell with
+    // f < r ≤ f + c. Identical ranks, identical cents (ties collapse
+    // into one cell by construction).
     val w = Window.partitionBy(col("event_type")).orderBy(col("cents"))
-    val wn = Window.partitionBy(col("event_type"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wn = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    def atRank(r: org.apache.spark.sql.Column) =
+      max(when(col("f") < r && r <= col("f") + col("c"), col("cents")))
     events
       .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(wn))
+      .groupBy(col("event_type"), col("cents")).agg(count(lit(1)).as("c"))
+      .withColumn("f", coalesce(sum(col("c")).over(w), lit(0L)))
+      .withColumn("n", sum(col("c")).over(wn))
       .groupBy(col("event_type"))
       .agg(
         max(col("n")).as("n"),
-        max(when(col("rn") === expr("1 + (n - 1) div 10"), col("cents")))
-          .as("p10_cent"),
-        max(when(col("rn") === expr("1 + (n - 1) div 2"), col("cents")))
-          .as("p50_cent"),
-        max(when(col("rn") === expr("1 + (9 * (n - 1)) div 10"), col("cents")))
-          .as("p90_cent"))
+        atRank(expr("1 + (n - 1) div 10")).as("p10_cent"),
+        atRank(expr("1 + (n - 1) div 2")).as("p50_cent"),
+        atRank(expr("1 + (9 * (n - 1)) div 10")).as("p90_cent"))
       .orderBy("event_type")
   }
 

@@ -273,28 +273,40 @@ object SimJoin {
       num: Int = 0, den: Int = 0): DataFrame = {
     val cand = cand0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val candIds = cand.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-      .distinct()
+    // PAIR-MEMBERSHIP rewrite (r15 optimization round, guide §2.4) —
+    // the [[Dedup.verifyJaccard]] shape: each candidate pair explodes
+    // into its two (pair, doc_id) rows, ONE doc_id equi-join attaches
+    // the index's gram stream, and one (pair, gram) count derives
+    // ni / na / nb together (index grams are distinct per doc, so a
+    // shared gram's cell has c = 2; na = #cells whose doc_a side was
+    // present, nb = Σc − na). Replaces the two per-side gram legs, the
+    // size aggregate and both size join-backs: the gram stream is
+    // shuffled once, 5 joins → 1. Same longs, same double arithmetic.
+    val mem = cand.select(col("doc_a"), col("doc_b"),
+      explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+    val candIds = mem.select("doc_id").distinct()
     val grams = ranked.select(col("doc_id"), col("g"))
       .join(candIds, Seq("doc_id"), "left_semi")
-    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = grams.select(col("doc_id").as("doc_a"), col("g"))
-      .join(cand, "doc_a")
-      .join(grams.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("ni"))
-    val withNa = inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-    def withNb = withNa
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+    val sized = grams.join(mem, Seq("doc_id"))
+      .groupBy(col("doc_a"), col("doc_b"), col("g"))
+      .agg(count(lit(1)).as("c"),
+        max(when(col("doc_id") === col("doc_a"), 1L).otherwise(0L)).as("ia"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("c")).as("tot"), sum(col("ia")).as("na"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("ni"))
+      .withColumn("nb", col("tot") - col("na"))
+    // zero-intersection pairs now surface with ni = 0 and fall to the
+    // positive-threshold filter / integer accept test — same result set
+    // as the former inner-join-on-intersection form
     mode match {
       case "containment" =>
-        withNa.select(col("doc_a"), col("doc_b"),
+        sized.select(col("doc_a"), col("doc_b"),
             (col("ni").cast("double") / col("na").cast("double")).as("s"))
           .filter(col("s") >= threshold)
           .select(col("doc_a"), col("doc_b"), round(col("s"), 6).as("containment"))
           .orderBy("doc_a", "doc_b")
       case "jaccard" =>
-        withNb
+        sized
           .select(col("doc_a"), col("doc_b"),
             (col("ni").cast("double") /
               (col("na") + col("nb") - col("ni")).cast("double")).as("s"))
@@ -305,7 +317,7 @@ object SimJoin {
         // accept decision in exact integers (squared inequality); the
         // reported similarity is the one place a double appears, and it
         // is the same IEEE sqrt+divide+round both engines compute
-        withNb
+        sized
           .filter(col("ni") * col("ni") * (den * den) >=
             col("na") * col("nb") * (num * num))
           .select(col("doc_a"), col("doc_b"),

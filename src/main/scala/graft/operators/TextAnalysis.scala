@@ -1304,9 +1304,14 @@ object TextAnalysis {
     * quantile_cont (both linear-interpolation); kept-average summed in
     * DECIMAL for order-independence. */
   def lengthQualityGate(docs: DataFrame): DataFrame = {
-    val stats = docs.groupBy("lang").agg(
-      round(expr("percentile(n_chars, 0.05D)"), 6).as("p05"),
-      round(expr("percentile(n_chars, 0.95D)"), 6).as("p95"))
+    // per-group value-cell percentiles (r15 optimization round): the
+    // built-in percentile merged each lang's value→count map in one
+    // final task; n_chars is an integer domain bounded by max doc
+    // length, so the per-lang cell window is domain-bounded — see
+    // [[Relational.cellPercentiles]] (bit-exact interpolation replica)
+    val stats = Relational.cellPercentiles(
+      docs.select(col("lang"), col("n_chars").as("v")),
+      Seq(0.05, 0.95), Seq("p05", "p95"), grp = Seq("lang"))
     docs.select(col("lang"), col("n_chars"))
       .join(broadcast(stats), "lang")
       .withColumn("kept", col("n_chars") >= col("p05") && col("n_chars") <= col("p95"))

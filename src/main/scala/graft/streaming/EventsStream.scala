@@ -595,6 +595,13 @@ object EventsStream {
           .option("path", outDir).option("checkpointLocation", ckpt)
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
+        // dev-only attribution of the per-gate fixed floor (r15 round):
+        // per-batch durationMs split (addBatch / walCommit / stateStore
+        // commit / queryPlanning) — the evidence for what of the gate
+        // wall is real streaming machinery vs cuttable work
+        if (sys.env.contains("GRAFT_STREAM_PROFILE"))
+          q.recentProgress.foreach(p =>
+            System.err.println(s"[stream-profile] $prefix ${p.json}"))
       } finally
         spark.conf.set("spark.sql.shuffle.partitions", sessParts)
     }
@@ -646,12 +653,6 @@ object EventsStream {
       .select(col("user_id"), col("ts"), col("event_id"))
     val outSchema = "user_id LONG, n_intervals LONG, covered_us LONG, " +
       "max_interval_us LONG, n_events LONG"
-    val maxTsRow = ev.agg(max(unix_millis(col("ts")))).head()
-    if (maxTsRow.isNullAt(0))
-      return spark.createDataFrame(
-        new java.util.ArrayList[Row](),
-        org.apache.spark.sql.types.StructType.fromDDL(outSchema))
-    val maxTs = maxTsRow.getLong(0)
     import spark.implicits._
     // Sentinel IN the backlog (r14 optimization round): batch 0 runs
     // with the watermark still unset, so no event can be late-dropped
@@ -661,11 +662,27 @@ object EventsStream {
     // timeout once the post-batch-0 watermark (sentinel − delay)
     // passes each open interval's end. ONE streaming query startup +
     // checkpoint lifecycle instead of two; identical sink rows.
-    val sentinel = Seq((-1L, new java.sql.Timestamp(maxTs + 2L * 86400000),
-      -1L)).toDF("user_id", "ts", "event_id")
-    val gate = new StreamedGate(spark, "iv_stream", ev.unionAll(sentinel),
+    // maxTs folded INTO the backlog write (r15 optimization round,
+    // guide §1.2 "don't compute things twice"): the former
+    // ev.agg(max).head() pre-pass was a second full events scan per
+    // gate; Dataset.observe rides the write job, and the sentinel
+    // lands as one appended file — batch 0 still takes EVERY listed
+    // file (no maxFilesPerTrigger, watermark unset), so appended-
+    // sentinel ≡ unioned-sentinel.
+    val obs = org.apache.spark.sql.Observation()
+    val gate = new StreamedGate(spark, "iv_stream",
+      ev.observe(obs, max(unix_millis(col("ts"))).as("max_ts")),
       "user_id LONG, ts TIMESTAMP, event_id LONG",
       intervalsStream(spark, _))
+    val maxTsAny = obs.get("max_ts")
+    if (maxTsAny == null)
+      // empty backlog: nothing to roll up and no sentinel ts to derive
+      return spark.createDataFrame(
+        new java.util.ArrayList[Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(outSchema))
+    val maxTs = maxTsAny.asInstanceOf[Long]
+    gate.append(Seq((-1L, new java.sql.Timestamp(maxTs + 2L * 86400000),
+      -1L)).toDF("user_id", "ts", "event_id"))
     gate.runOnce()
     gate.sink("user_id LONG, iv_s_us LONG, iv_e_us LONG, n_ev LONG")
       .filter(col("user_id") >= 0)
@@ -701,24 +718,27 @@ object EventsStream {
     val outSchema = "user_id LONG, session_id LONG, n_events LONG, " +
       "session_start_ms LONG, session_end_ms LONG, sum_value_milli LONG, " +
       "duration_ms LONG"
+    import spark.implicits._
+    // sentinel folded into batch 0, maxTs folded into the backlog write
+    // via Dataset.observe — see intervalsStreamedQuery: the trailing
+    // no-data batch fires the timers the second run used to; one
+    // streaming query lifecycle AND one events scan instead of two each
+    val obs = org.apache.spark.sql.Observation()
+    val gate = new StreamedGate(spark, "sess_stream",
+      ev.observe(obs, max(unix_millis(col("ts"))).as("max_ts")),
+      "user_id LONG, ts TIMESTAMP, value DOUBLE",
+      sessionizeStateful(spark, _))
+    val maxTsAny = obs.get("max_ts")
     // empty backlog: nothing to sessionize and no sentinel timestamp to
     // derive — return the empty result directly (review finding: the
-    // max-ts row is NULL on an empty table and getLong would NPE)
-    val maxTsRow = ev.agg(max(unix_millis(col("ts")))).head()
-    if (maxTsRow.isNullAt(0))
+    // observed max is NULL on an empty table)
+    if (maxTsAny == null)
       return spark.createDataFrame(
         new java.util.ArrayList[Row](),
         org.apache.spark.sql.types.StructType.fromDDL(outSchema))
-    val maxTs = maxTsRow.getLong(0)
-    import spark.implicits._
-    // sentinel folded into batch 0 — see intervalsStreamedQuery: the
-    // trailing no-data batch fires the timers the second run used to;
-    // one streaming query lifecycle instead of two, identical rows
-    val sentinel = Seq((-1L, new java.sql.Timestamp(maxTs + 2L * 86400000),
-      0.0)).toDF("user_id", "ts", "value")
-    val gate = new StreamedGate(spark, "sess_stream", ev.unionAll(sentinel),
-      "user_id LONG, ts TIMESTAMP, value DOUBLE",
-      sessionizeStateful(spark, _))
+    val maxTs = maxTsAny.asInstanceOf[Long]
+    gate.append(Seq((-1L, new java.sql.Timestamp(maxTs + 2L * 86400000),
+      0.0)).toDF("user_id", "ts", "value"))
     gate.runOnce()
     // the state machine floors event times to epoch millis (SessionRow
     // carries java.sql.Timestamp ms) while the corpus has microsecond
@@ -755,22 +775,15 @@ object EventsStream {
         round(col("value") * 1000).cast("long").as("value_milli"))
     val outSchema = "ws TIMESTAMP, event_type STRING, n_events LONG, " +
       "sum_value_milli LONG"
-    val maxTsRow = ev.agg(max(unix_millis(col("ts")))).head()
-    if (maxTsRow.isNullAt(0))
-      return spark.createDataFrame(
-        new java.util.ArrayList[Row](),
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "ws_ms LONG, event_type STRING, n_events LONG, " +
-            "sum_value_milli LONG"))
-    val maxTs = maxTsRow.getLong(0)
     import spark.implicits._
-    // sentinel folded into batch 0 — see intervalsStreamedQuery: the
-    // trailing no-data batch flushes every closed window once the
-    // post-batch-0 watermark passes it; the sentinel's own still-open
-    // window never reaches the sink (and stays filtered besides)
-    val sentinel = Seq((new java.sql.Timestamp(maxTs + 2L * 86400000),
-      "zzz_sentinel", 0L)).toDF("ts", "event_type", "value_milli")
-    val gate = new StreamedGate(spark, "tumb_stream", ev.unionAll(sentinel),
+    // sentinel folded into batch 0, maxTs folded into the backlog write
+    // via Dataset.observe — see intervalsStreamedQuery: the trailing
+    // no-data batch flushes every closed window once the post-batch-0
+    // watermark passes it; the sentinel's own still-open window never
+    // reaches the sink (and stays filtered besides)
+    val obs = org.apache.spark.sql.Observation()
+    val gate = new StreamedGate(spark, "tumb_stream",
+      ev.observe(obs, max(unix_millis(col("ts"))).as("max_ts")),
       "ts TIMESTAMP, event_type STRING, value_milli LONG",
       s => s.withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -778,6 +791,16 @@ object EventsStream {
           sum(col("value_milli")).as("sum_value_milli"))
         .select(col("w.start").as("ws"), col("event_type"),
           col("n_events"), col("sum_value_milli")))
+    val maxTsAny = obs.get("max_ts")
+    if (maxTsAny == null)
+      return spark.createDataFrame(
+        new java.util.ArrayList[Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "ws_ms LONG, event_type STRING, n_events LONG, " +
+            "sum_value_milli LONG"))
+    val maxTs = maxTsAny.asInstanceOf[Long]
+    gate.append(Seq((new java.sql.Timestamp(maxTs + 2L * 86400000),
+      "zzz_sentinel", 0L)).toDF("ts", "event_type", "value_milli"))
     gate.runOnce()
     gate.sink(outSchema)
       .filter(col("event_type") =!= "zzz_sentinel")
